@@ -1,0 +1,204 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Cols
+
+/** The reference's analytics query surface (SURVEY.md §2.8, Q1–Q5)
+  * re-targeted at the harness star schema: lineitem/orders play the
+  * fact role, part/customer/nation/region the dims
+  * (reference originals: /root/reference/sql/03_analytics_queries.sql).
+  *
+  * Scale posture (100 TB): every query below is fact-side streaming —
+  * dims are explicitly `broadcast(...)` (they stay dim-sized at any SF
+  * because facts grow and dims don't), aggregates get partial map-side
+  * combine for free, global stats are computed as a 1-row aggregate
+  * then cross-joined/broadcast (never a `Window.partitionBy()` global
+  * window, which would single-partition the fact table), and every
+  * top-k is `orderBy(...).limit(k)`, which Spark plans as
+  * TakeOrderedAndProject (per-partition heaps, no global sort).
+  *
+  * Determinism for the DuckDB-oracle hash gate: each query ends in a
+  * total ORDER BY and float aggregates are rounded.
+  */
+object Queries {
+
+  /** Q1 analogue — top-10 by aggregated metric
+    * (ref sql/03_analytics_queries.sql:6-22: fact⋈dim, GROUP BY dim
+    * attrs, MAX(metric), ORDER BY DESC LIMIT 10). */
+  def q1TopBrands(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p  = Tables.part(spark, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        Cols.r(max(col("l_extendedprice")), 2).as("max_price"),
+        Cols.r(Cols.sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")), 6), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("p_brand").asc)
+      .limit(10)
+  }
+
+  /** Q2 analogue — daily trend: per-date AVG/AVG/COUNT(DISTINCT)
+    * (ref sql/03_analytics_queries.sql:24-32). Exact distinct, as in
+    * the reference; Catalyst plans partial+final with distinct expand. */
+  def q2DailyTrend(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+      .agg(
+        Cols.r(Cols.avgExact(col("l_extendedprice"), 2), 4).as("avg_price"),
+        Cols.r(avg(col("l_quantity")), 4).as("avg_qty"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("ship_date").asc)
+  }
+
+  /** Q3 analogue — global z-score outliers
+    * (ref sql/03_analytics_queries.sql:34-65: grand-aggregate stats
+    * CTE, CROSS JOIN onto facts, |z| >= threshold, ORDER BY |z| DESC).
+    * The 1-row stats side goes through BroadcastNestedLoopJoin — the
+    * scalable form of the reference's scalar cross join; the fact side
+    * never shuffles. */
+  def q3ZScoreOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).filter(col("l_extendedprice").isNotNull)
+    val stats = li.agg(
+      Cols.avgExact(col("l_extendedprice"), 2).as("mean_price"),
+      Cols.stddevExact(col("l_extendedprice"), 2).as("std_price"))
+    li.crossJoin(broadcast(stats))
+      .withColumn("price_z",
+        Cols.r(Cols.zScore(col("l_extendedprice"), col("mean_price"), col("std_price")), 4))
+      .filter(abs(col("price_z")) >= 1.5)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("price_z"))
+      .orderBy(abs(col("price_z")).desc, col("l_orderkey").asc, col("l_linenumber").asc)
+  }
+
+  /** Q4 analogue — geographic rollup
+    * (ref sql/03_analytics_queries.sql:67-78: COUNT DISTINCT, AVGs,
+    * SUM grouped on a COALESCE'd geo attribute). Star join through
+    * two broadcast dims; only the aggregate shuffles (32 partitions). */
+  def q4GeoRollup(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        Cols.r(Cols.avgExact(col("o_totalprice"), 2), 4).as("avg_order_value"),
+        Cols.r(Cols.sumExact(col("o_totalprice"), 2), 2).as("total_value"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("total_value").desc, col("region_name").asc)
+  }
+
+  /** Q5 analogue — windowed risk watchlist
+    * (ref sql/03_analytics_queries.sql:80-148: per-entity trailing
+    * 7-row moving average + LAG(7), guarded ratios, conjunctive
+    * threshold filter, multi-key top-50). Window partitions by
+    * supplier — high-cardinality at scale, so WindowExec's
+    * sort-within-partition parallelizes; no global window anywhere. */
+  def q5RiskWatchlist(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    li.withColumn("qty_7_avg", avg(col("l_quantity")).over(w.rowsBetween(-6, Window.currentRow)))
+      .withColumn("price_7_ago", lag(col("l_extendedprice"), 7).over(w))
+      .withColumn("spike_ratio", Cols.guardedRatio(col("l_quantity"), col("qty_7_avg")))
+      .withColumn("momentum", Cols.guardedRatio(
+        col("l_extendedprice") - col("price_7_ago"), col("price_7_ago")))
+      .filter(col("spike_ratio") >= 1.5 && col("momentum") <= 0)
+      .select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        Cols.r(col("spike_ratio"), 4).as("spike_ratio"),
+        Cols.r(col("momentum"), 4).as("momentum"))
+      .orderBy(col("spike_ratio").desc, col("momentum").asc,
+        col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(50)
+  }
+
+  /** DuckDB oracle SQL for the queries above. Column aliases match the
+    * Spark side exactly (driver sorts columns by name before hashing). */
+  val oracles: Map[String, String] = Map(
+    "q1_top_brands" ->
+      """SELECT p_brand,
+        |       floor((max(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS max_price,
+        |       floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY revenue DESC, p_brand ASC
+        |LIMIT 10""".stripMargin,
+    "q2_daily_trend" ->
+      """SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+        |       floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / count(l_extendedprice)) * 1e4 + 0.5) / 1e4 AS avg_price,
+        |       floor((avg(l_quantity)) * 1e4 + 0.5) / 1e4 AS avg_qty,
+        |       count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem
+        |GROUP BY 1
+        |ORDER BY ship_date ASC""".stripMargin,
+    "q3_zscore_outliers" ->
+      """WITH stats AS (
+        |  SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / count(l_extendedprice) AS mean_price,
+        |         sqrt((CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+        |               - CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)
+        |                 * CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / count(l_extendedprice))
+        |              / (count(l_extendedprice) - 1.0)) AS std_price
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |), z AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |         floor(((l_extendedprice - mean_price) / std_price) * 1e4 + 0.5) / 1e4 AS price_z
+        |  FROM lineitem CROSS JOIN stats
+        |  WHERE l_extendedprice IS NOT NULL
+        |)
+        |SELECT * FROM z
+        |WHERE abs(price_z) >= 1.5
+        |ORDER BY abs(price_z) DESC, l_orderkey ASC, l_linenumber ASC""".stripMargin,
+    "q4_geo_rollup" ->
+      """SELECT r_name AS region_name,
+        |       count(DISTINCT o_custkey) AS n_customers,
+        |       floor((CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) / count(o_totalprice)) * 1e4 + 0.5) / 1e4 AS avg_order_value,
+        |       floor((CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS total_value,
+        |       count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY total_value DESC, region_name ASC""".stripMargin,
+    "q5_risk_watchlist" ->
+      """WITH win AS (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |         avg(l_quantity) OVER (PARTITION BY l_suppkey
+        |           ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+        |           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS qty_7_avg,
+        |         lag(l_extendedprice, 7) OVER (PARTITION BY l_suppkey
+        |           ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC) AS price_7_ago
+        |  FROM lineitem
+        |), scored AS (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |         CASE WHEN qty_7_avg IS NULL OR qty_7_avg = 0 THEN NULL
+        |              ELSE l_quantity / qty_7_avg END AS spike_ratio,
+        |         CASE WHEN price_7_ago IS NULL OR price_7_ago = 0 THEN NULL
+        |              ELSE (l_extendedprice - price_7_ago) / price_7_ago END AS momentum
+        |  FROM win
+        |)
+        |SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       floor((spike_ratio) * 1e4 + 0.5) / 1e4 AS spike_ratio,
+        |       floor((momentum) * 1e4 + 0.5) / 1e4 AS momentum
+        |FROM scored
+        |WHERE spike_ratio >= 1.5 AND momentum <= 0
+        |ORDER BY spike_ratio DESC, momentum ASC, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 50""".stripMargin
+  )
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_top_brands"      -> (q1TopBrands _),
+    "q2_daily_trend"     -> (q2DailyTrend _),
+    "q3_zscore_outliers" -> (q3ZScoreOutliers _),
+    "q4_geo_rollup"      -> (q4GeoRollup _),
+    "q5_risk_watchlist"  -> (q5RiskWatchlist _)
+  )
+}
