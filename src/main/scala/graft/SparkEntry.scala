@@ -15,10 +15,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    analytics.Queries.entries
+    analytics.Queries.entries ++
+      analytics.PipelineOps.entries ++
+      analytics.AppOps.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    analytics.Queries.oracles
+    analytics.Queries.oracles ++
+      analytics.PipelineOps.oracles ++
+      analytics.AppOps.oracles
 }

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the harness parquet tables (TESTDATA.md).
   *
@@ -22,7 +24,19 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = t(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = t(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame     = t(spark, dir, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's µs-precision
+    * TimestampType cannot represent; with
+    * spark.sql.legacy.parquet.nanosAsLong=true (set by every graft
+    * session builder) it surfaces as LongType ns-since-epoch, which we
+    * truncate to µs with integer division (`div` — ns epochs exceed
+    * 2^53, so double division would corrupt them). DuckDB oracles
+    * print at µs too, so both engines see identical instants. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = t(spark, dir, "events")
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
 }

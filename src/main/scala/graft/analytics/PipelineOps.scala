@@ -1,0 +1,195 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Cols
+
+/** The reference's load/transform (ELT) surface re-targeted at the
+  * harness `events` table: staging projection with content-hash
+  * surrogate keys, window dedupe, keep-latest dimension build, and
+  * MERGE-style upsert (SURVEY.md §2.8 L1/L2/M1/M2; reference originals
+  * /root/reference/sql/02_load_data.sql:78-165 and the dbt models in
+  * /root/reference/dbt_project/models/).
+  *
+  * Scale notes: all window dedupes partition by high-cardinality keys
+  * (user_id), so WindowExec parallelizes; the upsert is an anti-join +
+  * union (no full-table rewrite of unmatched rows' content); hash keys
+  * are pure per-row expressions (codegen'd, no shuffle).
+  */
+object PipelineOps {
+
+  private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  /** M1 analogue — staging model: typed projection, JSON payload
+    * extraction, sha256 surrogate keys over '|'-joined natural keys
+    * (ref dbt stg_most_actives.sql:29-47), then window-dedupe keeping
+    * the latest row per (user, type, day)
+    * (ref sql/02_load_data.sql:109-112, QUALIFY rewritten as
+    * rank-column + filter since OSS Spark has no QUALIFY). */
+  def m1StgEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id"), col("event_type"), col("event_date"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.select(
+        col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
+        Cols.hashKey(col("user_id")).as("entity_sk"),
+        Cols.hashKey(col("user_id"), col("event_id")).as("observation_sk"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"), col("event_type"), col("event_date"), col("event_id"),
+        col("entity_sk"), col("observation_sk"), col("k"),
+        Cols.r(col("value"), 4).as("value"))
+      .orderBy(col("user_id").asc, col("event_type").asc, col("event_date").asc)
+  }
+
+  /** M2 analogue — keep-latest dimension: one row per user with their
+    * most recent event (ref dim_entity.sql:15-31). Explicit
+    * desc_nulls_last + event_id tiebreak: Snowflake bare DESC is
+    * NULLS FIRST, Spark is NULLS LAST — SURVEY §2.5 W2 standardizes
+    * on nulls-last. */
+  def m2DimUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc_nulls_last, col("event_id").desc)
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"),
+        col("event_type").as("last_event_type"),
+        date_format(col("ts"), tsFmt).as("last_seen_ts"),
+        Cols.r(col("value"), 4).as("last_value"))
+      .orderBy(col("user_id").asc)
+  }
+
+  /** J3 analogue — MERGE upsert without a table format
+    * (ref sql/02_load_data.sql:78-165): target = latest state per user
+    * before the cutoff; source = latest per user from the new batch;
+    * matched keys take the source row, unmatched target rows survive.
+    * Spark form: target ANTI JOIN source ∪ source — the 100 TB-safe
+    * MERGE emulation (only keys shuffle; re-running is idempotent). */
+  def j3UpsertUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+    def latestPerUser(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc_nulls_last, col("event_id").desc)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    }
+    val target = latestPerUser(ev.filter(col("ts") < cutoff))
+      .withColumn("batch", lit("old"))
+    val source = latestPerUser(ev.filter(col("ts") >= cutoff))
+      .withColumn("batch", lit("new"))
+    target.join(source, Seq("user_id"), "left_anti")
+      .unionByName(source)
+      .select(
+        col("user_id"), col("batch"),
+        date_format(col("ts"), tsFmt).as("ts_str"),
+        Cols.r(col("value"), 4).as("value"))
+      .orderBy(col("user_id").asc)
+  }
+
+  /** A6/A7 analogue — load-QA conditional counts per group
+    * (ref sql/02_load_data.sql:66-73: COUNT(*) + COUNT_IF over
+    * blank/unparseable fields). Pure partial-aggregable counts. */
+  def qaCountsEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("value").isNull, 1).otherwise(0)).as("n_null_value"),
+        sum(when(get_json_object(col("props"), "$.k").cast("long") > 50, 1).otherwise(0))
+          .as("n_k_gt_50"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type").asc)
+  }
+
+  /** A5 analogue — duplicate-key audit: GROUP BY key HAVING COUNT>1
+    * (ref sql/02_load_data.sql:170-175). */
+  def a5DupAudit(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_dup"))
+      .filter(col("n_dup") > 1)
+      .orderBy(col("n_dup").desc, col("l_orderkey").asc)
+      .limit(500)
+  }
+
+  val oracles: Map[String, String] = Map(
+    "m1_stg_events" ->
+      """WITH stg AS (
+        |  SELECT event_id, user_id, event_type,
+        |         strftime(ts, '%Y-%m-%d') AS event_date,
+        |         sha256(CAST(user_id AS VARCHAR)) AS entity_sk,
+        |         sha256(concat_ws('|', CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR))) AS observation_sk,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |         floor((value) * 1e4 + 0.5) / 1e4 AS value,
+        |         row_number() OVER (PARTITION BY user_id, event_type, strftime(ts, '%Y-%m-%d')
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT user_id, event_type, event_date, event_id, entity_sk, observation_sk, k, value
+        |FROM stg WHERE rn = 1
+        |ORDER BY user_id ASC, event_type ASC, event_date ASC""".stripMargin,
+    "m2_dim_users" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_type, ts, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC NULLS LAST, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT user_id, event_type AS last_event_type,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_seen_ts,
+        |       floor((value) * 1e4 + 0.5) / 1e4 AS last_value
+        |FROM ranked WHERE rn = 1
+        |ORDER BY user_id ASC""".stripMargin,
+    "j3_upsert_users" ->
+      """WITH tgt AS (
+        |  SELECT user_id, ts, value, 'old' AS batch,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC NULLS LAST, event_id DESC) AS rn
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+        |), src AS (
+        |  SELECT user_id, ts, value, 'new' AS batch,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC NULLS LAST, event_id DESC) AS rn
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |), merged AS (
+        |  SELECT * FROM tgt WHERE rn = 1
+        |    AND user_id NOT IN (SELECT user_id FROM src WHERE rn = 1)
+        |  UNION ALL
+        |  SELECT * FROM src WHERE rn = 1
+        |)
+        |SELECT user_id, batch,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        |       floor((value) * 1e4 + 0.5) / 1e4 AS value
+        |FROM merged
+        |ORDER BY user_id ASC""".stripMargin,
+    "qa_counts_events" ->
+      """SELECT event_type,
+        |       count(*) AS n_rows,
+        |       count(*) FILTER (WHERE value IS NULL) AS n_null_value,
+        |       count(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS n_k_gt_50,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type ASC""".stripMargin,
+    "a5_dup_audit" ->
+      """SELECT l_orderkey, count(*) AS n_dup
+        |FROM lineitem
+        |GROUP BY l_orderkey
+        |HAVING count(*) > 1
+        |ORDER BY n_dup DESC, l_orderkey ASC
+        |LIMIT 500""".stripMargin
+  )
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_stg_events"    -> (m1StgEvents _),
+    "m2_dim_users"     -> (m2DimUsers _),
+    "j3_upsert_users"  -> (j3UpsertUsers _),
+    "qa_counts_events" -> (qaCountsEvents _),
+    "a5_dup_audit"     -> (a5DupAudit _)
+  )
+}
