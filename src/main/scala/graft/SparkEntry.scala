@@ -17,12 +17,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     analytics.Queries.entries ++
       analytics.PipelineOps.entries ++
-      analytics.AppOps.entries
+      analytics.AppOps.entries ++
+      analytics.DataOps.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     analytics.Queries.oracles ++
       analytics.PipelineOps.oracles ++
-      analytics.AppOps.oracles
+      analytics.AppOps.oracles ++
+      analytics.DataOps.oracles
 }

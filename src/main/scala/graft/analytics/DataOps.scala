@@ -1,0 +1,319 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Cols
+import graft.operators.{Similarity, TextAnalysis, TextDedup}
+
+/** Training-data pipeline query surface: dedup, similarity search, and
+  * text analysis over the harness `documents` / `embeddings` tables
+  * (SURVEY.md §7.4 north-star extensions — these are first-class
+  * operators, not demos).
+  *
+  * Every oracle below replays the operator's exact algorithm in
+  * DuckDB SQL — including the portable polynomial hashes and the
+  * explicit left-fold FP order for dot products — so the hash gate
+  * checks the whole pipeline, not a simplified proxy.
+  */
+object DataOps {
+
+  // Shared DuckDB SQL fragments, mirrored 1:1 with the Spark operators.
+  private val P = TextDedup.P
+  /** DuckDB: portable char-fold word hash (= TextDedup.charFold). */
+  private def dkWordHash(w: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length($w)), " +
+      s"i -> CAST(ascii(substr($w, i, 1)) AS BIGINT))), (acc, x) -> (acc * 31 + x) % $P)"
+  private val dkTokenHashes =
+    s"list_transform(string_split(text, ' '), w -> ${dkWordHash("w")})"
+  private val dkShingles =
+    s"""CASE WHEN len(th) < 3 THEN [] ELSE
+       |  list_distinct(list_transform(generate_series(1, len(th) - 2),
+       |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, i, i + 2)),
+       |         (acc, h) -> (acc * 131 + h) % $P))) END""".stripMargin
+  /** DuckDB: explicit-order dot product (= Similarity.dot). */
+  private def dkDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, $b), " +
+      s"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (acc, v) -> acc + v)"
+  private def dkCos(a: String, b: String): String =
+    s"floor((${dkDot(a, b)} / (sqrt(${dkDot(a, a)}) * sqrt(${dkDot(b, b)}))) * 1e6 + 0.5) / 1e6"
+
+  // ---- dedup ---------------------------------------------------------
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.exactDedupSummary(Tables.documents(spark, dir))
+
+  def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.jaccardPairs(Tables.documents(spark, dir), n = 3, threshold = 0.5)
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.minhashLshPairs(Tables.documents(spark, dir),
+        n = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+
+  /** maxHamming = 0 here: the harness docs share one 31-word vocab, so
+    * frequency-profile fingerprints cluster tightly (ham ≤ 6 matches
+    * 62% of ALL pairs — SimHash needs real lexical diversity to
+    * separate; see TextDedupSpec for a fixture where it does). */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.simhashPairs(Tables.documents(spark, dir), maxHamming = 0)
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(Tables.embeddings(spark, dir), threshold = 0.4)
+      .orderBy(col("vec_a").asc, col("vec_b").asc)
+
+  // ---- similarity search ---------------------------------------------
+
+  def simTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  def simTopKLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 3, nPlanes = 3)
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  // ---- text analysis ---------------------------------------------------
+
+  def textTokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("lang"),
+        TextAnalysis.nTokens(col("text")).cast("long").as("nt"),
+        TextAnalysis.nSubwords(col("text")).as("nsw"),
+        length(col("text")).cast("long").as("nc"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("total_tokens"),
+        sum(col("nsw")).as("total_subwords"),
+        Cols.r(sum(col("nt")).cast("double") / count(lit(1)), 4).as("avg_tokens"),
+        sum(col("nc")).as("total_chars"))
+      .orderBy(col("lang").asc)
+  }
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(
+        col("doc_id"),
+        TextAnalysis.nTokens(col("text")).as("n_tokens"),
+        Cols.r(TextAnalysis.qualityScore(col("text")), 4).as("quality"),
+        Cols.r(TextAnalysis.typeTokenRatio(col("text")), 4).as("ttr"))
+      .orderBy(col("quality").asc, col("doc_id").asc)
+      .limit(50)
+  }
+
+  def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("lang"), TextAnalysis.predictedLang(col("text")).as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang").asc, col("predicted").asc)
+  }
+
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id").asc)
+
+  // ---- oracles ---------------------------------------------------------
+
+  private val dkSizes =
+    s"""tok AS (SELECT doc_id, $dkTokenHashes AS th FROM documents),
+       |sh AS (SELECT doc_id, unnest($dkShingles) AS sh FROM tok),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)""".stripMargin
+
+  private val dkJaccardPairs =
+    s"""inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_ab
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), jac AS (
+       |  SELECT doc_a, doc_b,
+       |         floor(CAST(n_ab AS DOUBLE) / (sa.n_sh + sb.n_sh - n_ab) * 1e4 + 0.5) / 1e4 AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT count(*) AS n_docs,
+        |       count(DISTINCT fp) AS n_unique,
+        |       count(*) - count(DISTINCT fp) AS n_dup_rows
+        |FROM (SELECT sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |      FROM documents)""".stripMargin,
+    "dedup_jaccard" ->
+      s"""WITH $dkSizes, $dkJaccardPairs
+         |SELECT doc_a, doc_b, jaccard FROM jac
+         |WHERE jaccard >= 0.5
+         |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $dkSizes,
+         |sigs AS (
+         |  SELECT doc_id,
+         |         list_transform(generate_series(0, 15),
+         |           i -> list_min(list_transform($dkShingles,
+         |                  h -> (CAST(2*i+1 AS BIGINT) * h + 999983 * CAST(i AS BIGINT)) % $P))) AS minhash
+         |  FROM tok
+         |), bandsx AS (
+         |  SELECT doc_id, b.b AS band, list_slice(minhash, b.b * 2 + 1, b.b * 2 + 2) AS key
+         |  FROM sigs CROSS JOIN generate_series(0, 7) AS b(b)
+         |), cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bandsx a JOIN bandsx b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |), $dkJaccardPairs
+         |SELECT j.doc_a, j.doc_b, j.jaccard
+         |FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+         |WHERE j.jaccard >= 0.5
+         |ORDER BY j.doc_a ASC, j.doc_b ASC""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, $dkTokenHashes AS th FROM documents),
+         |sim AS (
+         |  SELECT doc_id,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(generate_series(0, 31),
+         |             j -> CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |                    list_transform(th, h -> (h // CAST(pow(2, j) AS BIGINT)) % 2 * 2 - 1)),
+         |                    (s, x) -> s + x) > 0
+         |                  THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)),
+         |           (a, x) -> a + x) AS simhash
+         |  FROM tok
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 0
+         |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
+    "dedup_embedding" ->
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       ${dkCos("a.embedding", "b.embedding")} AS cos
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${dkCos("a.embedding", "b.embedding")} >= 0.4
+         |ORDER BY vec_a ASC, vec_b ASC""".stripMargin,
+    "sim_topk" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${dkCos("q.embedding", "c.embedding")} AS cos
+         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, rank, neighbor_id, cos FROM ranked
+         |WHERE rank <= 5
+         |ORDER BY query_id ASC, rank ASC""".stripMargin,
+    "sim_topk_lsh" ->
+      s"""WITH anchors AS (
+         |  SELECT vec_id AS plane_id, embedding AS plane_vec FROM embeddings
+         |  ORDER BY vec_id ASC LIMIT 3
+         |), bucketed AS (
+         |  SELECT e.vec_id, e.embedding, sum(
+         |      CASE WHEN ${dkDot("e.embedding", "a.plane_vec")} > 0
+         |           THEN CAST(pow(2, a.plane_id) AS BIGINT) ELSE 0 END) AS bucket
+         |  FROM embeddings e CROSS JOIN anchors a
+         |  GROUP BY e.vec_id, e.embedding
+         |), scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${dkCos("q.embedding", "c.embedding")} AS cos
+         |  FROM bucketed q JOIN bucketed c
+         |    ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, rank, neighbor_id, cos FROM ranked
+         |WHERE rank <= 3
+         |ORDER BY query_id ASC, rank ASC""".stripMargin,
+    "text_token_stats" ->
+      """SELECT lang,
+        |       count(*) AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |       sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(string_split(text, ' '), w -> CAST((length(w) + 3) // 4 AS BIGINT))),
+        |           (a, x) -> a + x)) :: BIGINT AS total_subwords,
+        |       floor((CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*)) * 1e4 + 0.5) / 1e4 AS avg_tokens,
+        |       CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang ASC""".stripMargin,
+    "text_quality" ->
+      """WITH feats AS (
+        |  SELECT doc_id,
+        |         len(string_split(text, ' ')) AS n_tokens,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |              w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE)
+        |           / len(string_split(text, ' ')) AS swr,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |           / len(string_split(text, ' ')) AS ttr,
+        |         (length(text) - len(string_split(text, ' ')) + 1.0) / len(string_split(text, ' ')) AS awl
+        |  FROM documents
+        |), scored AS (
+        |  SELECT doc_id, n_tokens,
+        |         ((CASE WHEN nt >= 20 AND nt <= 80 THEN 1.0 WHEN nt >= 10 THEN 0.5 ELSE 0.0 END)
+        |          + (CASE WHEN swr >= 0.05 THEN 1.0 ELSE 0.0 END)
+        |          + (CASE WHEN ttr >= 0.3 THEN 1.0 WHEN ttr >= 0.15 THEN 0.5 ELSE 0.0 END)
+        |          + (CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0 ELSE 0.0 END)) / 4.0 AS q,
+        |         ttr
+        |  FROM feats
+        |)
+        |SELECT doc_id, n_tokens,
+        |       floor(q * 1e4 + 0.5) / 1e4 AS quality,
+        |       floor(ttr * 1e4 + 0.5) / 1e4 AS ttr
+        |FROM scored
+        |ORDER BY quality ASC, doc_id ASC
+        |LIMIT 50""".stripMargin,
+    "text_langid" ->
+      """WITH scores AS (
+        |  SELECT lang,
+        |         len(list_filter(string_split(lower(text), ' '), w -> list_contains(['the','and','of','to','is'], w))) AS s_en,
+        |         len(list_filter(string_split(lower(text), ' '), w -> list_contains(['der','die','das','und','ist'], w))) AS s_de,
+        |         len(list_filter(string_split(lower(text), ' '), w -> list_contains(['le','la','les','et','est'], w))) AS s_fr,
+        |         len(list_filter(string_split(lower(text), ' '), w -> list_contains(['el','la','los','y','es'], w))) AS s_es,
+        |         len(list_filter(string_split(lower(text), ' '), w -> list_contains(['的','是','了','在','我'], w))) AS s_zh
+        |  FROM documents
+        |), pred AS (
+        |  SELECT lang,
+        |         CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) <= 0 THEN 'und'
+        |              WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+        |              WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+        |              WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+        |              WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+        |              WHEN s_zh = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'zh'
+        |              ELSE 'und' END AS predicted
+        |  FROM scores
+        |)
+        |SELECT lang, predicted, count(*) AS n
+        |FROM pred
+        |GROUP BY lang, predicted
+        |ORDER BY lang ASC, predicted ASC""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents
+        |ORDER BY doc_id ASC""".stripMargin
+  )
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"       -> (dedupExact _),
+    "dedup_jaccard"     -> (dedupJaccard _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash"     -> (dedupSimhash _),
+    "dedup_embedding"   -> (dedupEmbedding _),
+    "sim_topk"          -> (simTopK _),
+    "sim_topk_lsh"      -> (simTopKLsh _),
+    "text_token_stats"  -> (textTokenStats _),
+    "text_quality"      -> (textQuality _),
+    "text_langid"       -> (textLangId _),
+    "text_fingerprint"  -> (textFingerprint _)
+  )
+}

