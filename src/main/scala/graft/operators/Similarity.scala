@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.GraftFunctions
 
 /** Embedding similarity search over `array<float>` columns
   * (SURVEY.md §7.4 north-star extension; harness `embeddings` table).
@@ -27,7 +28,11 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Explicit-order dot product of two float-array columns, in double. */
+  /** Explicit-order dot product of two float-array columns, in double —
+    * the portable HOF form (no session registration needed). The
+    * operators below use [[graft.GraftFunctions.dot]] instead: the
+    * same left-to-right accumulation as a codegen'd Catalyst
+    * expression (bit-identical result, ~10× faster). */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -38,6 +43,16 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Cosine from a fresh dot and *pre-computed* norms. Same FP ops in
+    * the same order as [[cosine]] (norm = sqrt(dot(v,v)) evaluated
+    * once per vector instead of once per pair) ⇒ bit-identical
+    * output, ~3× fewer array traversals on the pair path. */
+  private def cosinePre(a: Column, b: Column, normA: Column, normB: Column): Column =
+    GraftFunctions.dot(a, b) / (normA * normB)
+
+  private def norm(v: Column): Column =
+    sqrt(GraftFunctions.dot(v, v))
+
   /** Exact top-k neighbors for each query vector. `queries` and
     * `corpus` both need (idCol, vecCol); self-matches are excluded.
     * The query side is broadcast — at 100 TB the corpus never
@@ -45,11 +60,15 @@ object Similarity {
     * reduces k·|queries| rows, not the corpus. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    GraftFunctions.register(corpus.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_norm"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", floor(cosine(col("q_vec"), col("c_vec")) * 1e6 + 0.5) / 1e6)
+      .withColumn("cos", floor(
+        cosinePre(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")) * 1e6 + 0.5) / 1e6)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -61,6 +80,7 @@ object Similarity {
     * vectors: bit i set iff dot(v, anchor_i) > 0. */
   def withBucket(df: DataFrame, anchors: DataFrame, nPlanes: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     val a = anchors.orderBy(col(idCol).asc).limit(nPlanes)
       .select(col(idCol).as("plane_id"), col(vecCol).as("plane_vec"))
     df.crossJoin(broadcast(a))
@@ -77,14 +97,18 @@ object Similarity {
     * buckets = higher recall, more compute). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
     val anchors = corpus
     val cB = withBucket(corpus, anchors, nPlanes, idCol, vecCol)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("bucket"))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("bucket"),
+        norm(col(vecCol)).as("c_norm"))
     val qB = withBucket(queries, anchors, nPlanes, idCol, vecCol)
-      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("bucket"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("bucket"),
+        norm(col(vecCol)).as("q_norm"))
     val scored = cB.join(broadcast(qB), "bucket")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", floor(cosine(col("q_vec"), col("c_vec")) * 1e6 + 0.5) / 1e6)
+      .withColumn("cos", floor(
+        cosinePre(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")) * 1e6 + 0.5) / 1e6)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -98,10 +122,14 @@ object Similarity {
     * [[withBucket]]-cobucketed pairs (same scoring tail). */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = corpus.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
-    val b = corpus.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
+    GraftFunctions.register(corpus.sparkSession)
+    val a = corpus.select(col(idCol).as("vec_a"), col(vecCol).as("va"),
+      norm(col(vecCol)).as("na"))
+    val b = corpus.select(col(idCol).as("vec_b"), col(vecCol).as("vb"),
+      norm(col(vecCol)).as("nb"))
     a.join(broadcast(b), col("vec_a") < col("vec_b"))
-      .withColumn("cos", floor(cosine(col("va"), col("vb")) * 1e6 + 0.5) / 1e6)
+      .withColumn("cos", floor(
+        cosinePre(col("va"), col("vb"), col("na"), col("nb")) * 1e6 + 0.5) / 1e6)
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }

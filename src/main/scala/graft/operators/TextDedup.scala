@@ -54,10 +54,26 @@ object TextDedup {
   def tokenized(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("tokens", split(col(textCol), " "))
 
-  /** Per-token portable hashes. */
-  def withTokenHashes(docs: DataFrame): DataFrame =
-    tokenized(docs).withColumn("token_hashes", expr(
-      s"transform(tokens, w -> ${charFold("w")})"))
+  /** Per-token portable hashes, materialized through an
+    * explode → regroup shuffle barrier. The barrier matters: without
+    * it, CollapseProject inlines this per-character fold into every
+    * downstream lambda that references `token_hashes` (each of the
+    * ~48 shingle slices, each of the 32 SimHash bit-folds), so the
+    * char-fold re-runs tens of thousands of times per document in the
+    * interpreted HOF evaluator — measured 40-80 s at sf0.1 vs ~1 s
+    * with the barrier. After the aggregate, `token_hashes` is a plain
+    * attribute (materialized array), so downstream references are
+    * array loads. The extra shuffle is linear in token count and
+    * carries only (doc_id, pos, hash). Assumes doc_id is unique. */
+  def withTokenHashes(docs: DataFrame): DataFrame = {
+    val hashed = tokenized(docs)
+      .select(col("doc_id"), posexplode(expr(s"transform(tokens, w -> ${charFold("w")})"))
+        .as(Seq("pos", "th")))
+      .groupBy(col("doc_id"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, th))), x -> x.th)")
+        .as("token_hashes"))
+    tokenized(docs).join(hashed, Seq("doc_id"), "left")
+  }
 
   /** Distinct word-`n`-gram shingle hashes per doc. A shingle hash is
     * a fold of its word hashes — cheaper than hashing the joined
@@ -86,25 +102,66 @@ object TextDedup {
     withShingleHashes(docs, n)
       .select(col("doc_id"), explode(col("shingle_hashes")).as("sh"))
 
-  /** All-pairs n-gram Jaccard ≥ threshold via inverted-index join:
-    * shuffle on shingle hash, count co-occurrences per pair, divide by
-    * union size. Never materializes the n² pair space — only pairs
-    * sharing ≥1 shingle appear. */
-  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val idx = shingleIndex(docs, n)
-    val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = idx.as("a"); val b = idx.as("b")
-    val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_ab"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+  /** Per-doc shingle set + size — the verification side of every
+    * Jaccard path. */
+  def shingleArrays(docs: DataFrame, n: Int = 3): DataFrame =
+    withShingleHashes(docs, n)
+      .select(col("doc_id"), col("shingle_hashes"),
+        size(col("shingle_hashes")).as("n_sh"))
+
+  /** Exact-Jaccard verification of a candidate pair set: join each
+    * side's shingle array in (shuffle on doc_id — linear in
+    * candidates), then a map-side `array_intersect`. O(candidates),
+    * never touches the pair space. */
+  def verifyJaccard(cands: DataFrame, docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val arrs = shingleArrays(docs, n)
+    cands
+      .join(arrs.select(col("doc_id").as("doc_a"),
+        col("shingle_hashes").as("sh_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"),
+        col("shingle_hashes").as("sh_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("n_ab", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         floor(col("n_ab") / (col("n_a") + col("n_b") - col("n_ab")) * 1e4 + 0.5) / 1e4)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /** Prefix-filtering candidates (the exact set-similarity-join trick,
+    * cf. PPJoin): order every doc's shingles by global rarity
+    * (document frequency, then hash — (df, sh) is already a total
+    * order, so no global rank/row_number single-partition sort is
+    * needed); a pair with Jaccard ≥ t must share a shingle within each
+    * doc's first `n_sh − ⌈t·n_sh⌉ + 1` rarest shingles. Joining on
+    * prefix shingles only collapses the hot-shingle fan-out that makes
+    * a plain inverted-index join quadratic on low-entropy corpora —
+    * the frequent shingles land at the end of the order and never
+    * generate candidates. All shuffles are linear (df count, rank
+    * join-back, prefix self-join). */
+  def prefixCandidates(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val idx = shingleIndex(docs, n)
+    val dfCounts = idx.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val prefixes = idx.join(dfCounts, "sh")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ordered"))
+      .select(col("doc_id"), expr(
+        s"transform(slice(ordered, 1, size(ordered) - cast(ceil($threshold * size(ordered)) as int) + 1), x -> x.sh)")
+        .as("prefix"))
+      .select(col("doc_id"), explode(col("prefix")).as("sh"))
+    prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** All-pairs n-gram Jaccard ≥ threshold, exact: prefix-filtered
+    * candidates + array-intersect verification. Output is identical to
+    * a naive inverted-index pair count — the prefix filter is
+    * loss-less for the given threshold. */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame =
+    verifyJaccard(prefixCandidates(docs, n, threshold), docs, n, threshold)
 
   /** MinHash signatures: sig[i] = min over shingle hashes of the i-th
     * permutation ((2i+1)·h + 999983·i) mod P. Map-side only. */
@@ -132,16 +189,11 @@ object TextDedup {
   }
 
   /** MinHash-LSH near-dup detection: LSH candidates, then exact
-    * Jaccard verification restricted to candidates (the scalable
-    * variant of [[jaccardPairs]] — verification cost is O(candidates),
-    * not O(pairs sharing a shingle)). */
+    * Jaccard verification restricted to candidates — verification cost
+    * is O(candidates ≪ n²), the linear-time scale path. */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
-      bands: Int = 8, threshold: Double = 0.5): DataFrame = {
-    val cands = lshCandidates(docs, n, numHashes, bands)
-    jaccardPairs(docs, n, threshold).as("j")
-      .join(cands.as("c"), Seq("doc_a", "doc_b"), "left_semi")
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-  }
+      bands: Int = 8, threshold: Double = 0.5): DataFrame =
+    verifyJaccard(lshCandidates(docs, n, numHashes, bands), docs, n, threshold)
 
   /** 32-bit SimHash fingerprint: bit j is the sign of the sum over
     * tokens of (bit j of token hash ? +1 : −1). Multiset semantics
@@ -154,16 +206,32 @@ object TextDedup {
          |    aggregate(token_hashes, 0L, (s, h) -> s + (cast(h as bigint) div cast(pow(2, j) as bigint)) % 2 * 2 - 1) > 0,
          |    cast(pow(2, j) as bigint), 0L))""".stripMargin))
 
-  /** SimHash near-dup pairs: Hamming distance ≤ maxHamming. All-pairs
-    * compare on the 32-bit fingerprints (docs ≤ ~10⁴); at scale, block
-    * by signature bytes first (pigeonhole: ham ≤ 3 ⇒ one of 4 bytes
-    * equal) so the join is an equi-join on the block key. */
+  /** SimHash near-dup pairs: Hamming distance ≤ maxHamming, exact, via
+    * pigeonhole blocking — split the 32-bit fingerprint into
+    * `maxHamming + 1` contiguous bit blocks; two fingerprints within
+    * the Hamming budget must agree on at least one whole block, so
+    * candidates come from an equi-join on (block index, block value)
+    * and only candidates get the bit_count verify. Near-linear at
+    * scale (vs the all-pairs nested loop it replaces); maxHamming = 0
+    * degenerates to a pure equi-join on the full fingerprint. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val s = withSimHash(docs).select(col("doc_id"), col("simhash"))
-    val a = s.as("a"); val b = s.as("b")
-    a.join(b, col("a.doc_id") < col("b.doc_id"))
-      .withColumn("hamming", expr("bit_count(a.simhash ^ b.simhash)"))
+    val nBlocks = maxHamming + 1
+    val width = 32 / nBlocks // last block absorbs the remainder bits
+    val blocked = s.select(col("doc_id"), col("simhash"), posexplode(expr(
+      s"""transform(sequence(0, ${nBlocks - 1}),
+         |  i -> (simhash div cast(pow(2, i * $width) as bigint))
+         |       % cast(pow(2, if(i = ${nBlocks - 1}, ${32 - (nBlocks - 1) * width}, $width)) as bigint))""".stripMargin))
+      .as(Seq("block", "key")))
+    blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.block") === col("b.block") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 }
