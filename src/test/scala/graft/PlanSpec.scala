@@ -1,0 +1,45 @@
+package graft
+
+import graft.analytics.Queries
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions — the 100 TB posture is only real if
+  * the plans actually broadcast dims, push filters into the parquet
+  * scan, and prune columns (SURVEY.md §4). */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1 fact-dim join is a broadcast hash join (no fact shuffle for the join)") {
+    assert(plan(Queries.q1TopBrands(spark, dir)).contains("BroadcastHashJoin"))
+  }
+
+  test("q4 star join broadcasts all three dims") {
+    val p = plan(Queries.q4GeoRollup(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("filters push down to the parquet scan") {
+    val df = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 30).select("l_orderkey")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30"))
+  }
+
+  test("column pruning reaches the scan: 2-column projection reads 2 columns") {
+    val df = Queries.q2DailyTrend(spark, dir)
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val liScan = scans.find(_.contains("lineitem")).get
+    // q2 needs only shipdate, extendedprice, quantity, orderkey
+    assert(liScan.contains("ReadSchema"))
+    assert(!liScan.contains("l_comment") && !liScan.contains("l_partkey"))
+  }
+
+  test("top-k queries plan TakeOrderedAndProject, not a global sort") {
+    assert(plan(Queries.q1TopBrands(spark, dir)).contains("TakeOrderedAndProject"))
+    assert(plan(Queries.q5RiskWatchlist(spark, dir)).contains("TakeOrderedAndProject"))
+  }
+}

@@ -1,0 +1,40 @@
+package graft.analytics
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Catalog-level invariants over the sf0.001 harness data: every
+  * declared query runs, returns rows, and satisfies its structural
+  * contract (limits, orderings, schema names match the oracle). */
+class CatalogSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every catalog query runs on sf0.001 and returns rows") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, dir).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every query has an oracle, every oracle has a query") {
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
+  }
+
+  test("q1 returns exactly 10 brands ordered by revenue desc") {
+    val rows = Queries.q1TopBrands(spark, dir).collect()
+    assert(rows.length == 10)
+    val revs = rows.map(_.getAs[Double]("revenue")).toSeq
+    assert(revs == revs.sorted.reverse)
+  }
+
+  test("q5 respects its conjunctive thresholds and limit") {
+    val rows = Queries.q5RiskWatchlist(spark, dir).collect()
+    assert(rows.length <= 50)
+    assert(rows.forall(r => r.getAs[Double]("spike_ratio") >= 1.5
+      && r.getAs[Double]("momentum") <= 0))
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.{GraftFunctions, SparkSpec}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Float])*) =
+    rows.toSeq.toDF("vec_id", "embedding")
+
+  test("graft_dot (codegen) is bit-identical to the HOF fold on random float arrays") {
+    GraftFunctions.register(spark)
+    val rng = new scala.util.Random(3)
+    val df = (1L to 200L).map(i => i -> Seq.fill(64)(rng.nextFloat() * 2 - 1)).toDF("id", "v")
+    val both = df.as("a").join(df.as("b"), $"a.id" < $"b.id").limit(500)
+      .select(
+        Similarity.dot($"a.v", $"b.v").as("hof"),
+        GraftFunctions.dot($"a.v", $"b.v").as("native"))
+    assert(both.filter($"hof" =!= $"native" ||
+      $"hof".isNull =!= $"native".isNull).count() == 0)
+  }
+
+  test("graft_dot null semantics match zip_with+fold: null array, null element, length mismatch") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Seq[java.lang.Float](1f, 2f), Seq[java.lang.Float](3f, 4f)),      // 11.0
+      (Seq[java.lang.Float](1f, null), Seq[java.lang.Float](3f, 4f)),    // null element
+      (Seq[java.lang.Float](1f), Seq[java.lang.Float](3f, 4f)),          // length mismatch
+      (null, Seq[java.lang.Float](3f, 4f))                               // null array
+    ).toDF("a", "b")
+    val out = df.select(
+      GraftFunctions.dot($"a", $"b").as("native"),
+      Similarity.dot($"a", $"b").as("hof")).collect()
+    assert(out.map(r => Option(r.get(0))).toSeq ==
+      Seq(Some(11.0), None, None, None))
+    assert(out.forall(r => Option(r.get(0)) == Option(r.get(1))))
+  }
+
+  test("graft_dot handles int and bigint arrays") {
+    GraftFunctions.register(spark)
+    val out = Seq((Seq(1, 2, 3), Seq(4L, 5L, 6L))).toDF("a", "b")
+      .select(GraftFunctions.dot($"a", $"b")).as[Double].collect()
+    assert(out.head == 32.0)
+  }
+
+  test("bruteForceTopK ranks by cosine with deterministic tiebreaks") {
+    val d = vecs(
+      0L -> Seq(1f, 0f),
+      1L -> Seq(1f, 0.1f),
+      2L -> Seq(0f, 1f),
+      3L -> Seq(-1f, 0f))
+    val out = Similarity.bruteForceTopK(d, d.filter($"vec_id" === 0), k = 2)
+      .select($"query_id", $"rank", $"neighbor_id").as[(Long, Int, Long)]
+      .collect().toSeq.sorted
+    assert(out == Seq((0L, 1, 1L), (0L, 2, 2L)))
+  }
+
+  test("lshTopK only searches co-bucketed vectors and never exceeds k per query") {
+    val rng = new scala.util.Random(11)
+    val d = vecs((0L until 50L).map(i => i -> Seq.fill(8)(rng.nextFloat() * 2 - 1)): _*)
+    val out = Similarity.lshTopK(d, d.filter($"vec_id" < 5), k = 3, nPlanes = 2)
+    val counts = out.groupBy($"query_id").count().as[(Long, Long)].collect().toMap
+    assert(counts.values.forall(_ <= 3))
+    // approximate-contract: every returned neighbor shares the query's bucket
+    val buckets = Similarity.withBucket(d, d, 2).select($"vec_id", $"bucket")
+      .as[(Long, Long)].collect().toMap
+    val pairs = out.select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    assert(pairs.forall { case (q, n) => buckets(q) == buckets(n) })
+  }
+
+  test("nearDupPairs finds exactly the pairs above threshold") {
+    val d = vecs(
+      0L -> Seq(1f, 0f),
+      1L -> Seq(0.999f, 0.01f),
+      2L -> Seq(0f, 1f))
+    val out = Similarity.nearDupPairs(d, threshold = 0.9)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 1L)))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token and subword counts") {
+    val df = Seq("the cat sat", "extraordinary").toDF("text")
+    assert(df.select(TextAnalysis.nTokens($"text")).as[Int].collect().toSeq == Seq(3, 1))
+    // ceil(len/4): the=1 cat=1 sat=1 -> 3; extraordinary(13)=4
+    assert(df.select(TextAnalysis.nSubwords($"text")).as[Long].collect().toSeq == Seq(3L, 4L))
+  }
+
+  test("stopword and type-token ratios") {
+    val df = Seq("the the cat").toDF("text")
+    val Seq((sw, ttr)) = df.select(
+      TextAnalysis.stopwordRatio($"text"),
+      TextAnalysis.typeTokenRatio($"text")).as[(Double, Double)].collect().toSeq
+    assert(math.abs(sw - 2.0 / 3) < 1e-12)
+    assert(math.abs(ttr - 2.0 / 3) < 1e-12)
+  }
+
+  test("qualityScore rewards mid-length diverse prose, penalizes degenerate text") {
+    val good = ("the quick brown fox jumps over a lazy dog and then runs to " +
+      "the old stone bridge where it rests in warm sun for an hour of calm").trim
+    val bad = Seq.fill(30)("aa").mkString(" ") // no stopwords, tiny diversity
+    val df = Seq(good, bad).toDF("text")
+    val Seq(qGood, qBad) = df.select(TextAnalysis.qualityScore($"text"))
+      .as[Double].collect().toSeq
+    assert(qGood == 1.0)
+    assert(qBad <= 0.25)
+  }
+
+  test("predictedLang identifies marker-bearing text per language and 'und' without markers") {
+    val samples = Seq(
+      "the cat and the dog of the house is big" -> "en",
+      "der hund und die katze ist gross" -> "de",
+      "le chien et la maison est grande" -> "fr",
+      "el perro y la casa es grande" -> "es",
+      "qwerty zxcvb asdfgh" -> "und")
+    val df = samples.map(_._1).toDF("text")
+    val got = df.select(TextAnalysis.predictedLang($"text")).as[String].collect().toSeq
+    assert(got == samples.map(_._2))
+  }
+
+  test("fingerprint is whitespace/case-normalized md5") {
+    val df = Seq("Hello   World", "hello world").toDF("text")
+    val fps = df.select(TextAnalysis.fingerprint($"text")).as[String].collect()
+    assert(fps(0) == fps(1) && fps(0).length == 32)
+  }
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Scala replica of the portable char-fold hash, to pin the Spark
+    * expression against an independent implementation. */
+  private def charFoldRef(w: String): Long =
+    w.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % TextDedup.P)
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toSeq.toDF("doc_id", "text")
+
+  test("token hashes match an independent fold implementation") {
+    val d = docs(1L -> "ab cd", 2L -> "x")
+    val out = TextDedup.withTokenHashes(d)
+      .select($"doc_id", $"token_hashes").as[(Long, Seq[Long])]
+      .collect().toMap
+    assert(out(1L) == Seq(charFoldRef("ab"), charFoldRef("cd")))
+    assert(out(2L) == Seq(charFoldRef("x")))
+  }
+
+  test("shingles: docs shorter than n yield empty array, not sequence(1,0) garbage") {
+    val d = docs(1L -> "one two", 2L -> "one two three four")
+    val out = TextDedup.withShingleHashes(d, n = 3)
+      .select($"doc_id", size($"shingle_hashes")).as[(Long, Int)].collect().toMap
+    assert(out(1L) == 0)
+    assert(out(2L) == 2) // 4 tokens -> 2 trigrams
+  }
+
+  test("exactDedupSummary counts normalized duplicates (case/whitespace-insensitive)") {
+    val d = docs(1L -> "Hello  World", 2L -> "hello world", 3L -> "different")
+    val Seq((n, u, dup)) = TextDedup.exactDedupSummary(d)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert((n, u, dup) == ((3L, 2L, 1L)))
+  }
+
+  test("jaccardPairs matches hand-computed similarity") {
+    // doc1/doc2 share 2 of their trigram shingles; doc3 disjoint
+    val d = docs(
+      1L -> "a b c d",   // shingles: abc, bcd
+      2L -> "a b c e",   // shingles: abc, bce
+      3L -> "x y z w")   // shingles: xyz, yzw
+    val out = TextDedup.jaccardPairs(d, n = 3, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 0.3333))) // |∩|=1, |∪|=3
+  }
+
+  /** Brute-force reference: all pairs, exact Jaccard, no pruning. */
+  private def bruteJaccard(d: DataFrame, n: Int, t: Double): Set[(Long, Long, Double)] = {
+    val arrs = TextDedup.shingleArrays(d, n)
+      .select($"doc_id", $"shingle_hashes").as[(Long, Seq[Long])].collect()
+    (for {
+      (ia, sa) <- arrs; (ib, sb) <- arrs if ia < ib
+      inter = sa.toSet.intersect(sb.toSet).size
+      union = sa.toSet.union(sb.toSet).size
+      j = math.floor(inter.toDouble / union * 1e4 + 0.5) / 1e4
+      if union > 0 && j >= t
+    } yield (ia, ib, j)).toSet
+  }
+
+  test("prefix filtering is loss-less: jaccardPairs == brute force on a varied corpus") {
+    val words = Seq("the", "cat", "sat", "on", "mat", "dog", "ran", "far", "big", "red")
+    val rng = new scala.util.Random(7)
+    val corpus = (1L to 40L).map { i =>
+      val base = Seq.fill(8 + rng.nextInt(8))(words(rng.nextInt(words.size)))
+      i -> base.mkString(" ")
+    }
+    val d = docs(corpus: _*)
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val got = TextDedup.jaccardPairs(d, n = 3, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == bruteJaccard(d, 3, t), s"threshold $t")
+    }
+  }
+
+  test("minhashLshPairs is a subset of exact pairs and catches near-identical docs") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "the quick brown fox jumps over the lazy dog again and AGAIN", // 1-word change
+      3L -> "completely unrelated words describing some other topic entirely now")
+    val exact = TextDedup.jaccardPairs(d, 3, 0.5).as[(Long, Long, Double)].collect().toSet
+    val lsh = TextDedup.minhashLshPairs(d, 3, 16, 8, 0.5).as[(Long, Long, Double)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains(exact.find(p => p._1 == 1L && p._2 == 2L).get))
+  }
+
+  /** Brute-force SimHash reference pairs. */
+  private def bruteSimhash(d: DataFrame, maxHam: Int): Set[(Long, Long, Int)] = {
+    val sims = TextDedup.withSimHash(d).select($"doc_id", $"simhash")
+      .as[(Long, Long)].collect()
+    (for {
+      (ia, sa) <- sims; (ib, sb) <- sims if ia < ib
+      ham = java.lang.Long.bitCount(sa ^ sb)
+      if ham <= maxHam
+    } yield (ia, ib, ham)).toSet
+  }
+
+  test("simhash pigeonhole blocking is exact for maxHamming 0..3") {
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    val rng = new scala.util.Random(13)
+    val corpus = (1L to 30L).map { i =>
+      i -> Seq.fill(6 + rng.nextInt(6))(words(rng.nextInt(words.size))).mkString(" ")
+    }
+    val d = docs(corpus: _*)
+    for (mh <- 0 to 3) {
+      val got = TextDedup.simhashPairs(d, mh).as[(Long, Long, Int)].collect().toSet
+      assert(got == bruteSimhash(d, mh), s"maxHamming $mh")
+    }
+  }
+
+  test("simhash separates lexically distinct docs and repeats weigh in (multiset)") {
+    val d = docs(
+      1L -> "apple apple apple banana",
+      2L -> "apple apple apple banana",
+      3L -> "zebra quasar nebula photon")
+    val out = TextDedup.simhashPairs(d, maxHamming = 0)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(out == Seq((1L, 2L, 0)))
+  }
+}
