@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+
+/** MERGE-emulation upsert without a table format (SURVEY.md §2.3 J3,
+  * §7.4 risk #1; reference MERGE at
+  * /root/reference/sql/02_load_data.sql:78-165).
+  *
+  * Logical form: `target ANTI JOIN source ∪ source` — matched keys
+  * take the source row wholesale (reference updates every column on
+  * match), unmatched target rows survive, new keys insert. Re-running
+  * with the same source is idempotent.
+  *
+  * Physical form for parquet directories: write the merged result to
+  * a temp sibling path, then atomically swap directories — never read
+  * and overwrite the same location in one job (Spark would corrupt
+  * the input it is still scanning).
+  *
+  * Scale: the anti-join shuffles both sides by key once (or broadcasts
+  * the source batch when it is small — the common incremental case,
+  * which Catalyst/AQE picks automatically); unmatched target rows are
+  * NOT rewritten row-by-row anywhere except the final write, which is
+  * unavoidable without a transactional format's file-level rewrite.
+  */
+object Upsert {
+
+  /** Pure-frame upsert: rows in `source` replace same-key rows in
+    * `target`; all other target rows pass through. */
+  def upsertBatch(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame =
+    target.join(source, keys, "left_anti").unionByName(source)
+
+  /** Keyed upsert into a parquet directory with temp-path swap.
+    * Creates the target on first use. Returns the merged row count. */
+  def mergeIntoPath(spark: SparkSession, targetPath: String,
+      source: DataFrame, keys: Seq[String]): Long = {
+    val tgt = Paths.get(targetPath)
+    val merged =
+      if (Files.exists(tgt)) upsertBatch(spark.read.parquet(targetPath), source, keys)
+      else source
+    val tmp = Paths.get(targetPath + ".tmp-merge")
+    deleteRecursively(tmp)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    val n = spark.read.parquet(tmp.toString).count()
+    deleteRecursively(tgt)
+    Files.move(tmp, tgt, StandardCopyOption.ATOMIC_MOVE)
+    n
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+}
