@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Cols
-import graft.operators.{Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Multimodal, Similarity, TextAnalysis, TextDedup}
 
 /** Training-data pipeline query surface: dedup, similarity search, and
   * text analysis over the harness `documents` / `embeddings` tables
@@ -119,6 +119,11 @@ object DataOps {
     Tables.documents(spark, dir)
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id").asc)
+
+  // ---- multimodal plumbing ---------------------------------------------
+
+  def mmPayloadStats(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.payloadStats(Tables.documents(spark, dir))
 
   // ---- oracles ---------------------------------------------------------
 
@@ -300,7 +305,15 @@ object DataOps {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents
-        |ORDER BY doc_id ASC""".stripMargin
+        |ORDER BY doc_id ASC""".stripMargin,
+    "mm_payload_stats" ->
+      """SELECT coalesce(lang, 'und') AS kind,
+        |       count(*) AS n_media,
+        |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |       count(DISTINCT sha256(text)) AS n_distinct
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY kind ASC""".stripMargin
   )
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -314,6 +327,7 @@ object DataOps {
     "text_token_stats"  -> (textTokenStats _),
     "text_quality"      -> (textQuality _),
     "text_langid"       -> (textLangId _),
-    "text_fingerprint"  -> (textFingerprint _)
+    "text_fingerprint"  -> (textFingerprint _),
+    "mm_payload_stats"  -> (mmPayloadStats _)
   )
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for training-data pipelines: treat
+  * image/audio/video as opaque `binary` payloads with typed metadata,
+  * and run decode / feature-extraction as partition-batched
+  * transforms (the Scala analogue of a vectorized Python UDF: one
+  * batch of rows per partition iteration, no per-row driver calls).
+  *
+  * The container has no media codecs, so the DECODE STEP IS A STUB —
+  * [[decodeStub]] derives deterministic fake dimensions/features from
+  * the payload bytes and is clearly marked as the splice point for a
+  * real codec. Everything around it — schema, Dataset encoders,
+  * partition batching, feature-vector shape, downstream similarity
+  * compatibility — is real and tested.
+  *
+  * Scale: payloads stay distributed (never collected); per-partition
+  * work is pure map-side; feature vectors are fixed-size
+  * `Array[Float]` compatible with [[Similarity]] operators, so the
+  * near-dup / ANN paths compose directly.
+  */
+object Multimodal {
+
+  /** An opaque media row: payload + the metadata a real pipeline
+    * carries alongside (dimensions unknown until decode). */
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+
+  case class DecodedMedia(media_id: Long, kind: String, n_bytes: Long,
+      width: Int, height: Int, entropy: Double, features: Array[Float])
+
+  val FeatureDim = 16
+
+  /** STUB — replace with a real codec (e.g. javax.imageio / ffmpeg
+    * bindings) when available. Deterministic fake: "dimensions" come
+    * from a byte-fold hash, "features" are a 16-bin byte histogram
+    * normalized to unit L1 mass. Keeps every downstream contract
+    * (shapes, ranges, determinism) honest without a codec. */
+  def decodeStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+    val h = payload.foldLeft(17L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000003L)
+    val width = (h % 1920 + 1).toInt
+    val height = (h / 1920 % 1080 + 1).toInt
+    val hist = new Array[Float](FeatureDim)
+    payload.foreach(b => hist((b & 0xff) / (256 / FeatureDim)) += 1f)
+    val total = math.max(payload.length, 1).toFloat
+    (width, height, hist.map(_ / total))
+  }
+
+  /** Shannon entropy (bits/byte) of the payload, 0 for empty. */
+  def byteEntropy(payload: Array[Byte]): Double = {
+    if (payload.isEmpty) return 0.0
+    val counts = new Array[Long](256)
+    payload.foreach(b => counts(b & 0xff) += 1)
+    val n = payload.length.toDouble
+    counts.filter(_ > 0).map { c =>
+      val p = c / n; -p * math.log(p) / math.log(2)
+    }.sum
+  }
+
+  /** Decode + feature-extract, batched per partition. The iterator
+    * form means one JVM-level loop per partition (no per-row lambda
+    * dispatch through Catalyst) — where a real codec would also amortize
+    * its init cost (load model / codec context once per partition). */
+  def decodeAll(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init happens HERE (codec context, model weights)
+      rows.map { r =>
+        val (w, h, feats) = decodeStub(r.payload)
+        DecodedMedia(r.media_id, r.kind, r.payload.length.toLong, w, h,
+          byteEntropy(r.payload), feats)
+      }
+    }
+  }
+
+  /** Harness adapter: the testdata has no binary table, so stand in
+    * with the documents' UTF-8 bytes as opaque payloads — exercises
+    * the identical plumbing (binary column, metadata, batching). */
+  def fromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      coalesce(col("lang"), lit("und")).as("kind"),
+      encode(col("text"), "UTF-8").as("payload")).as[MediaRow]
+  }
+
+  /** SQL-expressible payload stats (oracle-checkable): per kind,
+    * count, total bytes, distinct content hashes. */
+  def payloadStats(docs: DataFrame): DataFrame =
+    fromDocuments(docs).toDF()
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(octet_length(col("payload"))).as("total_bytes"),
+        countDistinct(sha2(col("payload"), 256)).as("n_distinct"))
+      .orderBy(col("kind").asc)
+}

