@@ -101,6 +101,30 @@ object AppOps {
       .orderBy(col("event_type").asc)
   }
 
+  /** U4 analogue — result summary: grand averages + first-row pick
+    * formatted into a human-readable line
+    * (ref app/streamlit_app.py:206-222 build_summary_text; F23
+    * format strings). Numbers pass through DECIMAL casts so the
+    * string form is engine-exact (decimal→string is deterministic in
+    * both Spark and DuckDB; %-formatting of raw doubles is not). */
+  def u4ResultSummary(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val top = ev.orderBy(col("value").desc_nulls_last, col("event_id").asc).limit(1)
+      .select(col("event_id").as("top_event_id"))
+    ev.agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        Cols.r(Cols.avgExact(col("value"), 2), 4).as("avg_value"))
+      .crossJoin(top)
+      .withColumn("summary", concat(
+        lit("Analyzed "), col("n_events"),
+        lit(" events from "), col("n_users"),
+        lit(" users; avg value "), col("avg_value").cast("decimal(18,4)").cast("string"),
+        lit("; top event "), col("top_event_id")))
+      .select(col("n_events"), col("n_users"), col("avg_value"),
+        col("top_event_id"), col("summary"))
+  }
+
   /** Harness-specific: tumbling-hour rollup over event time — the
     * batch equivalent of the streaming windowed aggregation
     * (SURVEY §2.9; graft.streaming has the readStream form). */
@@ -169,6 +193,21 @@ object AppOps {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type ASC""".stripMargin,
+    "u4_result_summary" ->
+      """WITH agg AS (
+        |  SELECT count(*) AS n_events,
+        |         count(DISTINCT user_id) AS n_users,
+        |         floor((CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / count(value)) * 1e4 + 0.5) / 1e4 AS avg_value
+        |  FROM events
+        |), top AS (
+        |  SELECT event_id AS top_event_id FROM events
+        |  ORDER BY value DESC NULLS LAST, event_id ASC LIMIT 1
+        |)
+        |SELECT n_events, n_users, avg_value, top_event_id,
+        |       concat('Analyzed ', n_events, ' events from ', n_users,
+        |              ' users; avg value ', CAST(CAST(avg_value AS DECIMAL(18,4)) AS VARCHAR),
+        |              '; top event ', top_event_id) AS summary
+        |FROM agg CROSS JOIN top""".stripMargin,
     "e_hourly_rollup" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
         |       count(*) AS n_events,
@@ -182,6 +221,7 @@ object AppOps {
     "u1_filter_topk"     -> (u1FilterTopK _),
     "u2_activity_shocks" -> (u2ActivityShocks _),
     "u3_kpi_summary"     -> (u3KpiSummary _),
+    "u4_result_summary"  -> (u4ResultSummary _),
     "f20_bins_acctbal"   -> (f20BinsAcctbal _),
     "e_json_rollup"      -> (eJsonRollup _),
     "e_hourly_rollup"    -> (eHourlyRollup _)
