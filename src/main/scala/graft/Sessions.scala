@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One session shape for every graft main (and the driver contract):
+  * local[N] with N = SPARK_GRAFT_CPUS (default: all cores, matching
+  * the harness's local[32]), shuffle partitions = N (not Spark's 200 —
+  * at local scale 200 partitions is pure scheduling overhead; on a
+  * real cluster this knob is sized to executor count × cores),
+  * UTC session time, nanos-as-long for the events table, and the
+  * graft extensions (native functions) installed. */
+object Sessions {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+    Runtime.getRuntime.availableProcessors().toString)
+
+  def build(appName: String): SparkSession = {
+    val n = cpus
+    val spark = SparkSession.builder()
+      .master(s"local[$n]")
+      .appName(appName)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", n)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -43,8 +43,12 @@ object DataOps {
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     TextDedup.exactDedupSummary(Tables.documents(spark, dir))
 
+  /** Index (co-occurrence) strategy: the harness corpus has modest
+    * shingle df (max ~25), so thin-row co-occurrence counting beats
+    * the prefix+array-verify path (which wins on hot-shingle data —
+    * both are exact and property-tested equal). */
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
-    TextDedup.jaccardPairs(Tables.documents(spark, dir), n = 3, threshold = 0.5)
+    TextDedup.jaccardPairsIndex(Tables.documents(spark, dir), n = 3, threshold = 0.5)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
 
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =

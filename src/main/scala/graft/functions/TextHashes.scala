@@ -1,0 +1,171 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native kernels for the portable text-hash pipeline
+  * (graft.operators.TextDedup). Each is semantically IDENTICAL to a
+  * documented higher-order-function form that the DuckDB oracles
+  * replay — same fold order, same modulus, same null edge cases — but
+  * runs as a JVM loop instead of one interpreted lambda frame (plus a
+  * UTF8String allocation) per character/element. Measured ~5× on the
+  * sf0.1 dedup pipeline.
+  *
+  * CodegenFallback is deliberate: these feed explode/aggregate
+  * boundaries, so whole-stage fusion around them buys little, and the
+  * eval loop is already allocation-free.
+  */
+object TextHashes {
+  /** Modulus shared with TextDedup.P and every oracle. */
+  val P = 1000000007L
+
+  /** Char-fold hash of one string, by code point — identical to
+    * `aggregate(transform(sequence(1, length(s)), i -> ascii(substr(s, i, 1))), 0L, (a, c) -> (a*31 + c) % P)`. */
+  def foldString(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
+/** array<string> → array<bigint>: per-token char-fold hashes.
+  * Null token → null element (as the lambda form yields). */
+case class TokenHashes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_token_hashes expects array<string>, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_token_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (arr.isNullAt(i)) null
+        else TextHashes.foldString(arr.getUTF8String(i).toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** (array<bigint>, n) → array<bigint>: distinct word-n-gram shingle
+  * hashes, fold (acc*131 + h) % P over each length-n window; arrays
+  * shorter than n yield an empty array. First-occurrence distinct
+  * order, null window-fold → single null entry — exactly the
+  * `array_distinct(transform(sequence(...), i -> aggregate(slice(...))))` form. */
+case class ShingleHashes(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hashes expects (array<bigint>, int), got ${l.sql}, ${r.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def nullSafeEval(hashes: Any, nAny: Any): Any = {
+    val arr = hashes.asInstanceOf[ArrayData]
+    val n = nAny.asInstanceOf[Int]
+    val len = arr.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[Any]()
+    var i = 0
+    while (i <= len - n) {
+      var acc: java.lang.Long = 0L
+      var j = 0
+      while (j < n && acc != null) {
+        if (arr.isNullAt(i + j)) acc = null
+        else acc = (acc * 131 + arr.getLong(i + j)) % TextHashes.P
+        j += 1
+      }
+      seen.add(acc)
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** array<bigint> → bigint: 32-bit SimHash. Bit j set iff the sum over
+  * hashes of (bit j of h ? +1 : −1) is positive; any null element
+  * zeroes every bit (the lambda fold's null propagation through
+  * `if(null > 0, ...)`). Multiset semantics — repeats weigh in. */
+case class SimHash32(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_simhash expects array<bigint>, got ${t.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Long](32)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return 0L
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < 32) {
+        counts(j) += ((h >>> j) & 1L) * 2 - 1
+        j += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 32) {
+      if (counts(j) > 0) sim |= 1L << j
+      j += 1
+    }
+    sim
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextHashExprs {
+  val tokenInfo = new ExpressionInfo(classOf[TokenHashes].getCanonicalName, null,
+    "graft_token_hashes", "graft_token_hashes(arr) - portable char-fold hash per token", "")
+  val shingleInfo = new ExpressionInfo(classOf[ShingleHashes].getCanonicalName, null,
+    "graft_shingle_hashes", "graft_shingle_hashes(hashes, n) - distinct n-gram shingle hashes", "")
+  val simhashInfo = new ExpressionInfo(classOf[SimHash32].getCanonicalName, null,
+    "graft_simhash", "graft_simhash(hashes) - 32-bit SimHash fingerprint", "")
+
+  val tokenBuilder: Seq[Expression] => Expression =
+    { case Seq(a) => TokenHashes(a); case a => argErr("graft_token_hashes", 1, a.length) }
+  val shingleBuilder: Seq[Expression] => Expression =
+    { case Seq(a, b) => ShingleHashes(a, b); case a => argErr("graft_shingle_hashes", 2, a.length) }
+  val simhashBuilder: Seq[Expression] => Expression =
+    { case Seq(a) => SimHash32(a); case a => argErr("graft_simhash", 1, a.length) }
+
+  private def argErr(name: String, want: Int, got: Int): Nothing =
+    throw new IllegalArgumentException(s"$name expects $want arguments, got $got")
+}

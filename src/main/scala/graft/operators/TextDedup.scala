@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.GraftFunctions
 
 /** Document-deduplication operators for large-scale training-data
   * pipelines: exact (content hash), n-gram Jaccard (inverted-index
@@ -37,12 +38,6 @@ object TextDedup {
   /** Modulus for all polynomial hashing (fits products in int64). */
   val P = 1000000007L
 
-  /** Portable char-fold hash of a string column (SQL fragment shared
-    * verbatim with the DuckDB oracles modulo list-function spelling). */
-  private def charFold(s: String): String =
-    s"aggregate(transform(sequence(1, length($s)), i -> cast(ascii(substr($s, i, 1)) as bigint)), " +
-      s"0L, (acc, x) -> (acc * 31 + x) % ${P}L)"
-
   /** Normalized text: trim + lowercase + collapse whitespace — the
     * canonical form for exact-dup fingerprints. */
   def normalized(text: Column): Column =
@@ -54,37 +49,26 @@ object TextDedup {
   def tokenized(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("tokens", split(col(textCol), " "))
 
-  /** Per-token portable hashes, materialized through an
-    * explode → regroup shuffle barrier. The barrier matters: without
-    * it, CollapseProject inlines this per-character fold into every
-    * downstream lambda that references `token_hashes` (each of the
-    * ~48 shingle slices, each of the 32 SimHash bit-folds), so the
-    * char-fold re-runs tens of thousands of times per document in the
-    * interpreted HOF evaluator — measured 40-80 s at sf0.1 vs ~1 s
-    * with the barrier. After the aggregate, `token_hashes` is a plain
-    * attribute (materialized array), so downstream references are
-    * array loads. The extra shuffle is linear in token count and
-    * carries only (doc_id, pos, hash). Assumes doc_id is unique. */
+  /** Per-token portable hashes via the native kernel
+    * (graft.functions.TokenHashes — the char-fold
+    * `(acc*31 + codepoint) % P` the oracles replay with
+    * list_reduce/ascii). The native expression takes the token array
+    * as ONE child evaluated once per row — unlike the equivalent HOF
+    * chain, where CollapseProject inlined the per-character fold into
+    * every downstream lambda reference (48 shingle slices, 32 simhash
+    * bit-folds) and cost 40-80 s at sf0.1 in the interpreted
+    * evaluator. */
   def withTokenHashes(docs: DataFrame): DataFrame = {
-    val hashed = tokenized(docs)
-      .select(col("doc_id"), posexplode(expr(s"transform(tokens, w -> ${charFold("w")})"))
-        .as(Seq("pos", "th")))
-      .groupBy(col("doc_id"))
-      .agg(expr("transform(sort_array(collect_list(struct(pos, th))), x -> x.th)")
-        .as("token_hashes"))
-    tokenized(docs).join(hashed, Seq("doc_id"), "left")
+    GraftFunctions.register(docs.sparkSession)
+    tokenized(docs).withColumn("token_hashes", GraftFunctions.tokenHashes(col("tokens")))
   }
 
-  /** Distinct word-`n`-gram shingle hashes per doc. A shingle hash is
-    * a fold of its word hashes — cheaper than hashing the joined
-    * string and exactly reproducible in the oracle. */
+  /** Distinct word-`n`-gram shingle hashes per doc via the native
+    * kernel (fold `(acc*131 + h) % P` per window; < n tokens → empty
+    * array) — exactly reproducible in the oracle. */
   def withShingleHashes(docs: DataFrame, n: Int = 3): DataFrame =
-    // if-guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not
-    // an empty array, so short docs need the explicit empty branch.
-    withTokenHashes(docs).withColumn("shingle_hashes", expr(
-      s"""if(size(token_hashes) < $n, array(),
-         |  array_distinct(transform(sequence(1, size(token_hashes) - ${n - 1}),
-         |    i -> aggregate(slice(token_hashes, i, $n), 0L, (acc, h) -> (acc * 131 + h) % ${P}L))))""".stripMargin))
+    withTokenHashes(docs).withColumn("shingle_hashes",
+      GraftFunctions.shingleHashes(col("token_hashes"), n))
 
   /** Exact dedup summary: total docs, distinct normalized fingerprints,
     * and duplicate-group count. The keeper rule (min doc_id per
@@ -96,18 +80,29 @@ object TextDedup {
         countDistinct(col("fp")).as("n_unique"),
         (count(lit(1)) - countDistinct(col("fp"))).as("n_dup_rows"))
 
-  /** Exploded distinct (doc_id, shingle hash) pairs — the inverted
-    * index both Jaccard paths share. */
-  def shingleIndex(docs: DataFrame, n: Int = 3): DataFrame =
-    withShingleHashes(docs, n)
-      .select(col("doc_id"), explode(col("shingle_hashes")).as("sh"))
+  /** Cache a small derived frame (signatures, shingle sets — bytes
+    * per doc). Every pair-finding path references these frames from
+    * several join subtrees; without persistence each subtree re-runs
+    * the whole tokenize→hash→aggregate pipeline. At warehouse scale
+    * this persistence is a materialized signature-index table; here
+    * MEMORY_AND_DISK gives the same single-computation property. */
+  private def index(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** Per-doc shingle set + size — the verification side of every
-    * Jaccard path. */
+  /** Per-doc shingle set + size — the ONE materialization of the
+    * tokenize→hash→shingle pipeline; every other shingle view
+    * (inverted index, df counts, signatures, verification) derives
+    * from this cached frame so the pipeline runs once per corpus. */
   def shingleArrays(docs: DataFrame, n: Int = 3): DataFrame =
-    withShingleHashes(docs, n)
+    index(withShingleHashes(docs, n)
       .select(col("doc_id"), col("shingle_hashes"),
-        size(col("shingle_hashes")).as("n_sh"))
+        size(col("shingle_hashes")).as("n_sh")))
+
+  /** Exploded distinct (doc_id, shingle hash) pairs — the inverted
+    * index, exploded out of the cached [[shingleArrays]]. */
+  def shingleIndex(docs: DataFrame, n: Int = 3): DataFrame =
+    shingleArrays(docs, n)
+      .select(col("doc_id"), explode(col("shingle_hashes")).as("sh"))
 
   /** Exact-Jaccard verification of a candidate pair set: join each
     * side's shingle array in (shuffle on doc_id — linear in
@@ -159,14 +154,40 @@ object TextDedup {
   /** All-pairs n-gram Jaccard ≥ threshold, exact: prefix-filtered
     * candidates + array-intersect verification. Output is identical to
     * a naive inverted-index pair count — the prefix filter is
-    * loss-less for the given threshold. */
+    * loss-less for the given threshold. Right when hot shingles make
+    * the inverted-index fan-out ≫ true candidate count. */
   def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame =
     verifyJaccard(prefixCandidates(docs, n, threshold), docs, n, threshold)
+
+  /** Same result via inverted-index co-occurrence counting: self-join
+    * the (doc, shingle) index, count shared shingles per pair, divide
+    * by union size. Every shuffled row is THIN (ids + counts — no
+    * shingle arrays move), so this wins when shingle document
+    * frequency is modest (fan-out ≈ Σ df² stays near-linear);
+    * [[jaccardPairs]] wins on hot-shingle corpora. Both are exact —
+    * the equality is property-tested. */
+  def jaccardPairsIndex(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val idx = shingleIndex(docs, n)
+    val sizes = shingleArrays(docs, n).select(col("doc_id"), col("n_sh"))
+    val inter = idx.as("a")
+      .join(idx.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    // no broadcast hint on sizes: per-doc frames aren't broadcastable
+    // at corpus scale; AQE converts to broadcast when actually small
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        floor(col("n_ab") / (col("n_a") + col("n_b") - col("n_ab")) * 1e4 + 0.5) / 1e4)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
 
   /** MinHash signatures: sig[i] = min over shingle hashes of the i-th
     * permutation ((2i+1)·h + 999983·i) mod P. Map-side only. */
   def withMinHash(docs: DataFrame, n: Int = 3, numHashes: Int = 16): DataFrame =
-    withShingleHashes(docs, n).withColumn("minhash", expr(
+    shingleArrays(docs, n).withColumn("minhash", expr(
       s"""transform(sequence(0, ${numHashes - 1}),
          |  i -> array_min(transform(shingle_hashes,
          |    h -> (cast(2*i+1 as bigint) * h + 999983L * cast(i as bigint)) % ${P}L)))""".stripMargin))
@@ -177,10 +198,10 @@ object TextDedup {
     * so it scales as a plain shuffle join. */
   def lshCandidates(docs: DataFrame, n: Int = 3, numHashes: Int = 16, bands: Int = 8): DataFrame = {
     val rows = numHashes / bands
-    val sig = withMinHash(docs, n, numHashes)
+    val sig = index(withMinHash(docs, n, numHashes)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> slice(minhash, b * $rows + 1, $rows))"))
-        .as(Seq("band", "key")))
+        .as(Seq("band", "key"))))
     val a = sig.as("a"); val b = sig.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
         && col("a.doc_id") < col("b.doc_id"))
@@ -195,16 +216,13 @@ object TextDedup {
       bands: Int = 8, threshold: Double = 0.5): DataFrame =
     verifyJaccard(lshCandidates(docs, n, numHashes, bands), docs, n, threshold)
 
-  /** 32-bit SimHash fingerprint: bit j is the sign of the sum over
-    * tokens of (bit j of token hash ? +1 : −1). Multiset semantics
-    * (repeated tokens weigh more), matching standard SimHash. */
+  /** 32-bit SimHash fingerprint via the native kernel: bit j is the
+    * sign of the sum over tokens of (bit j of token hash ? +1 : −1).
+    * Multiset semantics (repeated tokens weigh more), matching
+    * standard SimHash; oracle replays the per-bit fold form. */
   def withSimHash(docs: DataFrame): DataFrame =
-    withTokenHashes(docs).withColumn("simhash", expr(
-      s"""aggregate(sequence(0, 31),
-         |  0L,
-         |  (acc, j) -> acc + if(
-         |    aggregate(token_hashes, 0L, (s, h) -> s + (cast(h as bigint) div cast(pow(2, j) as bigint)) % 2 * 2 - 1) > 0,
-         |    cast(pow(2, j) as bigint), 0L))""".stripMargin))
+    withTokenHashes(docs).withColumn("simhash",
+      GraftFunctions.simhash(col("token_hashes")))
 
   /** SimHash near-dup pairs: Hamming distance ≤ maxHamming, exact, via
     * pigeonhole blocking — split the 32-bit fingerprint into
@@ -215,7 +233,7 @@ object TextDedup {
     * scale (vs the all-pairs nested loop it replaces); maxHamming = 0
     * degenerates to a pure equi-join on the full fingerprint. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val s = withSimHash(docs).select(col("doc_id"), col("simhash"))
+    val s = index(withSimHash(docs).select(col("doc_id"), col("simhash")))
     val nBlocks = maxHamming + 1
     val width = 32 / nBlocks // last block absorbs the remainder bits
     val blocked = s.select(col("doc_id"), col("simhash"), posexplode(expr(

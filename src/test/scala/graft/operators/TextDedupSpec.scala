@@ -72,9 +72,13 @@ class TextDedupSpec extends SparkSpec {
     }
     val d = docs(corpus: _*)
     for (t <- Seq(0.3, 0.5, 0.8)) {
-      val got = TextDedup.jaccardPairs(d, n = 3, threshold = t)
+      val expected = bruteJaccard(d, 3, t)
+      val prefix = TextDedup.jaccardPairs(d, n = 3, threshold = t)
         .as[(Long, Long, Double)].collect().toSet
-      assert(got == bruteJaccard(d, 3, t), s"threshold $t")
+      val index = TextDedup.jaccardPairsIndex(d, n = 3, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(prefix == expected, s"prefix strategy, threshold $t")
+      assert(index == expected, s"index strategy, threshold $t")
     }
   }
 
