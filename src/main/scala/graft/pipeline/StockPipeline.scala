@@ -1,0 +1,219 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Cols
+import graft.quality.DataQuality
+
+/** The reference's complete stock "most actives" pipeline — bronze →
+  * staging → dim/fact marts → analytics (Q1–Q5) → app queries
+  * (U1–U3) → quality suite — as pure DataFrame functions over the
+  * reference's own column vocabulary, so a user of the reference can
+  * run their exact workload on this engine.
+  *
+  * Reference citations (/root/reference):
+  *  - raw 12-column row: scraper/scrape.py:102-120
+  *  - staging casts/keys/dedupe: dbt_project/models/stg_most_actives.sql:5-53,
+  *    sql/02_load_data.sql:80-112
+  *  - dim keep-latest: dbt_project/models/dim_entity.sql:15-31
+  *  - fact projection: dbt_project/models/fct_observations.sql:5-30
+  *  - Q1–Q5: sql/03_analytics_queries.sql:6-148
+  *  - app filters/shocks/KPIs: app/streamlit_app.py:167-430
+  *  - dbt tests: dbt_project/models/schema.yml:12-76
+  *
+  * Decisions the survey called out, applied here: ONE canonical
+  * observation-hash input (the dbt formulation: entity fields +
+  * canonically formatted timestamp, SURVEY §1.1); `desc_nulls_last`
+  * everywhere (SURVEY §2.5 W2); analytics on double (SURVEY §7.4 #3);
+  * dim stays broadcastable (SURVEY §7.5).
+  */
+object StockPipeline {
+
+  /** Bronze payload columns (scraper canonical row). */
+  val rawColumns: Seq[String] = Seq(
+    "symbol", "entity_name", "exchange", "price", "change", "percent_change",
+    "volume", "avg_volume_3m", "market_cap", "category", "location", "scraped_at")
+
+  private val tsFmt = "yyyy-MM-dd HH:mm:ss"
+
+  /** M1 — staging: clean strings, TRY-typed numerics, content-hash
+    * surrogate keys, keep-latest dedupe per observation. Input may
+    * carry `_ingested_at` (bronze metadata); absent → load time. */
+  def stgMostActives(raw: DataFrame): DataFrame = {
+    val withMeta =
+      if (raw.columns.contains("_ingested_at")) raw
+      else raw.withColumn("_ingested_at", current_timestamp())
+    val ts = Cols.tryTimestamp(trim(col("scraped_at")))
+    val stg = withMeta.select(
+      Cols.cleanString(col("symbol")).as("symbol"),
+      Cols.cleanString(col("entity_name")).as("entity_name"),
+      Cols.cleanString(col("exchange")).as("exchange"),
+      Cols.tryDecimal(trim(col("price")), 18, 4).cast("double").as("price"),
+      Cols.tryDouble(trim(col("change"))).as("change"),
+      Cols.tryDouble(trim(col("percent_change"))).as("percent_change"),
+      Cols.tryNumber(trim(col("volume"))).cast("long").as("volume"),
+      Cols.tryNumber(trim(col("avg_volume_3m"))).cast("long").as("avg_volume_3m"),
+      Cols.tryNumber(trim(col("market_cap"))).cast("long").as("market_cap"),
+      coalesce(Cols.cleanString(col("category")), lit("Unknown")).as("category"),
+      coalesce(Cols.cleanString(col("location")), lit("Unknown")).as("location"),
+      ts.as("scraped_at"),
+      to_date(ts).as("observation_date"),
+      Cols.hashKey(col("symbol"), col("entity_name"), col("exchange")).as("entity_sk"),
+      // canonical hash input: dbt formulation — parsed ts reformatted
+      Cols.hashKey(col("symbol"), col("entity_name"), col("exchange"),
+        date_format(ts, tsFmt)).as("observation_sk"),
+      col("_ingested_at"))
+    val w = Window.partitionBy(col("observation_sk"))
+      .orderBy(col("_ingested_at").desc_nulls_last)
+    stg.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "_ingested_at")
+  }
+
+  /** M2 — dim_entity: latest observation per entity (broadcast-sized
+    * at any fact scale: one row per listed entity). */
+  def dimEntity(stg: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("entity_sk"))
+      .orderBy(col("scraped_at").desc_nulls_last)
+    stg.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("entity_sk"), col("symbol"), col("entity_name"), col("exchange"),
+        col("category"), col("location"),
+        Cols.marketCapCategory(col("market_cap").cast("double")).as("market_cap_category"),
+        col("scraped_at").as("last_seen_at"))
+  }
+
+  /** M3 — fct_observations: pure projection of staging. */
+  def fctObservations(stg: DataFrame): DataFrame =
+    stg.select(col("observation_sk"), col("entity_sk"), col("observation_date"),
+      col("scraped_at"), col("price"), col("change"), col("percent_change"),
+      col("volume"), col("avg_volume_3m"), col("market_cap"))
+
+  private def joined(fct: DataFrame, dim: DataFrame): DataFrame =
+    fct.join(broadcast(dim), "entity_sk")
+
+  /** Q1 — top-k by latest market cap per entity. */
+  def q1TopMarketCap(fct: DataFrame, dim: DataFrame, k: Int = 10): DataFrame =
+    joined(fct, dim)
+      .groupBy(col("symbol"), col("entity_name"), col("category"), col("location"))
+      .agg(max(col("market_cap")).as("latest_market_cap"))
+      .orderBy(col("latest_market_cap").desc_nulls_last, col("symbol").asc)
+      .limit(k)
+
+  /** Q2 — daily trend: avg price/volume + distinct entities per date. */
+  def q2DailyTrend(fct: DataFrame): DataFrame =
+    fct.groupBy(col("observation_date"))
+      .agg(
+        avg(col("price")).as("avg_price"),
+        avg(col("volume")).as("avg_volume"),
+        countDistinct(col("entity_sk")).as("n_entities"))
+      .orderBy(col("observation_date").asc)
+
+  /** Q3 — volume z-score outliers, |z| ≥ zMin (global stats via 1-row
+    * aggregate + broadcast, never a global window). */
+  def q3VolumeOutliers(fct: DataFrame, dim: DataFrame, zMin: Double = 3.0): DataFrame = {
+    val nonNull = fct.filter(col("volume").isNotNull)
+    val stats = nonNull.agg(
+      avg(col("volume").cast("double")).as("mean_volume"),
+      stddev(col("volume").cast("double")).as("std_volume"))
+    joined(nonNull, dim)
+      .crossJoin(broadcast(stats))
+      .withColumn("volume_z_score",
+        Cols.zScore(col("volume").cast("double"), col("mean_volume"), col("std_volume")))
+      .filter(abs(col("volume_z_score")) >= zMin)
+      .select(col("symbol"), col("entity_name"), col("observation_date"),
+        col("volume"), col("volume_z_score"))
+      .orderBy(abs(col("volume_z_score")).desc, col("symbol").asc)
+  }
+
+  /** Q4 — geographic rollup on COALESCE'd location. */
+  def q4GeoBreakdown(fct: DataFrame, dim: DataFrame): DataFrame =
+    joined(fct, dim)
+      .groupBy(coalesce(col("location"), lit("Unknown")).as("location"))
+      .agg(
+        countDistinct(col("entity_sk")).as("n_entities"),
+        avg(col("price")).as("avg_price"),
+        avg(col("market_cap")).as("avg_market_cap"),
+        sum(col("volume")).as("total_volume"))
+      .orderBy(col("total_volume").desc_nulls_last, col("location").asc)
+
+  /** Q5 — risk watchlist: 7-row trailing volume average + LAG(7)
+    * price momentum, guarded ratios, conjunctive thresholds, top-k. */
+  def q5RiskWatchlist(fct: DataFrame, dim: DataFrame,
+      spikeMin: Double = 1.5, momentumMax: Double = 0.0, k: Int = 50): DataFrame = {
+    val w = Window.partitionBy(col("entity_sk")).orderBy(col("observation_date").asc)
+    joined(fct, dim)
+      .withColumn("volume_7d_avg",
+        avg(col("volume")).over(w.rowsBetween(-6, Window.currentRow)))
+      .withColumn("price_7d_ago", lag(col("price"), 7).over(w))
+      .withColumn("volume_spike_ratio",
+        Cols.guardedRatio(col("volume").cast("double"), col("volume_7d_avg")))
+      .withColumn("price_momentum_7d",
+        Cols.guardedRatio(col("price") - col("price_7d_ago"), col("price_7d_ago")))
+      .filter(col("volume_spike_ratio") >= spikeMin && col("price_momentum_7d") <= momentumMax)
+      .select(col("symbol"), col("entity_name"), col("observation_date"),
+        col("volume_spike_ratio"), col("price_momentum_7d"))
+      .orderBy(col("volume_spike_ratio").desc, col("price_momentum_7d").asc, col("symbol").asc)
+      .limit(k)
+  }
+
+  /** U1 — interactive filters + metric threshold + top-k (NULL metric
+    * passes as 0, matching the app's fillna(0) semantics). */
+  def applyFilters(base: DataFrame,
+      category: Option[String] = None,
+      location: Option[String] = None,
+      marketCapCategory: Option[String] = None,
+      metric: String = "market_cap",
+      minThreshold: Double = 0.0,
+      limit: Option[Int] = Some(20)): DataFrame = {
+    var df = base
+    category.foreach(v => df = df.filter(col("category") === v))
+    location.foreach(v => df = df.filter(col("location") === v))
+    marketCapCategory.foreach(v => df = df.filter(col("market_cap_category") === v))
+    df = df.filter(coalesce(col(metric).cast("double"), lit(0.0)) >= minThreshold)
+      .orderBy(col(metric).desc_nulls_last)
+    limit.map(df.limit).getOrElse(df)
+  }
+
+  /** U2 — liquidity shocks: one-sided volume z > zMin (app threshold 2,
+    * deliberately distinct from Q3's |z| ≥ 3). */
+  def liquidityShocks(base: DataFrame, zMin: Double = 2.0): DataFrame = {
+    val stats = base.agg(
+      avg(col("volume").cast("double")).as("mean_v"),
+      stddev(col("volume").cast("double")).as("std_v"))
+    base.crossJoin(broadcast(stats))
+      .withColumn("volume_z_score",
+        Cols.zScore(col("volume").cast("double"), col("mean_v"), col("std_v")))
+      .filter(col("volume_z_score") > zMin)
+      .drop("mean_v", "std_v")
+      .orderBy(col("volume_z_score").desc)
+  }
+
+  /** U3 — KPI block: total volume (NULL→0), top-5 by volume, count. */
+  def kpis(base: DataFrame): (Long, Long, DataFrame) = {
+    val row = base.agg(
+      sum(coalesce(col("volume"), lit(0L))).as("total_volume"),
+      count(lit(1)).as("n_rows")).head()
+    val top5 = base.orderBy(col("volume").desc_nulls_last).limit(5)
+    (Option(row.getAs[Long]("total_volume")).getOrElse(0L), row.getAs[Long]("n_rows"), top5)
+  }
+
+  /** The reference's 11 dbt tests + QA checks as one suite; returns
+    * failing checks only (empty map = healthy warehouse). */
+  def qualitySuite(stg: DataFrame, dim: DataFrame, fct: DataFrame): Map[String, Long] =
+    DataQuality.runAll(Map(
+      "stg_observation_sk_not_null" -> (() => DataQuality.notNull(stg, "observation_sk")),
+      "stg_observation_sk_unique"   -> (() => DataQuality.unique(stg, "observation_sk")),
+      "stg_entity_sk_not_null"      -> (() => DataQuality.notNull(stg, "entity_sk")),
+      "stg_symbol_not_null"         -> (() => DataQuality.notNull(stg, "symbol")),
+      "stg_scraped_at_not_null"     -> (() => DataQuality.notNull(stg, "scraped_at")),
+      "dim_entity_sk_not_null"      -> (() => DataQuality.notNull(dim, "entity_sk")),
+      "dim_entity_sk_unique"        -> (() => DataQuality.unique(dim, "entity_sk")),
+      "dim_symbol_not_null"         -> (() => DataQuality.notNull(dim, "symbol")),
+      "dim_entity_name_not_null"    -> (() => DataQuality.notNull(dim, "entity_name")),
+      "fct_observation_sk_not_null" -> (() => DataQuality.notNull(fct, "observation_sk")),
+      "fct_observation_sk_unique"   -> (() => DataQuality.unique(fct, "observation_sk")),
+      "fct_entity_sk_relationship"  -> (() => DataQuality.relationships(fct, "entity_sk", dim, "entity_sk")),
+      "fct_observation_date_not_null" -> (() => DataQuality.notNull(fct, "observation_date"))))
+}
