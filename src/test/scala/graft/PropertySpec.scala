@@ -1,0 +1,86 @@
+package graft
+
+import graft.functions.{Cols, TextHashes}
+import graft.operators.{TextDedup, Upsert}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Property-based invariants (SURVEY §5 test plan): hash-key
+  * determinism, top-k ⊆ sort prefix, upsert algebra, portable-hash
+  * agreement between the native kernel and an independent fold.
+  * (scalatestplus bridge is not in the offline cache, so properties
+  * sample ScalaCheck generators directly.) */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val seed = org.scalacheck.rng.Seed(42L)
+  /** Evaluate the assertion over `n` samples of the generator. */
+  private def forAll[A](gen: Gen[A], n: Int = 30)(body: A => Unit): Unit = {
+    var s = seed
+    var produced = 0
+    var attempts = 0
+    while (produced < n && attempts < n * 20) {
+      gen.apply(Gen.Parameters.default, s).foreach { a => body(a); produced += 1 }
+      s = s.next
+      attempts += 1
+    }
+    assert(produced > 0, "generator produced no samples")
+  }
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(body: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb), 30) { case (a, b) => body(a, b) }
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString).suchThat(_.nonEmpty)
+
+  test("native char-fold hash agrees with an independent Scala fold for arbitrary strings") {
+    forAll(Gen.listOf(Gen.asciiPrintableStr), 30) { (ws: List[String]) =>
+      val expected = ws.map(w => w.codePoints().toArray
+        .foldLeft(0L)((a, c) => (a * 31 + c) % TextDedup.P))
+      assert(ws.map(TextHashes.foldString) == expected)
+    }
+  }
+
+  test("hashKey is deterministic and injective on distinct simple keys") {
+    forAll(Gen.listOfN(20, word), 10) { (keys: List[String]) =>
+      val df = keys.distinct.toDF("k")
+      val hashes = df.select(Cols.hashKey($"k")).as[String].collect()
+      assert(hashes.distinct.length == keys.distinct.length)
+      val again = df.select(Cols.hashKey($"k")).as[String].collect()
+      assert(hashes.toSeq == again.toSeq)
+    }
+  }
+
+  test("top-k is a prefix of the full descending sort") {
+    forAll(Gen.listOfN(30, Gen.chooseNum(-1000000, 1000000)), Gen.chooseNum(1, 10)) {
+      (xs: List[Int], k: Int) =>
+        val df = xs.zipWithIndex.toDF("v", "i")
+        val full = df.orderBy($"v".desc, $"i".asc).select($"i").as[Int].collect().toSeq
+        val topk = df.orderBy($"v".desc, $"i".asc).limit(k).select($"i").as[Int].collect().toSeq
+        assert(topk == full.take(k))
+    }
+  }
+
+  test("upsertBatch: source rows always win, key set is the union, re-apply is a no-op") {
+    val kv = Gen.listOf(Gen.zip(Gen.chooseNum(0, 20), word))
+    forAll(kv, kv) { (t: List[(Int, String)], s: List[(Int, String)]) =>
+      // one row per key (upsert precondition, enforced upstream by dedupe)
+      val target = t.toMap.toSeq.toDF("k", "v")
+      val source = s.toMap.toSeq.toDF("k", "v")
+      val out = Upsert.upsertBatch(target, source, Seq("k")).as[(Int, String)].collect().toMap
+      assert(out.keySet == t.toMap.keySet ++ s.toMap.keySet)
+      s.toMap.foreach { case (k, v) => assert(out(k) == v) }
+      (t.toMap -- s.toMap.keys).foreach { case (k, v) => assert(out(k) == v) }
+      val again = Upsert.upsertBatch(out.toSeq.toDF("k", "v"), source, Seq("k"))
+        .as[(Int, String)].collect().toMap
+      assert(again == out)
+    }
+  }
+
+  test("portable rounding r is idempotent and within half-ulp of the target grid") {
+    forAll(Gen.chooseNum(-1e6, 1e6), Gen.chooseNum(0, 6)) { (x: Double, d: Int) =>
+      val once = Seq(x).toDF("x").select(Cols.r($"x", d)).as[Double].head()
+      val twice = Seq(once).toDF("x").select(Cols.r($"x", d)).as[Double].head()
+      assert(once == twice)
+      assert(math.abs(once - x) <= 0.5 / math.pow(10, d) + math.ulp(x))
+    }
+  }
+}
