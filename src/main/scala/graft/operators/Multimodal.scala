@@ -32,15 +32,35 @@ object Multimodal {
 
   val FeatureDim = 16
 
-  /** STUB — replace with a real codec (e.g. javax.imageio / ffmpeg
-    * bindings) when available. Deterministic fake: "dimensions" come
-    * from a byte-fold hash, "features" are a 16-bin byte histogram
-    * normalized to unit L1 mass. Keeps every downstream contract
-    * (shapes, ranges, determinism) honest without a codec. */
+  /** Real header parsing for the common raster formats — pure byte
+    * logic, no codec required. Returns (width, height) when the
+    * payload starts with a recognized magic. */
+  def imageDims(p: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int) = p(i) & 0xff
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    if (p.length >= 24 && p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G')
+      Some((be32(16), be32(20)))                             // PNG IHDR
+    else if (p.length >= 26 && p(0) == 'B' && p(1) == 'M')
+      Some((le32(18), math.abs(le32(22))))                   // BMP DIB (height may be negative = top-down)
+    else if (p.length >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8')
+      Some((le16(6), le16(8)))                               // GIF logical screen
+    else None
+  }
+
+  /** Decode: real header parse for PNG/BMP/GIF; otherwise a
+    * deterministic STUB standing in for a full codec (javax.imageio /
+    * ffmpeg bindings are the splice point) — fake "dimensions" from a
+    * byte-fold hash. Either way, "features" are a 16-bin byte
+    * histogram normalized to unit L1 mass, so downstream contracts
+    * (shape, determinism, similarity compatibility) hold for every
+    * payload. */
   def decodeStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
-    val h = payload.foldLeft(17L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000003L)
-    val width = (h % 1920 + 1).toInt
-    val height = (h / 1920 % 1080 + 1).toInt
+    val (width, height) = imageDims(payload).getOrElse {
+      val h = payload.foldLeft(17L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000003L)
+      ((h % 1920 + 1).toInt, (h / 1920 % 1080 + 1).toInt)
+    }
     val hist = new Array[Float](FeatureDim)
     payload.foreach(b => hist((b & 0xff) / (256 / FeatureDim)) += 1f)
     val total = math.max(payload.length, 1).toFloat

@@ -56,6 +56,22 @@ object Streams {
   def dedupedStream(events: DataFrame, delay: String = "2 hours"): DataFrame =
     events.withWatermark("ts", delay).dropDuplicates("event_id")
 
+  /** Per-user session windows (gap-based): events within `gap` of each
+    * other merge into one session; the watermark closes sessions so
+    * state stays bounded. Works identically on batch frames (session
+    * windows are not streaming-only). */
+  def userSessions(events: DataFrame, gap: String = "30 minutes",
+      delay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** foreachBatch upsert sink: every micro-batch MERGEs into the
     * parquet directory at `targetPath` on `keys`. Latest batch wins
     * per key — identical semantics to the batch Upsert (and therefore

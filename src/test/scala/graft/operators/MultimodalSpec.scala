@@ -19,6 +19,28 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(f1.map(_.toDouble).sum - 1.0) < 1e-5)
   }
 
+  test("imageDims parses real PNG/BMP/GIF headers and rejects other payloads") {
+    // minimal PNG: magic + IHDR length/type + 640x480 big-endian
+    val png = Array[Int](
+      0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80, // width 640
+      0, 0, 0x01, 0xe0  // height 480
+    ).map(_.toByte)
+    assert(imageDims(png).contains((640, 480)))
+    val bmp = new Array[Byte](26)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    bmp(18) = 0x20; bmp(19) = 0x03 // width 800 LE
+    bmp(22) = 0x58; bmp(23) = 0x02 // height 600 LE
+    assert(imageDims(bmp).contains((800, 600)))
+    val gif = "GIF89a".getBytes("US-ASCII") ++ Array[Byte](0x40, 0x01, 0xf0.toByte, 0x00)
+    assert(imageDims(gif).contains((320, 240)))
+    assert(imageDims("not an image".getBytes).isEmpty)
+    // decodeStub surfaces the parsed dimensions for real headers
+    val (w, h, _) = decodeStub(png)
+    assert((w, h) == ((640, 480)))
+  }
+
   test("byteEntropy: 0 for constant bytes, 8 for uniform 0..255, 0 for empty") {
     assert(byteEntropy(Array.fill(100)(7.toByte)) == 0.0)
     assert(math.abs(byteEntropy((0 until 256).map(_.toByte).toArray) - 8.0) < 1e-12)

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SkewJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin produces the identical row multiset to a plain join, hot key included") {
+    // 90% of fact rows share one key (the classic skew shape)
+    val rng = new scala.util.Random(5)
+    val fact = (1 to 2000).map { i =>
+      val k = if (rng.nextDouble() < 0.9) 1 else 1 + rng.nextInt(50)
+      (k, i)
+    }.toDF("k", "v")
+    val dim = (1 to 50).map(k => (k, s"name$k")).toDF("k", "name")
+    val plain = fact.join(dim, "k").select($"k", $"v", $"name")
+      .as[(Int, Int, String)].collect().sorted.toSeq
+    val salted = SkewJoin.saltedJoin(fact, dim, Seq("k"), factor = 8)
+      .select($"k", $"v", $"name").as[(Int, Int, String)].collect().sorted.toSeq
+    assert(salted == plain)
+  }
+
+  test("saltedJoin preserves duplicate matches on the small side") {
+    val fact = Seq((1, "a"), (1, "b")).toDF("k", "v")
+    val dim = Seq((1, "x"), (1, "y")).toDF("k", "w") // 2 dim rows same key
+    val out = SkewJoin.saltedJoin(fact, dim, Seq("k"), factor = 4).count()
+    assert(out == 4) // 2 fact × 2 dim
+  }
+
+  test("saltedCount equals plain count per key") {
+    val df = (1 to 500).map(i => if (i % 5 == 0) "hot" else s"k$i").toDF("k")
+    val plain = df.groupBy($"k").count().as[(String, Long)].collect().toMap
+    val salted = SkewJoin.saltedCount(df, "k", factor = 8)
+      .as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+
+  test("heavyHitters surfaces the dominant key first") {
+    val df = (Seq.fill(100)("hot") ++ (1 to 20).map(i => s"k$i")).toDF("k")
+    val top = SkewJoin.heavyHitters(df, "k", k = 3).as[(String, Long)].collect()
+    assert(top.head == (("hot", 100L)))
+  }
+}

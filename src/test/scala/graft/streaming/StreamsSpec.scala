@@ -81,4 +81,23 @@ class StreamsSpec extends SparkSpec {
     assert(state(7L).n_events == 2 && state(7L).total_value == 4.0)
     assert(state(7L).last_seen == ts("2024-01-01 12:00:00"))
   }
+
+  test("userSessions merges events within the gap and splits across it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = userSessions(mem.toDF(), gap = "30 minutes", delay = "0 seconds")
+      .writeStream.format("memory").queryName("us").outputMode(OutputMode.Complete()).start()
+    mem.addData(events(
+      (1L, 1L, "view", "2024-01-01 10:00:00", 1.0),
+      (2L, 1L, "view", "2024-01-01 10:20:00", 2.0),  // same session (gap 20m)
+      (3L, 1L, "view", "2024-01-01 12:00:00", 4.0),  // new session
+      (4L, 2L, "buy", "2024-01-01 10:05:00", 8.0)): _*)
+    q.processAllAvailable()
+    val out = spark.table("us")
+      .selectExpr("user_id", "n_events", "total_value").as[(Long, Long, Double)]
+      .collect().toSet
+    q.stop()
+    assert(out == Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
+  }
 }
