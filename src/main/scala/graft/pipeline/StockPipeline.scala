@@ -199,6 +199,12 @@ object StockPipeline {
     (Option(row.getAs[Long]("total_volume")).getOrElse(0L), row.getAs[Long]("n_rows"), top5)
   }
 
+  /** U3 fallback semantics (SURVEY §2.8 ⚠, ref
+    * app/streamlit_app.py:407): KPIs compute over the filtered result
+    * when non-empty, else over the full dataset. */
+  def kpisWithFallback(filtered: DataFrame, full: DataFrame): (Long, Long, DataFrame) =
+    if (filtered.isEmpty) kpis(full) else kpis(filtered)
+
   /** The reference's 11 dbt tests + QA checks as one suite; returns
     * failing checks only (empty map = healthy warehouse). */
   def qualitySuite(stg: DataFrame, dim: DataFrame, fct: DataFrame): Map[String, Long] =

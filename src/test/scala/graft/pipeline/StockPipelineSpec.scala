@@ -96,6 +96,10 @@ class StockPipelineSpec extends SparkSpec {
     val (totalVolume, nRows, top5) = StockPipeline.kpis(base)
     assert(totalVolume == 111100L && nRows == 5)
     assert(top5.select($"symbol").as[String].collect().head == "CCC")
+    // U3 fallback: empty filter result -> KPIs over the full dataset
+    val none = StockPipeline.applyFilters(base, category = Some("NoSuchCategory"))
+    val (fbVolume, fbRows, _) = StockPipeline.kpisWithFallback(none, base)
+    assert(fbVolume == 111100L && fbRows == 5)
   }
 
   test("quality suite passes on the healthy warehouse and catches injected corruption") {
