@@ -119,7 +119,8 @@ object AppOps {
       .withColumn("summary", concat(
         lit("Analyzed "), col("n_events"),
         lit(" events from "), col("n_users"),
-        lit(" users; avg value "), col("avg_value").cast("decimal(18,4)").cast("string"),
+        lit(" users; avg value "),
+        coalesce(col("avg_value").cast("decimal(18,4)").cast("string"), lit("")),
         lit("; top event "), col("top_event_id")))
       .select(col("n_events"), col("n_users"), col("avg_value"),
         col("top_event_id"), col("summary"))

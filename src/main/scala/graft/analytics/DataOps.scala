@@ -143,6 +143,7 @@ object DataOps {
        |  GROUP BY 1, 2
        |), jac AS (
        |  SELECT doc_a, doc_b,
+       |         CAST(n_ab AS DOUBLE) / (sa.n_sh + sb.n_sh - n_ab) AS jraw,
        |         floor(CAST(n_ab AS DOUBLE) / (sa.n_sh + sb.n_sh - n_ab) * 1e4 + 0.5) / 1e4 AS jaccard
        |  FROM inter
        |  JOIN sizes sa ON sa.doc_id = doc_a
@@ -159,7 +160,7 @@ object DataOps {
     "dedup_jaccard" ->
       s"""WITH $dkSizes, $dkJaccardPairs
          |SELECT doc_a, doc_b, jaccard FROM jac
-         |WHERE jaccard >= 0.5
+         |WHERE jraw >= 0.5
          |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $dkSizes,
@@ -179,7 +180,7 @@ object DataOps {
          |), $dkJaccardPairs
          |SELECT j.doc_a, j.doc_b, j.jaccard
          |FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
-         |WHERE j.jaccard >= 0.5
+         |WHERE j.jraw >= 0.5
          |ORDER BY j.doc_a ASC, j.doc_b ASC""".stripMargin,
     "dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, $dkTokenHashes AS th FROM documents),

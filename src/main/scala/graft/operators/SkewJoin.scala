@@ -23,11 +23,15 @@ object SkewJoin {
   def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
       factor: Int = 16): DataFrame = {
     require(factor > 0, "salt factor must be positive")
-    // deterministic salt: spread rows of the same key by row content
-    // hash (monotonically_increasing_id would break determinism across
-    // retries; hashing all columns is retry-stable)
+    // The salt value never reaches the output (each large row joins the
+    // small side exactly at its own salt, then _salt is dropped), so
+    // correctness does not depend on WHICH salt a row gets — only the
+    // distribution does. rand(seed) spreads even fully-duplicate hot-key
+    // rows uniformly (a content hash would send identical rows to one
+    // bucket) and is retry-stable per partition in practice; results
+    // are identical either way.
     val salted = large.withColumn("_salt",
-      pmod(hash(large.columns.map(col).toIndexedSeq: _*), lit(factor)))
+      floor(rand(42) * factor).cast("int"))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated, keys :+ "_salt").drop("_salt")

@@ -85,7 +85,11 @@ object TextDedup {
     * several join subtrees; without persistence each subtree re-runs
     * the whole tokenize→hash→aggregate pipeline. At warehouse scale
     * this persistence is a materialized signature-index table; here
-    * MEMORY_AND_DISK gives the same single-computation property. */
+    * MEMORY_AND_DISK gives the same single-computation property.
+    * Caches are keyed by canonicalized plan (Spark's CacheManager
+    * dedupes repeat calls) and live for the session — a long-lived
+    * session sweeping many corpora should call
+    * `spark.catalog.clearCache()` between corpora. */
   private def index(df: DataFrame): DataFrame =
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -117,9 +121,13 @@ object TextDedup {
       .join(arrs.select(col("doc_id").as("doc_b"),
         col("shingle_hashes").as("sh_b"), col("n_sh").as("n_b")), "doc_b")
       .withColumn("n_ab", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        floor(col("n_ab") / (col("n_a") + col("n_b") - col("n_ab")) * 1e4 + 0.5) / 1e4)
-      .filter(col("jaccard") >= threshold)
+      // threshold on the TRUE ratio (prefix pruning is only loss-less
+      // for true J >= t; filtering on the rounded value would admit
+      // boundary pairs the prefix filter legitimately pruned); the
+      // rounded value is output-only
+      .withColumn("jraw", col("n_ab") / (col("n_a") + col("n_b") - col("n_ab")))
+      .filter(col("jraw") >= threshold)
+      .withColumn("jaccard", floor(col("jraw") * 1e4 + 0.5) / 1e4)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
@@ -178,9 +186,11 @@ object TextDedup {
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-      .withColumn("jaccard",
-        floor(col("n_ab") / (col("n_a") + col("n_b") - col("n_ab")) * 1e4 + 0.5) / 1e4)
-      .filter(col("jaccard") >= threshold)
+      // same TRUE-ratio threshold as verifyJaccard so both strategies
+      // agree bit-for-bit on rounding-boundary pairs
+      .withColumn("jraw", col("n_ab") / (col("n_a") + col("n_b") - col("n_ab")))
+      .filter(col("jraw") >= threshold)
+      .withColumn("jaccard", floor(col("jraw") * 1e4 + 0.5) / 1e4)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 

@@ -32,20 +32,31 @@ object Upsert {
   def upsertBatch(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame =
     target.join(source, keys, "left_anti").unionByName(source)
 
-  /** Keyed upsert into a parquet directory with temp-path swap.
-    * Creates the target on first use. Returns the merged row count. */
+  /** Keyed upsert into a parquet directory via rename-based swap:
+    * write merged → tmp, rename target → .old (atomic), rename tmp →
+    * target (atomic), drop .old. No crash window loses data — at
+    * worst the previous state survives at `.old-merge` and is
+    * restored on the next call. Creates the target on first use.
+    * Returns the merged row count. */
   def mergeIntoPath(spark: SparkSession, targetPath: String,
       source: DataFrame, keys: Seq[String]): Long = {
     val tgt = Paths.get(targetPath)
+    val tmp = Paths.get(targetPath + ".tmp-merge")
+    val old = Paths.get(targetPath + ".old-merge")
+    // crash recovery: a missing target with a surviving .old means a
+    // prior run died mid-swap — restore before merging
+    if (!Files.exists(tgt) && Files.exists(old))
+      Files.move(old, tgt, StandardCopyOption.ATOMIC_MOVE)
     val merged =
       if (Files.exists(tgt)) upsertBatch(spark.read.parquet(targetPath), source, keys)
       else source
-    val tmp = Paths.get(targetPath + ".tmp-merge")
     deleteRecursively(tmp)
     merged.write.mode("overwrite").parquet(tmp.toString)
     val n = spark.read.parquet(tmp.toString).count()
-    deleteRecursively(tgt)
+    deleteRecursively(old)
+    if (Files.exists(tgt)) Files.move(tgt, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, tgt, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
     n
   }
 

@@ -20,9 +20,13 @@ object DataQuality {
   def notNull(df: DataFrame, column: String): Long =
     df.filter(col(column).isNull).count()
 
-  /** dbt `unique`: number of keys appearing more than once. */
+  /** dbt `unique`: number of keys appearing more than once. NULL keys
+    * are excluded, matching dbt's generated test (it filters
+    * `where column is not null` before grouping) — NULL-ness is
+    * [[notNull]]'s job. */
   def unique(df: DataFrame, column: String): Long =
-    df.groupBy(col(column)).count().filter(col("count") > 1).count()
+    df.filter(col(column).isNotNull)
+      .groupBy(col(column)).count().filter(col("count") > 1).count()
 
   /** dbt `relationships`: child keys with no matching parent
     * (referential-integrity anti-join, SURVEY §2.3 J4). */

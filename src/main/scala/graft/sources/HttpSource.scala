@@ -33,8 +33,9 @@ object HttpSource {
 
   final case class ValidationError(msg: String) extends RuntimeException(msg)
 
-  /** S2: retry with exponential backoff. `fetch` is one page attempt;
-    * `sleep` injected for tests. */
+  /** S2: retry with exponential backoff — sleep 1.5·2ⁿ for the n-th
+    * (0-based) failed attempt, matching the reference schedule
+    * (1.5 s, 3 s, 6 s). `sleep` injected for tests. */
   def withRetry[T](cfg: FetchConfig, sleep: Double => Unit = s => Thread.sleep((s * 1000).toLong))(
       fetch: => T): T = {
     var attempt = 0
@@ -44,8 +45,8 @@ object HttpSource {
       catch {
         case e: Throwable =>
           last = e
+          if (attempt < cfg.maxRetries - 1) sleep(cfg.backoffSeconds(attempt.toDouble))
           attempt += 1
-          if (attempt < cfg.maxRetries) sleep(cfg.backoffSeconds(attempt.toDouble))
       }
     }
     throw last
@@ -53,7 +54,10 @@ object HttpSource {
 
   /** S1+S3: paginate `fetchPage(start, count) => rows`, dedupe by key
     * across pages, stop on page budget / target rows / consecutive
-    * empties, truncate to target. */
+    * empties, truncate to target. Only RAW-empty pages count toward
+    * the stop rule — a page whose rows are all cross-page duplicates
+    * is tolerated, as in the reference (overlapping pagination is a
+    * normal API glitch there). */
   def collectPaginated[T](cfg: FetchConfig, key: T => String,
       sleep: Double => Unit = s => Thread.sleep((s * 1000).toLong))(
       fetchPage: (Int, Int) => Seq[T]): Seq[T] = {
@@ -64,9 +68,8 @@ object HttpSource {
     while (page < cfg.maxPages && out.size < cfg.targetRows
         && consecutiveEmpty < cfg.consecutiveEmptyLimit) {
       val rows = withRetry(cfg, sleep)(fetchPage(page * cfg.pageSize, cfg.pageSize))
-      val fresh = rows.filter(r => seen.add(key(r)))
-      if (fresh.isEmpty) consecutiveEmpty += 1 else consecutiveEmpty = 0
-      out ++= fresh
+      if (rows.isEmpty) consecutiveEmpty += 1 else consecutiveEmpty = 0
+      out ++= rows.filter(r => seen.add(key(r)))
       page += 1
     }
     out.take(cfg.targetRows).toSeq

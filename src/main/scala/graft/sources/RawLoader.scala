@@ -20,11 +20,16 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *  - fail-fast parsing = Snowflake `ON_ERROR = ABORT_STATEMENT`
   *
   * Scale: the CSV scan parallelizes per file-split; the per-file row
-  * number is the one construct needing care — `input_file_name` +
-  * window would single-partition per FILE, which is the correct grain
-  * (a 100 TB load is many files, so partitions = files and the window
-  * parallelizes across them). Order within a file follows Spark's
-  * split order, which for text-based sources preserves line order.
+  * number windows by `input_file_name` — one partition per FILE,
+  * which is the correct grain (a 100 TB load is many files, so the
+  * window parallelizes across them). CAVEAT: within one file the
+  * ordering key is `monotonically_increasing_id`, which tracks
+  * physical line order only while each file maps to a single split —
+  * files above `spark.sql.files.maxPartitionBytes` (128 MB) split and
+  * the id order across splits is an implementation accident. For
+  * strict METADATA$FILE_ROW_NUMBER fidelity on jumbo files, raise
+  * `maxPartitionBytes` past the largest file (bronze loads are
+  * many-small-files; a single 100 GB CSV is the anti-pattern).
   */
 object RawLoader {
 

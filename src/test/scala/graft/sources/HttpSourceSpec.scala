@@ -14,8 +14,8 @@ class HttpSourceSpec extends SparkSpec {
     val slept = scala.collection.mutable.ArrayBuffer[Double]()
     val out = withRetry(cfg, slept += _) { calls += 1; if (calls < 3) sys.error("boom"); 42 }
     assert(out == 42 && calls == 3)
-    // reference backoff: 1.5·2^n
-    assert(slept.toSeq == Seq(3.0, 6.0))
+    // reference backoff from exponent 0: 1.5·2^0, 1.5·2^1
+    assert(slept.toSeq == Seq(1.5, 3.0))
     assertThrows[RuntimeException] {
       withRetry(cfg, _ => ())({ sys.error("always") }: Int)
     }
@@ -29,6 +29,14 @@ class HttpSourceSpec extends SparkSpec {
     assert(out.size == 100)
     assert(out.distinct.size == 100)
     assert(out.head == "DUP")
+  }
+
+  test("collectPaginated: all-duplicate pages do NOT count toward the empty-page stop") {
+    // pages 2-4 repeat page 1 (overlapping pagination); page 5 has fresh rows
+    val out = collectPaginated(cfg.copy(targetRows = 4), (r: String) => r, _ => ()) { (start, _) =>
+      if (start < 100) Seq("A", "B") else Seq("C", "D")
+    }
+    assert(out == Seq("A", "B", "C", "D"))
   }
 
   test("collectPaginated: stops after consecutive empty pages") {
