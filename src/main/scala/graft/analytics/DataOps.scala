@@ -124,6 +124,14 @@ object DataOps {
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id").asc)
 
+  def textWinnow(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.withWinnowFingerprints(Tables.documents(spark, dir), n = 3, w = 4)
+      .select(col("doc_id"),
+        size(col("winnow_fps")).cast("long").as("n_fp"),
+        array_min(col("winnow_fps")).as("min_fp"),
+        array_max(col("winnow_fps")).as("max_fp"))
+      .orderBy(col("doc_id").asc)
+
   // ---- multimodal plumbing ---------------------------------------------
 
   def mmPayloadStats(spark: SparkSession, dir: String): DataFrame =
@@ -311,6 +319,21 @@ object DataOps {
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents
         |ORDER BY doc_id ASC""".stripMargin,
+    "text_winnow" ->
+      s"""WITH tok AS (SELECT doc_id, $dkTokenHashes AS th FROM documents),
+         |winnow AS (
+         |  SELECT doc_id, list_distinct(
+         |    CASE WHEN len(th) < 3 THEN []
+         |    ELSE list_transform(generate_series(1, greatest(len(th) - 5, 1)),
+         |      i -> list_min(list_transform(generate_series(i, least(i + 3, len(th) - 2)),
+         |             j -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, j, j + 2)), (acc, h) -> (acc * 131 + h) % 1000000007))))
+         |    END) AS fps
+         |  FROM tok
+         |)
+         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+         |       list_min(fps) AS min_fp, list_max(fps) AS max_fp
+         |FROM winnow
+         |ORDER BY doc_id ASC""".stripMargin,
     "mm_payload_stats" ->
       """SELECT coalesce(lang, 'und') AS kind,
         |       count(*) AS n_media,
@@ -333,6 +356,7 @@ object DataOps {
     "text_quality"      -> (textQuality _),
     "text_langid"       -> (textLangId _),
     "text_fingerprint"  -> (textFingerprint _),
+    "text_winnow"       -> (textWinnow _),
     "mm_payload_stats"  -> (mmPayloadStats _)
   )
 }

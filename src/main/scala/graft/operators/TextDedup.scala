@@ -70,6 +70,37 @@ object TextDedup {
     withTokenHashes(docs).withColumn("shingle_hashes",
       GraftFunctions.shingleHashes(col("token_hashes"), n))
 
+  /** Winnowing fingerprints (the MOSS rolling-hash scheme): ordered
+    * (non-distinct) word-n-gram hashes, then the minimum hash of each
+    * length-`w` sliding window, distinct. Robust to local edits —
+    * documents sharing any sufficiently long passage share
+    * fingerprints, which makes passage-level near-dup detection an
+    * equi-join on fingerprint. Guarantee: every shared substring of
+    * at least w + n − 1 tokens yields ≥1 shared fingerprint.
+    * Shapes: < n tokens → empty; < w windows → single global min. */
+  def withWinnowFingerprints(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame =
+    withTokenHashes(docs).withColumn("winnow_fps", expr(
+      s"""array_distinct(
+         |  if(size(token_hashes) < $n, array(),
+         |    transform(
+         |      sequence(1, greatest(size(token_hashes) - ${n + w - 2}, 1)),
+         |      i -> array_min(transform(sequence(i, least(i + ${w - 1}, size(token_hashes) - ${n - 1})),
+         |             j -> aggregate(slice(token_hashes, j, $n), 0L, (acc, h) -> (acc * 131 + h) % ${P}L))))))""".stripMargin))
+
+  /** Passage-overlap pairs via winnowing: docs sharing ≥ `minShared`
+    * fingerprints. Equi-join on fingerprint — near-linear, like the
+    * other signature paths. */
+  def winnowOverlapPairs(docs: DataFrame, n: Int = 3, w: Int = 4,
+      minShared: Long = 2): DataFrame = {
+    val fps = index(withWinnowFingerprints(docs, n, w)
+      .select(col("doc_id"), explode(col("winnow_fps")).as("fp")))
+    fps.as("a")
+      .join(fps.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Exact dedup summary: total docs, distinct normalized fingerprints,
     * and duplicate-group count. The keeper rule (min doc_id per
     * fingerprint) is a groupBy away. */

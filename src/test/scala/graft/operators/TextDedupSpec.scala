@@ -117,6 +117,33 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("winnowing: window minima with guard shapes, hand-computed example") {
+    // doc1: 6 tokens -> 4 shingles, w=4 -> exactly one window = global min
+    // doc2: 2 tokens (< n) -> empty
+    val d = docs(1L -> "a b c d e f", 2L -> "a b")
+    val out = TextDedup.withWinnowFingerprints(d, n = 3, w = 4)
+      .select($"doc_id", $"winnow_fps").as[(Long, Seq[Long])].collect().toMap
+    def sh(ws: Seq[String]): Long =
+      ws.map(charFoldRef).foldLeft(0L)((a, h) => (a * 131 + h) % TextDedup.P)
+    val shingles = Seq(
+      sh(Seq("a", "b", "c")), sh(Seq("b", "c", "d")),
+      sh(Seq("c", "d", "e")), sh(Seq("d", "e", "f")))
+    assert(out(1L) == Seq(shingles.min))
+    assert(out(2L).isEmpty)
+  }
+
+  test("winnowing guarantee: docs sharing a long passage share a fingerprint") {
+    val passage = "one two three four five six seven eight nine ten"
+    val d = docs(
+      1L -> s"unrelated prefix words here $passage",
+      2L -> s"$passage totally different suffix tokens now",
+      3L -> "nothing in common with either of the others at all")
+    val pairs = TextDedup.winnowOverlapPairs(d, n = 3, w = 4, minShared = 1)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("simhash separates lexically distinct docs and repeats weigh in (multiset)") {
     val d = docs(
       1L -> "apple apple apple banana",
