@@ -35,6 +35,8 @@ object DataOps {
   private def dkDot(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, $b), " +
       s"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (acc, v) -> acc + v)"
+  private def dkCosRaw(a: String, b: String): String =
+    s"(${dkDot(a, b)} / (sqrt(${dkDot(a, a)}) * sqrt(${dkDot(b, b)})))"
   private def dkCos(a: String, b: String): String =
     s"floor((${dkDot(a, b)} / (sqrt(${dkDot(a, a)}) * sqrt(${dkDot(b, b)}))) * 1e6 + 0.5) / 1e6"
 
@@ -79,6 +81,13 @@ object DataOps {
   def simTopKLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 3, nPlanes = 3)
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  def simTopKIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 3,
+        nCentroids = 16, nProbe = 4)
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 
@@ -252,6 +261,37 @@ object DataOps {
          |SELECT query_id, rank, neighbor_id, cos FROM ranked
          |WHERE rank <= 3
          |ORDER BY query_id ASC, rank ASC""".stripMargin,
+    "sim_topk_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS centroid_id, embedding AS c_vec FROM embeddings
+         |  ORDER BY vec_id ASC LIMIT 16
+         |), c_assign AS (
+         |  SELECT vec_id, embedding, centroid_id AS cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.centroid_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${dkCosRaw("e.embedding", "c.c_vec")} DESC, c.centroid_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cents c
+         |  ) WHERE rn = 1
+         |), q_assign AS (
+         |  SELECT vec_id, embedding, centroid_id AS cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.centroid_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${dkCosRaw("e.embedding", "c.c_vec")} DESC, c.centroid_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cents c
+         |    WHERE e.vec_id < 10
+         |  ) WHERE rn <= 4
+         |), scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${dkCos("q.embedding", "c.embedding")} AS cos
+         |  FROM q_assign q JOIN c_assign c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, rank, neighbor_id, cos FROM ranked
+         |WHERE rank <= 3
+         |ORDER BY query_id ASC, rank ASC""".stripMargin,
     "text_token_stats" ->
       """SELECT lang,
         |       count(*) AS n_docs,
@@ -352,6 +392,7 @@ object DataOps {
     "dedup_embedding"   -> (dedupEmbedding _),
     "sim_topk"          -> (simTopK _),
     "sim_topk_lsh"      -> (simTopKLsh _),
+    "sim_topk_ivf"      -> (simTopKIvf _),
     "text_token_stats"  -> (textTokenStats _),
     "text_quality"      -> (textQuality _),
     "text_langid"       -> (textLangId _),

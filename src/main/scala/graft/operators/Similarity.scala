@@ -116,6 +116,57 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** IVF cell assignment: each vector goes to its nearest (max
+    * cosine) centroid; ties break by centroid id. Centroids are the
+    * first `nCentroids` corpus vectors (deterministic and
+    * oracle-reproducible; production would k-means from a fixed
+    * seed). Pure map-side work against a broadcast centroid set. */
+  def withIvfCell(df: DataFrame, centroids: DataFrame, nCentroids: Int, nProbe: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val c = centroids.orderBy(col(idCol).asc).limit(nCentroids)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("c_centroid"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("c_cos").desc, col("centroid_id").asc)
+    df.crossJoin(broadcast(c))
+      .withColumn("c_cos", cosinePre(col(vecCol), col("c_centroid"),
+        norm(col(vecCol)), norm(col("c_centroid"))))
+      .withColumn("c_rank", row_number().over(w))
+      .filter(col("c_rank") <= nProbe)
+      .select(col(idCol), col(vecCol), col("centroid_id").as("cell"))
+  }
+
+  /** IVF (inverted-file) approximate top-k: corpus vectors are
+    * bucketed by nearest centroid; each query probes its `nProbe`
+    * nearest cells and scores only their members. The scale path for
+    * ANN when hyperplane buckets ([[lshTopK]]) are too coarse: cell
+    * population tracks data density, and probing more cells trades
+    * compute for recall without re-indexing. Equi-join on cell —
+    * shuffle-partitionable, never an all-pairs scan. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val cCells = withIvfCell(corpus, corpus, nCentroids, nProbe = 1, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("cell"),
+        norm(col(vecCol)).as("c_norm"))
+    val qCells = withIvfCell(queries, corpus, nCentroids, nProbe, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("cell"),
+        norm(col(vecCol)).as("q_norm"))
+    val scored = cCells.join(broadcast(qCells), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", floor(
+        cosinePre(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")) * 1e6 + 0.5) / 1e6)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      // a query probing multiple cells can meet the same neighbor once
+      // per cell only if assignments overlapped — they cannot (corpus
+      // vectors live in exactly one cell), so no dedup is needed
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold over all
     * pairs (da < db). At harness scale this is a broadcast
     * nested-loop; at 100 TB swap the pair source for

@@ -69,6 +69,28 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.forall { case (q, n) => buckets(q) == buckets(n) })
   }
 
+  test("ivfTopK: neighbors come from probed cells, corpus vectors live in one cell, k respected") {
+    val rng = new scala.util.Random(17)
+    val d = vecs((0L until 60L).map(i => i -> Seq.fill(8)(rng.nextFloat() * 2 - 1)): _*)
+    val queries = d.filter($"vec_id" < 5)
+    val out = Similarity.ivfTopK(d, queries, k = 3, nCentroids = 8, nProbe = 3)
+    val counts = out.groupBy($"query_id").count().as[(Long, Long)].collect().toMap
+    assert(counts.values.forall(_ <= 3))
+    // contract: every (query, neighbor) shares one of the query's probed cells
+    val cCell = Similarity.withIvfCell(d, d, 8, 1).select($"vec_id", $"cell")
+      .as[(Long, Long)].collect().toMap
+    val qCells = Similarity.withIvfCell(queries, d, 8, 3).select($"vec_id", $"cell")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pairs = out.select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    assert(pairs.forall { case (q, n) => qCells(q).contains(cCell(n)) })
+    // with nProbe = nCentroids, IVF degenerates to exact brute force
+    val exact = Similarity.bruteForceTopK(d, queries, k = 3)
+      .select($"query_id", $"rank", $"neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val full = Similarity.ivfTopK(d, queries, k = 3, nCentroids = 8, nProbe = 8)
+      .select($"query_id", $"rank", $"neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(full == exact)
+  }
+
   test("nearDupPairs finds exactly the pairs above threshold") {
     val d = vecs(
       0L -> Seq(1f, 0f),
