@@ -120,13 +120,11 @@ object DataOps {
       .limit(50)
   }
 
-  def textLangId(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-    d.select(col("lang"), TextAnalysis.predictedLang(col("text")).as("predicted"))
+  def textLangId(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langIdJoin(Tables.documents(spark, dir))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang").asc, col("predicted").asc)
-  }
 
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -83,7 +83,37 @@ object TextAnalysis {
   }
 
   /** Rolling-hash document fingerprint: md5 of normalized text —
-    * identical hex in every engine. */
+    * identical hex in every engine. (Passage-level rolling-hash
+    * fingerprints: [[TextDedup.withWinnowFingerprints]].) */
   def fingerprint(text: Column): Column =
     md5(TextDedup.normalized(text))
+
+  /** Relational language-ID — identical output to [[predictedLang]]
+    * but as codegen'd joins instead of 5 interpreted filter-lambdas
+    * per row: marker lists become a broadcast (word, lang) table,
+    * token explode + join + pivot yields the per-language counts,
+    * then the same fixed-order argmax. This is the form that scales
+    * (marker vocabulary is data, so growing languages/word-lists
+    * never changes the plan shape). */
+  def langIdJoin(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val langs = Seq("en", "de", "fr", "es", "zh")
+    val markers = langMarkers.toSeq
+      .flatMap { case (l, ws) => ws.map(w => (w, l)) }
+      .toDF("w", "marker_lang")
+    val counts = docs
+      .select(col(idCol), explode(split(lower(col(textCol)), " ")).as("w"))
+      .join(broadcast(markers), "w")
+      .groupBy(col(idCol)).pivot("marker_lang", langs).count()
+    val scores = langs.map(l => coalesce(col(l), lit(0L)))
+    val best = greatest(scores: _*)
+    docs.join(counts, Seq(idCol), "left")
+      .withColumn("predicted",
+        langs.zip(scores).foldLeft(when(best <= 0, lit("und"))) {
+          case (acc, (l, s)) => acc.when(s === best, lit(l))
+        }.otherwise(lit("und")))
+      .drop(langs: _*)
+  }
 }

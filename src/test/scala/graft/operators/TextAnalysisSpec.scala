@@ -45,6 +45,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == samples.map(_._2))
   }
 
+  test("langIdJoin (relational form) agrees with predictedLang (expression form)") {
+    val rng = new scala.util.Random(23)
+    val vocab = Seq("the", "der", "le", "el", "cat", "hund", "chien", "gato",
+      "and", "und", "et", "y", "is", "ist", "est", "es", "xyz", "qqq")
+    val docs = (1L to 60L).map { i =>
+      i -> Seq.fill(4 + rng.nextInt(10))(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    }.toDF("doc_id", "text")
+    val viaExpr = docs.select($"doc_id", TextAnalysis.predictedLang($"text").as("p"))
+      .as[(Long, String)].collect().toMap
+    val viaJoin = TextAnalysis.langIdJoin(docs).select($"doc_id", $"predicted")
+      .as[(Long, String)].collect().toMap
+    assert(viaJoin == viaExpr)
+  }
+
   test("fingerprint is whitespace/case-normalized md5") {
     val df = Seq("Hello   World", "hello world").toDF("text")
     val fps = df.select(TextAnalysis.fingerprint($"text")).as[String].collect()
