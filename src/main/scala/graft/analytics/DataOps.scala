@@ -98,12 +98,14 @@ object DataOps {
     d.select(col("lang"),
         TextAnalysis.nTokens(col("text")).cast("long").as("nt"),
         TextAnalysis.nSubwords(col("text")).as("nsw"),
+        TextAnalysis.nRegexTokens(col("text")).as("nrt"),
         length(col("text")).cast("long").as("nc"))
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("nt")).as("total_tokens"),
         sum(col("nsw")).as("total_subwords"),
+        sum(col("nrt")).as("total_bpe_tokens"),
         Cols.r(sum(col("nt")).cast("double") / count(lit(1)), 4).as("avg_tokens"),
         sum(col("nc")).as("total_chars"))
       .orderBy(col("lang").asc)
@@ -297,6 +299,7 @@ object DataOps {
         |       sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
         |             list_transform(string_split(text, ' '), w -> CAST((length(w) + 3) // 4 AS BIGINT))),
         |           (a, x) -> a + x)) :: BIGINT AS total_subwords,
+        |       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens,
         |       floor((CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*)) * 1e4 + 0.5) / 1e4 AS avg_tokens,
         |       CAST(sum(length(text)) AS BIGINT) AS total_chars
         |FROM documents

@@ -22,6 +22,14 @@ object TextAnalysis {
   def nSubwords(text: Column): Column = expr(
     "aggregate(transform(split(text, ' '), w -> cast((length(w) + 3) div 4 as bigint)), 0L, (a, x) -> a + x)")
 
+  /** BPE-style pre-tokenizer count: the GPT-2-ish split of runs of
+    * letters, single digits, and punctuation (a portable subset —
+    * Java regex and RE2 agree on this pattern, so the oracle can
+    * replay it). */
+  val bpeSplitPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def nRegexTokens(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeSplitPattern), lit(0))).cast("long")
+
   /** Character-class profile ratios, all guarded against empty text. */
   def punctRatio(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /

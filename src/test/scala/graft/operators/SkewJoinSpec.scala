@@ -28,6 +28,12 @@ class SkewJoinSpec extends SparkSpec {
     assert(out == 4) // 2 fact × 2 dim
   }
 
+  test("saltedJoin tolerates map-typed columns on the large side") {
+    val fact = Seq((1, Map("a" -> 1)), (2, Map("b" -> 2))).toDF("k", "props")
+    val dim = Seq((1, "x"), (2, "y")).toDF("k", "name")
+    assert(SkewJoin.saltedJoin(fact, dim, Seq("k"), factor = 4).count() == 2)
+  }
+
   test("saltedCount equals plain count per key") {
     val df = (1 to 500).map(i => if (i % 5 == 0) "hot" else s"k$i").toDF("k")
     val plain = df.groupBy($"k").count().as[(String, Long)].collect().toMap

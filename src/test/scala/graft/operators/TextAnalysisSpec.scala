@@ -13,6 +13,12 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.select(TextAnalysis.nSubwords($"text")).as[Long].collect().toSeq == Seq(3L, 4L))
   }
 
+  test("nRegexTokens splits like a BPE pre-tokenizer: letter runs, single digits, punct") {
+    val df = Seq("don't stop", "abc12, x!").toDF("text")
+    // don | ' | t | stop = 4 ; abc | 1 | 2 | , | x | ! = 6
+    assert(df.select(TextAnalysis.nRegexTokens($"text")).as[Long].collect().toSeq == Seq(4L, 6L))
+  }
+
   test("stopword and type-token ratios") {
     val df = Seq("the the cat").toDF("text")
     val Seq((sw, ttr)) = df.select(
