@@ -299,7 +299,7 @@ object DataOps {
         |       sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
         |             list_transform(string_split(text, ' '), w -> CAST((length(w) + 3) // 4 AS BIGINT))),
         |           (a, x) -> a + x)) :: BIGINT AS total_subwords,
-        |       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens,
+        |       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\f\r]'))) AS BIGINT) AS total_bpe_tokens,
         |       floor((CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*)) * 1e4 + 0.5) / 1e4 AS avg_tokens,
         |       CAST(sum(length(text)) AS BIGINT) AS total_chars
         |FROM documents

@@ -42,8 +42,14 @@ object Multimodal {
     def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
     if (p.length >= 24 && p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G')
       Some((be32(16), be32(20)))                             // PNG IHDR
-    else if (p.length >= 26 && p(0) == 'B' && p(1) == 'M')
-      Some((le32(18), math.abs(le32(22))))                   // BMP DIB (height may be negative = top-down)
+    else if (p.length >= 22 && p(0) == 'B' && p(1) == 'M') le32(14) match {
+      // dispatch on the DIB header size: 12 = OS/2 BITMAPCOREHEADER
+      // (16-bit dims), 40+ = BITMAPINFOHEADER family (32-bit dims,
+      // height may be negative = top-down)
+      case 12 => Some((le16(18), le16(20)))
+      case n if n >= 40 && p.length >= 26 => Some((le32(18), math.abs(le32(22))))
+      case _ => None
+    }
     else if (p.length >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8')
       Some((le16(6), le16(8)))                               // GIF logical screen
     else None

@@ -23,26 +23,30 @@ object SkewJoin {
   def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
       factor: Int = 16): DataFrame = {
     require(factor > 0, "salt factor must be positive")
-    // The salt value never reaches the output (each large row joins the
-    // small side exactly at its own salt, then _salt is dropped), so
-    // correctness does not depend on WHICH salt a row gets — only the
-    // distribution does. rand(seed) spreads even fully-duplicate hot-key
-    // rows uniformly (a content hash would send identical rows to one
-    // bucket) and is retry-stable per partition in practice; results
-    // are identical either way.
-    val salted = large.withColumn("_salt",
-      floor(rand(42) * factor).cast("int"))
+    // The salt must be DETERMINISTIC per row: a random/positional salt
+    // feeding a shuffle key can duplicate or drop rows when a lost
+    // executor forces map-stage recomputation with a different draw
+    // (the SPARK-23207 failure class). Hash every hashable column —
+    // map-typed columns are excluded (hash() rejects MapType).
+    // Limitation: fully-identical duplicate rows share a salt; dedupe
+    // or add a row-id column upstream if the hot key is pure repeats.
+    val hashable = large.schema.fields
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name)).toIndexedSeq
+    val salted = large.withColumn("_salt", pmod(hash(hashable: _*), lit(factor)))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated, keys :+ "_salt").drop("_salt")
   }
 
   /** Salted group-by count — the aggregation analogue: partial count
-    * per (key, salt), then final sum per key. Spark's partial
-    * aggregation already does this for algebraic aggregates; this form
-    * is for building skew-safe custom two-phase aggregations. */
+    * per (key, salt), then final sum per key. The salt comes from the
+    * reading partition, NOT the key (a key-derived salt is constant
+    * per key and splits nothing). Spark's partial aggregation already
+    * does this for algebraic aggregates; this form is for building
+    * skew-safe custom two-phase aggregations. */
   def saltedCount(df: DataFrame, keyCol: String, factor: Int = 16): DataFrame =
-    df.withColumn("_salt", pmod(hash(col(keyCol)), lit(factor)))
+    df.withColumn("_salt", pmod(spark_partition_id(), lit(factor)))
       .groupBy(col(keyCol), col("_salt")).agg(count(lit(1)).as("_partial"))
       .groupBy(col(keyCol)).agg(sum(col("_partial")).as("count"))
 

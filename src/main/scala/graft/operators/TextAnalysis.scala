@@ -23,10 +23,10 @@ object TextAnalysis {
     "aggregate(transform(split(text, ' '), w -> cast((length(w) + 3) div 4 as bigint)), 0L, (a, x) -> a + x)")
 
   /** BPE-style pre-tokenizer count: the GPT-2-ish split of runs of
-    * letters, single digits, and punctuation (a portable subset —
-    * Java regex and RE2 agree on this pattern, so the oracle can
-    * replay it). */
-  val bpeSplitPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+    * letters, single digits, and punctuation. The whitespace class is
+    * spelled out explicitly — Java's \s includes vertical tab, RE2's
+    * does not, so a bare \s would diverge between engine and oracle. */
+  val bpeSplitPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\f\\r]"
   def nRegexTokens(text: Column): Column =
     size(regexp_extract_all(text, lit(bpeSplitPattern), lit(0))).cast("long")
 
@@ -74,21 +74,28 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "y", "es"),
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
+  /** Fixed language order — also the argmax tie-break order. */
+  val langOrder: Seq[String] = Seq("en", "de", "fr", "es", "zh")
+
   def langScore(text: Column, lang: String): Column = {
     val arr = langMarkers(lang).map(w => s"'$w'").mkString("array(", ", ", ")")
     expr(s"size(filter(split(lower(text), ' '), w -> array_contains($arr, w)))")
   }
 
-  /** Predicted language = argmax marker count, ties broken by fixed
-    * language order, 'und' (undetermined) when no marker hits. */
-  def predictedLang(text: Column): Column = {
-    val langs = Seq("en", "de", "fr", "es", "zh")
-    val scores = langs.map(l => langScore(text, l))
+  /** Shared argmax: highest marker count wins, ties broken by
+    * [[langOrder]], 'und' when no marker hits. Both language-ID forms
+    * use this single definition so they cannot drift. */
+  def pickLang(scores: Seq[Column]): Column = {
+    require(scores.size == langOrder.size)
     val best = greatest(scores: _*)
-    langs.zip(scores).foldLeft(when(best <= 0, lit("und"))) {
+    langOrder.zip(scores).foldLeft(when(best <= 0, lit("und"))) {
       case (acc, (l, s)) => acc.when(s === best, lit(l))
     }.otherwise(lit("und"))
   }
+
+  /** Predicted language = argmax marker count (expression form). */
+  def predictedLang(text: Column): Column =
+    pickLang(langOrder.map(l => langScore(text, l)))
 
   /** Rolling-hash document fingerprint: md5 of normalized text —
     * identical hex in every engine. (Passage-level rolling-hash
@@ -107,21 +114,16 @@ object TextAnalysis {
       idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val langs = Seq("en", "de", "fr", "es", "zh")
     val markers = langMarkers.toSeq
       .flatMap { case (l, ws) => ws.map(w => (w, l)) }
       .toDF("w", "marker_lang")
     val counts = docs
       .select(col(idCol), explode(split(lower(col(textCol)), " ")).as("w"))
       .join(broadcast(markers), "w")
-      .groupBy(col(idCol)).pivot("marker_lang", langs).count()
-    val scores = langs.map(l => coalesce(col(l), lit(0L)))
-    val best = greatest(scores: _*)
+      .groupBy(col(idCol)).pivot("marker_lang", langOrder).count()
     docs.join(counts, Seq(idCol), "left")
       .withColumn("predicted",
-        langs.zip(scores).foldLeft(when(best <= 0, lit("und"))) {
-          case (acc, (l, s)) => acc.when(s === best, lit(l))
-        }.otherwise(lit("und")))
-      .drop(langs: _*)
+        pickLang(langOrder.map(l => coalesce(col(l), lit(0L)))))
+      .drop(langOrder: _*)
   }
 }

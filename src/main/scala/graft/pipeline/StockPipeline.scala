@@ -201,9 +201,13 @@ object StockPipeline {
 
   /** U3 fallback semantics (SURVEY §2.8 ⚠, ref
     * app/streamlit_app.py:407): KPIs compute over the filtered result
-    * when non-empty, else over the full dataset. */
-  def kpisWithFallback(filtered: DataFrame, full: DataFrame): (Long, Long, DataFrame) =
-    if (filtered.isEmpty) kpis(full) else kpis(filtered)
+    * when non-empty, else over the full dataset. Emptiness comes from
+    * the KPI aggregate itself (n_rows) — no separate isEmpty job over
+    * the filter/sort/limit chain. */
+  def kpisWithFallback(filtered: DataFrame, full: DataFrame): (Long, Long, DataFrame) = {
+    val r @ (_, nRows, _) = kpis(filtered)
+    if (nRows == 0) kpis(full) else r
+  }
 
   /** The reference's 11 dbt tests + QA checks as one suite; returns
     * failing checks only (empty map = healthy warehouse). */

@@ -30,11 +30,19 @@ class MultimodalSpec extends SparkSpec {
     assert(imageDims(png).contains((640, 480)))
     val bmp = new Array[Byte](26)
     bmp(0) = 'B'; bmp(1) = 'M'
+    bmp(14) = 40                   // BITMAPINFOHEADER DIB size
     bmp(18) = 0x20; bmp(19) = 0x03 // width 800 LE
     bmp(22) = 0x58; bmp(23) = 0x02 // height 600 LE
     assert(imageDims(bmp).contains((800, 600)))
     val gif = "GIF89a".getBytes("US-ASCII") ++ Array[Byte](0x40, 0x01, 0xf0.toByte, 0x00)
     assert(imageDims(gif).contains((320, 240)))
+    // OS/2 BITMAPCOREHEADER: DIB size 12 at offset 14, 16-bit dims
+    val bmpCore = new Array[Byte](22)
+    bmpCore(0) = 'B'; bmpCore(1) = 'M'
+    bmpCore(14) = 12
+    bmpCore(18) = 0x20; bmpCore(19) = 0x03 // width 800 LE16
+    bmpCore(20) = 0x58; bmpCore(21) = 0x02 // height 600 LE16
+    assert(imageDims(bmpCore).contains((800, 600)))
     assert(imageDims("not an image".getBytes).isEmpty)
     // decodeStub surfaces the parsed dimensions for real headers
     val (w, h, _) = decodeStub(png)
