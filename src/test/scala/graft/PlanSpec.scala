@@ -42,4 +42,26 @@ class PlanSpec extends SparkSpec {
     assert(plan(Queries.q1TopBrands(spark, dir)).contains("TakeOrderedAndProject"))
     assert(plan(Queries.q5RiskWatchlist(spark, dir)).contains("TakeOrderedAndProject"))
   }
+
+  test("similarity paths broadcast the query/anchor side, never shuffle the corpus for it") {
+    val emb = Tables.embeddings(spark, dir)
+    val p = plan(graft.operators.Similarity.bruteForceTopK(
+      emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5), k = 3))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+  }
+
+  test("documents scan prunes to the referenced columns only") {
+    val df = graft.analytics.DataOps.textFingerprint(spark, dir)
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("documents")).get
+    assert(scan.contains("ReadSchema"))
+    assert(!scan.contains("lang")) // fingerprint needs doc_id + text only
+  }
+
+  test("global stats never use a global window: q3/u2 plan a 1-row aggregate + broadcast") {
+    val p3 = plan(Queries.q3ZScoreOutliers(spark, dir))
+    assert(!p3.contains("Window") && p3.contains("BroadcastNestedLoopJoin"))
+    val pu2 = plan(graft.analytics.AppOps.u2ActivityShocks(spark, dir))
+    assert(!pu2.contains("Window"))
+  }
 }
