@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       TextHashExprs.shingleInfo, TextHashExprs.shingleBuilder))
     ext.injectFunction((FunctionIdentifier("graft_simhash"),
       TextHashExprs.simhashInfo, TextHashExprs.simhashBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_minhash"),
+      TextHashExprs.minhashInfo, TextHashExprs.minhashBuilder))
   }
 }
 
@@ -33,6 +35,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_token_hashes", TextHashExprs.tokenBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_shingle_hashes", TextHashExprs.shingleBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_simhash", TextHashExprs.simhashBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash", TextHashExprs.minhashBuilder, "built-in")
   }
 
   /** Codegen'd dot product (requires [[register]] on the session). */
@@ -42,4 +45,6 @@ object GraftFunctions {
   def shingleHashes(hashes: Column, n: Int): Column =
     call_function("graft_shingle_hashes", hashes, lit(n))
   def simhash(hashes: Column): Column = call_function("graft_simhash", hashes)
+  def minhash(hashes: Column, n: Int): Column =
+    call_function("graft_minhash", hashes, lit(n))
 }

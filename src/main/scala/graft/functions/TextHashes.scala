@@ -151,6 +151,51 @@ case class SimHash32(child: Expression)
     copy(child = newChild)
 }
 
+/** (array<bigint>, numHashes) → array<bigint>: MinHash signature —
+  * sig[i] = min over hashes of ((2i+1)·h + 999983·i) mod P; empty
+  * input → all-null elements, null elements skipped by the min
+  * (array_min semantics) — identical to the
+  * `transform(sequence(...), i -> array_min(transform(...)))` form. */
+case class MinHashSig(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash expects (array<bigint>, int), got ${l.sql}, ${r.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(hashes: Any, nAny: Any): Any = {
+    val arr = hashes.asInstanceOf[ArrayData]
+    val numHashes = nAny.asInstanceOf[Int]
+    val len = arr.numElements()
+    val out = new Array[Any](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      var min = Long.MaxValue
+      var found = false
+      var j = 0
+      while (j < len) {
+        if (!arr.isNullAt(j)) {
+          val v = ((2L * i + 1) * arr.getLong(j) + 999983L * i) % TextHashes.P
+          if (v < min) min = v
+          found = true
+        }
+        j += 1
+      }
+      out(i) = if (found) min else null
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextHashExprs {
   val tokenInfo = new ExpressionInfo(classOf[TokenHashes].getCanonicalName, null,
     "graft_token_hashes", "graft_token_hashes(arr) - portable char-fold hash per token", "")
@@ -158,6 +203,8 @@ object TextHashExprs {
     "graft_shingle_hashes", "graft_shingle_hashes(hashes, n) - distinct n-gram shingle hashes", "")
   val simhashInfo = new ExpressionInfo(classOf[SimHash32].getCanonicalName, null,
     "graft_simhash", "graft_simhash(hashes) - 32-bit SimHash fingerprint", "")
+  val minhashInfo = new ExpressionInfo(classOf[MinHashSig].getCanonicalName, null,
+    "graft_minhash", "graft_minhash(hashes, n) - n-permutation MinHash signature", "")
 
   val tokenBuilder: Seq[Expression] => Expression =
     { case Seq(a) => TokenHashes(a); case a => argErr("graft_token_hashes", 1, a.length) }
@@ -165,6 +212,8 @@ object TextHashExprs {
     { case Seq(a, b) => ShingleHashes(a, b); case a => argErr("graft_shingle_hashes", 2, a.length) }
   val simhashBuilder: Seq[Expression] => Expression =
     { case Seq(a) => SimHash32(a); case a => argErr("graft_simhash", 1, a.length) }
+  val minhashBuilder: Seq[Expression] => Expression =
+    { case Seq(a, b) => MinHashSig(a, b); case a => argErr("graft_minhash", 2, a.length) }
 
   private def argErr(name: String, want: Int, got: Int): Nothing =
     throw new IllegalArgumentException(s"$name expects $want arguments, got $got")

@@ -228,10 +228,8 @@ object TextDedup {
   /** MinHash signatures: sig[i] = min over shingle hashes of the i-th
     * permutation ((2i+1)·h + 999983·i) mod P. Map-side only. */
   def withMinHash(docs: DataFrame, n: Int = 3, numHashes: Int = 16): DataFrame =
-    shingleArrays(docs, n).withColumn("minhash", expr(
-      s"""transform(sequence(0, ${numHashes - 1}),
-         |  i -> array_min(transform(shingle_hashes,
-         |    h -> (cast(2*i+1 as bigint) * h + 999983L * cast(i as bigint)) % ${P}L)))""".stripMargin))
+    shingleArrays(docs, n).withColumn("minhash",
+      GraftFunctions.minhash(col("shingle_hashes"), numHashes))
 
   /** LSH candidate pairs: split the signature into `bands` bands of
     * `numHashes/bands` rows; docs sharing any full band are

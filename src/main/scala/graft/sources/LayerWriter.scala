@@ -17,18 +17,22 @@ object LayerWriter {
 
   /** Write a fact table partitioned by `dateCol` (hive-style layout →
     * partition pruning on read). `maxRecordsPerFile` bounds file size
-    * so a skewed date cannot produce one giant file. */
+    * so a skewed date cannot produce one giant file. `format`:
+    * parquet (default) or orc — both columnar with pushdown/pruning;
+    * csv/json for interchange exports. */
   def writeFact(df: DataFrame, path: String, dateCol: String,
-      maxRecordsPerFile: Long = 5000000L): Unit =
+      maxRecordsPerFile: Long = 5000000L, format: String = "parquet"): Unit =
     df.write
       .mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(dateCol)
-      .parquet(path)
+      .format(format)
+      .save(path)
 
   /** Write a dimension table compacted to few files (broadcast-friendly). */
-  def writeDim(df: DataFrame, path: String, files: Int = 1): Unit =
-    df.coalesce(files).write.mode("overwrite").parquet(path)
+  def writeDim(df: DataFrame, path: String, files: Int = 1,
+      format: String = "parquet"): Unit =
+    df.coalesce(files).write.mode("overwrite").format(format).save(path)
 
   /** Append one load batch into an existing partitioned fact —
     * dynamic partition overwrite of ONLY the batch's dates, so a

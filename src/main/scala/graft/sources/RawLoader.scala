@@ -56,6 +56,23 @@ object RawLoader {
       .withColumn("_ingested_at", current_timestamp())
   }
 
+  /** S5 (read side): JSON-lines bronze source with the same explicit
+    * schema + load-metadata contract as [[loadCsv]] — the scraper's
+    * second output format. PERMISSIVE-by-default JSON parsing is
+    * overridden to FAILFAST for bronze parity with COPY INTO. */
+  def loadJson(spark: SparkSession, path: String, columns: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col("_source_file"))
+      .orderBy(monotonically_increasing_id())
+    spark.read
+      .schema(rawSchema(columns))
+      .option("mode", "FAILFAST")
+      .json(path)
+      .withColumn("_source_file", input_file_name())
+      .withColumn("_source_row_number", row_number().over(w))
+      .withColumn("_load_id", expr("uuid()"))
+      .withColumn("_ingested_at", current_timestamp())
+  }
+
   /** S4: single-file CSV sink with header (driver-side convenience —
     * coalesce(1) is for small exports only, never for fact data). */
   def writeCsv(df: DataFrame, path: String, single: Boolean = false): Unit = {

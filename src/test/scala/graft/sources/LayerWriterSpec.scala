@@ -31,6 +31,16 @@ class LayerWriterSpec extends SparkSpec {
     assert(out == Set(1L, 2L))
   }
 
+  test("orc format: partitioned fact round-trips with partition pruning intact") {
+    val dir = Files.createTempDirectory("factorc").toString + "/t"
+    val df = Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0)).toDF("id", "d", "v")
+    LayerWriter.writeFact(df, dir, "d", format = "orc")
+    val read = spark.read.orc(dir).filter($"d" === "2024-01-01")
+    assert(read.count() == 1)
+    assert(read.queryExecution.executedPlan.collectLeaves().head.toString
+      .contains("PartitionFilters"))
+  }
+
   test("writeDim produces a compact broadcastable directory") {
     val dir = Files.createTempDirectory("dim").toString + "/t"
     LayerWriter.writeDim(Seq((1, "x"), (2, "y")).toDF("k", "v"), dir)

@@ -33,6 +33,21 @@ class RawLoaderSpec extends SparkSpec {
     assert(df.filter($"_ingested_at".isNull).count() == 0)
   }
 
+  test("loadJson lands JSON-lines with the same bronze contract as CSV") {
+    val dir = Files.createTempDirectory("rawjson").toString
+    Files.writeString(Paths.get(dir, "batch.json"),
+      """{"symbol":"AAA","name":"Alpha","price":"12.5"}
+        |{"symbol":"BBB","name":null,"price":null}
+        |""".stripMargin)
+    val df = RawLoader.loadJson(spark, dir, Seq("symbol", "name", "price"))
+    assert(df.schema.filter(f => !f.name.startsWith("_"))
+      .forall(_.dataType.typeName == "string"))
+    val rows = df.select($"symbol", $"name", $"price")
+      .as[(String, Option[String], Option[String])].collect().toSet
+    assert(rows == Set(("AAA", Some("Alpha"), Some("12.5")), ("BBB", None, None)))
+    assert(df.select($"_source_row_number").as[Int].collect().sorted.toSeq == Seq(1, 2))
+  }
+
   test("csv and json sinks round-trip") {
     val out = Files.createTempDirectory("sink").toString
     val df = Seq(("A", 1), ("B", 2)).toDF("k", "v")
