@@ -1,27 +1,45 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 
 /** Benchmark main: runs every catalog query on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line. A warmup action runs first so the measured
-  * numbers reflect steady-state plan cost, not first-query JVM/codegen
-  * initialization (~4-5 s of JIT otherwise lands on whichever query
-  * happens to run first). */
+  * emits one JSON line — on stdout AND to SPARK_GRAFT_BENCH_OUT
+  * (default ./bench_out.json), so the numbers survive even when the
+  * launcher's log tail is noisy. A warmup action runs first so the
+  * measured numbers reflect steady-state plan cost, not first-query
+  * JVM/codegen initialization (~4-5 s of JIT otherwise lands on
+  * whichever query happens to run first).
+  *
+  * Per-query hygiene: `spark.catalog.clearCache()` before each query
+  * so persisted intermediates (e.g. TextDedup signature frames) can't
+  * bleed memory or skew timings across measurements, and failures are
+  * RECORDED (rows = -1, name listed in "failed") instead of silently
+  * passing off the elapsed time of a crash as a real timing. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val spark = Sessions.build("graft-bench")
     // warmup: exercise codegen, shuffle, parquet reader, and the agg paths
     spark.range(1000000).selectExpr("sum(id) as s", "count(distinct id % 7) as d").collect()
     Tables.lineitem(spark, sfDir).limit(1000).groupBy("l_returnflag").count().collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val rows = try fn(spark, sfDir).count() catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1L
+      }
+      (name, (System.nanoTime() - t0) / 1e9, rows)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val rowsJson = results.map { case (k, _, r) => s"\"$k\":$r" }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, -1L) => s"\"$k\"" }.mkString("[", ",", "]")
+    val total = results.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rowsJson,"failed":$failed,"sf":"$sfDir"}"""
+    println(json)
+    Files.writeString(Paths.get(outPath), json + "\n")
     spark.stop()
   }
 }

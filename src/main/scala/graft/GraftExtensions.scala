@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.functions.{call_function, lit}
-import graft.functions.{DotProduct, TextHashExprs}
+import org.apache.spark.sql.functions.{call_function, lit, typedLit}
+import graft.functions.{DotProduct, HyperplaneKeys, TextHashExprs}
 
 /** Session extension registering graft's native Catalyst functions —
   * enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       TextHashExprs.simhashInfo, TextHashExprs.simhashBuilder))
     ext.injectFunction((FunctionIdentifier("graft_minhash"),
       TextHashExprs.minhashInfo, TextHashExprs.minhashBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_hyperplane_keys"),
+      HyperplaneKeys.info, HyperplaneKeys.builder))
   }
 }
 
@@ -29,13 +31,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * functions, for sessions not built with the extensions config (e.g.
   * the driver's own session calling SparkEntry.queries). Idempotent. */
 object GraftFunctions {
+  /** Truly idempotent: registers once per session and skips thereafter
+    * — repeated create-or-replace would emit one
+    * `SimpleFunctionRegistry ... replaced` warning per function per
+    * query, which is log noise AND pollutes harness stdout parsing. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_dot", DotProduct.builder, "built-in")
-    reg.createOrReplaceTempFunction("graft_token_hashes", TextHashExprs.tokenBuilder, "built-in")
-    reg.createOrReplaceTempFunction("graft_shingle_hashes", TextHashExprs.shingleBuilder, "built-in")
-    reg.createOrReplaceTempFunction("graft_simhash", TextHashExprs.simhashBuilder, "built-in")
-    reg.createOrReplaceTempFunction("graft_minhash", TextHashExprs.minhashBuilder, "built-in")
+    if (!reg.functionExists(FunctionIdentifier("graft_dot"))) {
+      reg.createOrReplaceTempFunction("graft_dot", DotProduct.builder, "built-in")
+      reg.createOrReplaceTempFunction("graft_token_hashes", TextHashExprs.tokenBuilder, "built-in")
+      reg.createOrReplaceTempFunction("graft_shingle_hashes", TextHashExprs.shingleBuilder, "built-in")
+      reg.createOrReplaceTempFunction("graft_simhash", TextHashExprs.simhashBuilder, "built-in")
+      reg.createOrReplaceTempFunction("graft_minhash", TextHashExprs.minhashBuilder, "built-in")
+      reg.createOrReplaceTempFunction("graft_hyperplane_keys", HyperplaneKeys.builder, "built-in")
+    }
   }
 
   /** Codegen'd dot product (requires [[register]] on the session). */
@@ -47,4 +56,10 @@ object GraftFunctions {
   def simhash(hashes: Column): Column = call_function("graft_simhash", hashes)
   def minhash(hashes: Column, n: Int): Column =
     call_function("graft_minhash", hashes, lit(n))
+
+  /** Per-band hyperplane-LSH keys from ONE literal plane matrix (see
+    * [[graft.functions.HyperplaneKeys]]). */
+  def hyperplaneKeys(vec: Column, planes: Seq[Array[Float]], planesPerBand: Int): Column =
+    call_function("graft_hyperplane_keys", vec,
+      typedLit(planes.map(_.toSeq)), lit(planesPerBand))
 }

@@ -76,19 +76,34 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Materialize the first `n` anchor vectors (by ascending id) as
+    * driver-side values. This is a bounded PARAMETER fetch — O(n·dim)
+    * bytes for a caller-chosen small n, the same class as broadcasting
+    * ML centroids — not a data-size-dependent collect: the corpus
+    * itself never reaches the driver. */
+  private def collectPlanes(anchors: DataFrame, n: Int,
+      idCol: String, vecCol: String): Seq[Array[Float]] =
+    anchors.orderBy(col(idCol).asc).limit(n).select(col(vecCol))
+      .collect().map(_.getSeq[Float](0).toArray).toSeq
+
   /** Sign-pattern bucket id from dot products with `nPlanes` anchor
-    * vectors: bit i set iff dot(v, anchor_i) > 0. */
+    * vectors: bit i set iff dot(v, anchor_i) > 0, where i is the
+    * anchor's RANK in id order (0..nPlanes-1) — never the raw id,
+    * which would overflow the long bit position for ids ≥ 63.
+    *
+    * The planes ride in the plan as ONE literal matrix consumed by the
+    * native `graft_hyperplane_keys` kernel, so bucketing is a pure
+    * map-side projection: no join, no shuffle — at 100 TB the corpus
+    * is bucketed in the same scan that reads it. */
   def withBucket(df: DataFrame, anchors: DataFrame, nPlanes: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val a = anchors.orderBy(col(idCol).asc).limit(nPlanes)
-      .select(col(idCol).as("plane_id"), col(vecCol).as("plane_vec"))
-    df.crossJoin(broadcast(a))
-      .withColumn("bit",
-        when(dot(col(vecCol), col("plane_vec")) > 0,
-          pow(lit(2.0), col("plane_id").cast("double")).cast("long")).otherwise(0L))
-      .groupBy(col(idCol), col(vecCol))
-      .agg(sum(col("bit")).as("bucket"))
+    require(nPlanes > 0 && nPlanes <= 63, "withBucket supports 1..63 planes per bucket key")
+    val planes = collectPlanes(anchors, nPlanes, idCol, vecCol)
+    require(planes.nonEmpty, "withBucket needs at least one anchor vector")
+    df.select(col(idCol), col(vecCol),
+      GraftFunctions.hyperplaneKeys(col(vecCol), planes, planes.size)
+        .getItem(0).as("bucket"))
   }
 
   /** LSH-bucketed approximate top-k: score only corpus vectors in the
@@ -167,11 +182,66 @@ object Similarity {
       // vectors live in exactly one cell), so no dedup is needed
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ threshold over all
-    * pairs (da < db). At harness scale this is a broadcast
-    * nested-loop; at 100 TB swap the pair source for
-    * [[withBucket]]-cobucketed pairs (same scoring tail). */
+  /** Shared verification tail: join candidate (vec_a, vec_b) id pairs
+    * back to their vectors and keep those with cosine ≥ threshold.
+    * Norms are precomputed once per side (bit-identical to the
+    * per-pair form — see [[cosinePre]]). */
+  private def cosineVerify(corpus: DataFrame, cands: DataFrame, threshold: Double,
+      idCol: String, vecCol: String): DataFrame = {
+    val va = corpus.select(col(idCol).as("vec_a"), col(vecCol).as("va"),
+      norm(col(vecCol)).as("na"))
+    val vb = corpus.select(col(idCol).as("vec_b"), col(vecCol).as("vb"),
+      norm(col(vecCol)).as("nb"))
+    cands.join(va, "vec_a").join(vb, "vec_b")
+      .withColumn("cos", floor(
+        cosinePre(col("va"), col("vb"), col("na"), col("nb")) * 1e6 + 0.5) / 1e6)
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  /** Embedding near-duplicate pairs via multi-band hyperplane LSH —
+    * the 100 TB path. Each vector gets `bands` independent signatures
+    * (one per band of `planesPerBand` sign bits, planes = the first
+    * bands·planesPerBand corpus vectors in id order, embedded as
+    * literals); a pair becomes a CANDIDATE iff it collides in ≥ 1
+    * band, then candidates are verified with the exact cosine tail.
+    * The plan is map (signatures) → explode (one thin row per band) →
+    * self equi-join on (band, key) → distinct → verify: every join is
+    * an equi-join, nothing is ever all-pairs.
+    *
+    * Recall per pair at cosine c: 1-(1-p^r)^B with p = 1-acos(c)/π,
+    * r = planesPerBand, B = bands. At real near-dup thresholds
+    * (c ≥ 0.9 ⇒ p ≈ 0.86) the default 16×8 gives recall ≈ 0.995 with
+    * 256-way bucket keys; permissive thresholds (c ≈ 0.4) need wide
+    * cheap bands — many bands of few planes — because nearly-orthogonal
+    * pairs barely co-bucket. Bucket population per band is corpus/2^r:
+    * raise `planesPerBand` to keep the per-band self-join linear. */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
+      bands: Int = 16, planesPerBand: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val planes = collectPlanes(corpus, bands * planesPerBand, idCol, vecCol)
+    require(planes.nonEmpty, "nearDupPairs needs a non-empty corpus")
+    // degrade gracefully on tiny corpora: fewer anchors than asked →
+    // shrink the band width before dropping bands
+    val r = math.min(planesPerBand, planes.size)
+    val sigs = corpus.select(col(idCol).as("vid"),
+        posexplode(GraftFunctions.hyperplaneKeys(col(vecCol), planes, r)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "key")
+    val cands = sigs.as("x").join(sigs.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.vid") < col("y.vid"))
+      .select(col("x.vid").as("vec_a"), col("y.vid").as("vec_b"))
+      .distinct()
+    cosineVerify(corpus, cands, threshold, idCol, vecCol)
+  }
+
+  /** Exact near-duplicate pairs: cosine ≥ threshold over ALL pairs
+    * (vec_a < vec_b) — a broadcast nested loop, O(n²) in corpus size.
+    * Only for small corpora and as the recall oracle in tests; the
+    * scale path is [[nearDupPairs]]. */
+  def nearDupPairsExact(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
     val a = corpus.select(col(idCol).as("vec_a"), col(vecCol).as("va"),

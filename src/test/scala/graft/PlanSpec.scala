@@ -50,6 +50,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
   }
 
+  test("dedup_embedding never plans an all-pairs join: no nested-loop or cartesian anywhere") {
+    val p = plan(graft.analytics.DataOps.dedupEmbedding(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // candidate generation is the native signature kernel; verification
+    // scores with the codegen'd dot kernel
+    assert(p.contains("graft_hyperplane_keys") && p.contains("graft_dot"))
+  }
+
+  test("lshTopK buckets with the native kernels, not the interpreted HOF fold") {
+    val emb = Tables.embeddings(spark, dir)
+    val p = plan(graft.operators.Similarity.lshTopK(
+      emb, emb.filter(col("vec_id") < 5), k = 3, nPlanes = 3))
+    assert(p.contains("graft_hyperplane_keys") && p.contains("graft_dot"))
+    assert(!p.contains("aggregate(zip_with"))
+    // literal planes: bucketing is map-side — no join or shuffle feeds it
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("documents scan prunes to the referenced columns only") {
     val df = graft.analytics.DataOps.textFingerprint(spark, dir)
     val scan = df.queryExecution.executedPlan.collectLeaves()

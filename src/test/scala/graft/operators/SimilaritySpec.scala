@@ -91,13 +91,74 @@ class SimilaritySpec extends SparkSpec {
     assert(full == exact)
   }
 
-  test("nearDupPairs finds exactly the pairs above threshold") {
+  test("graft_hyperplane_keys is bit-identical to the composed per-plane graft_dot form, " +
+      "including null elements and length mismatches") {
+    GraftFunctions.register(spark)
+    val rng = new scala.util.Random(7)
+    val planes = Seq.fill(12)(Array.fill(8)(rng.nextFloat() * 2 - 1))
+    val (bands, r) = (3, 4)
+    val rows: Seq[Seq[java.lang.Float]] =
+      Seq.fill(100)(Seq.fill[java.lang.Float](8)(rng.nextFloat() * 2 - 1)) ++ Seq(
+        Seq.fill[java.lang.Float](8)(0f),                                  // all-zero: dot = 0, no bits
+        Seq[java.lang.Float](1f, null, 1f, 1f, 1f, 1f, 1f, 1f),           // null element: all keys 0
+        Seq[java.lang.Float](1f, 2f, 3f))                                  // length mismatch: all keys 0
+    val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "v")
+    val composed = (0 until bands).map { b =>
+      (0 until r).map { j =>
+        when(GraftFunctions.dot($"v", typedLit(planes(b * r + j).toSeq)) > 0, lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduceLeft(_ + _)
+    }
+    val out = df.select(
+      GraftFunctions.hyperplaneKeys($"v", planes, r).as("native"),
+      array(composed: _*).as("composed"))
+    assert(out.filter(not($"native" <=> $"composed")).count() == 0)
+  }
+
+  test("nearDupPairsExact finds exactly the pairs above threshold") {
     val d = vecs(
       0L -> Seq(1f, 0f),
       1L -> Seq(0.999f, 0.01f),
       2L -> Seq(0f, 1f))
-    val out = Similarity.nearDupPairs(d, threshold = 0.9)
+    val out = Similarity.nearDupPairsExact(d, threshold = 0.9)
       .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSeq
     assert(out == Seq((0L, 1L)))
+  }
+
+  test("nearDupPairs (banded LSH) returns a verified subset of the exact pairs, " +
+      "with full recall at generous band settings") {
+    val rng = new scala.util.Random(23)
+    // clustered corpus: 20 base vectors, each with 2 jittered near-dups
+    val base = (0 until 20).map(_ => Array.fill(16)(rng.nextFloat() * 2 - 1))
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      (0 until 3).map { j =>
+        (i * 3L + j) -> v.map(x => x + (if (j == 0) 0f else (rng.nextFloat() - 0.5f) * 0.05f)).toSeq
+      }
+    }
+    val d = vecs(rows: _*)
+    val exact = Similarity.nearDupPairsExact(d, threshold = 0.95)
+      .select($"vec_a", $"vec_b", $"cos").as[(Long, Long, Double)].collect().toSet
+    val banded = Similarity.nearDupPairs(d, threshold = 0.95, bands = 16, planesPerBand = 2)
+      .select($"vec_a", $"vec_b", $"cos").as[(Long, Long, Double)].collect().toSet
+    assert(banded.subsetOf(exact))     // verification tail admits no false positives
+    assert(banded == exact)            // 16 bands × 2 planes: recall 1 on this fixture
+    assert(exact.nonEmpty)
+  }
+
+  test("withBucket uses rank-based bit positions: anchor ids >= 63 don't overflow the bucket") {
+    // two orthogonal groups, all ids far above 63 — raw-id bit positions
+    // would collapse every plane into Long.MaxValue
+    val d = vecs(
+      100L -> Seq(1f, 0f),
+      101L -> Seq(0.9f, 0.1f),
+      200L -> Seq(-1f, 0.1f),
+      201L -> Seq(-0.9f, 0f))
+    val buckets = Similarity.withBucket(d, d, 2).select($"vec_id", $"bucket")
+      .as[(Long, Long)].collect().toMap
+    // planes are vectors 100 and 101; group {100,101} scores positive on
+    // both (bits 0 and 1), group {200,201} negative on both
+    assert(buckets(100L) == 3L && buckets(101L) == 3L)
+    assert(buckets(200L) == 0L && buckets(201L) == 0L)
+    assert(buckets.values.forall(b => b >= 0L && b < 4L))
   }
 }
