@@ -179,7 +179,7 @@ object DataOps {
       """SELECT count(*) AS n_docs,
         |       count(DISTINCT fp) AS n_unique,
         |       count(*) - count(DISTINCT fp) AS n_dup_rows
-        |FROM (SELECT sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM (SELECT sha256(regexp_replace(lower(trim(text)), '[ \t\n\f\r]+', ' ', 'g')) AS fp
         |      FROM documents)""".stripMargin,
     "dedup_jaccard" ->
       s"""WITH $dkSizes, $dkJaccardPairs
@@ -379,7 +379,7 @@ object DataOps {
         |GROUP BY lang, predicted
         |ORDER BY lang ASC, predicted ASC""".stripMargin,
     "text_fingerprint" ->
-      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '[ \t\n\f\r]+', ' ', 'g')) AS fp
         |FROM documents
         |ORDER BY doc_id ASC""".stripMargin,
     "text_winnow" ->

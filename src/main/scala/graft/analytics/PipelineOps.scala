@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.Cols
+import graft.sources.LayerWriter
 
 /** The reference's load/transform (ELT) surface re-targeted at the
   * harness `events` table: staging projection with content-hash
@@ -119,7 +120,46 @@ object PipelineOps {
       .limit(500)
   }
 
+  /** Deterministic per-sf scratch location for the partitioned fact
+    * copy (tmpdir — never inside the read-only testdata). */
+  def factEventsPath(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_fact_events_${math.abs(dir.hashCode)}"
+
+  /** S13 end-to-end — the load-bearing scale decision exercised under
+    * the oracle gate: events land date-partitioned via
+    * [[LayerWriter.writeFact]], the read-back rollup filters one week,
+    * and Catalyst prunes to the touched partitions at PLAN time
+    * (`PartitionFilters` on the scan — asserted in PlanSpec; at 100 TB
+    * this is the difference between scanning 7 days and scanning
+    * years). The oracle computes the same week from the raw table, so
+    * the gate also proves the partitioned round-trip loses nothing. */
+  def s13FactPrune(spark: SparkSession, dir: String): DataFrame = {
+    val fact = factEventsPath(dir)
+    LayerWriter.writeFact(
+      Tables.events(spark, dir)
+        .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd")),
+      fact, "event_date")
+    spark.read.parquet(fact)
+      .filter(col("event_date").between("2024-01-10", "2024-01-16"))
+      .groupBy(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Cols.r(Cols.sumExact(col("value"), 2), 2).as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_date").asc, col("event_type").asc)
+  }
+
   val oracles: Map[String, String] = Map(
+    "s13_fact_prune" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
+        |       count(*) AS n_events,
+        |       floor((CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS total_value,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-16'
+        |GROUP BY 1, 2
+        |ORDER BY event_date ASC, event_type ASC""".stripMargin,
     "m1_stg_events" ->
       """WITH stg AS (
         |  SELECT event_id, user_id, event_type,
@@ -190,6 +230,7 @@ object PipelineOps {
     "m2_dim_users"     -> (m2DimUsers _),
     "j3_upsert_users"  -> (j3UpsertUsers _),
     "qa_counts_events" -> (qaCountsEvents _),
-    "a5_dup_audit"     -> (a5DupAudit _)
+    "a5_dup_audit"     -> (a5DupAudit _),
+    "s13_fact_prune"   -> (s13FactPrune _)
   )
 }

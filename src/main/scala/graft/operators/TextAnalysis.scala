@@ -17,10 +17,13 @@ object TextAnalysis {
   def nTokens(text: Column): Column = size(split(text, " "))
 
   /** Subword ("BPE-ish") token estimate: ⌈len/4⌉ pieces per word —
-    * integer arithmetic so engines agree exactly. A real tokenizer
+    * integer arithmetic so engines agree exactly ((len+3) div 4 ≡
+    * (len+3) >> 2 for the non-negative lengths). A real tokenizer
     * plugs in here as a custom Expression over a vocab broadcast. */
-  def nSubwords(text: Column): Column = expr(
-    "aggregate(transform(split(text, ' '), w -> cast((length(w) + 3) div 4 as bigint)), 0L, (a, x) -> a + x)")
+  def nSubwords(text: Column): Column =
+    aggregate(
+      transform(split(text, " "), w => shiftright(length(w) + 3, 2).cast("long")),
+      lit(0L), (a, x) => a + x)
 
   /** BPE-style pre-tokenizer count: the GPT-2-ish split of runs of
     * letters, single digits, and punctuation. The whitespace class is
@@ -37,15 +40,13 @@ object TextAnalysis {
 
   /** English stopword ratio over whitespace tokens. */
   val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
-  def stopwordRatio(text: Column): Column = {
-    val arr = stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
-    expr(s"size(filter(split(text, ' '), w -> array_contains($arr, w)))").cast("double") /
-      nTokens(text).cast("double")
-  }
+  def stopwordRatio(text: Column): Column =
+    size(filter(split(text, " "), w => array_contains(typedLit(stopwords), w)))
+      .cast("double") / nTokens(text).cast("double")
 
   /** Type-token ratio (vocabulary diversity). */
   def typeTokenRatio(text: Column): Column =
-    expr("size(array_distinct(split(text, ' ')))").cast("double") /
+    size(array_distinct(split(text, " "))).cast("double") /
       nTokens(text).cast("double")
 
   /** Composite quality score in [0,1] — the standard pre-training
@@ -77,10 +78,9 @@ object TextAnalysis {
   /** Fixed language order — also the argmax tie-break order. */
   val langOrder: Seq[String] = Seq("en", "de", "fr", "es", "zh")
 
-  def langScore(text: Column, lang: String): Column = {
-    val arr = langMarkers(lang).map(w => s"'$w'").mkString("array(", ", ", ")")
-    expr(s"size(filter(split(lower(text), ' '), w -> array_contains($arr, w)))")
-  }
+  def langScore(text: Column, lang: String): Column =
+    size(filter(split(lower(text), " "),
+      w => array_contains(typedLit(langMarkers(lang)), w)))
 
   /** Shared argmax: highest marker count wins, ties broken by
     * [[langOrder]], 'und' when no marker hits. Both language-ID forms

@@ -39,9 +39,14 @@ object TextDedup {
   val P = 1000000007L
 
   /** Normalized text: trim + lowercase + collapse whitespace — the
-    * canonical form for exact-dup fingerprints. */
+    * canonical form for exact-dup fingerprints. The whitespace class
+    * is spelled out (and excludes \x0B, like RE2's \s): Java's \s
+    * includes vertical tab and RE2's does not, so a bare \s+ would
+    * hash \x0B-bearing documents differently on the engine and oracle
+    * sides — the same divergence class already fixed for
+    * [[TextAnalysis.bpeSplitPattern]], and the same resolution. */
   def normalized(text: Column): Column =
-    regexp_replace(lower(trim(text)), "\\s+", " ")
+    regexp_replace(lower(trim(text)), "[ \\t\\n\\f\\r]+", " ")
 
   /** docs → (doc_id, tokens array). Documents are single-space
     * tokenized (verified on the harness data); split on space keeps

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.Comparator
@@ -51,8 +51,13 @@ object Upsert {
       if (Files.exists(tgt)) upsertBatch(spark.read.parquet(targetPath), source, keys)
       else source
     deleteRecursively(tmp)
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    val n = spark.read.parquet(tmp.toString).count()
+    // row count via observe metrics on the write job itself — a
+    // re-read-and-count would scan the whole merged output a second
+    // time, which at scale doubles the cost of every merge
+    val obs = Observation()
+    merged.observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val n = obs.get("n").asInstanceOf[Long]
     deleteRecursively(old)
     if (Files.exists(tgt)) Files.move(tgt, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, tgt, StandardCopyOption.ATOMIC_MOVE)

@@ -69,6 +69,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("date-partitioned fact read prunes partitions at plan time") {
+    val df = graft.analytics.PipelineOps.s13FactPrune(spark, dir)
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("graft_fact_events")).get
+    assert(scan.contains("PartitionFilters: [isnotnull(event_date"))
+    // the week filter is a partition predicate, not a data filter
+    assert(scan.contains("event_date") && !scan.contains("PartitionFilters: []"))
+  }
+
   test("documents scan prunes to the referenced columns only") {
     val df = graft.analytics.DataOps.textFingerprint(spark, dir)
     val scan = df.queryExecution.executedPlan.collectLeaves()

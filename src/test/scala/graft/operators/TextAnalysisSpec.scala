@@ -70,4 +70,34 @@ class TextAnalysisSpec extends SparkSpec {
     val fps = df.select(TextAnalysis.fingerprint($"text")).as[String].collect()
     assert(fps(0) == fps(1) && fps(0).length == 32)
   }
+
+  test("every text function works on a column NOT named 'text' (no hardcoded column names)") {
+    // the frame deliberately has no 'text' column at all — any leftover
+    // expr("...text...") would fail analysis or compute garbage
+    val df = Seq("the cat and the cat sat on it").toDF("body")
+    val Seq((nt, nsw, sw, ttr, q, sEn)) = df.select(
+      TextAnalysis.nTokens($"body"),
+      TextAnalysis.nSubwords($"body"),
+      TextAnalysis.stopwordRatio($"body"),
+      TextAnalysis.typeTokenRatio($"body"),
+      TextAnalysis.qualityScore($"body"),
+      TextAnalysis.langScore($"body", "en")
+    ).as[(Int, Long, Double, Double, Double, Int)].collect().toSeq
+    assert(nt == 8)
+    assert(nsw == 8)               // all words <= 4 chars -> 1 subword each
+    assert(math.abs(sw - 4.0 / 8) < 1e-12)   // the, and, the, it
+    assert(math.abs(ttr - 6.0 / 8) < 1e-12)  // the, cat, and, sat, on, it
+    assert(q >= 0.0 && q <= 1.0)
+    assert(sEn == 3)               // the, and, the
+  }
+
+  test("normalized collapses exactly the oracle's whitespace class; \\x0B passes through") {
+    val df = Seq("a \t\n\f\r b", "ab", "a  b").toDF("body")
+    val out = df.select(TextDedup.normalized($"body")).as[String].collect().toSeq
+    assert(out(0) == "a b")
+    // RE2 \s excludes vertical tab — the explicit class must too, or
+    // engine and oracle hash \x0B documents differently
+    assert(out(1) == "ab")
+    assert(out(2) == "a b")
+  }
 }
