@@ -30,12 +30,55 @@ import graft.quality.DataQuality
   */
 object StockPipeline {
 
-  /** Bronze payload columns (scraper canonical row). */
+  /** Bronze payload columns — the scraper's canonical 12-field row,
+    * exactly as normalize_row emits it (ref scraper/scrape.py:102-120)
+    * and the raw DDL declares it (ref sql/01_create_tables.sql:14-32). */
   val rawColumns: Seq[String] = Seq(
-    "symbol", "entity_name", "exchange", "price", "change", "percent_change",
-    "volume", "avg_volume_3m", "market_cap", "category", "location", "scraped_at")
+    "symbol", "entity_name", "category", "location", "exchange", "currency",
+    "price", "market_cap", "volume", "avg_volume_3m", "source_url", "scraped_at")
 
   private val tsFmt = "yyyy-MM-dd HH:mm:ss"
+
+  /** Python falsy-string fallback: `a or b` skips None AND '' (but not
+    * whitespace — the scraper does not trim here). */
+  private def orEmpty(c: Column): Column = nullif(c, lit(""))
+
+  /** Python to_float (ref scrape.py:80-89): None/''/unparseable → NULL,
+    * and non-finite parses (inf/nan) → NULL. */
+  private def toFloatPy(c: Column): Column = {
+    val d = Cols.tryDouble(c)
+    when(isnan(d) || d === Double.PositiveInfinity || d === Double.NegativeInfinity,
+      lit(null)).otherwise(d)
+  }
+
+  /** Python to_int (ref scrape.py:92-98): int(float(v)) — parse as
+    * float, truncate toward zero; None/''/unparseable → NULL. */
+  private def toIntPy(c: Column): Column =
+    Cols.tryDouble(c).try_cast("long")
+
+  /** The scraper's normalize_row projection (ref scrape.py:102-120):
+    * coalesce fallback chains from raw Yahoo-quote fields — e.g.
+    * longName → shortName → symbol — into the canonical
+    * [[rawColumns]] bronze row. Input: one row per raw quote with the
+    * quote-dict field names (e.g. from `spark.read.json` over captured
+    * API payloads); missing fields should surface as NULL columns.
+    * `scrapedAt` is the run stamp; `sourceUrl` the page constant. */
+  def normalizeQuotes(rawQuotes: DataFrame, scrapedAt: Column, sourceUrl: Column): DataFrame =
+    rawQuotes.select(
+      col("symbol").as("symbol"),
+      coalesce(orEmpty(col("longName")), orEmpty(col("shortName")), col("symbol"))
+        .as("entity_name"),
+      coalesce(orEmpty(col("typeDisp")), orEmpty(col("quoteType")), lit("Unknown"))
+        .as("category"),
+      coalesce(orEmpty(col("region")), lit("Unknown")).as("location"),
+      coalesce(orEmpty(col("fullExchangeName")), col("exchange")).as("exchange"),
+      col("currency").cast("string").as("currency"),
+      toFloatPy(col("regularMarketPrice")).as("price"),
+      toIntPy(col("marketCap")).as("market_cap"),
+      toIntPy(col("regularMarketVolume")).as("volume"),
+      toIntPy(col("averageDailyVolume3Month")).as("avg_volume_3m"),
+      sourceUrl.cast("string").as("source_url"),
+      scrapedAt.cast("string").as("scraped_at"))
 
   /** M1 — staging: clean strings, TRY-typed numerics, content-hash
     * surrogate keys, keep-latest dedupe per observation. Input may
@@ -49,14 +92,14 @@ object StockPipeline {
       Cols.cleanString(col("symbol")).as("symbol"),
       Cols.cleanString(col("entity_name")).as("entity_name"),
       Cols.cleanString(col("exchange")).as("exchange"),
+      Cols.cleanString(col("currency")).as("currency"),
       Cols.tryDecimal(trim(col("price")), 18, 4).cast("double").as("price"),
-      Cols.tryDouble(trim(col("change"))).as("change"),
-      Cols.tryDouble(trim(col("percent_change"))).as("percent_change"),
       Cols.tryNumber(trim(col("volume"))).cast("long").as("volume"),
       Cols.tryNumber(trim(col("avg_volume_3m"))).cast("long").as("avg_volume_3m"),
       Cols.tryNumber(trim(col("market_cap"))).cast("long").as("market_cap"),
       coalesce(Cols.cleanString(col("category")), lit("Unknown")).as("category"),
       coalesce(Cols.cleanString(col("location")), lit("Unknown")).as("location"),
+      col("source_url"),
       ts.as("scraped_at"),
       to_date(ts).as("observation_date"),
       Cols.hashKey(col("symbol"), col("entity_name"), col("exchange")).as("entity_sk"),
@@ -84,14 +127,21 @@ object StockPipeline {
         col("scraped_at").as("last_seen_at"))
   }
 
-  /** M3 — fct_observations: pure projection of staging. */
+  /** M3 — fct_observations: pure projection of staging, the
+    * reference's exact column set (ref fct_observations.sql:5-30). */
   def fctObservations(stg: DataFrame): DataFrame =
-    stg.select(col("observation_sk"), col("entity_sk"), col("observation_date"),
-      col("scraped_at"), col("price"), col("change"), col("percent_change"),
-      col("volume"), col("avg_volume_3m"), col("market_cap"))
+    stg.select(col("observation_sk"), col("entity_sk"), col("symbol"),
+      col("observation_date"), col("scraped_at"), col("price"),
+      col("market_cap"), col("volume"), col("avg_volume_3m"), col("source_url"))
+
+  /** fct ⋈ dim on entity_sk; the dim's symbol wins (reference queries
+    * read d.symbol, ref 03_analytics_queries.sql:8). Public because the
+    * app layer (U1–U4) runs over this joined frame. */
+  def observationsWithEntity(fct: DataFrame, dim: DataFrame): DataFrame =
+    fct.drop("symbol").join(broadcast(dim), "entity_sk")
 
   private def joined(fct: DataFrame, dim: DataFrame): DataFrame =
-    fct.join(broadcast(dim), "entity_sk")
+    observationsWithEntity(fct, dim)
 
   /** Q1 — top-k by latest market cap per entity. */
   def q1TopMarketCap(fct: DataFrame, dim: DataFrame, k: Int = 10): DataFrame =
@@ -207,6 +257,32 @@ object StockPipeline {
   def kpisWithFallback(filtered: DataFrame, full: DataFrame): (Long, Long, DataFrame) = {
     val r @ (_, nRows, _) = kpis(filtered)
     if (nRows == 0) kpis(full) else r
+  }
+
+  /** U4 — build_summary_text (ref app/streamlit_app.py:206-217): top
+    * symbol of the displayed (already-ordered) rows + averages over
+    * non-null price/volume, rendered exactly as the app does —
+    * `{avg_price:.2f}` and `{avg_volume:,.0f}`. Numbers pass through
+    * decimal casts / format_number so the string is
+    * engine-deterministic (same approach as AppOps.u4ResultSummary);
+    * all-null columns render "nan" like pandas' mean of an empty
+    * series. One aggregate job + one limit(1) probe — no full collect. */
+  def summaryText(results: DataFrame): String = {
+    val stats = results.agg(
+      count(lit(1)).as("n"),
+      avg(col("price").cast("double")).cast("decimal(18,2)").cast("string").as("avg_price_s"),
+      format_number(avg(col("volume").cast("double")), 0).as("avg_volume_s")).head()
+    if (stats.getAs[Long]("n") == 0L) "No rows matched the selected filters."
+    else {
+      val topSymbol =
+        if (!results.columns.contains("symbol")) "N/A"
+        else Option(results.select(col("symbol").cast("string")).limit(1).head().getString(0))
+          .getOrElse("None") // str(None) — the app never guards a null symbol
+      val avgPrice = Option(stats.getAs[String]("avg_price_s")).getOrElse("nan")
+      val avgVolume = Option(stats.getAs[String]("avg_volume_s")).getOrElse("nan")
+      s"Top result is $topSymbol. Average price across displayed rows is $avgPrice. " +
+        s"Average volume across displayed rows is $avgVolume."
+    }
   }
 
   /** The reference's 11 dbt tests + QA checks as one suite; returns

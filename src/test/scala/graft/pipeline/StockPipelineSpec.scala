@@ -14,18 +14,20 @@ class StockPipelineSpec extends SparkSpec {
   private val t1 = "2024-03-01 10:00:00"
   private val t2 = "2024-03-02 10:00:00"
 
-  /** Raw rows as the scraper would emit them (all strings; includes a
-    * duplicated observation, a dirty numeric, and a NULL location). */
+  private val srcUrl = "https://example.com/most-actives"
+
+  /** Raw rows in the scraper's canonical 12-field vocabulary (all
+    * strings; includes a duplicated observation, a dirty numeric, and
+    * an empty location). */
   private def rawFixture(): DataFrame = Seq(
-    // symbol, name, exch, price, chg, pct, volume, avg3m, mcap, cat, loc, scraped_at, _ing
-    ("AAA", "Alpha", "NYSE", "10.5", "0.5", "5.0", "1000", "900", "5000000000", "Tech", "US", t1, "2024-03-01 10:01:00"),
-    ("AAA", "Alpha", "NYSE", "10.5", "0.5", "5.0", "1000", "900", "5000000000", "Tech", "US", t1, "2024-03-01 10:02:00"), // dup obs, later ingest wins
-    ("BBB", "Beta", "NYSE", "20.0", "-1.0", "-4.8", "garbage", "800", "1000000000", "Fin", "", t1, "2024-03-01 10:01:00"), // dirty volume, empty loc
-    ("CCC", "Gamma", "LSE", "30.0", "2.0", "7.1", "9000", "850", "20000000000", "Tech", "UK", t1, "2024-03-01 10:01:00"),
-    ("AAA", "Alpha", "NYSE", "11.0", "0.5", "4.8", "1100", "900", "5100000000", "Tech", "US", t2, "2024-03-02 10:01:00"),
-    ("CCC", "Gamma", "LSE", "29.0", "-1.0", "-3.3", "100000", "850", "19000000000", "Tech", "UK", t2, "2024-03-02 10:01:00"))
-    .toDF("symbol", "entity_name", "exchange", "price", "change", "percent_change",
-      "volume", "avg_volume_3m", "market_cap", "category", "location", "scraped_at", "_ing")
+    // symbol, name, cat, loc, exch, ccy, price, mcap, volume, avg3m, url, scraped_at, _ing
+    ("AAA", "Alpha", "Tech", "US", "NYSE", "USD", "10.5", "5000000000", "1000", "900", srcUrl, t1, "2024-03-01 10:01:00"),
+    ("AAA", "Alpha", "Tech", "US", "NYSE", "USD", "10.5", "5000000000", "1000", "900", srcUrl, t1, "2024-03-01 10:02:00"), // dup obs, later ingest wins
+    ("BBB", "Beta", "Fin", "", "NYSE", "USD", "20.0", "1000000000", "garbage", "800", srcUrl, t1, "2024-03-01 10:01:00"), // dirty volume, empty loc
+    ("CCC", "Gamma", "Tech", "UK", "LSE", "GBP", "30.0", "20000000000", "9000", "850", srcUrl, t1, "2024-03-01 10:01:00"),
+    ("AAA", "Alpha", "Tech", "US", "NYSE", "USD", "11.0", "5100000000", "1100", "900", srcUrl, t2, "2024-03-02 10:01:00"),
+    ("CCC", "Gamma", "Tech", "UK", "LSE", "GBP", "29.0", "19000000000", "100000", "850", srcUrl, t2, "2024-03-02 10:01:00"))
+    .toDF(StockPipeline.rawColumns :+ "_ing": _*)
     .withColumn("_ingested_at", $"_ing".cast("timestamp")).drop("_ing")
 
   private lazy val stg = StockPipeline.stgMostActives(rawFixture())
@@ -87,7 +89,7 @@ class StockPipelineSpec extends SparkSpec {
   }
 
   test("app layer: filters, shocks, KPIs") {
-    val base = StockPipeline.fctObservations(stg).join(dim, "entity_sk")
+    val base = StockPipeline.observationsWithEntity(fct, dim)
     val filtered = StockPipeline.applyFilters(base, category = Some("Tech"),
       metric = "market_cap", minThreshold = 0, limit = Some(20))
     assert(filtered.select($"symbol").as[String].collect().toSet == Set("AAA", "CCC"))
@@ -109,6 +111,62 @@ class StockPipelineSpec extends SparkSpec {
     val report = StockPipeline.qualitySuite(stg, dim, badFct)
     assert(report.contains("fct_entity_sk_relationship"))
     assert(report.contains("fct_observation_sk_unique"))
+  }
+
+  test("normalizeQuotes applies the scraper's fallback chains and coercions") {
+    // raw Yahoo-quote shapes: full row, fallback-to-shortName, fallback-to-symbol
+    // with empty strings (Python falsy), unparseable price, infinite price
+    val quotes = Seq(
+      ("AAPL", "Apple Inc.", "Apple", "Equity", "EQUITY", "US", "NasdaqGS", "NMS", "USD", "123.456", "3000000000000", "50000000", "45000000"),
+      ("BBBX", null, "Beta Corp", null, "EQUITY", null, null, "NYQ", "USD", "7.5", "1000000", "100", "90"),
+      ("CCCX", "", "", "", "", "", "", "CCC-EX", null, "garbage", null, "12.9", ""),
+      ("DDDX", "Delta", null, "Equity", null, "GB", "LSE Intl", "LSE", "GBP", "inf", "5", "", "10"))
+      .toDF("symbol", "longName", "shortName", "typeDisp", "quoteType", "region",
+        "fullExchangeName", "exchange", "currency", "regularMarketPrice",
+        "marketCap", "regularMarketVolume", "averageDailyVolume3Month")
+    val out = StockPipeline.normalizeQuotes(quotes,
+      scrapedAt = lit("2024-03-01T10:00:00+00:00"), sourceUrl = lit(srcUrl))
+    assert(out.columns.toSeq == StockPipeline.rawColumns)
+    val rows = out.collect().map(r => r.getAs[String]("symbol") -> r).toMap
+    val a = rows("AAPL")
+    assert(a.getAs[String]("entity_name") == "Apple Inc.")
+    assert(a.getAs[String]("category") == "Equity")      // typeDisp wins
+    assert(a.getAs[Double]("price") == 123.456)
+    assert(a.getAs[Long]("market_cap") == 3000000000000L)
+    assert(a.getAs[String]("source_url") == srcUrl)
+    val b = rows("BBBX")
+    assert(b.getAs[String]("entity_name") == "Beta Corp") // longName null -> shortName
+    assert(b.getAs[String]("category") == "EQUITY")       // typeDisp null -> quoteType
+    assert(b.getAs[String]("exchange") == "NYQ")          // fullExchangeName null -> exchange
+    val c = rows("CCCX")
+    assert(c.getAs[String]("entity_name") == "CCCX")      // '' falsy -> '' falsy -> symbol
+    assert(c.getAs[String]("category") == "Unknown")      // both '' -> Unknown
+    assert(c.getAs[String]("location") == "Unknown")      // '' -> Unknown
+    assert(c.getAs[String]("exchange") == "CCC-EX")       // '' -> raw exchange
+    assert(c.getAs[Any]("price") == null)                 // garbage -> null
+    assert(c.getAs[Long]("volume") == 12L)                // int(float("12.9")) truncates
+    assert(c.getAs[Any]("avg_volume_3m") == null)         // '' -> null
+    val d = rows("DDDX")
+    assert(d.getAs[Any]("price") == null)                 // inf parses, non-finite -> null
+    assert(d.getAs[Any]("volume") == null)
+  }
+
+  test("summaryText renders the app's exact format, including the empty case") {
+    val base = StockPipeline.observationsWithEntity(fct, dim)
+    val displayed = StockPipeline.applyFilters(base, metric = "volume", limit = Some(20))
+    // volumes 100000, 9000, 1100, 1000, null; prices 29.0, 30.0, 11.0, 10.5, 20.0
+    // avg_price = 100.5/5 = 20.1 -> "20.10"; avg_volume = 111100/4 = 27775
+    assert(StockPipeline.summaryText(displayed) ==
+      "Top result is CCC. Average price across displayed rows is 20.10. " +
+        "Average volume across displayed rows is 27,775.")
+    assert(StockPipeline.summaryText(displayed.filter($"symbol" === "NOPE")) ==
+      "No rows matched the selected filters.")
+  }
+
+  test("fct carries the reference's exact column set") {
+    assert(fct.columns.toSeq == Seq("observation_sk", "entity_sk", "symbol",
+      "observation_date", "scraped_at", "price", "market_cap", "volume",
+      "avg_volume_3m", "source_url"))
   }
 
   test("pipeline is idempotent: re-staging the staged data is stable") {
