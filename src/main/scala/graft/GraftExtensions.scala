@@ -24,6 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       TextHashExprs.minhashInfo, TextHashExprs.minhashBuilder))
     ext.injectFunction((FunctionIdentifier("graft_hyperplane_keys"),
       HyperplaneKeys.info, HyperplaneKeys.builder))
+    ext.injectFunction((FunctionIdentifier("graft_token_hashes_fast"),
+      TextHashExprs.tokenFastInfo, TextHashExprs.tokenFastBuilder))
   }
 }
 
@@ -44,6 +46,7 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction("graft_simhash", TextHashExprs.simhashBuilder, "built-in")
       reg.createOrReplaceTempFunction("graft_minhash", TextHashExprs.minhashBuilder, "built-in")
       reg.createOrReplaceTempFunction("graft_hyperplane_keys", HyperplaneKeys.builder, "built-in")
+      reg.createOrReplaceTempFunction("graft_token_hashes_fast", TextHashExprs.tokenFastBuilder, "built-in")
     }
   }
 
@@ -51,6 +54,7 @@ object GraftFunctions {
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   def tokenHashes(tokens: Column): Column = call_function("graft_token_hashes", tokens)
+  def tokenHashesFast(tokens: Column): Column = call_function("graft_token_hashes_fast", tokens)
   def shingleHashes(hashes: Column, n: Int): Column =
     call_function("graft_shingle_hashes", hashes, lit(n))
   def simhash(hashes: Column): Column = call_function("graft_simhash", hashes)

@@ -67,6 +67,47 @@ case class TokenHashes(child: Expression)
     copy(child = newChild)
 }
 
+/** array<string> → array<bigint>: FAST-mode token hashes — xxHash64
+  * (seed 42, the same primitive behind Spark's `xxhash64`) of each
+  * token's UTF-8 bytes, reduced into [0, P) so every downstream fold
+  * (shingle, minhash permutation, simhash bit) runs unchanged. This
+  * family is engine-private (not oracle-replayable) — it exists for
+  * real 100 TB runs where cross-engine parity doesn't matter and hash
+  * throughput does; the portable char-fold ([[TokenHashes]]) stays
+  * the default. Same null semantics: null token → null element. */
+case class TokenHashesFast(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_token_hashes_fast expects array<string>, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_token_hashes_fast"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (arr.isNullAt(i)) null
+        else {
+          val s = arr.getUTF8String(i)
+          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+          ((h % TextHashes.P) + TextHashes.P) % TextHashes.P
+        }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** (array<bigint>, n) → array<bigint>: distinct word-n-gram shingle
   * hashes, fold (acc*131 + h) % P over each length-n window; arrays
   * shorter than n yield an empty array. First-occurrence distinct
@@ -205,6 +246,8 @@ object TextHashExprs {
     "graft_simhash", "graft_simhash(hashes) - 32-bit SimHash fingerprint", "")
   val minhashInfo = new ExpressionInfo(classOf[MinHashSig].getCanonicalName, null,
     "graft_minhash", "graft_minhash(hashes, n) - n-permutation MinHash signature", "")
+  val tokenFastInfo = new ExpressionInfo(classOf[TokenHashesFast].getCanonicalName, null,
+    "graft_token_hashes_fast", "graft_token_hashes_fast(arr) - xxHash64-mod-P hash per token", "")
 
   val tokenBuilder: Seq[Expression] => Expression =
     { case Seq(a) => TokenHashes(a); case a => argErr("graft_token_hashes", 1, a.length) }
@@ -214,6 +257,8 @@ object TextHashExprs {
     { case Seq(a) => SimHash32(a); case a => argErr("graft_simhash", 1, a.length) }
   val minhashBuilder: Seq[Expression] => Expression =
     { case Seq(a, b) => MinHashSig(a, b); case a => argErr("graft_minhash", 2, a.length) }
+  val tokenFastBuilder: Seq[Expression] => Expression =
+    { case Seq(a) => TokenHashesFast(a); case a => argErr("graft_token_hashes_fast", 1, a.length) }
 
   private def argErr(name: String, want: Int, got: Int): Nothing =
     throw new IllegalArgumentException(s"$name expects $want arguments, got $got")

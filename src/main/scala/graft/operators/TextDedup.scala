@@ -13,11 +13,15 @@ import graft.GraftFunctions
   * the north-star extensions from SURVEY.md §7.4 applied to the
   * `documents` table.
   *
-  * Portability contract: every hash here is *engine-portable* integer
-  * arithmetic (char-fold polynomial hash, explicit permutations), so
-  * a DuckDB oracle can replay the exact algorithm. Spark-private
-  * hashes (murmur3 `hash()`, `xxhash64`) would be faster but
-  * unverifiable; swapping them in is a one-line change per hash.
+  * Portability contract: by default every hash here is
+  * *engine-portable* integer arithmetic (char-fold polynomial hash,
+  * explicit permutations), so a DuckDB oracle can replay the exact
+  * algorithm. Every shingle-based operator also takes `fast = true`,
+  * which swaps the token hash family for xxHash64-mod-P
+  * ([[graft.functions.TokenHashesFast]]) — engine-private and
+  * unverifiable by the oracle, but the hash a real 100 TB run would
+  * use. Signatures differ between modes; detected PAIR sets don't at
+  * sane thresholds (property-tested in TextDedupSpec).
   *
   * Scale notes (how each behaves at 100 TB):
   *  - exact: one shuffle on a 64-hex key, partial-agg friendly.
@@ -63,16 +67,18 @@ object TextDedup {
     * every downstream lambda reference (48 shingle slices, 32 simhash
     * bit-folds) and cost 40-80 s at sf0.1 in the interpreted
     * evaluator. */
-  def withTokenHashes(docs: DataFrame): DataFrame = {
+  def withTokenHashes(docs: DataFrame, fast: Boolean = false): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    tokenized(docs).withColumn("token_hashes", GraftFunctions.tokenHashes(col("tokens")))
+    tokenized(docs).withColumn("token_hashes",
+      if (fast) GraftFunctions.tokenHashesFast(col("tokens"))
+      else GraftFunctions.tokenHashes(col("tokens")))
   }
 
   /** Distinct word-`n`-gram shingle hashes per doc via the native
     * kernel (fold `(acc*131 + h) % P` per window; < n tokens → empty
     * array) — exactly reproducible in the oracle. */
-  def withShingleHashes(docs: DataFrame, n: Int = 3): DataFrame =
-    withTokenHashes(docs).withColumn("shingle_hashes",
+  def withShingleHashes(docs: DataFrame, n: Int = 3, fast: Boolean = false): DataFrame =
+    withTokenHashes(docs, fast).withColumn("shingle_hashes",
       GraftFunctions.shingleHashes(col("token_hashes"), n))
 
   /** Winnowing fingerprints (the MOSS rolling-hash scheme): ordered
@@ -133,15 +139,15 @@ object TextDedup {
     * tokenize→hash→shingle pipeline; every other shingle view
     * (inverted index, df counts, signatures, verification) derives
     * from this cached frame so the pipeline runs once per corpus. */
-  def shingleArrays(docs: DataFrame, n: Int = 3): DataFrame =
-    index(withShingleHashes(docs, n)
+  def shingleArrays(docs: DataFrame, n: Int = 3, fast: Boolean = false): DataFrame =
+    index(withShingleHashes(docs, n, fast)
       .select(col("doc_id"), col("shingle_hashes"),
         size(col("shingle_hashes")).as("n_sh")))
 
   /** Exploded distinct (doc_id, shingle hash) pairs — the inverted
     * index, exploded out of the cached [[shingleArrays]]. */
-  def shingleIndex(docs: DataFrame, n: Int = 3): DataFrame =
-    shingleArrays(docs, n)
+  def shingleIndex(docs: DataFrame, n: Int = 3, fast: Boolean = false): DataFrame =
+    shingleArrays(docs, n, fast)
       .select(col("doc_id"), explode(col("shingle_hashes")).as("sh"))
 
   /** Exact-Jaccard verification of a candidate pair set: join each
@@ -149,8 +155,8 @@ object TextDedup {
     * candidates), then a map-side `array_intersect`. O(candidates),
     * never touches the pair space. */
   def verifyJaccard(cands: DataFrame, docs: DataFrame, n: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
-    val arrs = shingleArrays(docs, n)
+      threshold: Double = 0.5, fast: Boolean = false): DataFrame = {
+    val arrs = shingleArrays(docs, n, fast)
     cands
       .join(arrs.select(col("doc_id").as("doc_a"),
         col("shingle_hashes").as("sh_a"), col("n_sh").as("n_a")), "doc_a")
@@ -178,8 +184,9 @@ object TextDedup {
     * the frequent shingles land at the end of the order and never
     * generate candidates. All shuffles are linear (df count, rank
     * join-back, prefix self-join). */
-  def prefixCandidates(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val idx = shingleIndex(docs, n)
+  def prefixCandidates(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      fast: Boolean = false): DataFrame = {
+    val idx = shingleIndex(docs, n, fast)
     val dfCounts = idx.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val prefixes = idx.join(dfCounts, "sh")
       .groupBy(col("doc_id"))
@@ -200,8 +207,9 @@ object TextDedup {
     * a naive inverted-index pair count — the prefix filter is
     * loss-less for the given threshold. Right when hot shingles make
     * the inverted-index fan-out ≫ true candidate count. */
-  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame =
-    verifyJaccard(prefixCandidates(docs, n, threshold), docs, n, threshold)
+  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      fast: Boolean = false): DataFrame =
+    verifyJaccard(prefixCandidates(docs, n, threshold, fast), docs, n, threshold, fast)
 
   /** Same result via inverted-index co-occurrence counting: self-join
     * the (doc, shingle) index, count shared shingles per pair, divide
@@ -210,9 +218,10 @@ object TextDedup {
     * frequency is modest (fan-out ≈ Σ df² stays near-linear);
     * [[jaccardPairs]] wins on hot-shingle corpora. Both are exact —
     * the equality is property-tested. */
-  def jaccardPairsIndex(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val idx = shingleIndex(docs, n)
-    val sizes = shingleArrays(docs, n).select(col("doc_id"), col("n_sh"))
+  def jaccardPairsIndex(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      fast: Boolean = false): DataFrame = {
+    val idx = shingleIndex(docs, n, fast)
+    val sizes = shingleArrays(docs, n, fast).select(col("doc_id"), col("n_sh"))
     val inter = idx.as("a")
       .join(idx.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -232,17 +241,19 @@ object TextDedup {
 
   /** MinHash signatures: sig[i] = min over shingle hashes of the i-th
     * permutation ((2i+1)·h + 999983·i) mod P. Map-side only. */
-  def withMinHash(docs: DataFrame, n: Int = 3, numHashes: Int = 16): DataFrame =
-    shingleArrays(docs, n).withColumn("minhash",
+  def withMinHash(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
+      fast: Boolean = false): DataFrame =
+    shingleArrays(docs, n, fast).withColumn("minhash",
       GraftFunctions.minhash(col("shingle_hashes"), numHashes))
 
   /** LSH candidate pairs: split the signature into `bands` bands of
     * `numHashes/bands` rows; docs sharing any full band are
     * candidates. Join key is (band index, band values) — an equi-join,
     * so it scales as a plain shuffle join. */
-  def lshCandidates(docs: DataFrame, n: Int = 3, numHashes: Int = 16, bands: Int = 8): DataFrame = {
+  def lshCandidates(docs: DataFrame, n: Int = 3, numHashes: Int = 16, bands: Int = 8,
+      fast: Boolean = false): DataFrame = {
     val rows = numHashes / bands
-    val sig = index(withMinHash(docs, n, numHashes)
+    val sig = index(withMinHash(docs, n, numHashes, fast)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> slice(minhash, b * $rows + 1, $rows))"))
         .as(Seq("band", "key"))))
@@ -257,15 +268,15 @@ object TextDedup {
     * Jaccard verification restricted to candidates — verification cost
     * is O(candidates ≪ n²), the linear-time scale path. */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
-      bands: Int = 8, threshold: Double = 0.5): DataFrame =
-    verifyJaccard(lshCandidates(docs, n, numHashes, bands), docs, n, threshold)
+      bands: Int = 8, threshold: Double = 0.5, fast: Boolean = false): DataFrame =
+    verifyJaccard(lshCandidates(docs, n, numHashes, bands, fast), docs, n, threshold, fast)
 
   /** 32-bit SimHash fingerprint via the native kernel: bit j is the
     * sign of the sum over tokens of (bit j of token hash ? +1 : −1).
     * Multiset semantics (repeated tokens weigh more), matching
     * standard SimHash; oracle replays the per-bit fold form. */
-  def withSimHash(docs: DataFrame): DataFrame =
-    withTokenHashes(docs).withColumn("simhash",
+  def withSimHash(docs: DataFrame, fast: Boolean = false): DataFrame =
+    withTokenHashes(docs, fast).withColumn("simhash",
       GraftFunctions.simhash(col("token_hashes")))
 
   /** SimHash near-dup pairs: Hamming distance ≤ maxHamming, exact, via
@@ -276,8 +287,8 @@ object TextDedup {
     * and only candidates get the bit_count verify. Near-linear at
     * scale (vs the all-pairs nested loop it replaces); maxHamming = 0
     * degenerates to a pure equi-join on the full fingerprint. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val s = index(withSimHash(docs).select(col("doc_id"), col("simhash")))
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, fast: Boolean = false): DataFrame = {
+    val s = index(withSimHash(docs, fast).select(col("doc_id"), col("simhash")))
     val nBlocks = maxHamming + 1
     val width = 32 / nBlocks // last block absorbs the remainder bits
     val blocked = s.select(col("doc_id"), col("simhash"), posexplode(expr(

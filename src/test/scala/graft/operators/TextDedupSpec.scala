@@ -153,4 +153,44 @@ class TextDedupSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSeq
     assert(out == Seq((1L, 2L, 0)))
   }
+
+  test("fast hash mode (xxHash64 mod P) finds the same pair sets as the portable mode") {
+    // 10 base docs, each with a near-identical variant (one word changed)
+    // plus unrelated singletons — pair detection must agree across hash
+    // families even though every signature value differs
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val rng = new scala.util.Random(41)
+    val rows = (0 until 10).flatMap { i =>
+      val base = Seq.fill(12)(words(rng.nextInt(words.size)))
+      val variant = base.updated(rng.nextInt(base.size), "changed" + i)
+      Seq(i * 2L -> base.mkString(" "), i * 2L + 1 -> variant.mkString(" "))
+    } ++ (100L until 105L).map(i => i -> s"unrelated$i solitary${i * 7} text${i % 3} nothing shared here")
+    val d = docs(rows: _*)
+
+    def pairsOf(df: DataFrame): Set[(Long, Long, Double)] =
+      df.as[(Long, Long, Double)].collect().toSet
+
+    val jPortable = pairsOf(TextDedup.jaccardPairsIndex(d, n = 3, threshold = 0.5))
+    val jFast = pairsOf(TextDedup.jaccardPairsIndex(d, n = 3, threshold = 0.5, fast = true))
+    assert(jPortable == jFast)
+    assert(jPortable.nonEmpty)
+
+    // 16 bands of 1 row: per-pair miss probability (1-J)^16 < 1e-5 at
+    // J >= 0.5, so both hash families must surface the same pairs (at
+    // 8 bands x 2 rows, family-dependent banding luck legitimately
+    // drops ~6% of borderline pairs - recall, not correctness)
+    val mPortable = pairsOf(TextDedup.minhashLshPairs(d, n = 3, numHashes = 16, bands = 16))
+    val mFast = pairsOf(TextDedup.minhashLshPairs(d, n = 3, numHashes = 16, bands = 16, fast = true))
+    assert(mPortable == mFast)
+    assert(mPortable == jPortable) // at this recall, LSH == exact on the fixture
+    assert(mPortable.nonEmpty)
+
+    // signatures themselves DO differ — fast mode is a different family
+    val sigPortable = TextDedup.withMinHash(d, 3, 16).select($"doc_id", $"minhash")
+      .as[(Long, Seq[Long])].collect().toMap
+    val sigFast = TextDedup.withMinHash(d, 3, 16, fast = true).select($"doc_id", $"minhash")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigPortable(0L) != sigFast(0L))
+  }
 }
