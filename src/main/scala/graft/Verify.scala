@@ -9,6 +9,9 @@ object Verify {
     val spark = Sessions.build("graft-verify")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // same hygiene as Bench: persisted signature frames must not
+      // accumulate across the 30+ query sweep
+      spark.catalog.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
