@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Cols
-import graft.operators.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Components, Multimodal, Similarity, TextAnalysis, TextDedup}
 
 /** Training-data pipeline query surface: dedup, similarity search, and
   * text analysis over the harness `documents` / `embeddings` tables
@@ -76,6 +76,16 @@ object DataOps {
     Similarity.nearDupPairs(Tables.embeddings(spark, dir), threshold = 0.4,
         bands = 32, planesPerBand = 4)
       .orderBy(col("vec_a").asc, col("vec_b").asc)
+
+  /** Pairs → duplicate clusters: MinHash-LSH pair graph, transitive
+    * closure via distributed min-label propagation, one row per
+    * cluster with its keeper (min doc id). The oracle replays the
+    * closure with a recursive CTE over the same pair set. */
+  def dedupGroups(spark: SparkSession, dir: String): DataFrame =
+    Components.dedupGroups(
+      TextDedup.minhashLshPairs(Tables.documents(spark, dir),
+        n = 3, numHashes = 16, bands = 8, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b")))
 
   // ---- similarity search ---------------------------------------------
 
@@ -224,6 +234,39 @@ object DataOps {
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 0
          |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
+    "dedup_groups" ->
+      s"""WITH RECURSIVE $dkSizes,
+         |sigs AS (
+         |  SELECT doc_id,
+         |         list_transform(generate_series(0, 15),
+         |           i -> list_min(list_transform($dkShingles,
+         |                  h -> (CAST(2*i+1 AS BIGINT) * h + 999983 * CAST(i AS BIGINT)) % $P))) AS minhash
+         |  FROM tok
+         |), bandsx AS (
+         |  SELECT doc_id, b.b AS band, list_slice(minhash, b.b * 2 + 1, b.b * 2 + 2) AS key
+         |  FROM sigs CROSS JOIN generate_series(0, 7) AS b(b)
+         |), cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bandsx a JOIN bandsx b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |), $dkJaccardPairs,
+         |pairs AS (
+         |  SELECT j.doc_a, j.doc_b
+         |  FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+         |  WHERE j.jraw >= 0.5
+         |), edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs
+         |), reach(id, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+         |), comps AS (
+         |  SELECT id, min(r) AS comp FROM reach GROUP BY id
+         |)
+         |SELECT comp AS group_id, count(*) AS n_docs, max(id) AS max_doc
+         |FROM comps GROUP BY comp
+         |ORDER BY group_id ASC""".stripMargin,
     "dedup_embedding" ->
       s"""WITH anchors AS (
          |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS rank, embedding AS plane_vec
@@ -413,6 +456,7 @@ object DataOps {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash"     -> (dedupSimhash _),
     "dedup_embedding"   -> (dedupEmbedding _),
+    "dedup_groups"      -> (dedupGroups _),
     "sim_topk"          -> (simTopK _),
     "sim_topk_lsh"      -> (simTopKLsh _),
     "sim_topk_ivf"      -> (simTopKIvf _),

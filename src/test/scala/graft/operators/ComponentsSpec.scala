@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side union-find reference. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  /** Normalize a labeling so components compare by min-member id. */
+  private def canon(m: Map[Long, Long]): Map[Long, Long] = {
+    val byComp = m.groupBy(_._2).values
+      .flatMap { grp => val mn = grp.keys.min; grp.keys.map(_ -> mn) }
+    byComp.toMap
+  }
+
+  test("connectedComponents matches union-find on a random graph") {
+    val rng = new scala.util.Random(19)
+    val edges = Seq.fill(120)((rng.nextInt(80).toLong, rng.nextInt(80).toLong))
+      .filter(e => e._1 != e._2)
+    val got = Components.connectedComponents(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(canon(got) == canon(unionFind(edges)))
+    // labels are canonical: every comp is the min id of its members
+    assert(got.groupBy(_._2).forall { case (comp, members) => members.keys.min == comp })
+  }
+
+  test("connectedComponents closes a long chain (worst-case diameter)") {
+    val chain = (0L until 30L).map(i => (i, i + 1))
+    val got = Components.connectedComponents(chain.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 31 && got.values.forall(_ == 0L))
+  }
+
+  test("self-loops are ignored; empty edge set yields empty labeling") {
+    val got = Components.connectedComponents(Seq((5L, 5L), (1L, 2L)).toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L)) // node 5 had only a self-loop: absent
+    assert(Components.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
+  }
+
+  test("dedupGroups: one row per cluster with size and keeper (min id)") {
+    // two clusters {1,2,3} (via 1-2, 2-3) and {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Components.dedupGroups(pairs)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 3L), (10L, 2L, 11L)))
+  }
+}
