@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Cols
-import graft.operators.{Components, Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Components, Curation, Multimodal, Similarity, TextAnalysis, TextDedup}
 
 /** Training-data pipeline query surface: dedup, similarity search, and
   * text analysis over the harness `documents` / `embeddings` tables
@@ -86,6 +86,50 @@ object DataOps {
       TextDedup.minhashLshPairs(Tables.documents(spark, dir),
         n = 3, numHashes = 16, bands = 8, threshold = 0.5)
         .select(col("doc_a"), col("doc_b")))
+
+  // ---- corpus curation -------------------------------------------------
+
+  /** Near-dup collapse end-to-end: MinHash-LSH pairs → components →
+    * drop every cluster member except the keeper (min id) → per-lang
+    * surviving doc/token counts. */
+  def dedupKeep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = TextDedup.minhashLshPairs(docs, n = 3, numHashes = 16,
+        bands = 8, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    Curation.keeperFilter(docs, pairs)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(TextAnalysis.nTokens(col("text")).cast("long")).as("kept_tokens"))
+      .orderBy(col("lang").asc)
+  }
+
+  /** Quality-first token budgeting: per language, keep the
+    * highest-quality documents while the running token total stays
+    * within 2000 — the mixture-assembly step of a curation pipeline.
+    * Ordering uses the ROUNDED quality (and doc_id tiebreak) so both
+    * engines rank identically at FP boundaries. */
+  def mixBudget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("q", Cols.r(TextAnalysis.qualityScore(col("text")), 4))
+    Curation.tokenBudget(docs, "lang", TextAnalysis.nTokens(col("text")),
+        Seq(col("q").desc, col("doc_id").asc), budget = 2000L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_tokens")).as("total_tokens"))
+      .orderBy(col("lang").asc)
+  }
+
+  /** Deterministic stratified sampling: per-language keep rates over a
+    * portable multiplicative-hash bucket of doc_id — the reproducible
+    * downsampling step (rerunning the pipeline yields the same
+    * sample, in any engine). */
+  def sampleStrata(spark: SparkSession, dir: String): DataFrame =
+    Curation.hashSample(Tables.documents(spark, dir), "doc_id", "lang",
+        rates = Map("en" -> 50, "de" -> 30, "fr" -> 20, "es" -> 10, "zh" -> 5),
+        defaultRate = 10)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy(col("lang").asc)
 
   // ---- similarity search ---------------------------------------------
 
@@ -170,6 +214,41 @@ object DataOps {
        |sh AS (SELECT doc_id, unnest($dkShingles) AS sh FROM tok),
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)""".stripMargin
 
+  /** MinHash-LSH pair graph → connected components, as a reusable
+    * recursive-CTE chain (callers prepend WITH RECURSIVE). `comps` is
+    * (id, comp) with comp = min reachable id — the same labeling
+    * Components.connectedComponents produces. */
+  private lazy val dkComponentCtes =
+    s"""$dkSizes,
+       |sigs AS (
+       |  SELECT doc_id,
+       |         list_transform(generate_series(0, 15),
+       |           i -> list_min(list_transform($dkShingles,
+       |                  h -> (CAST(2*i+1 AS BIGINT) * h + 999983 * CAST(i AS BIGINT)) % $P))) AS minhash
+       |  FROM tok
+       |), bandsx AS (
+       |  SELECT doc_id, b.b AS band, list_slice(minhash, b.b * 2 + 1, b.b * 2 + 2) AS key
+       |  FROM sigs CROSS JOIN generate_series(0, 7) AS b(b)
+       |), cands AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bandsx a JOIN bandsx b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |), $dkJaccardPairs,
+       |pairs AS (
+       |  SELECT j.doc_a, j.doc_b
+       |  FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+       |  WHERE j.jraw >= 0.5
+       |), edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs
+       |), reach(id, r) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+       |), comps AS (
+       |  SELECT id, min(r) AS comp FROM reach GROUP BY id
+       |)""".stripMargin
+
   private val dkJaccardPairs =
     s"""inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_ab
@@ -235,38 +314,56 @@ object DataOps {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 0
          |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
     "dedup_groups" ->
-      s"""WITH RECURSIVE $dkSizes,
-         |sigs AS (
-         |  SELECT doc_id,
-         |         list_transform(generate_series(0, 15),
-         |           i -> list_min(list_transform($dkShingles,
-         |                  h -> (CAST(2*i+1 AS BIGINT) * h + 999983 * CAST(i AS BIGINT)) % $P))) AS minhash
-         |  FROM tok
-         |), bandsx AS (
-         |  SELECT doc_id, b.b AS band, list_slice(minhash, b.b * 2 + 1, b.b * 2 + 2) AS key
-         |  FROM sigs CROSS JOIN generate_series(0, 7) AS b(b)
-         |), cands AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bandsx a JOIN bandsx b
-         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-         |), $dkJaccardPairs,
-         |pairs AS (
-         |  SELECT j.doc_a, j.doc_b
-         |  FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
-         |  WHERE j.jraw >= 0.5
-         |), edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM pairs
-         |  UNION ALL SELECT doc_b, doc_a FROM pairs
-         |), reach(id, r) AS (
-         |  SELECT a, a FROM edges
-         |  UNION
-         |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
-         |), comps AS (
-         |  SELECT id, min(r) AS comp FROM reach GROUP BY id
-         |)
+      s"""WITH RECURSIVE $dkComponentCtes
          |SELECT comp AS group_id, count(*) AS n_docs, max(id) AS max_doc
          |FROM comps GROUP BY comp
          |ORDER BY group_id ASC""".stripMargin,
+    "dedup_keep" ->
+      s"""WITH RECURSIVE $dkComponentCtes,
+         |dropped AS (SELECT id FROM comps WHERE id <> comp)
+         |SELECT lang, count(*) AS n_kept,
+         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS kept_tokens
+         |FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM dropped)
+         |GROUP BY lang
+         |ORDER BY lang ASC""".stripMargin,
+    "mix_budget" ->
+      """WITH feats AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt_l,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |              w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE)
+        |           / len(string_split(text, ' ')) AS swr,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |           / len(string_split(text, ' ')) AS ttr,
+        |         (length(text) - len(string_split(text, ' ')) + 1.0) / len(string_split(text, ' ')) AS awl
+        |  FROM documents
+        |), scored AS (
+        |  SELECT doc_id, lang, nt_l,
+        |         floor(((CASE WHEN nt >= 20 AND nt <= 80 THEN 1.0 WHEN nt >= 10 THEN 0.5 ELSE 0.0 END)
+        |          + (CASE WHEN swr >= 0.05 THEN 1.0 ELSE 0.0 END)
+        |          + (CASE WHEN ttr >= 0.3 THEN 1.0 WHEN ttr >= 0.15 THEN 0.5 ELSE 0.0 END)
+        |          + (CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0 ELSE 0.0 END)) / 4.0 * 1e4 + 0.5) / 1e4 AS q
+        |  FROM feats
+        |), ranked AS (
+        |  SELECT lang, nt_l,
+        |         sum(nt_l) OVER (PARTITION BY lang ORDER BY q DESC, doc_id ASC
+        |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM scored
+        |)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(nt_l) AS BIGINT) AS total_tokens
+        |FROM ranked WHERE cum <= 2000
+        |GROUP BY lang
+        |ORDER BY lang ASC""".stripMargin,
+    "sample_strata" ->
+      s"""SELECT lang, count(*) AS n_sampled
+         |FROM documents
+         |WHERE ((doc_id * 2654435761) % $P) % 100 <
+         |      CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 WHEN 'fr' THEN 20
+         |                WHEN 'es' THEN 10 WHEN 'zh' THEN 5 ELSE 10 END
+         |GROUP BY lang
+         |ORDER BY lang ASC""".stripMargin,
     "dedup_embedding" ->
       s"""WITH anchors AS (
          |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS rank, embedding AS plane_vec
@@ -457,6 +554,9 @@ object DataOps {
     "dedup_simhash"     -> (dedupSimhash _),
     "dedup_embedding"   -> (dedupEmbedding _),
     "dedup_groups"      -> (dedupGroups _),
+    "dedup_keep"        -> (dedupKeep _),
+    "mix_budget"        -> (mixBudget _),
+    "sample_strata"     -> (sampleStrata _),
     "sim_topk"          -> (simTopK _),
     "sim_topk_lsh"      -> (simTopKLsh _),
     "sim_topk_ivf"      -> (simTopKIvf _),

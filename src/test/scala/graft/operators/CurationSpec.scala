@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keeperFilter keeps the min id per cluster and every singleton") {
+    val docs = (1L to 10L).map(i => (i, s"doc $i", "en")).toDF("doc_id", "text", "lang")
+    // clusters {1,2,3} and {7,8}; 4,5,6,9,10 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val kept = Curation.keeperFilter(docs, pairs).select($"doc_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L, 6L, 7L, 9L, 10L))
+  }
+
+  test("tokenBudget keeps best-first rows while the inclusive running total fits") {
+    val docs = Seq(
+      // lang, doc_id, tokens, quality
+      ("en", 1L, 40L, 1.0), ("en", 2L, 50L, 0.9), ("en", 3L, 30L, 0.8), ("en", 4L, 10L, 0.7),
+      ("de", 5L, 90L, 0.5), ("de", 6L, 20L, 0.9)
+    ).toDF("lang", "doc_id", "nt", "q")
+    val out = Curation.tokenBudget(docs, "lang", $"nt",
+        Seq($"q".desc, $"doc_id".asc), budget = 100L)
+      .select($"doc_id").as[Long].collect().toSet
+    // en: 40 (cum 40), 50 (90), 30 would hit 120 > 100 -> stop; 10 (cum 130) also out
+    // de: best-first 20 (cum 20), then 90 would hit 110 -> out
+    assert(out == Set(1L, 2L, 6L))
+  }
+
+  test("tokenBudget boundary: a row landing exactly on the budget is kept") {
+    val docs = Seq(("en", 1L, 60L, 1.0), ("en", 2L, 40L, 0.9), ("en", 3L, 1L, 0.8))
+      .toDF("lang", "doc_id", "nt", "q")
+    val out = Curation.tokenBudget(docs, "lang", $"nt",
+        Seq($"q".desc, $"doc_id".asc), budget = 100L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L)) // 60, 100 (== budget, kept), 101 (out)
+  }
+
+  test("hashSample is deterministic, monotone in rate, and honors the default") {
+    val docs = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "xx"))
+      .toDF("doc_id", "lang")
+    def sample(rates: Map[String, Int], default: Int): Set[Long] =
+      Curation.hashSample(docs, "doc_id", "lang", rates, default)
+        .select($"doc_id").as[Long].collect().toSet
+    val a = sample(Map("en" -> 30), 0)
+    val b = sample(Map("en" -> 30), 0)
+    assert(a == b)                          // reproducible
+    assert(a.forall(_ % 2 == 0))            // default 0: no 'xx' rows
+    val wider = sample(Map("en" -> 60), 0)
+    assert(a.subsetOf(wider))               // raising the rate only adds rows
+    // rate approximates the fraction (multiplicative hash scatters well)
+    assert(math.abs(a.size / 500.0 - 0.30) < 0.08)
+    val withDefault = sample(Map("en" -> 0), 50)
+    assert(withDefault.forall(_ % 2 == 1))  // only 'xx' via the default rate
+    assert(withDefault.nonEmpty)
+  }
+}
