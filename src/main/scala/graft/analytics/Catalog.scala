@@ -94,6 +94,43 @@ object Queries {
       .orderBy(col("total_value").desc, col("region_name").asc)
   }
 
+  /** Multi-level aggregate — ROLLUP (region, nation): per-nation rows,
+    * per-region subtotals, and a grand total in ONE pass (Spark plans
+    * an Expand + single hash aggregate — no self-union of three
+    * scans, which is what makes rollups cheap at 100 TB). Total rows
+    * are labeled 'ALL' via coalesce (TPC-H names are never NULL, so
+    * no conflation), keeping the ORDER BY engine-neutral. */
+  def aggRollupTotals(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        Cols.r(Cols.sumExact(col("c_acctbal"), 2), 2).as("total_bal"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region_name"),
+        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+        col("n_customers"), col("total_bal"))
+      .orderBy(col("region_name").asc, col("nation_name").asc)
+  }
+
+  /** UNPIVOT — the KPI block as (kpi, value) rows: wide→long melt of a
+    * 1-row aggregate, the shape UI metric panels and metric stores
+    * consume. Spark's native unpivot (an Expand node, map-side only). */
+  def kpiUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.agg(
+        Cols.r(Cols.sumExact(coalesce(col("value"), lit(0.0)), 2), 2).as("total_value"),
+        count(lit(1)).cast("double").as("n_events"),
+        countDistinct(col("user_id")).cast("double").as("n_users"))
+      .unpivot(Array.empty, Array(col("total_value"), col("n_events"), col("n_users")),
+        "kpi", "value")
+      .orderBy(col("kpi").asc)
+  }
+
   /** Q5 analogue — windowed risk watchlist
     * (ref sql/03_analytics_queries.sql:80-148: per-entity trailing
     * 7-row moving average + LAG(7), guarded ratios, conjunctive
@@ -191,7 +228,28 @@ object Queries {
         |FROM scored
         |WHERE spike_ratio >= 1.5 AND momentum <= 0
         |ORDER BY spike_ratio DESC, momentum ASC, l_orderkey ASC, l_linenumber ASC
-        |LIMIT 50""".stripMargin
+        |LIMIT 50""".stripMargin,
+    "agg_rollup_totals" ->
+      """SELECT coalesce(r_name, 'ALL') AS region_name,
+        |       coalesce(n_name, 'ALL') AS nation_name,
+        |       count(*) AS n_customers,
+        |       floor((CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region_name ASC, nation_name ASC""".stripMargin,
+    "kpi_unpivot" ->
+      """WITH agg AS (
+        |  SELECT floor((CAST(sum(CAST(coalesce(value, 0) AS DECIMAL(30,2))) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS total_value,
+        |         CAST(count(*) AS DOUBLE) AS n_events,
+        |         CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users
+        |  FROM events
+        |)
+        |SELECT 'n_events' AS kpi, n_events AS value FROM agg
+        |UNION ALL SELECT 'n_users', n_users FROM agg
+        |UNION ALL SELECT 'total_value', total_value FROM agg
+        |ORDER BY kpi ASC""".stripMargin
   )
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -199,6 +257,8 @@ object Queries {
     "q2_daily_trend"     -> (q2DailyTrend _),
     "q3_zscore_outliers" -> (q3ZScoreOutliers _),
     "q4_geo_rollup"      -> (q4GeoRollup _),
-    "q5_risk_watchlist"  -> (q5RiskWatchlist _)
+    "q5_risk_watchlist"  -> (q5RiskWatchlist _),
+    "agg_rollup_totals"  -> (aggRollupTotals _),
+    "kpi_unpivot"        -> (kpiUnpivot _)
   )
 }

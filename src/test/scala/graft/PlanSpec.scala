@@ -69,6 +69,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("rollup plans one Expand + one aggregate pass, not a union of re-scans") {
+    val p = plan(Queries.aggRollupTotals(spark, dir))
+    assert(p.contains("Expand"))
+    assert("Scan parquet".r.findAllIn(p).size == 3) // customer + nation + region, once each
+    assert(!p.contains("Union"))
+  }
+
   test("date-partitioned fact read prunes partitions at plan time") {
     val df = graft.analytics.PipelineOps.s13FactPrune(spark, dir)
     val scan = df.queryExecution.executedPlan.collectLeaves()
