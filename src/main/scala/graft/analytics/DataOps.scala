@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Cols
-import graft.operators.{Components, Curation, Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{AsOfJoin, Components, Curation, Multimodal, Similarity, TextAnalysis, TextDedup}
 
 /** Training-data pipeline query surface: dedup, similarity search, and
   * text analysis over the harness `documents` / `embeddings` tables
@@ -86,6 +86,26 @@ object DataOps {
       TextDedup.minhashLshPairs(Tables.documents(spark, dir),
         n = 3, numHashes = 16, bands = 8, threshold = 0.5)
         .select(col("doc_a"), col("doc_b")))
+
+  /** As-of attribution: each click joined to the user's latest
+    * purchase at or before the click (the temporal-join workload),
+    * rolled up per click date. The oracle uses DuckDB's NATIVE
+    * `ASOF LEFT JOIN` — independent evidence that the union+window
+    * composition implements the operator's semantics exactly. */
+  def asofAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).filter(col("ts").isNotNull)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+    AsOfJoin.asOf(clicks, purchases, Seq("user_id"), "ts", "ts", Seq("purchase_value"))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("click_date"))
+      .agg(
+        count(lit(1)).as("n_clicks"),
+        count(col("asof_purchase_value")).as("n_attributed"),
+        Cols.r(Cols.sumExact(col("asof_purchase_value"), 2), 2).as("attributed_value"))
+      .orderBy(col("click_date").asc)
+  }
 
   // ---- corpus curation -------------------------------------------------
 
@@ -313,6 +333,21 @@ object DataOps {
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 0
          |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
+    "asof_attribution" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+        |), purchases AS (
+        |  SELECT user_id, ts, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+        |)
+        |SELECT strftime(c.ts, '%Y-%m-%d') AS click_date,
+        |       count(*) AS n_clicks,
+        |       count(p.purchase_value) AS n_attributed,
+        |       floor((CAST(sum(CAST(p.purchase_value AS DECIMAL(30,2))) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS attributed_value
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND p.ts <= c.ts
+        |GROUP BY 1
+        |ORDER BY click_date ASC""".stripMargin,
     "dedup_groups" ->
       s"""WITH RECURSIVE $dkComponentCtes
          |SELECT comp AS group_id, count(*) AS n_docs, max(id) AS max_doc
@@ -553,6 +588,7 @@ object DataOps {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash"     -> (dedupSimhash _),
     "dedup_embedding"   -> (dedupEmbedding _),
+    "asof_attribution"  -> (asofAttribution _),
     "dedup_groups"      -> (dedupGroups _),
     "dedup_keep"        -> (dedupKeep _),
     "mix_budget"        -> (mixBudget _),
