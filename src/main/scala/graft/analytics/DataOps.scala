@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Cols
-import graft.operators.{AsOfJoin, Components, Curation, Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{AsOfJoin, Components, Curation, Multimodal, RangeJoin, Similarity, TextAnalysis, TextDedup}
 
 /** Training-data pipeline query surface: dedup, similarity search, and
   * text analysis over the harness `documents` / `embeddings` tables
@@ -105,6 +105,25 @@ object DataOps {
         count(col("asof_purchase_value")).as("n_attributed"),
         Cols.r(Cols.sumExact(col("asof_purchase_value"), 2), 2).as("attributed_value"))
       .orderBy(col("click_date").asc)
+  }
+
+  /** Interval join workload: (purchase, view) pairs where the view
+    * happened within the hour before the purchase, per-day rollup —
+    * the bucketed band-join path, oracle-checked against a plain SQL
+    * range join. */
+  def rangeViewsBeforePurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).filter(col("ts").isNotNull)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"))
+    RangeJoin.within(purchases, views, Seq("user_id"), "ts", "ts",
+        beforeUs = 3600L * 1000000L)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("purchase_date"))
+      .agg(
+        count(lit(1)).as("n_view_purchase_pairs"),
+        countDistinct(col("pid")).as("n_purchases_with_view"))
+      .orderBy(col("purchase_date").asc)
   }
 
   // ---- corpus curation -------------------------------------------------
@@ -348,6 +367,23 @@ object DataOps {
         |  ON c.user_id = p.user_id AND p.ts <= c.ts
         |GROUP BY 1
         |ORDER BY click_date ASC""".stripMargin,
+    "range_views_before_purchase" ->
+      """WITH purchases AS (
+        |  SELECT user_id, event_id AS pid, ts
+        |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+        |), views AS (
+        |  SELECT user_id, ts AS vts
+        |  FROM events WHERE event_type = 'view' AND ts IS NOT NULL
+        |)
+        |SELECT strftime(p.ts, '%Y-%m-%d') AS purchase_date,
+        |       count(*) AS n_view_purchase_pairs,
+        |       count(DISTINCT p.pid) AS n_purchases_with_view
+        |FROM purchases p JOIN views v
+        |  ON p.user_id = v.user_id
+        | AND v.vts >= p.ts - INTERVAL 1 HOUR
+        | AND v.vts <= p.ts
+        |GROUP BY 1
+        |ORDER BY purchase_date ASC""".stripMargin,
     "dedup_groups" ->
       s"""WITH RECURSIVE $dkComponentCtes
          |SELECT comp AS group_id, count(*) AS n_docs, max(id) AS max_doc
@@ -589,6 +625,7 @@ object DataOps {
     "dedup_simhash"     -> (dedupSimhash _),
     "dedup_embedding"   -> (dedupEmbedding _),
     "asof_attribution"  -> (asofAttribution _),
+    "range_views_before_purchase" -> (rangeViewsBeforePurchase _),
     "dedup_groups"      -> (dedupGroups _),
     "dedup_keep"        -> (dedupKeep _),
     "mix_budget"        -> (mixBudget _),
