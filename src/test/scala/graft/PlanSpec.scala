@@ -85,6 +85,18 @@ class PlanSpec extends SparkSpec {
     assert(scan.contains("event_date") && !scan.contains("PartitionFilters: []"))
   }
 
+  test("temporal joins never plan nested-loop or cartesian work") {
+    // as-of: merge-sorted union + window — no join operator at all
+    val pAsof = plan(graft.analytics.DataOps.asofAttribution(spark, dir))
+    assert(!pAsof.contains("BroadcastNestedLoopJoin") && !pAsof.contains("CartesianProduct"))
+    assert(pAsof.contains("Window"))
+    // range: equi-join on (key, bucket); the BETWEEN runs as a filter/condition,
+    // not as a nested-loop join
+    val pRange = plan(graft.analytics.DataOps.rangeViewsBeforePurchase(spark, dir))
+    assert(!pRange.contains("BroadcastNestedLoopJoin") && !pRange.contains("CartesianProduct"))
+    assert(pRange.contains("Join") || pRange.contains("join"))
+  }
+
   test("documents scan prunes to the referenced columns only") {
     val df = graft.analytics.DataOps.textFingerprint(spark, dir)
     val scan = df.queryExecution.executedPlan.collectLeaves()
