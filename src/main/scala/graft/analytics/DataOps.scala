@@ -241,6 +241,35 @@ object DataOps {
         array_max(col("winnow_fps")).as("max_fp"))
       .orderBy(col("doc_id").asc)
 
+  /** Column profiling — the warehouse QA feature: one row per profiled
+    * numeric column with null count, exact distinct count, and rounded
+    * min/max, from a single aggregate pass (Spark plans the three
+    * exact distincts as one Expand — no per-column re-scan) exploded
+    * wide→long. */
+  def profileEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def nNulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+    val agg = ev.agg(
+      count(lit(1)).as("n_rows"),
+      nNulls("event_id").as("id_nulls"), countDistinct(col("event_id")).as("id_distinct"),
+      min(col("event_id")).cast("double").as("id_min"), max(col("event_id")).cast("double").as("id_max"),
+      nNulls("user_id").as("u_nulls"), countDistinct(col("user_id")).as("u_distinct"),
+      min(col("user_id")).cast("double").as("u_min"), max(col("user_id")).cast("double").as("u_max"),
+      nNulls("value").as("v_nulls"), countDistinct(col("value")).as("v_distinct"),
+      Cols.r(min(col("value")), 4).as("v_min"), Cols.r(max(col("value")), 4).as("v_max"))
+    agg.select(col("n_rows"), explode(array(
+        struct(lit("event_id").as("column_name"), col("id_nulls").as("n_nulls"),
+          col("id_distinct").as("n_distinct"), col("id_min").as("min_value"), col("id_max").as("max_value")),
+        struct(lit("user_id").as("column_name"), col("u_nulls").as("n_nulls"),
+          col("u_distinct").as("n_distinct"), col("u_min").as("min_value"), col("u_max").as("max_value")),
+        struct(lit("value").as("column_name"), col("v_nulls").as("n_nulls"),
+          col("v_distinct").as("n_distinct"), col("v_min").as("min_value"), col("v_max").as("max_value"))
+      )).as("p"))
+      .select(col("p.column_name"), col("n_rows"), col("p.n_nulls"),
+        col("p.n_distinct"), col("p.min_value"), col("p.max_value"))
+      .orderBy(col("column_name").asc)
+  }
+
   // ---- multimodal plumbing ---------------------------------------------
 
   def mmPayloadStats(spark: SparkSession, dir: String): DataFrame =
@@ -608,6 +637,28 @@ object DataOps {
          |       list_min(fps) AS min_fp, list_max(fps) AS max_fp
          |FROM winnow
          |ORDER BY doc_id ASC""".stripMargin,
+    "profile_events" ->
+      """WITH base AS (
+        |  SELECT count(*) AS n_rows,
+        |         count(*) FILTER (WHERE event_id IS NULL) AS id_nulls,
+        |         count(DISTINCT event_id) AS id_distinct,
+        |         CAST(min(event_id) AS DOUBLE) AS id_min, CAST(max(event_id) AS DOUBLE) AS id_max,
+        |         count(*) FILTER (WHERE user_id IS NULL) AS u_nulls,
+        |         count(DISTINCT user_id) AS u_distinct,
+        |         CAST(min(user_id) AS DOUBLE) AS u_min, CAST(max(user_id) AS DOUBLE) AS u_max,
+        |         count(*) FILTER (WHERE value IS NULL) AS v_nulls,
+        |         count(DISTINCT value) AS v_distinct,
+        |         floor((min(value)) * 1e4 + 0.5) / 1e4 AS v_min,
+        |         floor((max(value)) * 1e4 + 0.5) / 1e4 AS v_max
+        |  FROM events
+        |)
+        |SELECT 'event_id' AS column_name, n_rows, id_nulls AS n_nulls,
+        |       id_distinct AS n_distinct, id_min AS min_value, id_max AS max_value FROM base
+        |UNION ALL
+        |SELECT 'user_id', n_rows, u_nulls, u_distinct, u_min, u_max FROM base
+        |UNION ALL
+        |SELECT 'value', n_rows, v_nulls, v_distinct, v_min, v_max FROM base
+        |ORDER BY column_name ASC""".stripMargin,
     "mm_payload_stats" ->
       """SELECT coalesce(lang, 'und') AS kind,
         |       count(*) AS n_media,
@@ -638,6 +689,7 @@ object DataOps {
     "text_langid"       -> (textLangId _),
     "text_fingerprint"  -> (textFingerprint _),
     "text_winnow"       -> (textWinnow _),
-    "mm_payload_stats"  -> (mmPayloadStats _)
+    "mm_payload_stats"  -> (mmPayloadStats _),
+    "profile_events"    -> (profileEvents _)
   )
 }

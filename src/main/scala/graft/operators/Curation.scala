@@ -57,7 +57,10 @@ object Curation {
     * multiplicative-hash scatter in portable integer arithmetic, so
     * the exact sample is reproducible in any engine (and by the
     * DuckDB oracle). Unlisted strata keep `defaultRate`. Rates are in
-    * [0, modulus] — e.g. modulus 100 ⇒ percent. */
+    * [0, modulus] — e.g. modulus 100 ⇒ percent. Ids must stay below
+    * ~3.4e9 so id·2654435761 fits in int64 (engines disagree on
+    * overflow: Spark wraps, DuckDB errors) — for wider id spaces hash
+    * the id to a bounded value first. */
   def hashSample(docs: DataFrame, idCol: String, strataCol: String,
       rates: Map[String, Int], defaultRate: Int = 0, modulus: Int = 100): DataFrame = {
     val P = TextDedup.P
