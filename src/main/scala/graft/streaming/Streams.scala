@@ -20,6 +20,9 @@ import java.sql.Timestamp
   *  - [[upsertSink]]: foreachBatch → [[graft.operators.Upsert]] — the
   *    streaming form of the MERGE upsert (L2). Each micro-batch merges
   *    into the parquet target keyed like the reference MERGE.
+  *  - [[viewPurchaseJoin]]: watermarked stream-stream interval join —
+  *    the streaming form of the batch RangeJoin; event-time bounds let
+  *    Spark expire buffered rows, keeping join state bounded.
   *  - [[userActivity]]: mapGroupsWithState running per-user state
   *    (event count, last seen, total value) with processing-time
   *    timeout — the custom-state escape hatch for semantics windows
@@ -85,6 +88,28 @@ object Streams {
         Upsert.mergeIntoPath(batch.sparkSession, targetPath, batch, keys)
         ()
       }
+
+  /** Watermarked stream-stream interval join — the streaming form of
+    * [[graft.operators.RangeJoin]]: views joined to purchases of the
+    * same user within `window` BEFORE the purchase. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * Spark can expire buffered rows once the watermark passes — state
+    * stays bounded, the join runs as a keyed symmetric hash join
+    * partitioned by user across executors. */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame,
+      window: String = "1 hour", delay: String = "2 hours"): DataFrame = {
+    val v = views.select(col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", delay)
+    val p = purchases.select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", delay)
+    v.join(p,
+      v("user_id") === p("user_id") &&
+        col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $window") &&
+        col("view_ts") <= col("purchase_ts"))
+      .select(v("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("view_ts"), col("value"))
+  }
 
   /** Arbitrary stateful op: running per-user activity via
     * mapGroupsWithState. State lives in the partitioned state store;

@@ -3,6 +3,7 @@ package graft.streaming
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.functions._
 import java.nio.file.Files
 import java.sql.Timestamp
 
@@ -99,5 +100,26 @@ class StreamsSpec extends SparkSpec {
       .collect().toSet
     q.stop()
     assert(out == Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
+  }
+
+  test("viewPurchaseJoin pairs views with purchases within the window, stream-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val vMem = MemoryStream[Event]
+    val pMem = MemoryStream[Event]
+    val q = viewPurchaseJoin(vMem.toDF(), pMem.toDF(), window = "1 hour", delay = "0 seconds")
+      .writeStream.format("memory").queryName("vpj").outputMode(OutputMode.Append()).start()
+    vMem.addData(events(
+      (1L, 1L, "view", "2024-01-01 11:30:00", 0.0),   // in window of purchase 100
+      (2L, 1L, "view", "2024-01-01 10:59:59", 0.0),   // 1s too early: out
+      (3L, 2L, "view", "2024-01-01 11:45:00", 0.0)): _*) // other user: out
+    pMem.addData(events(
+      (100L, 1L, "purchase", "2024-01-01 12:00:00", 9.99)): _*)
+    q.processAllAvailable()
+    val out = spark.table("vpj")
+      .select($"user_id", $"purchase_id", date_format($"view_ts", "HH:mm:ss"))
+      .as[(Long, Long, String)].collect().toSet
+    q.stop()
+    assert(out == Set((1L, 100L, "11:30:00")))
   }
 }
