@@ -36,10 +36,13 @@ object GraftFunctions {
   /** Truly idempotent: registers once per session and skips thereafter
     * — repeated create-or-replace would emit one
     * `SimpleFunctionRegistry ... replaced` warning per function per
-    * query, which is log noise AND pollutes harness stdout parsing. */
+    * query, which is log noise AND pollutes harness stdout parsing.
+    * The sentinel is the NEWEST function, so a session that carries an
+    * older registration set (e.g. extensions config from a previous
+    * build) self-heals instead of skipping the additions. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier("graft_dot"))) {
+    if (!reg.functionExists(FunctionIdentifier("graft_token_hashes_fast"))) {
       reg.createOrReplaceTempFunction("graft_dot", DotProduct.builder, "built-in")
       reg.createOrReplaceTempFunction("graft_token_hashes", TextHashExprs.tokenBuilder, "built-in")
       reg.createOrReplaceTempFunction("graft_shingle_hashes", TextHashExprs.shingleBuilder, "built-in")

@@ -96,8 +96,12 @@ object DataOps {
     val ev = Tables.events(spark, dir).filter(col("ts").isNotNull)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id"))
+    // AsOfJoin requires unique (keys, time) on the right for
+    // deterministic output — pre-aggregate in case a corpus ever has
+    // same-instant purchases (harness data doesn't; this is identity)
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("purchase_value"))
     AsOfJoin.asOf(clicks, purchases, Seq("user_id"), "ts", "ts", Seq("purchase_value"))
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("click_date"))
       .agg(
@@ -154,7 +158,7 @@ object DataOps {
     Curation.tokenBudget(docs, "lang", TextAnalysis.nTokens(col("text")),
         Seq(col("q").desc, col("doc_id").asc), budget = 2000L)
       .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("_tokens")).as("total_tokens"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("budget_tokens")).as("total_tokens"))
       .orderBy(col("lang").asc)
   }
 
@@ -385,8 +389,9 @@ object DataOps {
       """WITH clicks AS (
         |  SELECT user_id, ts FROM events WHERE event_type = 'click' AND ts IS NOT NULL
         |), purchases AS (
-        |  SELECT user_id, ts, value AS purchase_value
+        |  SELECT user_id, ts, max(value) AS purchase_value
         |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+        |  GROUP BY user_id, ts
         |)
         |SELECT strftime(c.ts, '%Y-%m-%d') AS click_date,
         |       count(*) AS n_clicks,
@@ -465,9 +470,14 @@ object DataOps {
          |GROUP BY lang
          |ORDER BY lang ASC""".stripMargin,
     "dedup_embedding" ->
-      s"""WITH anchors AS (
+      s"""WITH all_anchors AS (
          |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS rank, embedding AS plane_vec
          |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 128)
+         |), anchors AS (
+         |  -- only WHOLE bands participate, matching the engine kernel
+         |  -- (nBands = anchors / planesPerBand, trailing planes ignored)
+         |  SELECT * FROM all_anchors
+         |  WHERE rank < ((SELECT count(*) FROM all_anchors) // 4) * 4
          |), sig AS (
          |  SELECT e.vec_id, a.rank // 4 AS band,
          |         sum(CASE WHEN ${dkDot("e.embedding", "a.plane_vec")} > 0

@@ -120,10 +120,15 @@ object PipelineOps {
       .limit(500)
   }
 
-  /** Deterministic per-sf scratch location for the partitioned fact
-    * copy (tmpdir — never inside the read-only testdata). */
-  def factEventsPath(dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_fact_events_${math.abs(dir.hashCode)}"
+  /** Deterministic per-sf, per-process scratch location for the
+    * partitioned fact copy (tmpdir — never inside the read-only
+    * testdata). The PID component keeps concurrent JVMs (e.g. a test
+    * run racing a Verify sweep) from overwrite-vs-read races on the
+    * same directory; floorMod avoids math.abs(Int.MinValue). */
+  def factEventsPath(dir: String): String = {
+    val pid = ProcessHandle.current().pid()
+    s"${System.getProperty("java.io.tmpdir")}/graft_fact_events_${pid}_${math.floorMod(dir.hashCode, 1 << 30)}"
+  }
 
   /** S13 end-to-end — the load-bearing scale decision exercised under
     * the oracle gate: events land date-partitioned via

@@ -97,9 +97,17 @@ object Similarity {
     * is bucketed in the same scan that reads it. */
   def withBucket(df: DataFrame, anchors: DataFrame, nPlanes: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    GraftFunctions.register(df.sparkSession)
     require(nPlanes > 0 && nPlanes <= 63, "withBucket supports 1..63 planes per bucket key")
     val planes = collectPlanes(anchors, nPlanes, idCol, vecCol)
+    withBucketPlanes(df, planes, idCol, vecCol)
+  }
+
+  /** [[withBucket]] with already-materialized planes — callers that
+    * bucket several frames against the SAME anchors (e.g. corpus and
+    * queries in [[lshTopK]]) collect the planes once and share them. */
+  def withBucketPlanes(df: DataFrame, planes: Seq[Array[Float]],
+      idCol: String, vecCol: String): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     require(planes.nonEmpty, "withBucket needs at least one anchor vector")
     df.select(col(idCol), col(vecCol),
       GraftFunctions.hyperplaneKeys(col(vecCol), planes, planes.size)
@@ -113,11 +121,13 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    val anchors = corpus
-    val cB = withBucket(corpus, anchors, nPlanes, idCol, vecCol)
+    require(nPlanes > 0 && nPlanes <= 63, "lshTopK supports 1..63 planes")
+    // one plane materialization shared by both sides
+    val planes = collectPlanes(corpus, nPlanes, idCol, vecCol)
+    val cB = withBucketPlanes(corpus, planes, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("bucket"),
         norm(col(vecCol)).as("c_norm"))
-    val qB = withBucket(queries, anchors, nPlanes, idCol, vecCol)
+    val qB = withBucketPlanes(queries, planes, idCol, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("bucket"),
         norm(col(vecCol)).as("q_norm"))
     val scored = cB.join(broadcast(qB), "bucket")
@@ -222,9 +232,11 @@ object Similarity {
     GraftFunctions.register(corpus.sparkSession)
     val planes = collectPlanes(corpus, bands * planesPerBand, idCol, vecCol)
     require(planes.nonEmpty, "nearDupPairs needs a non-empty corpus")
-    // degrade gracefully on tiny corpora: fewer anchors than asked →
-    // shrink the band width before dropping bands
-    val r = math.min(planesPerBand, planes.size)
+    // band width is FIXED: fewer anchors than asked just means fewer
+    // whole bands (the kernel ignores a trailing partial band, and the
+    // oracle mirrors that); a corpus smaller than one band yields no
+    // candidates — use nearDupPairsExact for corpora that tiny
+    val r = planesPerBand
     val sigs = corpus.select(col(idCol).as("vid"),
         posexplode(GraftFunctions.hyperplaneKeys(col(vecCol), planes, r)))
       .withColumnRenamed("pos", "band")

@@ -262,15 +262,19 @@ object StockPipeline {
   /** U4 — build_summary_text (ref app/streamlit_app.py:206-217): top
     * symbol of the displayed (already-ordered) rows + averages over
     * non-null price/volume, rendered exactly as the app does —
-    * `{avg_price:.2f}` and `{avg_volume:,.0f}`. Numbers pass through
-    * decimal casts / format_number so the string is
-    * engine-deterministic (same approach as AppOps.u4ResultSummary);
-    * all-null columns render "nan" like pandas' mean of an empty
-    * series. One aggregate job + one limit(1) probe — no full collect. */
+    * `{avg_price:.2f}` and `{avg_volume:,.0f}`. Both paths round
+    * HALF_EVEN like Python's format spec — `bround` for the price
+    * (a bare decimal cast would be HALF_UP and render 0.125 as 0.13
+    * where the app prints 0.12), `format_number` for the volume —
+    * then decimal-cast so the rendering is engine-deterministic (same
+    * approach as AppOps.u4ResultSummary); all-null columns render
+    * "nan" like pandas' mean of an empty series. One aggregate job +
+    * one limit(1) probe — no full collect. */
   def summaryText(results: DataFrame): String = {
     val stats = results.agg(
       count(lit(1)).as("n"),
-      avg(col("price").cast("double")).cast("decimal(18,2)").cast("string").as("avg_price_s"),
+      bround(avg(col("price").cast("double")), 2)
+        .cast("decimal(18,2)").cast("string").as("avg_price_s"),
       format_number(avg(col("volume").cast("double")), 0).as("avg_volume_s")).head()
     if (stats.getAs[Long]("n") == 0L) "No rows matched the selected filters."
     else {
