@@ -260,17 +260,26 @@ object DataOps {
       nNulls("user_id").as("u_nulls"), countDistinct(col("user_id")).as("u_distinct"),
       min(col("user_id")).cast("double").as("u_min"), max(col("user_id")).cast("double").as("u_max"),
       nNulls("value").as("v_nulls"), countDistinct(col("value")).as("v_distinct"),
-      Cols.r(min(col("value")), 4).as("v_min"), Cols.r(max(col("value")), 4).as("v_max"))
+      Cols.r(min(col("value")), 4).as("v_min"), Cols.r(max(col("value")), 4).as("v_max"),
+      // exact medians: Spark `percentile` and DuckDB `quantile_cont`
+      // share the linear-interpolation definition (type R-7); rounding
+      // to 4 decimals absorbs FP-order differences in the interpolation
+      Cols.r(percentile(col("event_id"), lit(0.5)), 4).as("id_median"),
+      Cols.r(percentile(col("user_id"), lit(0.5)), 4).as("u_median"),
+      Cols.r(percentile(col("value"), lit(0.5)), 4).as("v_median"))
     agg.select(col("n_rows"), explode(array(
         struct(lit("event_id").as("column_name"), col("id_nulls").as("n_nulls"),
-          col("id_distinct").as("n_distinct"), col("id_min").as("min_value"), col("id_max").as("max_value")),
+          col("id_distinct").as("n_distinct"), col("id_min").as("min_value"),
+          col("id_max").as("max_value"), col("id_median").as("median_value")),
         struct(lit("user_id").as("column_name"), col("u_nulls").as("n_nulls"),
-          col("u_distinct").as("n_distinct"), col("u_min").as("min_value"), col("u_max").as("max_value")),
+          col("u_distinct").as("n_distinct"), col("u_min").as("min_value"),
+          col("u_max").as("max_value"), col("u_median").as("median_value")),
         struct(lit("value").as("column_name"), col("v_nulls").as("n_nulls"),
-          col("v_distinct").as("n_distinct"), col("v_min").as("min_value"), col("v_max").as("max_value"))
+          col("v_distinct").as("n_distinct"), col("v_min").as("min_value"),
+          col("v_max").as("max_value"), col("v_median").as("median_value"))
       )).as("p"))
       .select(col("p.column_name"), col("n_rows"), col("p.n_nulls"),
-        col("p.n_distinct"), col("p.min_value"), col("p.max_value"))
+        col("p.n_distinct"), col("p.min_value"), col("p.max_value"), col("p.median_value"))
       .orderBy(col("column_name").asc)
   }
 
@@ -659,15 +668,19 @@ object DataOps {
         |         count(*) FILTER (WHERE value IS NULL) AS v_nulls,
         |         count(DISTINCT value) AS v_distinct,
         |         floor((min(value)) * 1e4 + 0.5) / 1e4 AS v_min,
-        |         floor((max(value)) * 1e4 + 0.5) / 1e4 AS v_max
+        |         floor((max(value)) * 1e4 + 0.5) / 1e4 AS v_max,
+        |         floor((quantile_cont(event_id, 0.5)) * 1e4 + 0.5) / 1e4 AS id_median,
+        |         floor((quantile_cont(user_id, 0.5)) * 1e4 + 0.5) / 1e4 AS u_median,
+        |         floor((quantile_cont(value, 0.5)) * 1e4 + 0.5) / 1e4 AS v_median
         |  FROM events
         |)
         |SELECT 'event_id' AS column_name, n_rows, id_nulls AS n_nulls,
-        |       id_distinct AS n_distinct, id_min AS min_value, id_max AS max_value FROM base
+        |       id_distinct AS n_distinct, id_min AS min_value, id_max AS max_value,
+        |       id_median AS median_value FROM base
         |UNION ALL
-        |SELECT 'user_id', n_rows, u_nulls, u_distinct, u_min, u_max FROM base
+        |SELECT 'user_id', n_rows, u_nulls, u_distinct, u_min, u_max, u_median FROM base
         |UNION ALL
-        |SELECT 'value', n_rows, v_nulls, v_distinct, v_min, v_max FROM base
+        |SELECT 'value', n_rows, v_nulls, v_distinct, v_min, v_max, v_median FROM base
         |ORDER BY column_name ASC""".stripMargin,
     "mm_payload_stats" ->
       """SELECT coalesce(lang, 'und') AS kind,
