@@ -32,14 +32,24 @@ object Bench {
       }
       (name, (System.nanoTime() - t0) / 1e9, rows)
     }
-    val qs = results.map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    // The launcher recovers the JSON from a bounded tail of noisy sbt
+    // output, so the stdout line must stay SHORT: 3-decimal timings and
+    // no per-query row counts (r01/r02 both failed to parse because the
+    // full-precision line outgrew the tail window). The full-detail
+    // variant (exact timings, rows, failures) goes to the out file.
+    def ms3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v, _) => s"\"$k\":${ms3(v)}" }.mkString("{", ",", "}")
     val rowsJson = results.map { case (k, _, r) => s"\"$k\":$r" }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, -1L) => s"\"$k\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val json =
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    val compact =
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"sf":$sfNum}"""
+    val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rowsJson,"failed":$failed,"sf":"$sfDir"}"""
-    println(json)
-    Files.writeString(Paths.get(outPath), json + "\n")
+    Files.writeString(Paths.get(outPath), full + "\n")
     spark.stop()
+    // last stdout line, after Spark shutdown noise
+    println(compact)
   }
 }

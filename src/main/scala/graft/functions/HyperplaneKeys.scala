@@ -46,7 +46,16 @@ case class HyperplaneKeys(first: Expression, second: Expression, third: Expressi
         else if (!third.foldable)
           TypeCheckResult.TypeCheckFailure(
             "graft_hyperplane_keys expects a literal planesPerBand")
-        else TypeCheckResult.TypeCheckSuccess
+        else third.eval(null) match {
+          // bit j is 1L << j: more than 63 planes per band would wrap
+          // the shift silently (colliding keys, recall loss), 0 or
+          // negative would divide-by-zero in the band count — reject
+          // both here so SQL-level callers get a type-check error, not
+          // wrong candidates
+          case r: Int if r < 1 || r > 63 => TypeCheckResult.TypeCheckFailure(
+            s"graft_hyperplane_keys expects planesPerBand in 1..63, got $r")
+          case _ => TypeCheckResult.TypeCheckSuccess
+        }
       case (v, p, r) => TypeCheckResult.TypeCheckFailure(
         s"graft_hyperplane_keys expects (array<numeric>, array<array<numeric>>, int), " +
           s"got ${v.sql}, ${p.sql}, ${r.sql}")

@@ -27,8 +27,12 @@ import org.apache.spark.sql.types.StructType
   *    ignoreNulls)` tracks the latest right ROW even when its payload
   *    fields are all NULL — per-column last() would silently fall
   *    back to an older row for a NULL field (wrong).
-  *  - NULL times never match anything; filter them upstream (a NULL
-  *    instant has no "as of").
+  *  - NULL times never match anything — enforced INSIDE the operator:
+  *    right rows with a NULL time or any NULL key are dropped before
+  *    the union (they could otherwise sort first under asc nulls-first
+  *    and silently match every left row), and a left row with a NULL
+  *    time or NULL key gets NULL as-of columns, matching SQL ASOF
+  *    equality semantics (NULL = NULL is not a match).
   */
 object AsOfJoin {
 
@@ -44,11 +48,21 @@ object AsOfJoin {
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1))
       .withColumn("_rpay", lit(null).cast(payloadType))
-    val r = right.select(
-      keys.map(col) ++ Seq(
-        col(rightTime).as("_t"),
-        lit(0).as("_side"),
-        struct(rightCols.map(col): _*).as("_rpay")): _*)
+    // NULL-time / NULL-key right rows can never be "the latest quote at
+    // or before" anything: drop them here rather than relying on every
+    // caller to pre-filter. (A NULL right time would sort FIRST under
+    // asc nulls-first with a non-null payload struct and match every
+    // left row that has no later quote; a NULL key would co-group with
+    // NULL-key left rows, diverging from SQL ASOF equality semantics.)
+    // Left rows with NULL time/key need no filter: their window prefix
+    // then contains only left rows, whose payload is NULL ⇒ no match.
+    val r = right
+      .filter((col(rightTime) +: keys.map(col)).map(_.isNotNull).reduce(_ && _))
+      .select(
+        keys.map(col) ++ Seq(
+          col(rightTime).as("_t"),
+          lit(0).as("_side"),
+          struct(rightCols.map(col): _*).as("_rpay")): _*)
     // left columns absent on the right side become typed NULLs
     val rAligned = l.columns.foldLeft(r) { (df, c) =>
       if (df.columns.contains(c)) df

@@ -49,6 +49,10 @@ object Components {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
+    // the frame whose checkpoint blocks back `labels` — unpersisted as
+    // soon as the NEXT round's checkpoint is materialized, so block
+    // -manager usage stays O(1) in rounds instead of O(maxIter)
+    var current = labels
     var iter = 0
     var done = labels.isEmpty
     while (!done && iter < maxIter) {
@@ -70,13 +74,17 @@ object Components {
         .join(propagated.select(col("id").as("jid"), col("comp").as("jcomp")),
           col("comp") === col("jid"), "left")
         .select(col("id"), coalesce(col("jcomp"), col("comp")).as("comp"), col("old_comp"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: materializes before the line below
       val changed = next.filter(col("comp") =!= col("old_comp")).count()
+      // blocking: the next round starts against released blocks, not a
+      // backlog of async drops the block manager hasn't processed yet
+      current.unpersist(blocking = true)
+      current = next
       labels = next.select(col("id"), col("comp"))
       done = changed == 0
       iter += 1
     }
-    sym.unpersist()
+    sym.unpersist(blocking = true)
     labels
   }
 

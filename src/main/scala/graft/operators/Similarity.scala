@@ -230,6 +230,9 @@ object Similarity {
       bands: Int = 16, planesPerBand: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
+    require(planesPerBand > 0 && planesPerBand <= 63,
+      "nearDupPairs supports 1..63 planes per band (band keys are single-long sign patterns)")
+    require(bands > 0, "nearDupPairs needs at least one band")
     val planes = collectPlanes(corpus, bands * planesPerBand, idCol, vecCol)
     require(planes.nonEmpty, "nearDupPairs needs a non-empty corpus")
     // band width is FIXED: fewer anchors than asked just means fewer

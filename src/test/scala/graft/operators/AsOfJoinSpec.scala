@@ -45,6 +45,27 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Seq(None))
   }
 
+  test("NULL right times and NULL keys never match (SQL ASOF semantics)") {
+    val quotes = Seq(
+      (Some(1L), Some(ts("2024-01-01 10:00:00")), 100.0),
+      (Some(1L), None, 666.0),  // NULL time: would sort first and match everything if kept
+      (None, Some(ts("2024-01-01 09:00:00")), 777.0) // NULL key: NULL must not match NULL
+    ).toDF("key", "qts", "px")
+    val events = Seq(
+      (Some(1L), Some(ts("2024-01-01 09:30:00")), "before-real-quote"),
+      (Some(1L), Some(ts("2024-01-01 10:30:00")), "after-real-quote"),
+      (Some(1L), Option.empty[java.sql.Timestamp], "null-left-time"),
+      (Option.empty[Long], Some(ts("2024-01-01 10:30:00")), "null-left-key")
+    ).toDF("key", "ts", "tag")
+    val out = AsOfJoin.asOf(events, quotes, Seq("key"), "ts", "qts", Seq("px"))
+      .select($"tag", $"asof_px").as[(String, Option[Double])].collect().toMap
+    assert(out == Map(
+      "before-real-quote" -> None,        // 666.0 must NOT leak in here
+      "after-real-quote" -> Some(100.0),
+      "null-left-time" -> None,           // a NULL instant has no "as of"
+      "null-left-key" -> None))           // NULL key ≠ NULL key
+  }
+
   test("multiple right payload columns travel together from the same matched row") {
     val quotes = Seq(
       (1L, ts("2024-01-01 10:00:00"), 100.0, "NYSE"),

@@ -45,6 +45,19 @@ class ComponentsSpec extends SparkSpec {
     assert(got.size == 31 && got.values.forall(_ == 0L))
   }
 
+  test("per-round checkpoints are released: persistent-RDD count stays O(1) in rounds") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // 64-node chain: several propagate+jump rounds, each localCheckpointing
+    val chain = (0L until 64L).map(i => (i, i + 1))
+    val got = Components.connectedComponents(chain.toDF("src", "dst"))
+    got.count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // only the FINAL round's checkpoint (backing the returned frame) may
+    // remain; earlier rounds' blocks must have been unpersisted
+    assert(after - before <= 1,
+      s"expected at most 1 surviving checkpoint, found ${after - before}")
+  }
+
   test("self-loops are ignored; empty edge set yields empty labeling") {
     val got = Components.connectedComponents(Seq((5L, 5L), (1L, 2L)).toDF("src", "dst"))
       .as[(Long, Long)].collect().toMap

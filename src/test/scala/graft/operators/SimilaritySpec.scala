@@ -145,6 +145,22 @@ class SimilaritySpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("nearDupPairs rejects out-of-range planesPerBand instead of wrapping bit positions") {
+    val d = vecs(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f))
+    intercept[IllegalArgumentException](Similarity.nearDupPairs(d, 0.9, bands = 1, planesPerBand = 64))
+    intercept[IllegalArgumentException](Similarity.nearDupPairs(d, 0.9, bands = 1, planesPerBand = 0))
+    intercept[IllegalArgumentException](Similarity.nearDupPairs(d, 0.9, bands = 0, planesPerBand = 4))
+  }
+
+  test("graft_hyperplane_keys type-check rejects planesPerBand outside 1..63 at the SQL level") {
+    GraftFunctions.register(spark)
+    val d = vecs(0L -> Seq(1f, 0f))
+    d.createOrReplaceTempView("hk_bounds")
+    val err = intercept[Exception](
+      spark.sql("SELECT graft_hyperplane_keys(embedding, array(array(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE))), 64) FROM hk_bounds").collect())
+    assert(err.getMessage.contains("1..63"))
+  }
+
   test("withBucket uses rank-based bit positions: anchor ids >= 63 don't overflow the bucket") {
     // two orthogonal groups, all ids far above 63 — raw-id bit positions
     // would collapse every plane into Long.MaxValue
