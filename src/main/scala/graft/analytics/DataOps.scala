@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Cols
-import graft.operators.{AsOfJoin, Components, Curation, Multimodal, RangeJoin, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{AsOfJoin, Components, Curation, Multimodal, Passages, RangeJoin, Redaction, Similarity, TextAnalysis, TextDedup}
 
 /** Training-data pipeline query surface: dedup, similarity search, and
   * text analysis over the harness `documents` / `embeddings` tables
@@ -245,6 +245,69 @@ object DataOps {
         array_max(col("winnow_fps")).as("max_fp"))
       .orderBy(col("doc_id").asc)
 
+  /** Gopher-style repetition signals rolled up per language: average
+    * top-bigram fraction and duplicated-bigram fraction — the
+    * boilerplate/spam screen of a curation pipeline. Per-doc fractions
+    * are rounded then decimal-summed so the language averages are
+    * order-independent (identical on any cluster size and in the
+    * oracle). */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val rep = TextAnalysis.ngramRepetition(docs, n = 2)
+    docs.select(col("doc_id"), col("lang"))
+      .join(rep, "doc_id")
+      .select(col("lang"),
+        Cols.r(col("top_ngram_frac"), 6).as("tf"),
+        Cols.r(col("dup_ngram_frac"), 6).as("df"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        Cols.r(Cols.avgExact(col("tf"), 6), 6).as("avg_top_frac"),
+        Cols.r(Cols.avgExact(col("df"), 6), 6).as("avg_dup_frac"))
+      .orderBy(col("lang").asc)
+  }
+
+  /** PII scrub report per language: match counts for the email/phone
+    * rules plus the count of distinct redacted fingerprints. The
+    * harness corpus is PII-free (counts are zero), which is exactly
+    * what the gate should prove — the oracle replays both regexes and
+    * the two-pass replacement, so a false positive on either side
+    * breaks the hash. Real redaction behavior is spec-tested on a
+    * fixture with actual emails/phones (RedactionSpec). */
+  def textRedact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        Redaction.matchCount(col("text"), Redaction.emailPattern).as("ne"),
+        Redaction.matchCount(col("text"), Redaction.phonePattern).as("np"),
+        md5(Redaction.redact(col("text"))).as("rfp"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ne")).as("total_emails"),
+        sum(col("np")).as("total_phones"),
+        sum(when(col("ne") === 0 && col("np") === 0, 1L).otherwise(0L)).as("n_clean"),
+        countDistinct(col("rfp")).as("n_distinct_redacted"))
+      .orderBy(col("lang").asc)
+
+  /** Passage-level (4-word window) exact dedup rolled up per language:
+    * how many passage instances repeat anywhere in the corpus — the
+    * line-dedup signal of CCNet/RefinedWeb-style curation. */
+  def passageDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Passages.withOccurrenceCounts(docs, w = 4)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("total_passages"),
+        sum(when(col("n_occurrences") > 1, 1L).otherwise(0L)).as("dup_passages"))
+      .withColumn("dup_frac",
+        Cols.r(col("dup_passages").cast("double") / col("total_passages").cast("double"), 6))
+      .orderBy(col("lang").asc)
+  }
+
+  /** The most-repeated 4-word passages corpus-wide — boilerplate
+    * candidates for a blocklist. Deterministic top-k: total order on
+    * (occurrences desc, passage asc). */
+  def boilerplateTopk(spark: SparkSession, dir: String): DataFrame =
+    Passages.boilerplateTopK(Tables.documents(spark, dir), w = 4, k = 10)
+
   /** Column profiling — the warehouse QA feature: one row per profiled
     * numeric column with null count, exact distinct count, and rounded
     * min/max, from a single aggregate pass (Spark plans the three
@@ -344,7 +407,76 @@ object DataOps {
        |  JOIN sizes sb ON sb.doc_id = doc_b
        |)""".stripMargin
 
+  /** Shared passage CTEs (w = 4, non-overlapping windows, trailing
+    * partial dropped) — mirrors Passages.withPassages exactly.
+    * DuckDB's generate_series(1, 0) is empty (no descending surprise),
+    * but the CASE keeps the short-doc guard explicit and identical to
+    * the engine's. */
+  private val dkPassages =
+    s"""ptoks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+       |pinst AS (
+       |  SELECT doc_id, lang, unnest(
+       |    CASE WHEN len(t) >= 4 THEN list_transform(generate_series(1, len(t) // 4),
+       |      i -> array_to_string(list_slice(t, (i - 1) * 4 + 1, (i - 1) * 4 + 4), ' '))
+       |    ELSE [] END) AS passage
+       |  FROM ptoks
+       |), pcnt AS (SELECT passage, count(*) AS cnt FROM pinst GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "text_repetition" ->
+      """WITH rtoks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        |rg AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(t) >= 2 THEN list_transform(generate_series(1, len(t) - 1),
+        |      i -> array_to_string(list_slice(t, i, i + 1), ' '))
+        |    ELSE [] END) AS gram
+        |  FROM rtoks
+        |), rc AS (SELECT doc_id, gram, count(*) AS cnt FROM rg GROUP BY 1, 2),
+        |rpd AS (
+        |  SELECT doc_id, sum(cnt) AS n, max(cnt) AS top,
+        |         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup
+        |  FROM rc GROUP BY 1
+        |), rf AS (
+        |  SELECT d.lang,
+        |         floor(CAST(p.top AS DOUBLE) / p.n * 1e6 + 0.5) / 1e6 AS tf,
+        |         floor(CAST(p.dup AS DOUBLE) / p.n * 1e6 + 0.5) / 1e6 AS df
+        |  FROM documents d JOIN rpd p ON d.doc_id = p.doc_id
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |       floor(CAST(sum(CAST(tf AS DECIMAL(30,6))) AS DOUBLE) / count(tf) * 1e6 + 0.5) / 1e6 AS avg_top_frac,
+        |       floor(CAST(sum(CAST(df AS DECIMAL(30,6))) AS DOUBLE) / count(df) * 1e6 + 0.5) / 1e6 AS avg_dup_frac
+        |FROM rf GROUP BY lang
+        |ORDER BY lang ASC""".stripMargin,
+    "text_redact" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(len(regexp_extract_all(text, '${Redaction.emailPattern}'))) AS BIGINT) AS total_emails,
+         |       CAST(sum(len(regexp_extract_all(text, '${Redaction.phonePattern}'))) AS BIGINT) AS total_phones,
+         |       CAST(sum(CASE WHEN len(regexp_extract_all(text, '${Redaction.emailPattern}')) = 0
+         |                      AND len(regexp_extract_all(text, '${Redaction.phonePattern}')) = 0
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+         |       count(DISTINCT md5(regexp_replace(regexp_replace(text,
+         |         '${Redaction.emailPattern}', '<EMAIL>', 'g'),
+         |         '${Redaction.phonePattern}', '<PHONE>', 'g'))) AS n_distinct_redacted
+         |FROM documents
+         |GROUP BY lang
+         |ORDER BY lang ASC""".stripMargin,
+    "passage_dup" ->
+      s"""WITH $dkPassages
+         |SELECT lang, count(*) AS total_passages,
+         |       CAST(sum(CASE WHEN pcnt.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_passages,
+         |       floor(CAST(sum(CASE WHEN pcnt.cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / count(*) * 1e6 + 0.5) / 1e6 AS dup_frac
+         |FROM pinst JOIN pcnt USING (passage)
+         |GROUP BY lang
+         |ORDER BY lang ASC""".stripMargin,
+    "boilerplate_topk" ->
+      s"""WITH $dkPassages
+         |SELECT passage, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+         |FROM pinst
+         |GROUP BY passage
+         |HAVING count(*) >= 2
+         |ORDER BY n_occurrences DESC, passage ASC
+         |LIMIT 10""".stripMargin,
     "dedup_exact" ->
       """SELECT count(*) AS n_docs,
         |       count(DISTINCT fp) AS n_unique,
@@ -707,6 +839,10 @@ object DataOps {
     "sim_topk"          -> (simTopK _),
     "sim_topk_lsh"      -> (simTopKLsh _),
     "sim_topk_ivf"      -> (simTopKIvf _),
+    "text_repetition"   -> (textRepetition _),
+    "text_redact"       -> (textRedact _),
+    "passage_dup"       -> (passageDup _),
+    "boilerplate_topk"  -> (boilerplateTopk _),
     "text_token_stats"  -> (textTokenStats _),
     "text_quality"      -> (textQuality _),
     "text_langid"       -> (textLangId _),

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Passage-level (sub-document) exact dedup — the line/paragraph
+  * dedup step of web-corpus curation (CCNet, RefinedWeb): a document
+  * may be unique as a whole while long spans of it repeat across the
+  * corpus (boilerplate headers, licence blocks, templated copy).
+  * Operates on fixed-width non-overlapping word windows so it applies
+  * to any text (no delimiter assumptions); a newline-delimited corpus
+  * would pass lines through the same occurrence-count plan.
+  *
+  * Scale shape: passages explode to ~|tokens|/w thin rows; the
+  * occurrence count is one partial-aggregable groupBy on the passage
+  * hash, and the join back to instances is an equi-join on the same
+  * key — no all-pairs work anywhere. Joining on the md5 of the
+  * passage (not the string) keeps shuffle rows narrow at 100 TB.
+  */
+object Passages {
+
+  /** One row per passage instance: (idCol, passage_pos, passage,
+    * passage_hash). Windows are w words, stride w; a trailing partial
+    * window is dropped (it can't equal any full window). */
+  def withPassages(docs: DataFrame, w: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(w >= 1, "withPassages needs window width >= 1")
+    val toks = split(col(textCol), " ")
+    val nPass = floor(size(toks).cast("double") / w).cast("int")
+    // guard: sequence(0, k) DESCENDS when k < 0 — an unguarded short
+    // doc would fabricate passages instead of producing none
+    val passArr = when(nPass >= 1,
+      transform(sequence(lit(0), nPass - 1),
+        i => concat_ws(" ", slice(toks, i * w + 1, lit(w)))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(idCol), posexplode(passArr))
+      .withColumnRenamed("pos", "passage_pos")
+      .withColumnRenamed("col", "passage")
+      .withColumn("passage_hash", md5(col("passage")))
+  }
+
+  /** Corpus-wide occurrence count per distinct passage. */
+  def passageCounts(docs: DataFrame, w: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    withPassages(docs, w, idCol, textCol)
+      .groupBy(col("passage_hash"), col("passage"))
+      .agg(count(lit(1)).as("n_occurrences"), countDistinct(col(idCol)).as("n_docs"))
+
+  /** Each passage instance annotated with its corpus-wide occurrence
+    * count — the frame a curation pipeline filters (`n_occurrences
+    * > 1` = the span repeats somewhere) or rewrites documents from. */
+  def withOccurrenceCounts(docs: DataFrame, w: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val occ = withPassages(docs, w, idCol, textCol)
+    val counts = occ.groupBy(col("passage_hash"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    occ.join(counts, "passage_hash")
+  }
+
+  /** The k most repeated passages (≥ minCount occurrences) — the
+    * boilerplate candidates a curation run reviews and blocklists.
+    * Total order (count desc, passage asc) ⇒ deterministic top-k. */
+  def boilerplateTopK(docs: DataFrame, w: Int, k: Int, minCount: Long = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    passageCounts(docs, w, idCol, textCol)
+      .filter(col("n_occurrences") >= minCount)
+      .select(col("passage"), col("n_occurrences"), col("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("passage").asc)
+      .limit(k)
+}

@@ -103,6 +103,46 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(TextDedup.normalized(text))
 
+  /** Per-document n-gram repetition statistics — the Gopher-style
+    * "repetitious document" quality signals (Rae et al. 2021, §A1.1):
+    * the fraction of n-gram instances occupied by the single most
+    * frequent n-gram (`top_ngram_frac`) and the fraction covered by
+    * any n-gram occurring more than once (`dup_ngram_frac`). High
+    * values flag boilerplate/spam for removal before training.
+    *
+    * Relational form — explode n-grams, count per (doc, gram), fold to
+    * per-doc totals: two partial-aggregable shuffles keyed by doc id
+    * (high cardinality, parallelizes at any scale), never a per-row
+    * interpreted map over a whole document. Docs shorter than n tokens
+    * get zero counts and NULL fractions (no n-grams to be repetitious
+    * over). */
+  def ngramRepetition(docs: DataFrame, n: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(n >= 1, "ngramRepetition needs n >= 1")
+    val toks = split(col(textCol), " ")
+    // guard: sequence(1, k) DESCENDS when k < 1 — an unguarded short
+    // doc would produce phantom n-grams instead of none
+    val gramArr = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val grams = docs.select(col(idCol), explode(gramArr).as("gram"))
+    val counts = grams.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
+    val perDoc = counts.groupBy(col(idCol)).agg(
+      sum(col("cnt")).as("n_ngrams"),
+      max(col("cnt")).as("top_ngram_count"),
+      sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_ngram_count"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("top_ngram_count"), lit(0L)).as("top_ngram_count"),
+        coalesce(col("dup_ngram_count"), lit(0L)).as("dup_ngram_count"))
+      .withColumn("top_ngram_frac",
+        col("top_ngram_count").cast("double") / nullif(col("n_ngrams"), lit(0L)).cast("double"))
+      .withColumn("dup_ngram_frac",
+        col("dup_ngram_count").cast("double") / nullif(col("n_ngrams"), lit(0L)).cast("double"))
+  }
+
   /** Relational language-ID — identical output to [[predictedLang]]
     * but as codegen'd joins instead of 5 interpreted filter-lambdas
     * per row: marker lists become a broadcast (word, lang) table,

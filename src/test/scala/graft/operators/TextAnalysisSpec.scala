@@ -19,6 +19,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.select(TextAnalysis.nRegexTokens($"text")).as[Long].collect().toSeq == Seq(4L, 6L))
   }
 
+  test("ngramRepetition: top/dup bigram fractions, short docs get zero counts and NULL fracs") {
+    val df = Seq(
+      (1L, "a b a b a b"),   // bigrams: ab,ba,ab,ba,ab -> 5 total, top 'a b'=3, all 5 duplicated
+      (2L, "x y z w"),       // 3 distinct bigrams, none repeated
+      (3L, "solo")           // < 2 tokens: no bigrams at all
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramRepetition(df, n = 2)
+      .select($"doc_id", $"n_ngrams", $"top_ngram_count", $"dup_ngram_count",
+        $"top_ngram_frac", $"dup_ngram_frac")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    assert(out(0) == ((1L, 5L, 3L, 5L, Some(0.6), Some(1.0))))
+    assert(out(1) == ((2L, 3L, 1L, 0L, Some(1.0 / 3), Some(0.0))))
+    assert(out(2) == ((3L, 0L, 0L, 0L, None, None))) // no phantom grams from sequence(1,0)
+  }
+
   test("stopword and type-token ratios") {
     val df = Seq("the the cat").toDF("text")
     val Seq((sw, ttr)) = df.select(
