@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Cols
-import graft.operators.{AsOfJoin, Components, Curation, Multimodal, Passages, RangeJoin, Redaction, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{AsOfJoin, Components, Curation, Multimodal, Passages, RangeJoin, Redaction, Scd2, Sessionize, Similarity, TextAnalysis, TextDedup}
+import org.apache.spark.sql.expressions.Window
 
 /** Training-data pipeline query surface: dedup, similarity search, and
   * text analysis over the harness `documents` / `embeddings` tables
@@ -128,6 +129,70 @@ object DataOps {
         count(lit(1)).as("n_view_purchase_pairs"),
         countDistinct(col("pid")).as("n_purchases_with_view"))
       .orderBy(col("purchase_date").asc)
+  }
+
+  /** Daily session rollup: 30-minute-gap sessionization per user, then
+    * sessions/events/duration per start date. Duration stays exact µs
+    * integer arithmetic until the final rounded averages. */
+  def sessionizeDaily(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+    Sessionize.sessions(ev, "user_id", "ts", gapSeconds = 1800,
+        tiebreakCols = Seq("event_id"))
+      .groupBy(date_format(col("session_start"), "yyyy-MM-dd").as("session_date"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("total_events"),
+        Cols.r(sum(col("n_events")).cast("double") / count(lit(1)), 6).as("avg_session_events"),
+        Cols.r(sum(col("duration_us")).cast("double") / count(lit(1)) / 1e6, 6).as("avg_duration_sec"))
+      .orderBy(col("session_date").asc)
+  }
+
+  /** SCD2 dimension history for a changing user attribute (the props
+    * JSON `k` bucketed into tiers): full version rows with half-open
+    * validity intervals, no-change versions collapsed. Limited to
+    * user_id < 10 to keep the dump bounded; the operator itself is
+    * scale-free (one keyed window). */
+  def scd2UserVersions(spark: SparkSession, dir: String): DataFrame = {
+    val changes = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull && col("user_id") < 10)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("tier", expr("k div 10"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("tier"))
+    Scd2.fromChangeLog(changes, Seq("user_id"), "ts", Seq("tier"),
+        tiebreakCols = Seq("event_id"))
+      .select(col("user_id"), col("event_id").as("version_event"), col("tier"),
+        date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
+        date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"),
+        col("is_current"))
+      .orderBy(col("user_id").asc, col("valid_from").asc, col("version_event").asc)
+  }
+
+  /** Ordered conversion funnel view → click → purchase per user: each
+    * stage's first instant must not precede the previous stage's. Three
+    * chained min-over-key windows — one shuffle on user_id, then a
+    * two-level aggregate; never a self-join per stage. */
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val wU = Window.partitionBy(col("user_id"))
+    val staged = base
+      .withColumn("fv", min(when(col("event_type") === "view", col("ts"))).over(wU))
+      .withColumn("fc", min(when(col("event_type") === "click" && col("ts") >= col("fv"),
+        col("ts"))).over(wU))
+      .withColumn("fp", min(when(col("event_type") === "purchase" && col("ts") >= col("fc"),
+        col("ts"))).over(wU))
+    staged.groupBy(col("user_id"))
+      .agg(max(col("fv")).as("fv"), max(col("fc")).as("fc"), max(col("fp")).as("fp"))
+      .agg(count(lit(1)).as("n_users"),
+        count(col("fv")).as("n_viewed"),
+        count(col("fc")).as("n_clicked_after_view"),
+        count(col("fp")).as("n_purchased_after_click"),
+        Cols.r(count(col("fc")).cast("double") /
+          nullif(count(col("fv")), lit(0L)).cast("double"), 6).as("click_through_rate"),
+        Cols.r(count(col("fp")).cast("double") /
+          nullif(count(col("fc")), lit(0L)).cast("double"), 6).as("purchase_rate"))
   }
 
   // ---- corpus curation -------------------------------------------------
@@ -423,6 +488,87 @@ object DataOps {
        |), pcnt AS (SELECT passage, count(*) AS cnt FROM pinst GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sessionize_daily" ->
+      """WITH sess_ev AS (
+        |  SELECT user_id, ts, event_id FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |), flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |              THEN 1 ELSE 0 END AS boundary
+        |  FROM sess_ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), seqs AS (
+        |  SELECT user_id, ts,
+        |         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged
+        |), sess AS (
+        |  SELECT user_id, session_seq,
+        |         min(ts) AS session_start,
+        |         count(*) AS n_events,
+        |         epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        |  FROM seqs GROUP BY 1, 2
+        |)
+        |SELECT strftime(session_start, '%Y-%m-%d') AS session_date,
+        |       count(*) AS n_sessions,
+        |       CAST(sum(n_events) AS BIGINT) AS total_events,
+        |       floor(CAST(sum(n_events) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS avg_session_events,
+        |       floor(CAST(sum(duration_us) AS DOUBLE) / count(*) / 1e6 * 1e6 + 0.5) / 1e6 AS avg_duration_sec
+        |FROM sess GROUP BY 1
+        |ORDER BY session_date ASC""".stripMargin,
+    "scd2_user_versions" ->
+      """WITH chg AS (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS tier
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND user_id < 10
+        |), flagged AS (
+        |  SELECT user_id, ts, event_id, tier,
+        |         row_number() OVER w AS rn,
+        |         lag(tier) OVER w AS prev_tier
+        |  FROM chg
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), collapsed AS (
+        |  SELECT user_id, ts, event_id, tier FROM flagged
+        |  WHERE rn = 1 OR tier IS DISTINCT FROM prev_tier
+        |), versions AS (
+        |  SELECT user_id, ts AS vf, event_id, tier,
+        |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS vt
+        |  FROM collapsed
+        |)
+        |SELECT user_id, event_id AS version_event, tier,
+        |       strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        |       strftime(vt, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+        |       vt IS NULL AS is_current
+        |FROM versions
+        |ORDER BY user_id ASC, valid_from ASC, version_event ASC""".stripMargin,
+    "funnel_stages" ->
+      """WITH base AS (
+        |  SELECT user_id, ts, event_type FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IN ('view', 'click', 'purchase')
+        |), s1 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+        |              OVER (PARTITION BY user_id) AS fv FROM base
+        |), s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts >= fv THEN ts END)
+        |              OVER (PARTITION BY user_id) AS fc FROM s1
+        |), s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= fc THEN ts END)
+        |              OVER (PARTITION BY user_id) AS fp FROM s2
+        |), per_user AS (
+        |  SELECT user_id, max(fv) AS fv, max(fc) AS fc, max(fp) AS fp
+        |  FROM s3 GROUP BY 1
+        |)
+        |SELECT count(*) AS n_users,
+        |       count(fv) AS n_viewed,
+        |       count(fc) AS n_clicked_after_view,
+        |       count(fp) AS n_purchased_after_click,
+        |       floor(CAST(count(fc) AS DOUBLE) / nullif(count(fv), 0) * 1e6 + 0.5) / 1e6 AS click_through_rate,
+        |       floor(CAST(count(fp) AS DOUBLE) / nullif(count(fc), 0) * 1e6 + 0.5) / 1e6 AS purchase_rate
+        |FROM per_user""".stripMargin,
     "text_repetition" ->
       """WITH rtoks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
         |rg AS (
@@ -839,6 +985,9 @@ object DataOps {
     "sim_topk"          -> (simTopK _),
     "sim_topk_lsh"      -> (simTopKLsh _),
     "sim_topk_ivf"      -> (simTopKIvf _),
+    "sessionize_daily"  -> (sessionizeDaily _),
+    "scd2_user_versions" -> (scd2UserVersions _),
+    "funnel_stages"     -> (funnelStages _),
     "text_repetition"   -> (textRepetition _),
     "text_redact"       -> (textRedact _),
     "passage_dup"       -> (passageDup _),

@@ -105,6 +105,21 @@ class PlanSpec extends SparkSpec {
     assert(!scan.contains("lang")) // fingerprint needs doc_id + text only
   }
 
+  test("curation text ops stay relational: no cartesian/nested-loop, redaction is map-side") {
+    // repetition + passage dedup: every join is an equi-join
+    val pRep = plan(graft.analytics.DataOps.textRepetition(spark, dir))
+    assert(!pRep.contains("BroadcastNestedLoopJoin") && !pRep.contains("CartesianProduct"))
+    val pPass = plan(graft.analytics.DataOps.passageDup(spark, dir))
+    assert(!pPass.contains("BroadcastNestedLoopJoin") && !pPass.contains("CartesianProduct"))
+    // boilerplate top-k cuts with TakeOrderedAndProject, not a global sort
+    assert(plan(graft.analytics.DataOps.boilerplateTopk(spark, dir))
+      .contains("TakeOrderedAndProject"))
+    // the scrub itself is a projection: the only exchange in text_redact
+    // feeds the per-language rollup, nothing shuffles full documents
+    val pRed = plan(graft.analytics.DataOps.textRedact(spark, dir))
+    assert(!pRed.contains("Join"))
+  }
+
   test("global stats never use a global window: q3/u2 plan a 1-row aggregate + broadcast") {
     val p3 = plan(Queries.q3ZScoreOutliers(spark, dir))
     assert(!p3.contains("Window") && p3.contains("BroadcastNestedLoopJoin"))
