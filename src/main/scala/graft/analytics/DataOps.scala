@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Cols
-import graft.operators.{AsOfJoin, Components, Curation, Multimodal, Passages, RangeJoin, Redaction, Scd2, Sessionize, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{AsOfJoin, Components, Curation, KMeans, Multimodal, Passages, RangeJoin, Redaction, Scd2, Sessionize, Similarity, TextAnalysis, TextDedup}
 import org.apache.spark.sql.expressions.Window
 
 /** Training-data pipeline query surface: dedup, similarity search, and
@@ -260,6 +260,23 @@ object DataOps {
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 
+  /** Lloyd's k-means (k = 8, 2 iterations) over the embeddings, then
+    * the final cell census with the average member-to-centroid cosine.
+    * The oracle unrolls both iterations as CTE blocks — every FP step
+    * (quantized coordinate sums, fold-ordered dots, tie-broken argmax)
+    * replays exactly, so the hash gate checks the whole training loop,
+    * not just the last projection. */
+  def kmeansCells(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = KMeans.fit(emb, k = 8, nIter = 2)
+    KMeans.assignCells(emb, cents)
+      .select(col("cell").cast("long").as("cell"), Cols.r(col("cell_cos"), 6).as("rcos"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        Cols.r(Cols.avgExact(col("rcos"), 6), 6).as("avg_cos"))
+      .orderBy(col("cell").asc)
+  }
+
   // ---- text analysis ---------------------------------------------------
 
   def textTokenStats(spark: SparkSession, dir: String): DataFrame = {
@@ -487,7 +504,48 @@ object DataOps {
        |  FROM ptoks
        |), pcnt AS (SELECT passage, count(*) AS cnt FROM pinst GROUP BY 1)""".stripMargin
 
+  /** One unrolled Lloyd iteration as CTEs: assign against c<i-1>,
+    * quantized per-dim sums, means → c<i>. Mirrors KMeans.assignCells
+    * (tie-break: lowest cell) + meanUpdate (1e-9 grid, exact int64). */
+  private def dkKmeansIter(i: Int): String = {
+    val prev = s"c${i - 1}"
+    s"""a$i AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${dkCosRaw("e.embedding", "c.c")} DESC, c.cell ASC) AS rn
+       |    FROM embeddings e CROSS JOIN $prev c) WHERE rn = 1
+       |), m$i AS (
+       |  SELECT cell, u.pos AS pos, sum(u.q) AS sq, count(*) AS n FROM (
+       |    SELECT cell, unnest(list_transform(generate_series(1, len(embedding)),
+       |      j -> struct_pack(pos := j,
+       |             q := CAST(floor(CAST(embedding[j] AS DOUBLE) * 1e9 + 0.5) AS BIGINT)))) AS u
+       |    FROM a$i)
+       |  GROUP BY 1, 2
+       |), c$i AS (
+       |  SELECT cell, list((CAST(sq AS DOUBLE) / n) / 1e9 ORDER BY pos ASC) AS c
+       |  FROM m$i GROUP BY cell
+       |)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "kmeans_cells" ->
+      s"""WITH c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, embedding AS c
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 8)
+         |), ${dkKmeansIter(1)}, ${dkKmeansIter(2)},
+         |final_assign AS (
+         |  SELECT cell, cos FROM (
+         |    SELECT e.vec_id, c.cell, ${dkCosRaw("e.embedding", "c.c")} AS cos,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${dkCosRaw("e.embedding", "c.c")} DESC, c.cell ASC) AS rn
+         |    FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1
+         |)
+         |SELECT cell, count(*) AS n_vectors,
+         |       floor(CAST(sum(CAST(floor(cos * 1e6 + 0.5) / 1e6 AS DECIMAL(30,6))) AS DOUBLE)
+         |             / count(*) * 1e6 + 0.5) / 1e6 AS avg_cos
+         |FROM final_assign GROUP BY cell
+         |ORDER BY cell ASC""".stripMargin,
     "sessionize_daily" ->
       """WITH sess_ev AS (
         |  SELECT user_id, ts, event_id FROM events
@@ -982,6 +1040,7 @@ object DataOps {
     "dedup_keep"        -> (dedupKeep _),
     "mix_budget"        -> (mixBudget _),
     "sample_strata"     -> (sampleStrata _),
+    "kmeans_cells"      -> (kmeansCells _),
     "sim_topk"          -> (simTopK _),
     "sim_topk_lsh"      -> (simTopKLsh _),
     "sim_topk_ivf"      -> (simTopKIvf _),
