@@ -277,6 +277,17 @@ object DataOps {
       .orderBy(col("cell").asc)
   }
 
+  /** IVF search over TRAINED cells: the k-means centroids feed the
+    * probe index end-to-end — train (2 Lloyd iterations), bucket the
+    * corpus, probe each query's 2 nearest cells, exact-score members.
+    * The oracle replays training AND search. */
+  def simTopKIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = KMeans.fit(emb, k = 8, nIter = 2)
+    Similarity.ivfTopKTrained(emb, emb.filter(col("vec_id") < 10), cents, k = 3, nProbe = 2)
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
   // ---- text analysis ---------------------------------------------------
 
   def textTokenStats(spark: SparkSession, dir: String): DataFrame = {
@@ -546,6 +557,36 @@ object DataOps {
          |             / count(*) * 1e6 + 0.5) / 1e6 AS avg_cos
          |FROM final_assign GROUP BY cell
          |ORDER BY cell ASC""".stripMargin,
+    "sim_topk_ivf_kmeans" ->
+      s"""WITH c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, embedding AS c
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 8)
+         |), ${dkKmeansIter(1)}, ${dkKmeansIter(2)},
+         |kc_assign AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${dkCosRaw("e.embedding", "c.c")} DESC, c.cell ASC) AS rn
+         |    FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1
+         |), kq_assign AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${dkCosRaw("e.embedding", "c.c")} DESC, c.cell ASC) AS rn
+         |    FROM embeddings e CROSS JOIN c2 c
+         |    WHERE e.vec_id < 10) WHERE rn <= 2
+         |), kscored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${dkCos("q.embedding", "c.embedding")} AS cos
+         |  FROM kq_assign q JOIN kc_assign c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+         |), kranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM kscored
+         |)
+         |SELECT query_id, rank, neighbor_id, cos FROM kranked
+         |WHERE rank <= 3
+         |ORDER BY query_id ASC, rank ASC""".stripMargin,
     "sessionize_daily" ->
       """WITH sess_ev AS (
         |  SELECT user_id, ts, event_id FROM events
@@ -1041,6 +1082,7 @@ object DataOps {
     "mix_budget"        -> (mixBudget _),
     "sample_strata"     -> (sampleStrata _),
     "kmeans_cells"      -> (kmeansCells _),
+    "sim_topk_ivf_kmeans" -> (simTopKIvfKmeans _),
     "sim_topk"          -> (simTopK _),
     "sim_topk_lsh"      -> (simTopKLsh _),
     "sim_topk_ivf"      -> (simTopKIvf _),

@@ -46,15 +46,19 @@ object Components {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // LAZY checkpoints: the changed-rows count below materializes the
+    // round's checkpoint inside the SAME job, so each round costs one
+    // job submission instead of two (materialize + count) — the job
+    // count, not the joins, dominates on a loaded scheduler
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // the frame whose checkpoint blocks back `labels` — unpersisted as
     // soon as the NEXT round's checkpoint is materialized, so block
     // -manager usage stays O(1) in rounds instead of O(maxIter)
     var current = labels
     var iter = 0
-    var done = labels.isEmpty
+    var done = false
     while (!done && iter < maxIter) {
       // (1) min label among neighbors, folded with the node's own label
       val nbrMin = sym
@@ -74,7 +78,9 @@ object Components {
         .join(propagated.select(col("id").as("jid"), col("comp").as("jcomp")),
           col("comp") === col("jid"), "left")
         .select(col("id"), coalesce(col("jcomp"), col("comp")).as("comp"), col("old_comp"))
-        .localCheckpoint() // eager: materializes before the line below
+        .localCheckpoint(eager = false)
+      // ONE action: counts changed labels AND caches the checkpoint
+      // blocks every later round (and the caller) will read
       val changed = next.filter(col("comp") =!= col("old_comp")).count()
       // blocking: the next round starts against released blocks, not a
       // backlog of async drops the block manager hasn't processed yet

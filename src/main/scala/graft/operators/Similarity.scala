@@ -192,6 +192,45 @@ object Similarity {
       // vectors live in exactly one cell), so no dedup is needed
   }
 
+  /** IVF top-k with TRAINED centroids ([[KMeans.fit]]) instead of the
+    * first-n seed cells of [[ivfTopK]]: both sides assign map-side
+    * against the literal centroid set (corpus → its single nearest
+    * cell via [[KMeans.assignCells]]; queries → their `nProbe` nearest
+    * cells via a sorted array-of-structs slice — still no join, no
+    * window, no shuffle for cell assignment). The only shuffle-bearing
+    * step is the bucket probe equi-join itself. Cell population tracks
+    * data density because the centroids were trained on it — the
+    * recall/compute knob IVF is chosen for. */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame,
+      centroids: Seq[(Int, Array[Double])], k: Int, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    require(centroids.nonEmpty && nProbe > 0, "ivfTopKTrained needs centroids and nProbe > 0")
+    val cB = KMeans.assignCells(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        col("cell"), norm(col(vecCol)).as("c_norm"))
+    val v = col(vecCol)
+    val scoredCells = array(centroids.map { case (cid, c) =>
+      val cl = typedLit(c.toSeq)
+      struct((GraftFunctions.dot(v, cl) / (norm(v) * sqrt(GraftFunctions.dot(cl, cl)))).as("cos"),
+        lit(-cid).as("negcell"))
+    }: _*)
+    // sort desc on (cos, -cell): max cosine first, ties to the LOWEST
+    // cell id — same total order as the assignment argmax
+    val qB = queries.select(col(idCol).as("query_id"), v.as("q_vec"), norm(v).as("q_norm"),
+        explode(slice(sort_array(scoredCells, asc = false), 1, nProbe)).as("sc"))
+      .select(col("query_id"), col("q_vec"), col("q_norm"), (-col("sc.negcell")).as("cell"))
+    val scored = cB.join(broadcast(qB), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", floor(
+        cosinePre(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")) * 1e6 + 0.5) / 1e6)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** Shared verification tail: join candidate (vec_a, vec_b) id pairs
     * back to their vectors and keep those with cosine ≥ threshold.
     * Norms are precomputed once per side (bit-identical to the

@@ -16,23 +16,50 @@ import org.apache.spark.sql.DataFrame
 object LayerWriter {
 
   /** Write a fact table partitioned by `dateCol` (hive-style layout →
-    * partition pruning on read). `maxRecordsPerFile` bounds file size
-    * so a skewed date cannot produce one giant file. `format`:
-    * parquet (default) or orc — both columnar with pushdown/pruning;
-    * csv/json for interchange exports. */
+    * partition pruning on read). The frame is repartitioned ON the
+    * partition column first, so each task owns whole dates and the
+    * layout gets O(dates) files instead of O(tasks × dates) — without
+    * this, every upstream task writes a sliver of every date it
+    * touches and the commit protocol drowns in small files (the
+    * classic partitioned-write anti-pattern at 100 TB).
+    * `maxRecordsPerFile` bounds file size so a skewed date still
+    * splits rather than producing one giant file. `format`: parquet
+    * (default) or orc — both columnar with pushdown/pruning; csv/json
+    * for interchange exports. */
   def writeFact(df: DataFrame, path: String, dateCol: String,
-      maxRecordsPerFile: Long = 5000000L, format: String = "parquet"): Unit =
-    df.write
+      maxRecordsPerFile: Long = 5000000L, format: String = "parquet"): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartition(col(dateCol))
+      .write
       .mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(dateCol)
       .format(format)
       .save(path)
+  }
 
   /** Write a dimension table compacted to few files (broadcast-friendly). */
   def writeDim(df: DataFrame, path: String, files: Int = 1,
       format: String = "parquet"): Unit =
     df.coalesce(files).write.mode("overwrite").format(format).save(path)
+
+  /** Write a table bucketed (and optionally sorted) on the join key —
+    * the co-located-join layout: two tables bucketed on the same key
+    * into the same bucket count join with NO shuffle exchange on
+    * either side (and no sort, when sorted), because Catalyst treats
+    * the bucket layout as a pre-existing hash partitioning. At 100 TB
+    * this is how repeatedly-joined fact/fact pairs (events ⋈ users,
+    * clicks ⋈ impressions) avoid re-shuffling petabytes on every run:
+    * pay the shuffle once at write time, join for free forever after.
+    * Bucketed layouts need table metadata, hence `saveAsTable` (the
+    * session catalog) rather than a bare path. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int,
+      sortCols: Seq[String] = Nil, format: String = "parquet"): Unit = {
+    require(buckets > 0, "writeBucketed needs a positive bucket count")
+    val w = df.write.mode("overwrite").format(format).bucketBy(buckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 
   /** Append one load batch into an existing partitioned fact —
     * dynamic partition overwrite of ONLY the batch's dates, so a

@@ -145,6 +145,23 @@ class SimilaritySpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("ivfTopKTrained: probing every trained cell reproduces brute-force exactly") {
+    val rng = new scala.util.Random(29)
+    val d = vecs((0L until 40L).map(i =>
+      i -> Seq.fill(8)(rng.nextFloat() * 2 - 1)): _*)
+    val q = d.filter($"vec_id" < 4)
+    val cents = KMeans.fit(d, k = 4, nIter = 2)
+    val exact = Similarity.bruteForceTopK(d, q, k = 3)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val trained = Similarity.ivfTopKTrained(d, q, cents, k = 3, nProbe = cents.size)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(trained == exact) // all cells probed = no candidate ever missed
+    // and a 1-probe search returns a (possibly shorter) subset per query
+    val oneProbe = Similarity.ivfTopKTrained(d, q, cents, k = 3, nProbe = 1)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(oneProbe.nonEmpty)
+  }
+
   test("nearDupPairs rejects out-of-range planesPerBand instead of wrapping bit positions") {
     val d = vecs(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f))
     intercept[IllegalArgumentException](Similarity.nearDupPairs(d, 0.9, bands = 1, planesPerBand = 64))

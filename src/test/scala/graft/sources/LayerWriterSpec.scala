@@ -48,4 +48,37 @@ class LayerWriterSpec extends SparkSpec {
     assert(files == 1)
     assert(spark.read.parquet(dir).count() == 2)
   }
+
+  test("writeFact repartitions on the date: one writer owns each date (O(dates) files)") {
+    val dir = Files.createTempDirectory("factfiles").toString + "/t"
+    // many input partitions, two dates — without the internal
+    // repartition every input partition would write both dates
+    val df = spark.range(0, 400, 1, 8)
+      .selectExpr("id", "CASE WHEN id % 2 = 0 THEN '2024-01-01' ELSE '2024-01-02' END AS d")
+    LayerWriter.writeFact(df, dir, "d")
+    Seq("2024-01-01", "2024-01-02").foreach { d =>
+      val files = new java.io.File(s"$dir/d=$d").list().count(_.endsWith(".parquet"))
+      assert(files == 1, s"date $d has $files files, expected 1")
+    }
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange on either side") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1) // force the merge-join path
+    try {
+      val facts = spark.range(0, 1000).selectExpr("id % 50 AS user_id", "id AS v")
+      val dims = spark.range(0, 50).selectExpr("id AS user_id", "id * 2 AS w")
+      LayerWriter.writeBucketed(facts, "b_facts", "user_id", 8, Seq("user_id"))
+      LayerWriter.writeBucketed(dims, "b_dims", "user_id", 8, Seq("user_id"))
+      val joined = spark.table("b_facts").join(spark.table("b_dims"), "user_id")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"))
+      assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+      assert(joined.count() == 1000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_facts")
+      spark.sql("DROP TABLE IF EXISTS b_dims")
+    }
+  }
 }
