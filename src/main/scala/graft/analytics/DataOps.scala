@@ -594,7 +594,7 @@ object DataOps {
         |), flagged AS (
         |  SELECT user_id, ts, event_id,
         |         CASE WHEN lag(ts) OVER w IS NULL
-        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
         |              THEN 1 ELSE 0 END AS boundary
         |  FROM sess_ev
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)

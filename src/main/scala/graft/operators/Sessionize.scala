@@ -24,7 +24,12 @@ object Sessionize {
 
   /** Events plus `session_seq` (1-based per key) and `session_id`
     * (`<key>-<seq>`). A new session starts when the gap to the key's
-    * previous event STRICTLY exceeds `gapSeconds`. */
+    * previous event reaches `gapSeconds` — i.e. an event extends the
+    * session only while it falls INSIDE the half-open window
+    * `[session start, last event + gap)`, exactly Spark's
+    * `session_window` convention, so batch backfill and the streaming
+    * path ([[graft.streaming.Streams.userSessions]]) cut sessions at
+    * identical instants (parity-spec-tested). */
   def withSessionIds(events: DataFrame, keyCol: String, tsCol: String,
       gapSeconds: Long, tiebreakCols: Seq[String] = Nil): DataFrame = {
     require(gapSeconds > 0, "sessionization needs a positive gap")
@@ -32,7 +37,7 @@ object Sessionize {
     val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
     val prevTs = lag(col(tsCol), 1).over(w)
     val boundary = when(prevTs.isNull ||
-      (unix_micros(col(tsCol)) - unix_micros(prevTs)) > gapSeconds * 1000000L, 1L)
+      (unix_micros(col(tsCol)) - unix_micros(prevTs)) >= gapSeconds * 1000000L, 1L)
       .otherwise(0L)
     events
       .withColumn("session_seq",
