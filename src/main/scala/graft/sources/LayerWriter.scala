@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
 
 /** Persistence layer for the medallion tables (SURVEY.md §2.1 S13,
   * §7.5 scale posture).
@@ -42,6 +44,43 @@ object LayerWriter {
   def writeDim(df: DataFrame, path: String, files: Int = 1,
       format: String = "parquet"): Unit =
     df.coalesce(files).write.mode("overwrite").format(format).save(path)
+
+  /** Compact a partitioned fact layout back to O(dates) files — the
+    * maintenance job every incremental pipeline needs: repeated
+    * append/dynamic-overwrite batches accumulate small files per
+    * partition until scan task counts (and namenode/object-store
+    * metadata) dominate query cost. Reads the layout, repartitions on
+    * the partition column, writes to a temp sibling and swaps — never
+    * overwriting the directory it is still reading (Spark would
+    * corrupt its own input). Returns (files before, files after).
+    * Crash-safe like [[graft.operators.Upsert.mergeIntoPath]]: at
+    * worst the previous layout survives at `.old-compact`. */
+  def compactFact(spark: SparkSession, path: String, dateCol: String,
+      maxRecordsPerFile: Long = 5000000L): (Long, Long) = {
+    val tgt = Paths.get(path)
+    val tmp = Paths.get(path + ".tmp-compact")
+    val old = Paths.get(path + ".old-compact")
+    if (!Files.exists(tgt) && Files.exists(old))
+      Files.move(old, tgt, StandardCopyOption.ATOMIC_MOVE)
+    val before = dataFileCount(tgt)
+    deleteRecursively(tmp)
+    writeFact(spark.read.parquet(path), tmp.toString, dateCol, maxRecordsPerFile)
+    deleteRecursively(old)
+    Files.move(tgt, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, tgt, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
+    (before, dataFileCount(tgt))
+  }
+
+  private def dataFileCount(p: Path): Long = {
+    val s = Files.walk(p)
+    try s.filter(f => f.getFileName.toString.endsWith(".parquet")).count()
+    finally s.close()
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
 
   /** Write a table bucketed (and optionally sorted) on the join key —
     * the co-located-join layout: two tables bucketed on the same key

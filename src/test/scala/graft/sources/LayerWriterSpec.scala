@@ -62,6 +62,24 @@ class LayerWriterSpec extends SparkSpec {
     }
   }
 
+  test("compactFact collapses accumulated small files to one per date, rows intact") {
+    val dir = Files.createTempDirectory("compact").toString + "/t"
+    // three append batches × several writer partitions = many small files
+    (1 to 3).foreach { b =>
+      spark.range(b * 100, b * 100 + 60, 1, 4)
+        .selectExpr("id", "CASE WHEN id % 2 = 0 THEN '2024-01-01' ELSE '2024-01-02' END AS d")
+        .write.mode("append").partitionBy("d").parquet(dir)
+    }
+    val rowsBefore = spark.read.parquet(dir).count()
+    val (before, after) = LayerWriter.compactFact(spark, dir, "d")
+    assert(before > 2 && after == 2, s"expected 2 compacted files, got $before -> $after")
+    assert(spark.read.parquet(dir).count() == rowsBefore)
+    // layout still prunes partitions after the rewrite
+    val scan = spark.read.parquet(dir).filter($"d" === "2024-01-01")
+      .queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters"))
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange on either side") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1) // force the merge-join path
