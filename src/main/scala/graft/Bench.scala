@@ -37,8 +37,11 @@ object Bench {
     // no per-query row counts (r01/r02 both failed to parse because the
     // full-precision line outgrew the tail window). The full-detail
     // variant (exact timings, rows, failures) goes to the out file.
-    def ms3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the default-locale formatter would print "1,235" on
+    // comma-decimal JVMs — malformed JSON on the machine-parsed line.
+    def ms3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v, _) => s"\"$k\":${ms3(v)}" }.mkString("{", ",", "}")
+    val qsFull = results.map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val rowsJson = results.map { case (k, _, r) => s"\"$k\":$r" }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, -1L) => s"\"$k\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -46,7 +49,7 @@ object Bench {
     val compact =
       s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"sf":$sfNum}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rowsJson,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"rows":$rowsJson,"failed":$failed,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), full + "\n")
     spark.stop()
     // last stdout line, after Spark shutdown noise

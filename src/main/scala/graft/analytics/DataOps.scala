@@ -685,7 +685,10 @@ object DataOps {
         |  SELECT d.lang,
         |         floor(CAST(p.top AS DOUBLE) / p.n * 1e6 + 0.5) / 1e6 AS tf,
         |         floor(CAST(p.dup AS DOUBLE) / p.n * 1e6 + 0.5) / 1e6 AS df
-        |  FROM documents d JOIN rpd p ON d.doc_id = p.doc_id
+        |  -- LEFT join: docs shorter than n tokens still count in n_docs
+        |  -- (their fracs are NULL and drop out of the averages), exactly
+        |  -- like the engine's left join against ngramRepetition
+        |  FROM documents d LEFT JOIN rpd p ON d.doc_id = p.doc_id
         |)
         |SELECT lang, count(*) AS n_docs,
         |       floor(CAST(sum(CAST(tf AS DECIMAL(30,6))) AS DOUBLE) / count(tf) * 1e6 + 0.5) / 1e6 AS avg_top_frac,

@@ -51,7 +51,10 @@ case class HyperplaneKeys(first: Expression, second: Expression, third: Expressi
           // the shift silently (colliding keys, recall loss), 0 or
           // negative would divide-by-zero in the band count — reject
           // both here so SQL-level callers get a type-check error, not
-          // wrong candidates
+          // wrong candidates. NULL would unbox to 0 at eval time: same
+          // divide-by-zero, so reject it here too.
+          case null => TypeCheckResult.TypeCheckFailure(
+            "graft_hyperplane_keys expects a non-NULL planesPerBand in 1..63")
           case r: Int if r < 1 || r > 63 => TypeCheckResult.TypeCheckFailure(
             s"graft_hyperplane_keys expects planesPerBand in 1..63, got $r")
           case _ => TypeCheckResult.TypeCheckSuccess

@@ -114,6 +114,24 @@ object Similarity {
         .getItem(0).as("bucket"))
   }
 
+  /** Shared probe tail for every bucketed ANN path ([[lshTopK]],
+    * [[ivfTopK]], [[ivfTopKTrained]]): equi-join the bucketed corpus
+    * against the broadcast bucketed queries, score candidates with the
+    * precomputed-norm cosine on the 1e-6 grid, rank per query
+    * (ties → lowest neighbor id), keep k. One definition so the
+    * rounding grid and tie-break order cannot drift between paths. */
+  private def probeAndRank(cB: DataFrame, qB: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val scored = cB.join(broadcast(qB), keyCol)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", floor(
+        cosinePre(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")) * 1e6 + 0.5) / 1e6)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** LSH-bucketed approximate top-k: score only corpus vectors in the
     * query's bucket. Equi-join on bucket ⇒ shuffle-partitionable; no
     * all-pairs scan. Recall depends on nPlanes (fewer planes = bigger
@@ -130,15 +148,7 @@ object Similarity {
     val qB = withBucketPlanes(queries, planes, idCol, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("bucket"),
         norm(col(vecCol)).as("q_norm"))
-    val scored = cB.join(broadcast(qB), "bucket")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", floor(
-        cosinePre(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")) * 1e6 + 0.5) / 1e6)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    probeAndRank(cB, qB, "bucket", k)
   }
 
   /** IVF cell assignment: each vector goes to its nearest (max
@@ -178,18 +188,10 @@ object Similarity {
     val qCells = withIvfCell(queries, corpus, nCentroids, nProbe, idCol, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("cell"),
         norm(col(vecCol)).as("q_norm"))
-    val scored = cCells.join(broadcast(qCells), "cell")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", floor(
-        cosinePre(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")) * 1e6 + 0.5) / 1e6)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
-      // a query probing multiple cells can meet the same neighbor once
-      // per cell only if assignments overlapped — they cannot (corpus
-      // vectors live in exactly one cell), so no dedup is needed
+    // a query probing multiple cells can meet the same neighbor once
+    // per cell only if assignments overlapped — they cannot (corpus
+    // vectors live in exactly one cell), so no dedup is needed
+    probeAndRank(cCells, qCells, "cell", k)
   }
 
   /** IVF top-k with TRAINED centroids ([[KMeans.fit]]) instead of the
@@ -220,15 +222,7 @@ object Similarity {
     val qB = queries.select(col(idCol).as("query_id"), v.as("q_vec"), norm(v).as("q_norm"),
         explode(slice(sort_array(scoredCells, asc = false), 1, nProbe)).as("sc"))
       .select(col("query_id"), col("q_vec"), col("q_norm"), (-col("sc.negcell")).as("cell"))
-    val scored = cB.join(broadcast(qB), "cell")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", floor(
-        cosinePre(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")) * 1e6 + 0.5) / 1e6)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    probeAndRank(cB, qB, "cell", k)
   }
 
   /** Shared verification tail: join candidate (vec_a, vec_b) id pairs

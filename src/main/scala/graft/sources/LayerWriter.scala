@@ -18,27 +18,29 @@ import java.util.Comparator
 object LayerWriter {
 
   /** Write a fact table partitioned by `dateCol` (hive-style layout →
-    * partition pruning on read). The frame is repartitioned ON the
-    * partition column first, so each task owns whole dates and the
-    * layout gets O(dates) files instead of O(tasks × dates) — without
-    * this, every upstream task writes a sliver of every date it
-    * touches and the commit protocol drowns in small files (the
-    * classic partitioned-write anti-pattern at 100 TB).
-    * `maxRecordsPerFile` bounds file size so a skewed date still
-    * splits rather than producing one giant file. `format`: parquet
-    * (default) or orc — both columnar with pushdown/pruning; csv/json
-    * for interchange exports. */
+    * partition pruning on read). The frame is REBALANCED on the
+    * partition column first (AQE `RebalancePartitions`): writer tasks
+    * own whole dates, so the layout gets O(dates) files instead of
+    * O(tasks × dates) — without this, every upstream task writes a
+    * sliver of every date it touches and the commit protocol drowns
+    * in small files (the classic partitioned-write anti-pattern at
+    * 100 TB). Rebalance (not plain repartition) keeps BOTH failure
+    * modes bounded: AQE merges small dates into shared writer tasks
+    * AND splits a hot date across several tasks at the advisory
+    * partition size, so a date holding 10% of a 100 TB fact still
+    * writes in parallel as right-sized files. `maxRecordsPerFile`
+    * additionally bounds rows per file. `format`: parquet (default)
+    * or orc — both columnar with pushdown/pruning; csv/json for
+    * interchange exports. */
   def writeFact(df: DataFrame, path: String, dateCol: String,
-      maxRecordsPerFile: Long = 5000000L, format: String = "parquet"): Unit = {
-    import org.apache.spark.sql.functions.col
-    df.repartition(col(dateCol))
+      maxRecordsPerFile: Long = 5000000L, format: String = "parquet"): Unit =
+    df.hint("rebalance", dateCol)
       .write
       .mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(dateCol)
       .format(format)
       .save(path)
-  }
 
   /** Write a dimension table compacted to few files (broadcast-friendly). */
   def writeDim(df: DataFrame, path: String, files: Int = 1,

@@ -81,22 +81,37 @@ class LayerWriterSpec extends SparkSpec {
   }
 
   test("bucketed tables co-locate the join: no shuffle exchange on either side") {
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1) // force the merge-join path
+    // dedicated child session: conf changes (broadcast threshold) must
+    // not leak into plan-assertion tests running in parallel suites
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", -1) // force the merge-join path
     try {
-      val facts = spark.range(0, 1000).selectExpr("id % 50 AS user_id", "id AS v")
-      val dims = spark.range(0, 50).selectExpr("id AS user_id", "id * 2 AS w")
+      val facts = s.range(0, 1000).selectExpr("id % 50 AS user_id", "id AS v")
+      val dims = s.range(0, 50).selectExpr("id AS user_id", "id * 2 AS w")
       LayerWriter.writeBucketed(facts, "b_facts", "user_id", 8, Seq("user_id"))
       LayerWriter.writeBucketed(dims, "b_dims", "user_id", 8, Seq("user_id"))
-      val joined = spark.table("b_facts").join(spark.table("b_dims"), "user_id")
+      val joined = s.table("b_facts").join(s.table("b_dims"), "user_id")
       val p = joined.queryExecution.executedPlan.toString
       assert(p.contains("SortMergeJoin"))
       assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
       assert(joined.count() == 1000)
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      spark.sql("DROP TABLE IF EXISTS b_facts")
-      spark.sql("DROP TABLE IF EXISTS b_dims")
+      s.sql("DROP TABLE IF EXISTS b_facts")
+      s.sql("DROP TABLE IF EXISTS b_dims")
     }
+  }
+
+  test("writeFact rebalance: a hot date splits across writers at the advisory size") {
+    // child session with a tiny advisory size so the test's "hot date"
+    // exceeds it — at production sizes this is the 10%-of-100TB date
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4096")
+    val dir = Files.createTempDirectory("facthot").toString + "/t"
+    val df = s.range(0, 20000, 1, 8)
+      .selectExpr("id", "repeat('x', 32) AS pad", "'2024-01-01' AS d")
+    LayerWriter.writeFact(df, dir, "d")
+    val files = new java.io.File(s"$dir/d=2024-01-01").list().count(_.endsWith(".parquet"))
+    assert(files > 1, s"hot date should split across writers, got $files file(s)")
+    assert(s.read.parquet(dir).count() == 20000)
   }
 }
