@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Cols
-import graft.operators.{AsOfJoin, Components, Curation, KMeans, Multimodal, Passages, RangeJoin, Redaction, Scd2, Sessionize, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{AsOfJoin, Components, Curation, KMeans, Multimodal, PageRank, Passages, RangeJoin, Redaction, Scd2, Sessionize, Similarity, TextAnalysis, TextDedup}
 import org.apache.spark.sql.expressions.Window
 
 /** Training-data pipeline query surface: dedup, similarity search, and
@@ -88,6 +88,22 @@ object DataOps {
         n = 3, numHashes = 16, bands = 8, threshold = 0.5)
         .select(col("doc_a"), col("doc_b")))
 
+  /** Duplicate-graph centrality: PageRank over the MinHash-LSH pair
+    * graph surfaces template/boilerplate hubs (documents whose
+    * near-dup neighborhoods are large and well-connected) — the
+    * corpus-curation analogue of host-level PageRank filtering. The
+    * oracle unrolls all three power iterations as CTEs over the same
+    * pair graph. */
+  def pagerankHubs(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = TextDedup.minhashLshPairs(Tables.documents(spark, dir),
+        n = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    PageRank.ranks(pairs, "doc_a", "doc_b", nIter = 3)
+      .select(col("id").as("doc_id"), Cols.r(col("rank"), 9).as("rank"))
+      .orderBy(col("rank").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
   /** As-of attribution: each click joined to the user's latest
     * purchase at or before the click (the temporal-join workload),
     * rolled up per click date. The oracle uses DuckDB's NATIVE
@@ -129,6 +145,37 @@ object DataOps {
         count(lit(1)).as("n_view_purchase_pairs"),
         countDistinct(col("pid")).as("n_purchases_with_view"))
       .orderBy(col("purchase_date").asc)
+  }
+
+  /** Incremental high-watermark loading under the oracle gate: land a
+    * half-history batch, then incrementally append only the rows past
+    * the watermark from the FULL feed, then replay the full feed a
+    * second time (must append 0 — idempotency is part of the hashed
+    * output via `replay_appended`). The final per-day census must
+    * equal the raw table's: nothing lost, nothing duplicated. */
+  def incrLoadEvents(spark: SparkSession, dir: String): DataFrame = {
+    val pid = ProcessHandle.current().pid()
+    val target = s"${System.getProperty("java.io.tmpdir")}/graft_incr_events_${pid}_" +
+      s"${math.floorMod(dir.hashCode, 1 << 30)}"
+    val fs = java.nio.file.Paths.get(target)
+    if (java.nio.file.Files.exists(fs)) {
+      import java.util.Comparator
+      val s = java.nio.file.Files.walk(fs)
+      try s.sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally s.close()
+    }
+    val ev = Tables.events(spark, dir).filter(col("ts").isNotNull)
+    val batch1 = ev.filter(date_format(col("ts"), "yyyy-MM-dd") <= "2024-01-15")
+    graft.sources.Incremental.appendSince(spark, target, batch1, "event_id")
+    graft.sources.Incremental.appendSince(spark, target, ev, "event_id")
+    val replayed = graft.sources.Incremental.appendSince(spark, target, ev, "event_id")
+    spark.read.parquet(target)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("event_date"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_id")).as("n_distinct_ids"))
+      .withColumn("replay_appended", lit(replayed))
+      .orderBy(col("event_date").asc)
   }
 
   /** Daily session rollup: 30-minute-gap sessionization per user, then
@@ -451,11 +498,10 @@ object DataOps {
        |sh AS (SELECT doc_id, unnest($dkShingles) AS sh FROM tok),
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)""".stripMargin
 
-  /** MinHash-LSH pair graph → connected components, as a reusable
-    * recursive-CTE chain (callers prepend WITH RECURSIVE). `comps` is
-    * (id, comp) with comp = min reachable id — the same labeling
-    * Components.connectedComponents produces. */
-  private lazy val dkComponentCtes =
+  /** MinHash-LSH pair graph as a reusable CTE chain: `pairs`
+    * (doc_a < doc_b) and symmetric `edges` (a, b) — identical to the
+    * pair set Components/PageRank consume in the engine. */
+  private lazy val dkPairGraphCtes =
     s"""$dkSizes,
        |sigs AS (
        |  SELECT doc_id,
@@ -478,7 +524,14 @@ object DataOps {
        |), edges AS (
        |  SELECT doc_a AS a, doc_b AS b FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs
-       |), reach(id, r) AS (
+       |)""".stripMargin
+
+  /** Pair graph → connected components via recursive CTE (callers
+    * prepend WITH RECURSIVE). `comps` is (id, comp) with comp = min
+    * reachable id — the same labeling Components produces. */
+  private lazy val dkComponentCtes =
+    s"""$dkPairGraphCtes,
+       |reach(id, r) AS (
        |  SELECT a, a FROM edges
        |  UNION
        |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
@@ -539,7 +592,37 @@ object DataOps {
        |)""".stripMargin
   }
 
+  /** One unrolled PageRank power iteration (mirrors PageRank.ranks:
+    * 1e-12-grid quantized contributions, teleport/n + d·sum). The
+    * scalar constants are interpolated as full-precision double
+    * STRINGS and cast, so DuckDB cannot silently route them through
+    * decimal arithmetic (1 - 0.85 in decimal is exactly 0.15, which
+    * is NOT the double `1.0 - 0.85`). */
+  private def dkPrIter(i: Int): String = {
+    val teleport = (1.0 - 0.85).toString
+    s"""pr$i AS (
+       |  SELECT e.b AS id,
+       |         CAST('$teleport' AS DOUBLE) / (SELECT n FROM prn)
+       |         + CAST('0.85' AS DOUBLE) *
+       |           (CAST(sum(CAST(floor(r.rank / d.deg * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12) AS rank
+       |  FROM edges e
+       |  JOIN prdeg d ON d.id = e.a
+       |  JOIN pr${i - 1} r ON r.id = e.a
+       |  GROUP BY e.b
+       |)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "pagerank_hubs" ->
+      s"""WITH $dkPairGraphCtes,
+         |prdeg AS (SELECT a AS id, count(*) AS deg FROM edges GROUP BY 1),
+         |prn AS (SELECT count(*) AS n FROM prdeg),
+         |pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM prn) AS rank FROM prdeg),
+         |${dkPrIter(1)}, ${dkPrIter(2)}, ${dkPrIter(3)}
+         |SELECT id AS doc_id, floor(rank * 1e9 + 0.5) / 1e9 AS rank
+         |FROM pr3
+         |ORDER BY rank DESC, doc_id ASC
+         |LIMIT 20""".stripMargin,
     "kmeans_cells" ->
       s"""WITH c0 AS (
          |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, embedding AS c
@@ -587,6 +670,15 @@ object DataOps {
          |SELECT query_id, rank, neighbor_id, cos FROM kranked
          |WHERE rank <= 3
          |ORDER BY query_id ASC, rank ASC""".stripMargin,
+    "incr_load_events" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+        |       count(*) AS n_events,
+        |       count(DISTINCT event_id) AS n_distinct_ids,
+        |       CAST(0 AS BIGINT) AS replay_appended
+        |FROM events
+        |WHERE ts IS NOT NULL
+        |GROUP BY 1
+        |ORDER BY event_date ASC""".stripMargin,
     "sessionize_daily" ->
       """WITH sess_ev AS (
         |  SELECT user_id, ts, event_id FROM events
@@ -1081,6 +1173,7 @@ object DataOps {
     "asof_attribution"  -> (asofAttribution _),
     "range_views_before_purchase" -> (rangeViewsBeforePurchase _),
     "dedup_groups"      -> (dedupGroups _),
+    "pagerank_hubs"     -> (pagerankHubs _),
     "dedup_keep"        -> (dedupKeep _),
     "mix_budget"        -> (mixBudget _),
     "sample_strata"     -> (sampleStrata _),
@@ -1089,6 +1182,7 @@ object DataOps {
     "sim_topk"          -> (simTopK _),
     "sim_topk_lsh"      -> (simTopKLsh _),
     "sim_topk_ivf"      -> (simTopKIvf _),
+    "incr_load_events"  -> (incrLoadEvents _),
     "sessionize_daily"  -> (sessionizeDaily _),
     "scd2_user_versions" -> (scd2UserVersions _),
     "funnel_stages"     -> (funnelStages _),
