@@ -157,16 +157,13 @@ object DataOps {
     val pid = ProcessHandle.current().pid()
     val target = s"${System.getProperty("java.io.tmpdir")}/graft_incr_events_${pid}_" +
       s"${math.floorMod(dir.hashCode, 1 << 30)}"
-    val fs = java.nio.file.Paths.get(target)
-    if (java.nio.file.Files.exists(fs)) {
-      import java.util.Comparator
-      val s = java.nio.file.Files.walk(fs)
-      try s.sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.delete(f))
-      finally s.close()
-    }
+    graft.sources.LocalFs.deleteRecursively(java.nio.file.Paths.get(target))
     val ev = Tables.events(spark, dir).filter(col("ts").isNotNull)
-    val batch1 = ev.filter(date_format(col("ts"), "yyyy-MM-dd") <= "2024-01-15")
+    // slice the first batch ON the watermark column — a prefix in ts
+    // order would silently rely on event ids being assigned
+    // time-ordered (true of this corpus, but not a contract)
+    val cut = ev.agg((max(col("event_id")) / 2).cast("long")).head().getLong(0)
+    val batch1 = ev.filter(col("event_id") <= cut)
     graft.sources.Incremental.appendSince(spark, target, batch1, "event_id")
     graft.sources.Incremental.appendSince(spark, target, ev, "event_id")
     val replayed = graft.sources.Incremental.appendSince(spark, target, ev, "event_id")

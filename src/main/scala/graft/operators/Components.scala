@@ -36,16 +36,23 @@ import org.apache.spark.storage.StorageLevel
   */
 object Components {
 
+  /** Normalize an undirected edge list: long-cast (src, dst), both
+    * directions present, self-loops dropped, duplicates removed.
+    * Shared by every graph operator ([[connectedComponents]],
+    * [[PageRank.ranks]]) so their graph semantics cannot drift. */
+  private[operators] def symmetrize(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val e = edges.select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
   /** (id, comp) for every node appearing in `edges`; `comp` is the
     * smallest node id in the component (the canonical keeper under a
     * min-id keeper rule). Self-loops ignored; edges undirected. */
   def connectedComponents(edges: DataFrame, src: String = "src", dst: String = "dst",
       maxIter: Int = 50): DataFrame = {
-    val e = edges.select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = symmetrize(edges, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
     // LAZY checkpoints: the changed-rows count below materializes the
     // round's checkpoint inside the SAME job, so each round costs one
     // job submission instead of two (materialize + count) — the job

@@ -32,16 +32,14 @@ object PageRank {
   def ranks(edges: DataFrame, src: String = "src", dst: String = "dst",
       nIter: Int = 3, damping: Double = 0.85): DataFrame = {
     require(nIter >= 0 && damping >= 0 && damping <= 1, "pagerank needs 0<=d<=1, nIter>=0")
-    val e = edges.select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = Components.symmetrize(edges, src, dst)
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = deg.count()
+    // loop-invariant: every iteration joins ranks onto the SAME
+    // edge-with-degree frame — compute and cache it once
+    val symDeg = sym.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    val n = deg.select(countDistinct(col("src"))).head().getLong(0)
     if (n == 0) {
-      sym.unpersist(blocking = true); deg.unpersist(blocking = true)
+      symDeg.unpersist(blocking = true)
       return edges.sparkSession.emptyDataFrame
         .withColumn("id", lit(0L)).withColumn("rank", lit(0.0)).limit(0)
     }
@@ -49,12 +47,11 @@ object PageRank {
     // oracle as full-precision double strings, so engine and oracle
     // run bit-identical scalar arithmetic
     val teleport = 1.0 - damping
-    var ranks = deg.select(col("src").as("id"), lit(1.0 / n).as("rank")).localCheckpoint()
-    var current = ranks
+    var ranks = symDeg.select(col("src").as("id")).distinct()
+      .withColumn("rank", lit(1.0 / n)).localCheckpoint()
     var i = 0
     while (i < nIter) {
-      val next = sym
-        .join(deg, "src")
+      val next = symDeg
         .join(ranks.select(col("id").as("src"), col("rank")), "src")
         .select(col("dst"),
           floor(col("rank") / col("deg") * 1e12 + lit(0.5)).cast("long").as("q"))
@@ -64,12 +61,11 @@ object PageRank {
           (lit(teleport) / lit(n.toDouble) +
             lit(damping) * (col("sq").cast("double") / 1e12)).as("rank"))
         .localCheckpoint()
-      current.unpersist(blocking = true)
-      current = next
+      ranks.unpersist(blocking = true)
       ranks = next
       i += 1
     }
-    sym.unpersist(blocking = true); deg.unpersist(blocking = true)
+    symDeg.unpersist(blocking = true)
     ranks
   }
 }

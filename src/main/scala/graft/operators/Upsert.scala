@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.util.Comparator
 
 /** MERGE-emulation upsert without a table format (SURVEY.md §2.3 J3,
   * §7.4 risk #1; reference MERGE at
@@ -66,6 +65,5 @@ object Upsert {
   }
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+    graft.sources.LocalFs.deleteRecursively(p)
 }

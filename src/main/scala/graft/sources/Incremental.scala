@@ -2,7 +2,6 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths}
 
 /** High-watermark incremental loading — the standard warehouse pattern
   * for append-only feeds: each run loads only source rows whose
@@ -17,25 +16,36 @@ import java.nio.file.{Files, Paths}
   * state to desynchronize. Strictly-greater semantics mean rows that
   * share the boundary instant with already-loaded data are skipped —
   * feeds whose watermark has ties must use a monotonic (ts, seq) pair
-  * as `wmCol` (e.g. a monotonically increasing event id).
+  * as `wmCol` (e.g. a monotonically increasing event id). Source rows
+  * with a NULL watermark are never loaded (a NULL has no position in
+  * the watermark order; loading it once and then silently dropping
+  * its successors on replay would be worse than rejecting it) — feeds
+  * with NULL watermarks must repair them upstream.
   */
 object Incremental {
 
   /** Current high watermark of the parquet target (None when the
-    * target does not exist yet or is empty). */
-  def watermark(spark: SparkSession, targetPath: String, wmCol: String): Option[Any] =
-    if (!Files.exists(Paths.get(targetPath))) None
+    * target does not exist yet or is empty). Target existence goes
+    * through the Hadoop FileSystem of the path's scheme — a
+    * java.nio check would be local-FS only and silently disable
+    * idempotency for object-store targets. */
+  def watermark(spark: SparkSession, targetPath: String, wmCol: String): Option[Any] = {
+    val p = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
     else Option(spark.read.parquet(targetPath).agg(max(col(wmCol))).head().get(0))
+  }
 
   /** Append `source` rows strictly past the target's watermark;
     * returns the number of rows appended. First call (no target)
-    * loads everything. Idempotent: a second call with the same source
-    * appends 0. */
+    * loads everything (except NULL-watermark rows). Idempotent: a
+    * second call with the same source appends 0. */
   def appendSince(spark: SparkSession, targetPath: String, source: DataFrame,
       wmCol: String): Long = {
+    val nonNull = source.filter(col(wmCol).isNotNull)
     val fresh = watermark(spark, targetPath, wmCol) match {
-      case Some(w) => source.filter(col(wmCol) > lit(w))
-      case None    => source
+      case Some(w) => nonNull.filter(col(wmCol) > lit(w))
+      case None    => nonNull
     }
     // row count from the write job itself (observe) — no second scan
     val obs = Observation()

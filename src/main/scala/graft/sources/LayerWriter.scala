@@ -2,7 +2,6 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.util.Comparator
 
 /** Persistence layer for the medallion tables (SURVEY.md §2.1 S13,
   * §7.5 scale posture).
@@ -80,9 +79,7 @@ object LayerWriter {
     finally s.close()
   }
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+  private def deleteRecursively(p: Path): Unit = LocalFs.deleteRecursively(p)
 
   /** Write a table bucketed (and optionally sorted) on the join key —
     * the co-located-join layout: two tables bucketed on the same key
