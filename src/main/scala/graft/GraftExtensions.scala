@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.functions.{call_function, lit, typedLit}
-import graft.functions.{DotProduct, HyperplaneKeys, TextHashExprs}
+import graft.functions.{DotProduct, HyperplaneKeys, Q8Quantize, TextHashExprs}
 
 /** Session extension registering graft's native Catalyst functions —
   * enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       HyperplaneKeys.info, HyperplaneKeys.builder))
     ext.injectFunction((FunctionIdentifier("graft_token_hashes_fast"),
       TextHashExprs.tokenFastInfo, TextHashExprs.tokenFastBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_q8"), Q8Quantize.info, Q8Quantize.builder))
   }
 }
 
@@ -42,7 +43,7 @@ object GraftFunctions {
     * build) self-heals instead of skipping the additions. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier("graft_token_hashes_fast"))) {
+    if (!reg.functionExists(FunctionIdentifier("graft_q8"))) {
       reg.createOrReplaceTempFunction("graft_dot", DotProduct.builder, "built-in")
       reg.createOrReplaceTempFunction("graft_token_hashes", TextHashExprs.tokenBuilder, "built-in")
       reg.createOrReplaceTempFunction("graft_shingle_hashes", TextHashExprs.shingleBuilder, "built-in")
@@ -50,6 +51,7 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction("graft_minhash", TextHashExprs.minhashBuilder, "built-in")
       reg.createOrReplaceTempFunction("graft_hyperplane_keys", HyperplaneKeys.builder, "built-in")
       reg.createOrReplaceTempFunction("graft_token_hashes_fast", TextHashExprs.tokenFastBuilder, "built-in")
+      reg.createOrReplaceTempFunction("graft_q8", Q8Quantize.builder, "built-in")
     }
   }
 
@@ -63,6 +65,10 @@ object GraftFunctions {
   def simhash(hashes: Column): Column = call_function("graft_simhash", hashes)
   def minhash(hashes: Column, n: Int): Column =
     call_function("graft_minhash", hashes, lit(n))
+
+  /** Fused int8 quantization: struct(q8, qscale) (see
+    * [[graft.functions.Q8Quantize]]). */
+  def q8(vec: Column): Column = call_function("graft_q8", vec)
 
   /** Per-band hyperplane-LSH keys from ONE literal plane matrix (see
     * [[graft.functions.HyperplaneKeys]]). */

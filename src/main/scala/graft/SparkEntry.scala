@@ -18,7 +18,8 @@ object SparkEntry {
     analytics.Queries.entries ++
       analytics.PipelineOps.entries ++
       analytics.AppOps.entries ++
-      analytics.DataOps.entries
+      analytics.DataOps.entries ++
+      analytics.CorpusOps.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +27,6 @@ object SparkEntry {
     analytics.Queries.oracles ++
       analytics.PipelineOps.oracles ++
       analytics.AppOps.oracles ++
-      analytics.DataOps.oracles
+      analytics.DataOps.oracles ++
+      analytics.CorpusOps.oracles
 }

@@ -1,0 +1,210 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Contamination, Quantize, Relevance, Sharding, TextDedup}
+
+/** Corpus-preparation query surface: deterministic shuffle/sharding,
+  * train/eval decontamination, BM25 retrieval, and int8-quantized
+  * similarity — the steps between "clean documents" and "training
+  * shards on disk" (SURVEY.md §7.4 north-star extensions, same
+  * first-class footing as [[DataOps]]).
+  *
+  * Every oracle replays the exact algorithm in DuckDB SQL — md5 order
+  * keys, the unrolled hex fold, portable shingle hashes, quantization
+  * arithmetic — so the hash gate checks the full pipeline. All
+  * numeric literals in generated SQL are emitted from the same Scala
+  * doubles the Spark plans use (Double.toString round-trips), so both
+  * engines parse bit-identical constants.
+  */
+object CorpusOps {
+
+  private val P = TextDedup.P
+
+  // ---- deterministic shuffle + sharding ------------------------------
+
+  private val ShardSeed = "epoch0"
+  private val NShards = 8
+
+  /** Per-shard plan of the deterministic corpus shuffle: sizes plus
+    * the first doc in each shard's replay order. */
+  def shardPlan(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val sharded = Sharding.withPosition(
+      Sharding.withShard(docs, "doc_id", NShards, ShardSeed), "doc_id")
+    sharded.groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_chars")).as("chars"),
+        max(when(col("pos") === 1, col("doc_id"))).as("first_doc"))
+      .orderBy(col("shard").asc)
+  }
+
+  /** DuckDB: the same 12-char hex-prefix fold [[Sharding.hexPrefixValue]]
+    * unrolls — nested arithmetic, base 16, ascii decode per char. */
+  private def dkHexFold(key: String, chars: Int): String =
+    (1 to chars).foldLeft("CAST(0 AS BIGINT)") { (acc, i) =>
+      val a = s"ascii(substr($key, $i, 1))"
+      s"($acc * 16 + CAST(CASE WHEN $a >= 97 THEN $a - 87 ELSE $a - 48 END AS BIGINT))"
+    }
+
+  private val shardPlanSql: String = {
+    val okey = s"md5(concat_ws(':', '$ShardSeed', CAST(doc_id AS VARCHAR)))"
+    s"""WITH keyed AS (
+       |  SELECT doc_id, n_chars, $okey AS okey FROM documents
+       |), sharded AS (
+       |  SELECT doc_id, n_chars, okey,
+       |         CAST(${dkHexFold("okey", 12)} % $NShards AS INT) AS shard
+       |  FROM keyed
+       |), pos AS (
+       |  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY okey ASC, doc_id ASC) AS pos
+       |  FROM sharded
+       |)
+       |SELECT shard, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+       |       max(CASE WHEN pos = 1 THEN doc_id END) AS first_doc
+       |FROM pos GROUP BY shard ORDER BY shard ASC""".stripMargin
+  }
+
+  // ---- decontamination ----------------------------------------------
+
+  private val ContamN = 8
+  private val BenchSource = "src0"
+
+  /** Corpus docs sharing ≥1 token 8-gram with the benchmark slice
+    * (source = src0) — the pre-training decontamination report. */
+  def contamPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Contamination.overlapPairs(
+        docs.filter(col("source") =!= BenchSource),
+        docs.filter(col("source") === BenchSource), n = ContamN)
+      .orderBy(col("corpus_doc").asc, col("bench_doc").asc)
+  }
+
+  /** DuckDB: portable char-fold word hash (= TextDedup.charFold). */
+  private def dkWordHash(w: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length($w), 1), " +
+      s"i -> CAST(ascii(substr($w, i, 1)) AS BIGINT))), (acc, x) -> (acc * 31 + x) % $P)"
+
+  private def dkShinglesN(n: Int): String =
+    s"""CASE WHEN len(th) < $n THEN [] ELSE
+       |  list_distinct(list_transform(generate_series(1, len(th) - ${n - 1}, 1),
+       |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, i, i + ${n - 1})),
+       |         (acc, h) -> (acc * 131 + h) % $P))) END""".stripMargin
+
+  private val contamPairsSql: String =
+    s"""WITH th AS (
+       |  SELECT doc_id, source,
+       |         list_transform(string_split(text, ' '), w -> ${dkWordHash("w")}) AS th
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, source, unnest(${dkShinglesN(ContamN)}) AS s FROM th
+       |)
+       |SELECT c.doc_id AS corpus_doc, b.doc_id AS bench_doc, count(*) AS hits
+       |FROM (SELECT * FROM sh WHERE source <> '$BenchSource') c
+       |JOIN (SELECT * FROM sh WHERE source = '$BenchSource') b USING (s)
+       |GROUP BY 1, 2
+       |ORDER BY corpus_doc ASC, bench_doc ASC""".stripMargin
+
+  // ---- BM25 retrieval -----------------------------------------------
+
+  private val Bm25Terms = Seq("dup", "vector", "hash")
+  private val Bm25K = 15
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** Top-15 docs for a mixed rare/common probe query under BM25. */
+  def bm25Probe(spark: SparkSession, dir: String): DataFrame =
+    Relevance.bm25TopK(Tables.documents(spark, dir), Bm25Terms, Bm25K, K1, B)
+
+  private val bm25ProbeSql: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    // every constant below prints from the SAME Scala double the Spark
+    // plan uses, so both engines parse identical bits
+    val k1p1 = (K1 + 1.0).toString
+    val oneMinusB = (1.0 - B).toString
+    s"""WITH toks AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |         unnest(string_split(text, ' ')) AS term
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf FROM toks
+       |  WHERE term IN ($terms) GROUP BY 1, 2, 3
+       |), dfreq AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+       |), stats AS (
+       |  SELECT count(*) AS n_docs,
+       |         CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avgdl
+       |  FROM documents
+       |), scored AS (
+       |  SELECT tf.doc_id,
+       |         CAST(floor(
+       |           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |             * (tf * $k1p1)
+       |             / (tf + $K1 * ($oneMinusB + ($B * dl) / avgdl))
+       |           * 1e6 + 0.5) AS BIGINT) AS tq
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+       |)
+       |SELECT doc_id, CAST(sum(tq) AS DOUBLE) / 1e6 AS score
+       |FROM scored GROUP BY doc_id
+       |ORDER BY score DESC, doc_id ASC LIMIT $Bm25K""".stripMargin
+  }
+
+  // ---- int8-quantized similarity ------------------------------------
+
+  /** Top-5 neighbors per probe query by int8-quantized cosine — the
+    * 4×-smaller-footprint variant of sim_topk. */
+  def simTopKQ8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Quantize.q8TopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  /** DuckDB: integer dot product — exact, order-independent. */
+  private def dkIntDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip($a, $b), " +
+      s"x -> CAST(x[1] AS BIGINT) * CAST(x[2] AS BIGINT))), (acc, v) -> acc + v)"
+
+  private val simTopKQ8Sql: String =
+    s"""WITH q8 AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) *
+       |           (CASE WHEN list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) > 0.0
+       |                 THEN 127.0 / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))
+       |                 ELSE 0.0 END) + 0.5) AS INT)) AS q8
+       |  FROM embeddings
+       |), normed AS (
+       |  SELECT vec_id, q8, sqrt(CAST(${dkIntDot("q8", "q8")} AS DOUBLE)) AS nrm FROM q8
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         CASE WHEN q.nrm > 0.0 AND c.nrm > 0.0
+       |              THEN floor(CAST(${dkIntDot("q.q8", "c.q8")} AS DOUBLE)
+       |                     / (q.nrm * c.nrm) * 1e6 + 0.5) / 1e6
+       |              ELSE 0.0 END AS qcos
+       |  FROM normed c JOIN normed q ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, qcos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, neighbor_id, qcos FROM ranked
+       |WHERE rank <= 5
+       |ORDER BY query_id ASC, rank ASC""".stripMargin
+
+  // ---- catalog wiring -----------------------------------------------
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "shard_plan"  -> (shardPlan _),
+    "contam_pairs" -> (contamPairs _),
+    "bm25_probe"  -> (bm25Probe _),
+    "sim_topk_q8" -> (simTopKQ8 _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "shard_plan"  -> shardPlanSql,
+    "contam_pairs" -> contamPairsSql,
+    "bm25_probe"  -> bm25ProbeSql,
+    "sim_topk_q8" -> simTopKQ8Sql
+  )
+}

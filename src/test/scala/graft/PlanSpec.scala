@@ -120,6 +120,29 @@ class PlanSpec extends SparkSpec {
     assert(!pRed.contains("Join"))
   }
 
+  test("corpus-prep ops keep their 100 TB shapes: broadcast bench index, fused quantize kernel, one shard shuffle") {
+    // contamination: the benchmark n-gram index broadcasts; the corpus
+    // side never shuffles before the collision rollup
+    val pC = plan(graft.analytics.CorpusOps.contamPairs(spark, dir))
+    assert(pC.contains("BroadcastHashJoin"))
+    assert(!pC.contains("SortMergeJoin") && !pC.contains("CartesianProduct"))
+    // quantized similarity: native kernels only — no interpreted HOF
+    // fold survives into the plan — and the query side broadcasts
+    val pQ = plan(graft.analytics.CorpusOps.simTopKQ8(spark, dir))
+    assert(pQ.contains("graft_q8") && pQ.contains("graft_dot"))
+    assert(!pQ.contains("aggregate(zip_with") && !pQ.contains("transform("))
+    assert(pQ.contains("BroadcastNestedLoopJoin") || pQ.contains("BroadcastExchange"))
+    // bm25: the probe-term filter lands before the tf shuffle and the
+    // k cut is TakeOrderedAndProject
+    val pB = plan(graft.analytics.CorpusOps.bm25Probe(spark, dir))
+    assert(pB.contains("TakeOrderedAndProject"))
+    assert(!pB.contains("SortMergeJoin"))
+    // shard plan: position window and per-shard rollup share ONE
+    // hash-partitioning on shard — exactly one exchange in the plan
+    val pS = plan(graft.analytics.CorpusOps.shardPlan(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(pS).size == 1, pS)
+  }
+
   test("global stats never use a global window: q3/u2 plan a 1-row aggregate + broadcast") {
     val p3 = plan(Queries.q3ZScoreOutliers(spark, dir))
     assert(!p3.contains("Window") && p3.contains("BroadcastNestedLoopJoin"))
