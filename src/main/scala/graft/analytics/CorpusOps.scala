@@ -3,7 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Contamination, Quantize, Relevance, Sharding, TextDedup}
+import graft.operators.{Contamination, Curation, Packing, Quantize, Relevance, Sharding, TextDedup}
 
 /** Corpus-preparation query surface: deterministic shuffle/sharding,
   * train/eval decontamination, BM25 retrieval, and int8-quantized
@@ -192,19 +192,101 @@ object CorpusOps {
        |WHERE rank <= 5
        |ORDER BY query_id ASC, rank ASC""".stripMargin
 
+  // ---- sequence packing ---------------------------------------------
+
+  private val SeqLen = 512
+
+  /** Per-shard concat-and-chunk packing summary at seqLen=512 over
+    * the deterministic shuffle order. */
+  def packPlan(spark: SparkSession, dir: String): DataFrame =
+    Packing.packSummary(Tables.documents(spark, dir),
+      "doc_id", size(split(col("text"), " ")), NShards, ShardSeed, SeqLen)
+
+  private val packPlanSql: String = {
+    val okey = s"md5(concat_ws(':', '$ShardSeed', CAST(doc_id AS VARCHAR)))"
+    s"""WITH keyed AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |         $okey AS okey
+       |  FROM documents
+       |), sharded AS (
+       |  SELECT doc_id, n_tok, okey,
+       |         CAST(${dkHexFold("okey", 12)} % $NShards AS INT) AS shard
+       |  FROM keyed
+       |), cums AS (
+       |  SELECT shard, n_tok,
+       |         CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY okey ASC, doc_id ASC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM sharded
+       |), placed AS (
+       |  SELECT shard, n_tok, cum,
+       |         CAST(floor(CAST(cum - n_tok AS DOUBLE) / $SeqLen) AS BIGINT) AS seq_first,
+       |         CAST(floor(CAST(cum - 1 AS DOUBLE) / $SeqLen) AS BIGINT) AS seq_last
+       |  FROM cums
+       |)
+       |SELECT shard, count(*) AS docs, CAST(sum(n_tok) AS BIGINT) AS tokens,
+       |       CAST(floor(CAST(max(cum) + ${SeqLen - 1} AS DOUBLE) / $SeqLen) AS BIGINT) AS n_seqs,
+       |       CAST(sum(CASE WHEN seq_first <> seq_last THEN 1 ELSE 0 END) AS BIGINT) AS split_docs
+       |FROM placed GROUP BY shard ORDER BY shard ASC""".stripMargin
+  }
+
+  // ---- temperature mixture ------------------------------------------
+
+  private val MixAlpha = 0.5
+  private val MixTargetFrac = 0.3
+
+  /** Per-source outcome of temperature resampling at alpha=0.5
+    * targeting 30% of the corpus: candidates, keep rate (per-mille),
+    * rows actually kept. */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame =
+    Curation.temperatureMix(Tables.documents(spark, dir), "source", "doc_id",
+        MixAlpha, MixTargetFrac)
+      .groupBy(col("source"), col("stratum_docs"), col("rate_pm"))
+      .agg(count(lit(1)).as("kept"))
+      .select(col("source"), col("stratum_docs").as("candidates"), col("rate_pm"), col("kept"))
+      .orderBy(col("source").asc)
+
+  private val mixTemperatureSql: String = {
+    val frac = MixTargetFrac.toString
+    s"""WITH cnt AS (
+       |  SELECT source, count(*) AS c FROM documents GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt
+       |), q AS (
+       |  SELECT source, c, n,
+       |         CAST(floor(sqrt(CAST(c AS DOUBLE) / n) * 1e9 + 0.5) AS BIGINT) AS q
+       |  FROM cnt CROSS JOIN tot
+       |), qs AS (
+       |  SELECT CAST(sum(q) AS BIGINT) AS qsum FROM q
+       |), rates AS (
+       |  SELECT source, c,
+       |         CAST(floor(least(1.0,
+       |           (CAST(q AS DOUBLE) / qsum) * floor($frac * n) / c) * 1000) AS BIGINT) AS rate_pm
+       |  FROM q CROSS JOIN qs
+       |)
+       |SELECT d.source, r.c AS candidates, r.rate_pm, count(*) AS kept
+       |FROM documents d JOIN rates r USING (source)
+       |WHERE ((d.doc_id * 2654435761) % $P) % 1000 < r.rate_pm
+       |GROUP BY 1, 2, 3
+       |ORDER BY d.source ASC""".stripMargin
+  }
+
   // ---- catalog wiring -----------------------------------------------
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "shard_plan"  -> (shardPlan _),
     "contam_pairs" -> (contamPairs _),
     "bm25_probe"  -> (bm25Probe _),
-    "sim_topk_q8" -> (simTopKQ8 _)
+    "sim_topk_q8" -> (simTopKQ8 _),
+    "pack_plan"   -> (packPlan _),
+    "mix_temperature" -> (mixTemperature _)
   )
 
   val oracles: Map[String, String] = Map(
     "shard_plan"  -> shardPlanSql,
     "contam_pairs" -> contamPairsSql,
     "bm25_probe"  -> bm25ProbeSql,
-    "sim_topk_q8" -> simTopKQ8Sql
+    "sim_topk_q8" -> simTopKQ8Sql,
+    "pack_plan"   -> packPlanSql,
+    "mix_temperature" -> mixTemperatureSql
   )
 }

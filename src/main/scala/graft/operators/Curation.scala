@@ -77,4 +77,48 @@ object Curation {
     }
     docs.filter(bucket < rate)
   }
+
+  /** Temperature-based mixture resampling (the multilingual-LM
+    * recipe: raise stratum shares to `p^alpha` so low-resource strata
+    * are upweighted relative to their natural frequency). Computes a
+    * per-stratum keep rate targeting `targetFrac` of the corpus, then
+    * keeps rows with the SAME portable integer hash rule as
+    * [[hashSample]] — the whole decision is reproducible by the
+    * DuckDB oracle.
+    *
+    * Rate derivation (every FP step is engine-deterministic):
+    * `p_i = c_i / N`; `q_i = floor(p_i^alpha · 1e9 + 0.5)` — each
+    * stratum's temperature weight on a fixed grid, so the SUM of
+    * weights is integer (order-independent across partitions);
+    * `w_i = q_i / Σq`; `rate_i = min(1, w_i · floor(targetFrac·N) / c_i)`,
+    * quantized to `floor(rate_i · modulus)` per-mille. `alpha = 0.5`
+    * uses `sqrt` explicitly — IEEE-correctly-rounded on every engine,
+    * unlike `pow`, whose libm may differ in the last ulp.
+    *
+    * Scale shape: stratum stats are a partial-agg rollup (strata
+    * counts, not rows) broadcast back onto the corpus; the keep
+    * decision is map-side integer arithmetic. The corpus never
+    * shuffles. */
+  def temperatureMix(docs: DataFrame, strataCol: String, idCol: String,
+      alpha: Double = 0.5, targetFrac: Double = 0.3, modulus: Int = 1000): DataFrame = {
+    require(alpha > 0 && targetFrac > 0 && targetFrac <= 1 && modulus > 0,
+      "temperatureMix needs alpha > 0, 0 < targetFrac <= 1, modulus > 0")
+    val P = TextDedup.P
+    def tempPow(p: Column): Column =
+      if (alpha == 0.5) sqrt(p) else pow(p, alpha)
+    val perStratum = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("c"))
+    val stats = perStratum
+      .crossJoin(broadcast(perStratum.agg(sum(col("c")).as("n"))))
+      .withColumn("q", floor(tempPow(col("c") / col("n")) * 1e9 + 0.5).cast("long"))
+    val rates = stats
+      .crossJoin(broadcast(stats.groupBy().agg(sum(col("q")).as("qsum"))))
+      .withColumn("target", floor(lit(targetFrac) * col("n")).cast("long"))
+      .withColumn("rate_raw",
+        least(lit(1.0), (col("q").cast("double") / col("qsum")) * col("target") / col("c")))
+      .withColumn("rate_pm", floor(col("rate_raw") * modulus).cast("long"))
+      .select(col(strataCol), col("c").as("stratum_docs"), col("rate_pm"))
+    val bucket = pmod(pmod(col(idCol).cast("long") * lit(2654435761L), lit(P)), lit(modulus.toLong))
+    docs.join(broadcast(rates), strataCol)
+      .filter(bucket < col("rate_pm"))
+  }
 }

@@ -56,4 +56,44 @@ class CurationSpec extends SparkSpec {
     assert(withDefault.forall(_ % 2 == 1))  // only 'xx' via the default rate
     assert(withDefault.nonEmpty)
   }
+
+  // 900 'big' docs vs 100 'small' docs
+  private def skewed = (0L until 1000L)
+    .map(i => (i, if (i < 900) "big" else "small")).toDF("doc_id", "source")
+
+  test("temperatureMix upweights the rare stratum relative to its natural share") {
+    val kept = Curation.temperatureMix(skewed, "source", "doc_id",
+        alpha = 0.5, targetFrac = 0.3)
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    val keepFracBig = kept.getOrElse("big", 0L).toDouble / 900
+    val keepFracSmall = kept.getOrElse("small", 0L).toDouble / 100
+    assert(keepFracSmall > keepFracBig,
+      s"rare stratum must keep a larger fraction: small=$keepFracSmall big=$keepFracBig")
+    // still roughly on target overall (hash scatter is approximate)
+    val total = kept.values.sum
+    assert(total > 200 && total < 400, s"expected ~300 kept, got $total")
+  }
+
+  test("temperatureMix at alpha=1 degenerates to uniform rates (proportional sampling)") {
+    val rates = Curation.temperatureMix(skewed, "source", "doc_id",
+        alpha = 1.0, targetFrac = 0.5)
+      .select($"source", $"rate_pm").distinct().as[(String, Long)].collect().toMap
+    // w_i*T/c_i == T/N for every stratum when alpha=1
+    assert(rates.values.toSet.size == 1, s"rates must be equal, got $rates")
+  }
+
+  test("temperatureMix is deterministic") {
+    def run() = Curation.temperatureMix(skewed, "source", "doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(run() == run())
+  }
+
+  test("temperatureMix validates its parameters") {
+    intercept[IllegalArgumentException](
+      Curation.temperatureMix(skewed, "source", "doc_id", alpha = 0.0))
+    intercept[IllegalArgumentException](
+      Curation.temperatureMix(skewed, "source", "doc_id", targetFrac = 0.0))
+    intercept[IllegalArgumentException](
+      Curation.temperatureMix(skewed, "source", "doc_id", targetFrac = 1.5))
+  }
 }
