@@ -3,7 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Contamination, Curation, Packing, Quantize, Relevance, Sharding, TextDedup}
+import graft.operators.{Contamination, Curation, Packing, Quantize, Relevance, Sharding, TextDedup, ZOrder}
 
 /** Corpus-preparation query surface: deterministic shuffle/sharding,
   * train/eval decontamination, BM25 retrieval, and int8-quantized
@@ -270,6 +270,45 @@ object CorpusOps {
        |ORDER BY d.source ASC""".stripMargin
   }
 
+  // ---- z-order layout cells -----------------------------------------
+
+  private val ZBits = 8
+
+  /** Morton-cell census of the events fact on (user bucket, day):
+    * gates the interleave arithmetic end-to-end; the layout benefit
+    * itself (bounded per-file rectangles) is asserted in ZOrderSpec. */
+  def zorderCells(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .withColumn("x", pmod(col("user_id"), lit(256L)))
+      .withColumn("y", dayofmonth(col("ts")).cast("long"))
+    ev.withColumn("zval", ZOrder.zValue(col("x"), col("y"), ZBits))
+      .withColumn("zcell", shiftright(col("zval"), 10))
+      .groupBy(col("zcell"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("x_lo"), max(col("x")).as("x_hi"),
+        min(col("y")).as("y_lo"), max(col("y")).as("y_hi"))
+      .orderBy(col("zcell").asc)
+  }
+
+  /** DuckDB: the same unrolled Morton interleave [[ZOrder.zValue]]
+    * emits (shared C bit semantics on int64). */
+  private def dkZValue(a: String, b: String, bits: Int): String =
+    (0 until bits).foldLeft("CAST(0 AS BIGINT)") { (acc, i) =>
+      s"($acc | (($a & ${1L << i}) << $i) | (($b & ${1L << i}) << ${i + 1}))"
+    }
+
+  private val zorderCellsSql: String =
+    s"""WITH dims AS (
+       |  SELECT CAST(user_id % 256 AS BIGINT) AS x, CAST(day(ts) AS BIGINT) AS y
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |), z AS (
+       |  SELECT x, y, (${dkZValue("x", "y", ZBits)} >> 10) AS zcell FROM dims
+       |)
+       |SELECT zcell, count(*) AS n_rows,
+       |       min(x) AS x_lo, max(x) AS x_hi, min(y) AS y_lo, max(y) AS y_hi
+       |FROM z GROUP BY zcell ORDER BY zcell ASC""".stripMargin
+
   // ---- catalog wiring -----------------------------------------------
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -278,7 +317,8 @@ object CorpusOps {
     "bm25_probe"  -> (bm25Probe _),
     "sim_topk_q8" -> (simTopKQ8 _),
     "pack_plan"   -> (packPlan _),
-    "mix_temperature" -> (mixTemperature _)
+    "mix_temperature" -> (mixTemperature _),
+    "zorder_cells" -> (zorderCells _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -287,6 +327,7 @@ object CorpusOps {
     "bm25_probe"  -> bm25ProbeSql,
     "sim_topk_q8" -> simTopKQ8Sql,
     "pack_plan"   -> packPlanSql,
-    "mix_temperature" -> mixTemperatureSql
+    "mix_temperature" -> mixTemperatureSql,
+    "zorder_cells" -> zorderCellsSql
   )
 }
