@@ -100,6 +100,39 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame of a media payload: which frame, its stream
+    * timestamp, and its bytes. */
+  case class FrameRow(media_id: Long, frame_idx: Int, t_ms: Long, frame: Array[Byte])
+
+  /** Frame sampling — the video/audio analogue of [[decodeAll]]:
+    * every `sampleEvery`-th frame of each payload is emitted as its
+    * own row, so downstream per-frame ops (decode, embed, dedup)
+    * compose relationally. The DEMUXER IS A STUB: payloads are
+    * treated as containers of contiguous `frameBytes`-sized frames at
+    * `frameMs` per frame (a real build splices an ffmpeg-style
+    * demuxer into the marked init/seek points; a trailing partial
+    * frame is dropped, as a real demuxer drops a truncated last
+    * packet). Row explosion happens map-side inside the partition
+    * iterator — 1 input row → n sampled rows with NO shuffle, and the
+    * demuxer context initializes once per PARTITION, not per row. */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 1024,
+      sampleEvery: Int = 5, frameMs: Long = 40L): Dataset[FrameRow] = {
+    require(frameBytes > 0 && sampleEvery > 0 && frameMs > 0,
+      "sampleFrames needs frameBytes > 0, sampleEvery > 0, frameMs > 0")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init happens HERE (demuxer/codec context)
+      rows.flatMap { r =>
+        val nFrames = r.payload.length / frameBytes
+        Iterator.range(0, nFrames, sampleEvery).map { i =>
+          // a real demuxer seeks here; the stub slices the container
+          FrameRow(r.media_id, i, i * frameMs,
+            java.util.Arrays.copyOfRange(r.payload, i * frameBytes, (i + 1) * frameBytes))
+        }
+      }
+    }
+  }
+
   /** Harness adapter: the testdata has no binary table, so stand in
     * with the documents' UTF-8 bytes as opaque payloads — exercises
     * the identical plumbing (binary column, metadata, batching). */

@@ -76,4 +76,40 @@ class MultimodalSpec extends SparkSpec {
     assert(stats.nonEmpty)
     assert(stats.forall(r => r.getAs[Long]("n_media") >= r.getAs[Long]("n_distinct")))
   }
+
+  test("sampleFrames emits every k-th fixed-size frame with stream timestamps, dropping the truncated tail") {
+    import spark.implicits._
+    // 2 media: 10.5 "frames" of 4 bytes, and 3 frames exactly
+    val p1 = Array.tabulate[Byte](42)(_.toByte)
+    val p2 = Array.tabulate[Byte](12)(i => (100 + i).toByte)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video", p1),
+      Multimodal.MediaRow(2L, "video", p2)).toDS()
+    val frames = Multimodal.sampleFrames(media, frameBytes = 4, sampleEvery = 3, frameMs = 40)
+      .collect().groupBy(_.media_id)
+    // media 1: 10 whole frames (truncated 11th dropped), sampled 0,3,6,9
+    assert(frames(1L).map(_.frame_idx).sorted.toSeq == Seq(0, 3, 6, 9))
+    assert(frames(1L).forall(f => f.t_ms == f.frame_idx * 40L && f.frame.length == 4))
+    // frame content is the right slice
+    val f3 = frames(1L).find(_.frame_idx == 3).get
+    assert(f3.frame.toSeq == p1.slice(12, 16).toSeq)
+    // media 2: frames 0 only at stride 3
+    assert(frames(2L).map(_.frame_idx).toSeq == Seq(0))
+    assert(frames(2L).head.frame.toSeq == p2.slice(0, 4).toSeq)
+  }
+
+  test("sampleFrames is map-side: no exchange in the plan") {
+    import spark.implicits._
+    val media = Seq(Multimodal.MediaRow(1L, "video", Array.fill[Byte](64)(1))).toDS()
+    val plan = Multimodal.sampleFrames(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("sampleFrames validates parameters and handles undersized payloads") {
+    import spark.implicits._
+    val tiny = Seq(Multimodal.MediaRow(1L, "audio", Array[Byte](1, 2))).toDS()
+    assert(Multimodal.sampleFrames(tiny, frameBytes = 4).count() == 0)
+    intercept[IllegalArgumentException](Multimodal.sampleFrames(tiny, frameBytes = 0))
+    intercept[IllegalArgumentException](Multimodal.sampleFrames(tiny, sampleEvery = 0))
+  }
 }
