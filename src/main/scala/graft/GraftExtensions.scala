@@ -10,9 +10,11 @@ import graft.functions.{DotProduct, HyperplaneKeys, Q8Quantize, TextHashExprs}
   * (or imperatively via [[GraftFunctions.register]] on an existing
   * session): `graft_dot` (codegen'd array dot product) and the text
   * hash kernels `graft_token_hashes` / `graft_shingle_hashes` /
-  * `graft_simhash`. */
+  * `graft_simhash` — plus the [[graft.plans.RewriteHofDot]] optimizer
+  * rule that turns hand-written HOF dot products into the kernel. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.RewriteHofDot)
     ext.injectFunction((FunctionIdentifier("graft_dot"), DotProduct.info, DotProduct.builder))
     ext.injectFunction((FunctionIdentifier("graft_token_hashes"),
       TextHashExprs.tokenInfo, TextHashExprs.tokenBuilder))
@@ -53,6 +55,12 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction("graft_token_hashes_fast", TextHashExprs.tokenFastBuilder, "built-in")
       reg.createOrReplaceTempFunction("graft_q8", Q8Quantize.builder, "built-in")
     }
+    // the HOF-dot rewrite for sessions built without the extensions
+    // config; experimental.extraOptimizations runs in the same
+    // post-main batch position as injectOptimizerRule
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteHofDot))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteHofDot
   }
 
   /** Codegen'd dot product (requires [[register]] on the session). */

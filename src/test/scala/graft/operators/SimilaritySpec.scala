@@ -9,16 +9,27 @@ class SimilaritySpec extends SparkSpec {
   private def vecs(rows: (Long, Seq[Float])*) =
     rows.toSeq.toDF("vec_id", "embedding")
 
-  test("graft_dot (codegen) is bit-identical to the HOF fold on random float arrays") {
+  test("graft_dot (codegen) is bit-identical to a driver-side left fold on random float arrays") {
+    // NOTE: comparing the kernel against the HOF COLUMN would be
+    // circular since RewriteHofDot turns that column into the kernel;
+    // the reference fold runs in plain Scala instead.
     GraftFunctions.register(spark)
     val rng = new scala.util.Random(3)
-    val df = (1L to 200L).map(i => i -> Seq.fill(64)(rng.nextFloat() * 2 - 1)).toDF("id", "v")
-    val both = df.as("a").join(df.as("b"), $"a.id" < $"b.id").limit(500)
-      .select(
-        Similarity.dot($"a.v", $"b.v").as("hof"),
+    val rows = (1L to 200L).map(i => i -> Seq.fill(64)(rng.nextFloat() * 2 - 1))
+    val df = rows.toDF("id", "v")
+    val got = df.as("a").join(df.as("b"), $"a.id" < $"b.id").limit(500)
+      .select($"a.id".as("ia"), $"b.id".as("ib"),
         GraftFunctions.dot($"a.v", $"b.v").as("native"))
-    assert(both.filter($"hof" =!= $"native" ||
-      $"hof".isNull =!= $"native".isNull).count() == 0)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 500)
+    val m = rows.toMap
+    got.foreach { case (ia, ib, native) =>
+      val (va, vb) = (m(ia), m(ib))
+      var s = 0.0
+      var i = 0
+      while (i < 64) { s += va(i).toDouble * vb(i).toDouble; i += 1 }
+      assert(native == s, s"pair ($ia,$ib)")
+    }
   }
 
   test("graft_dot null semantics match zip_with+fold: null array, null element, length mismatch") {
