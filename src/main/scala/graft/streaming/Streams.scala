@@ -27,6 +27,10 @@ import java.sql.Timestamp
   *    (event count, last seen, total value) with processing-time
   *    timeout — the custom-state escape hatch for semantics windows
   *    can't express.
+  *  - [[closedSessions]]: flatMapGroupsWithState emitting a summary
+  *    row ONLY when a session closes (0..n rows per group per batch) —
+  *    the streaming twin of the batch [[graft.operators.Sessionize]],
+  *    with event-time timeouts closing idle sessions at the watermark.
   *
   * Scale posture: all state is keyed (user_id / window start), so the
   * state store partitions by key across executors; watermarks bound
@@ -41,6 +45,9 @@ object Streams {
 
   case class UserActivity(user_id: Long, n_events: Long, total_value: Double,
       last_seen: Timestamp)
+
+  case class SessionSummary(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, total_value: Double)
 
   /** Watermarked tumbling-hour rollup; `delay` caps late-arrival wait
     * (and therefore state retention). */
@@ -129,6 +136,64 @@ object Streams {
             evs.map(_.ts).foldLeft(prev.last_seen)((a, b) => if (b.after(a)) b else a))
           state.update(next)
           next
+      }
+  }
+
+  /** Closed-session emitter via flatMapGroupsWithState: each user's
+    * live session is keyed state; a summary row is emitted only when
+    * the session CLOSES — either a new event jumps the gap (closing
+    * the previous session in-line) or the event-time watermark passes
+    * `last event + gap` (EventTimeTimeout closes idle sessions — the
+    * only reaper correct under watermark-bounded late data).
+    *
+    * Gap rule matches the batch [[graft.operators.Sessionize]] and
+    * `session_window`: a diff of exactly `gapMs` starts a NEW session
+    * (half-open windows). Within a batch events fold in event-time
+    * order; an out-of-order event landing ≥ gap BEFORE the live
+    * session (only possible when `delay` > gap) is emitted as its own
+    * closed session rather than corrupting the live one. Emitted
+    * rows are final — state is keyed, watermark-bounded, append-mode.
+    */
+  def closedSessions(events: Dataset[Event], gapMs: Long = 30L * 60 * 1000,
+      delay: String = "2 hours"): Dataset[SessionSummary] = {
+    require(gapMs > 0, "closedSessions needs gapMs > 0")
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionSummary, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, batch, state: GroupState[SessionSummary]) =>
+          if (state.hasTimedOut) {
+            val closed = state.get
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            val out = Seq.newBuilder[SessionSummary]
+            var cur = state.getOption
+            batch.toSeq.sortBy(_.ts.getTime).foreach { ev =>
+              cur match {
+                case None =>
+                  cur = Some(SessionSummary(uid, ev.ts, ev.ts, 1L, ev.value))
+                case Some(c) if ev.ts.getTime >= c.session_end.getTime + gapMs =>
+                  out += c // the gap jump closes the live session now
+                  cur = Some(SessionSummary(uid, ev.ts, ev.ts, 1L, ev.value))
+                case Some(c) if ev.ts.getTime <= c.session_start.getTime - gapMs =>
+                  // stale lone event beyond the gap BEFORE the live
+                  // session: close it immediately, keep the live one
+                  out += SessionSummary(uid, ev.ts, ev.ts, 1L, ev.value)
+                case Some(c) =>
+                  cur = Some(SessionSummary(uid,
+                    if (ev.ts.before(c.session_start)) ev.ts else c.session_start,
+                    if (ev.ts.after(c.session_end)) ev.ts else c.session_end,
+                    c.n_events + 1, c.total_value + ev.value))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              state.setTimeoutTimestamp(c.session_end.getTime + gapMs)
+            }
+            out.result().iterator
+          }
       }
   }
 }

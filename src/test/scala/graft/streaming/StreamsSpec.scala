@@ -122,4 +122,58 @@ class StreamsSpec extends SparkSpec {
     q.stop()
     assert(out == Set((1L, 100L, "11:30:00")))
   }
+
+  test("closedSessions emits only on close: gap jump in-line, idle timeout at the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = closedSessions(mem.toDS(), gapMs = 30L * 60 * 1000, delay = "1 hour")
+      .writeStream.format("memory").queryName("cs").outputMode(OutputMode.Append()).start()
+    // one session: 10:00 + 10:10; nothing closed yet
+    mem.addData(events(
+      (1L, 7L, "view", "2024-01-01 10:00:00", 1.0),
+      (2L, 7L, "view", "2024-01-01 10:10:00", 2.0)): _*)
+    q.processAllAvailable()
+    assert(spark.table("cs").count() == 0, "open session must not emit")
+    // 12:00 jumps the 30-min gap -> first session closes in-line
+    mem.addData(events((3L, 7L, "view", "2024-01-01 12:00:00", 5.0)): _*)
+    q.processAllAvailable()
+    val first = spark.table("cs").as[SessionSummary].collect()
+    assert(first.length == 1)
+    assert(first.head.session_start == ts("2024-01-01 10:00:00") &&
+      first.head.session_end == ts("2024-01-01 10:10:00") &&
+      first.head.n_events == 2 && first.head.total_value == 3.0)
+    // another user's 15:00 event pushes the watermark to 14:00,
+    // past 12:00 + gap -> the idle session times out and emits
+    mem.addData(events((4L, 9L, "view", "2024-01-01 15:00:00", 1.0)): _*)
+    q.processAllAvailable()
+    // one more empty batch lets the timeout fire after the watermark update
+    mem.addData(events((5L, 9L, "view", "2024-01-01 15:01:00", 1.0)): _*)
+    q.processAllAvailable()
+    val all = spark.table("cs").as[SessionSummary].collect()
+    q.stop()
+    val u7 = all.filter(_.user_id == 7L).sortBy(_.session_start.getTime)
+    assert(u7.length == 2, s"expected both u7 sessions closed, got ${all.toSeq}")
+    assert(u7(1).session_start == ts("2024-01-01 12:00:00") &&
+      u7(1).n_events == 1 && u7(1).total_value == 5.0)
+  }
+
+  test("closedSessions boundary: a diff of exactly the gap starts a new session") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = closedSessions(mem.toDS(), gapMs = 30L * 60 * 1000, delay = "1 hour")
+      .writeStream.format("memory").queryName("csb").outputMode(OutputMode.Append()).start()
+    mem.addData(events(
+      (1L, 7L, "view", "2024-01-01 10:00:00", 1.0),
+      (2L, 7L, "view", "2024-01-01 10:30:00", 2.0)): _*) // exactly gap apart
+    q.processAllAvailable()
+    val closed = spark.table("csb").as[SessionSummary].collect()
+    q.stop()
+    // the 10:30 event opened a NEW session, closing the 10:00 one
+    assert(closed.length == 1)
+    assert(closed.head.session_start == ts("2024-01-01 10:00:00") &&
+      closed.head.session_end == ts("2024-01-01 10:00:00") &&
+      closed.head.n_events == 1)
+  }
 }
