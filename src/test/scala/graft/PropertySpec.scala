@@ -83,4 +83,51 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(once - x) <= 0.5 / math.pow(10, d) + math.ulp(x))
     }
   }
+
+  test("sharding partitions the corpus: every id lands in exactly one shard, positions are 1..size") {
+    forAll(Gen.zip(Gen.chooseNum(1, 12), Gen.chooseNum(20, 120), Gen.identifier), 6) {
+      case (nShards: Int, nDocs: Int, seedStr: String) =>
+        val ids = (0 until nDocs).map(_.toLong)
+        val df = ids.toDF("doc_id")
+        val placed = graft.operators.Sharding.withPosition(
+          graft.operators.Sharding.withShard(df, "doc_id", nShards, seedStr), "doc_id")
+          .select($"doc_id", $"shard", $"pos").as[(Long, Int, Int)].collect()
+        assert(placed.map(_._1).sorted.toSeq == ids, "every id exactly once")
+        assert(placed.forall(r => r._2 >= 0 && r._2 < nShards))
+        placed.groupBy(_._2).foreach { case (_, rs) =>
+          assert(rs.map(_._3).sorted.toSeq == (1 to rs.length).toSeq)
+        }
+    }
+  }
+
+  test("packing conserves tokens and never under-allocates sequences, for random doc lengths") {
+    forAll(Gen.zip(Gen.listOfN(60, Gen.chooseNum(1, 900)), Gen.chooseNum(16, 512)), 6) {
+      case (lens: List[Int], seqLen: Int) =>
+        val docs = lens.zipWithIndex.map { case (n, i) => (i.toLong, n.toLong) }
+          .toDF("doc_id", "n")
+        val s = graft.operators.Packing.packSummary(docs, "doc_id", $"n",
+            nShards = 4, seed = "p", seqLen = seqLen)
+          .as[(Int, Long, Long, Long, Long)].collect()
+        assert(s.map(_._3).sum == lens.map(_.toLong).sum, "token conservation")
+        s.foreach { case (_, docsN, tokens, nSeqs, splits) =>
+          assert(nSeqs == (tokens + seqLen - 1) / seqLen)
+          assert(splits <= docsN)
+        }
+    }
+  }
+
+  test("int8 quantization error is within half a quantization step, per element") {
+    val rng = new scala.util.Random(23)
+    val df = (1L to 150L).map(i => (i, Seq.fill(24)(rng.nextFloat() * 1000 - 500)))
+      .toDF("vec_id", "embedding")
+    val rows = graft.operators.Quantize.quantizeVectors(df)
+      .select($"embedding", $"q8", $"qscale")
+      .as[(Seq[Float], Seq[Int], Double)].collect()
+    rows.foreach { case (v, q, scale) =>
+      assert(scale > 0.0)
+      v.zip(q).foreach { case (x, qi) =>
+        assert(math.abs(x.toDouble * scale - qi) <= 0.5 + 1e-9, s"x=$x qi=$qi scale=$scale")
+      }
+    }
+  }
 }
