@@ -19,7 +19,8 @@ object SparkEntry {
       analytics.PipelineOps.entries ++
       analytics.AppOps.entries ++
       analytics.DataOps.entries ++
-      analytics.CorpusOps.entries
+      analytics.CorpusOps.entries ++
+      analytics.StatsOps.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
       analytics.PipelineOps.oracles ++
       analytics.AppOps.oracles ++
       analytics.DataOps.oracles ++
-      analytics.CorpusOps.oracles
+      analytics.CorpusOps.oracles ++
+      analytics.StatsOps.oracles
 }

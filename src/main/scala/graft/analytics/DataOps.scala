@@ -498,7 +498,7 @@ object DataOps {
   /** MinHash-LSH pair graph as a reusable CTE chain: `pairs`
     * (doc_a < doc_b) and symmetric `edges` (a, b) — identical to the
     * pair set Components/PageRank consume in the engine. */
-  private lazy val dkPairGraphCtes =
+  private[analytics] lazy val dkPairGraphCtes =
     s"""$dkSizes,
        |sigs AS (
        |  SELECT doc_id,

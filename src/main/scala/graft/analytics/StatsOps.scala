@@ -1,0 +1,327 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Cols
+import graft.operators.{Sequences, TextDedup, Triangles}
+
+/** Statistical / graph / sequence analytics extending the reference's
+  * aggregate surface (SURVEY.md §2.5) with the screens a curation
+  * pipeline runs before training: robust outlier cuts, distribution
+  * banding, multi-dimensional rollups, collocation mining, duplicate-
+  * graph structure, and deterministic sampling.
+  *
+  * Oracle-parity conventions (see DataOps): floor-rounding via
+  * [[Cols.r]], decimal-quantized sums via [[Cols.sumExact]], division
+  * written in the same association order on both sides, and a total
+  * ORDER BY with tiebreakers on every result.
+  */
+object StatsOps {
+
+  // ---- graph: triangle structure of the near-dup pair graph ----------
+
+  /** Triangle participation in the MinHash-LSH duplicate graph (same
+    * pair source as dedup_groups / pagerank_hubs). High triangle
+    * counts mark genuine template clusters — LSH false positives are
+    * overwhelmingly open wedges, so this is the cheap structural
+    * filter before acting on near-dup verdicts. */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = TextDedup.minhashLshPairs(Tables.documents(spark, dir),
+        n = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    Triangles.nodeTriangles(pairs, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  // ---- sequences: first-order Markov transitions ---------------------
+
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame =
+    Sequences.transitions(Tables.events(spark, dir),
+        entityCol = "user_id", tsCol = "ts", idCol = "event_id", typeCol = "event_type")
+      .orderBy(col("from_type").asc, col("to_type").asc)
+
+  // ---- multi-dimensional rollup: CUBE --------------------------------
+
+  /** CUBE over (returnflag, linestatus): all four grouping levels in
+    * one pass (Spark plans a single Expand + hash aggregate — no
+    * re-scan per level). NULL grouping slots are labeled 'ALL'. */
+  def cubeFlagStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        Cols.sumExact(col("l_quantity")).as("sum_qty"),
+        Cols.sumExact(col("l_extendedprice")).as("sum_price"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("return_flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("line_status"),
+        col("n_items"), col("sum_qty"), col("sum_price"))
+      .orderBy(col("return_flag").asc, col("line_status").asc)
+
+  // ---- distribution banding: broadcast-quantile deciles --------------
+
+  /** Order-value deciles WITHOUT a global sort: one exact-percentile
+    * reduce produces the 9 cut points (single row → broadcast cross
+    * join), and assignment is a per-row comparison sum. This is the
+    * 100 TB-safe shape — `ntile(10) OVER (ORDER BY …)` would funnel
+    * every row through one partition. */
+  def decilesOrders(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val cuts = ord.agg(
+      percentile(col("o_totalprice"),
+        array((1 to 9).map(i => lit(i / 10.0)): _*)).as("qs"))
+    val assigned = ord.crossJoin(cuts)
+      .withColumn("decile",
+        (1 to 9).map(i => when(col("o_totalprice") >= element_at(col("qs"), i), 1)
+          .otherwise(0)).reduce(_ + _) + lit(1))
+    assigned.groupBy("decile")
+      .agg(count(lit(1)).as("n_orders"),
+        Cols.r(min(col("o_totalprice")), 2).as("lo"),
+        Cols.r(max(col("o_totalprice")), 2).as("hi"),
+        Cols.sumExact(col("o_totalprice")).as("total"))
+      .orderBy(col("decile").asc)
+  }
+
+  // ---- robust outliers: median/MAD -----------------------------------
+
+  /** Median-absolute-deviation outlier screen — the robust cousin of
+    * q3's z-score (one huge value cannot drag the cut the way it
+    * drags a mean/stddev). Two exact-percentile reduces, each a
+    * single-row frame cross-joined back: no global sort, no second
+    * full shuffle. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).filter(col("value").isNotNull)
+    val med = ev.agg(percentile(col("value"), lit(0.5)).as("m"))
+    val mad = ev.crossJoin(med)
+      .agg(percentile(abs(col("value") - col("m")), lit(0.5)).as("d"))
+    ev.crossJoin(med).crossJoin(mad)
+      .withColumn("robust_z", abs(col("value") - col("m")) / col("d"))
+      .filter(col("robust_z") > 3.0)
+      .select(col("event_id"), Cols.r(col("value"), 4).as("value"),
+        Cols.r(col("robust_z"), 6).as("robust_z"))
+      .orderBy(col("robust_z").desc, col("event_id").asc)
+      .limit(50)
+  }
+
+  // ---- vocabulary coverage (tokenizer planning) ----------------------
+
+  /** Top-30 tokens with cumulative corpus share — the "how small can
+    * the vocab be" question tokenizer training starts from. The
+    * top-k is TakeOrderedAndProject (no global sort of the vocab);
+    * the cumulative window then runs over 30 rows on one task. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val tot = cnt.agg(sum(col("n")).cast("double").as("t"))
+    val top = cnt.orderBy(col("n").desc, col("token").asc).limit(30)
+    val w = Window.orderBy(col("n").desc, col("token").asc)
+    top.withColumn("rank", row_number().over(w))
+      .withColumn("cum", sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(tot)
+      .select(col("token"), col("n"), col("rank"),
+        (floor(col("cum").cast("double") / col("t") * 1e6 + lit(0.5)) / 1e6).as("cum_share"))
+      .orderBy(col("rank").asc)
+  }
+
+  // ---- collocations: bigram lift (PMI without the log) ---------------
+
+  /** Adjacent-token bigrams scored by lift = p(ab) / (p(a)·p(b)) —
+    * monotone in PMI but oracle-stable (no transcendental function;
+    * both engines evaluate the identical rational expression).
+    * Unigram side is broadcast: vocabulary ≪ corpus. */
+  def bigramLift(spark: SparkSession, dir: String): DataFrame = {
+    val tk = Tables.documents(spark, dir)
+      .select(split(col("text"), " ").as("t"))
+    val uni = tk.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val utot = uni.agg(sum(col("n")).cast("double").as("tu"))
+    val bi = tk.select(explode(
+        zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+    val btot = bi.agg(sum(col("n_ab")).cast("double").as("tb"))
+    bi.filter(col("n_ab") >= 5)
+      .join(broadcast(uni.select(col("w").as("w1"), col("n").as("n_a"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("n").as("n_b"))), "w2")
+      .crossJoin(utot).crossJoin(btot)
+      .select(col("w1"), col("w2"), col("n_ab"),
+        (floor(col("n_ab").cast("double") * col("tu") * col("tu")
+          / (col("tb") * col("n_a").cast("double") * col("n_b").cast("double"))
+          * 1e4 + lit(0.5)) / 1e4).as("lift"))
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+      .limit(20)
+  }
+
+  // ---- deterministic per-group sampling ------------------------------
+
+  /** k=3 docs per language, chosen by a portable multiplicative hash
+    * (reproducible across engines and runs — no rand()). The window
+    * partitions by group; for pathological single-group corpora the
+    * boundary-based sampler in Curation is the fallback. */
+  def samplePerLang(spark: SparkSession, dir: String): DataFrame = {
+    val h = pmod(col("doc_id") * lit(2654435761L), lit(1000000007L))
+    val w = Window.partitionBy(col("lang")).orderBy(h.asc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang").asc, col("rn").asc)
+  }
+
+  // ---- registration ---------------------------------------------------
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_triangles"   -> (graphTriangles _),
+    "event_transitions" -> (eventTransitions _),
+    "cube_flag_status"  -> (cubeFlagStatus _),
+    "deciles_orders"    -> (decilesOrders _),
+    "mad_outliers"      -> (madOutliers _),
+    "vocab_coverage"    -> (vocabCoverage _),
+    "bigram_lift"       -> (bigramLift _),
+    "sample_per_lang"   -> (samplePerLang _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "graph_triangles" ->
+      s"""WITH ${DataOps.dkPairGraphCtes},
+         |und AS (SELECT doc_a AS u, doc_b AS v FROM pairs),
+         |tdeg AS (
+         |  SELECT id, count(*) AS deg FROM (
+         |    SELECT u AS id FROM und UNION ALL SELECT v FROM und) GROUP BY 1
+         |), ori AS (
+         |  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v) THEN u ELSE v END AS src,
+         |         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v) THEN v ELSE u END AS dst,
+         |         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v) THEN dv.deg ELSE du.deg END AS ddeg
+         |  FROM und
+         |  JOIN tdeg du ON du.id = und.u
+         |  JOIN tdeg dv ON dv.id = und.v
+         |), wed AS (
+         |  SELECT e1.src AS a, e1.dst AS x, e2.dst AS y
+         |  FROM ori e1 JOIN ori e2 ON e1.src = e2.src
+         |   AND (e1.ddeg < e2.ddeg OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
+         |), tri AS (
+         |  SELECT a, x, y FROM wed JOIN ori c ON wed.x = c.src AND wed.y = c.dst
+         |), pern AS (
+         |  SELECT id, count(*) AS n_triangles FROM (
+         |    SELECT a AS id FROM tri
+         |    UNION ALL SELECT x FROM tri
+         |    UNION ALL SELECT y FROM tri) GROUP BY 1
+         |)
+         |SELECT id AS doc_id, n_triangles FROM pern
+         |ORDER BY n_triangles DESC, doc_id ASC
+         |LIMIT 20""".stripMargin,
+    "event_transitions" ->
+      """WITH nxt AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS to_type
+        |  FROM events
+        |), cnt AS (
+        |  SELECT from_type, to_type, count(*) AS n_transitions
+        |  FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, n_transitions,
+        |       floor(CAST(n_transitions AS DOUBLE)
+        |             / CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE)
+        |             * 1e6 + 0.5) / 1e6 AS p_transition
+        |FROM cnt
+        |ORDER BY from_type ASC, to_type ASC""".stripMargin,
+    "cube_flag_status" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS return_flag,
+        |       coalesce(l_linestatus, 'ALL') AS line_status,
+        |       count(*) AS n_items,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY return_flag ASC, line_status ASC""".stripMargin,
+    "deciles_orders" ->
+      s"""WITH cuts AS (
+         |  SELECT quantile_cont(o_totalprice, [${(1 to 9).map(i => i / 10.0).mkString(", ")}]) AS qs
+         |  FROM orders
+         |), assigned AS (
+         |  SELECT o_totalprice,
+         |         ${(1 to 9).map(i => s"(CASE WHEN o_totalprice >= qs[$i] THEN 1 ELSE 0 END)").mkString(" + ")} + 1 AS decile
+         |  FROM orders, cuts
+         |)
+         |SELECT decile, count(*) AS n_orders,
+         |       floor(min(o_totalprice) * 1e2 + 0.5) / 1e2 AS lo,
+         |       floor(max(o_totalprice) * 1e2 + 0.5) / 1e2 AS hi,
+         |       CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+         |FROM assigned GROUP BY decile
+         |ORDER BY decile ASC""".stripMargin,
+    "mad_outliers" ->
+      """WITH med AS (
+        |  SELECT quantile_cont(value, 0.5) AS m FROM events WHERE value IS NOT NULL
+        |), madt AS (
+        |  SELECT quantile_cont(abs(value - m), 0.5) AS d
+        |  FROM events, med WHERE value IS NOT NULL
+        |)
+        |SELECT event_id,
+        |       floor(value * 1e4 + 0.5) / 1e4 AS value,
+        |       floor(abs(value - m) / d * 1e6 + 0.5) / 1e6 AS robust_z
+        |FROM events, med, madt
+        |WHERE value IS NOT NULL AND abs(value - m) / d > 3.0
+        |ORDER BY robust_z DESC, event_id ASC
+        |LIMIT 50""".stripMargin,
+    "vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        |), cnt AS (
+        |  SELECT token, count(*) AS n FROM tok GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS DOUBLE) AS t FROM cnt
+        |), top AS (
+        |  SELECT token, n FROM cnt ORDER BY n DESC, token ASC LIMIT 30
+        |), ranked AS (
+        |  SELECT token, n,
+        |         row_number() OVER (ORDER BY n DESC, token ASC) AS rank,
+        |         sum(n) OVER (ORDER BY n DESC, token ASC ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM top
+        |)
+        |SELECT token, n, rank, floor(CAST(cum AS DOUBLE) / t * 1e6 + 0.5) / 1e6 AS cum_share
+        |FROM ranked, tot
+        |ORDER BY rank ASC""".stripMargin,
+    "bigram_lift" ->
+      """WITH tk AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents
+        |), uni AS (
+        |  SELECT w, count(*) AS n FROM (SELECT unnest(t) AS w FROM tk) GROUP BY 1
+        |), utot AS (
+        |  SELECT CAST(sum(n) AS DOUBLE) AS tu FROM uni
+        |), bi AS (
+        |  SELECT bg['w1'] AS w1, bg['w2'] AS w2, count(*) AS n_ab FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |             i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS bg
+        |    FROM tk WHERE len(t) >= 2)
+        |  GROUP BY 1, 2
+        |), btot AS (
+        |  SELECT CAST(sum(n_ab) AS DOUBLE) AS tb FROM bi
+        |)
+        |SELECT b.w1, b.w2, b.n_ab,
+        |       floor(CAST(b.n_ab AS DOUBLE) * tu * tu
+        |             / (tb * CAST(a.n AS DOUBLE) * CAST(c.n AS DOUBLE))
+        |             * 1e4 + 0.5) / 1e4 AS lift
+        |FROM bi b
+        |JOIN uni a ON a.w = b.w1
+        |JOIN uni c ON c.w = b.w2
+        |CROSS JOIN utot CROSS JOIN btot
+        |WHERE b.n_ab >= 5
+        |ORDER BY lift DESC, b.w1 ASC, b.w2 ASC
+        |LIMIT 20""".stripMargin,
+    "sample_per_lang" ->
+      """SELECT lang, rn, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY (doc_id * 2654435761) % 1000000007 ASC, doc_id ASC) AS rn
+        |  FROM documents)
+        |WHERE rn <= 3
+        |ORDER BY lang ASC, rn ASC""".stripMargin
+  )
+}
