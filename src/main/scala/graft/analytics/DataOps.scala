@@ -41,6 +41,27 @@ object DataOps {
   private def dkCos(a: String, b: String): String =
     s"floor((${dkDot(a, b)} / (sqrt(${dkDot(a, a)}) * sqrt(${dkDot(b, b)}))) * 1e6 + 0.5) / 1e6"
 
+  /** Fixed seed for the production hyperplane family
+    * ([[Similarity.gaussianPlanes]]) — one constant so the engine
+    * queries and the oracle literals below can never drift. TESTDATA
+    * embeddings are 64-dim at every scale factor. */
+  private val lshSeed = 42L
+  private val embDim = 64
+
+  /** The seeded plane matrix as a DuckDB CTE body: integer-grid
+    * literals divided by 1024 — every coordinate m/1024 is exactly
+    * representable in float and double and round-trips through the
+    * decimal literal, so both engines evaluate identical dot products
+    * (see gaussianPlaneGrid). */
+  private def dkSeededAnchors(nPlanes: Int): String = {
+    val rows = graft.operators.Similarity.gaussianPlaneGrid(lshSeed, nPlanes, embDim)
+      .zipWithIndex
+      .map { case (g, i) => s"($i, [${g.mkString(",")}])" }
+      .mkString(", ")
+    s"""SELECT rank, list_transform(grid, x -> CAST(x AS DOUBLE) / 1024) AS plane_vec
+       |  FROM (VALUES $rows) t(rank, grid)""".stripMargin
+  }
+
   // ---- dedup ---------------------------------------------------------
 
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -55,8 +76,20 @@ object DataOps {
       .orderBy(col("doc_a").asc, col("doc_b").asc)
 
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
-    TextDedup.minhashLshPairs(Tables.documents(spark, dir),
+    TextDedup.pairGraph(Tables.documents(spark, dir),
         n = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+
+  /** PRODUCTION-HASH MinHash-LSH path (xxHash64-mod-P token family —
+    * the family a real 100 TB run would use, engine-private): DuckDB
+    * cannot replay xxHash64, so this entry has NO oracle SQL (driver
+    * records the weaker rows-only check) — its correctness gate is
+    * TextDedupSpec's pair-set-equality assertions vs the portable
+    * family (fixture + sf0.01), and its purpose here is a measured
+    * sf0.1 bench number for the production path. */
+  def dedupMinhashFast(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.minhashLshPairs(Tables.documents(spark, dir),
+        n = 3, numHashes = 16, bands = 8, threshold = 0.5, fast = true)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
 
   /** maxHamming = 0 here: the harness docs share one 31-word vocab, so
@@ -69,13 +102,17 @@ object DataOps {
 
   /** Banded-LSH near-dup pairs. The harness threshold (0.4 ⇒ angle
     * ≈ 66°) is far more permissive than a production near-dup cut, so
-    * the band layout is many-cheap: 32 bands × 4 planes — measured
-    * 59/59 recall vs the exact all-pairs result on this corpus. The
-    * oracle replays the same banding, so the gate checks candidate
-    * generation AND verification, not just the cosine tail. */
+    * the band layout is many-cheap: 32 bands × 4 planes. Planes are
+    * the PRODUCTION family — fixed-seed Gaussian ([[Similarity
+    * .gaussianPlanes]]), not first-n corpus anchors, so bucket balance
+    * can't degrade on corpora with correlated leading ids. The oracle
+    * replays the identical plane literals and banding, so the gate
+    * checks candidate generation AND verification, not just the
+    * cosine tail. */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(Tables.embeddings(spark, dir), threshold = 0.4,
-        bands = 32, planesPerBand = 4)
+        bands = 32, planesPerBand = 4,
+        planesOpt = Some(Similarity.gaussianPlanes(lshSeed, 128, embDim)))
       .orderBy(col("vec_a").asc, col("vec_b").asc)
 
   /** Pairs → duplicate clusters: MinHash-LSH pair graph, transitive
@@ -84,7 +121,7 @@ object DataOps {
     * closure with a recursive CTE over the same pair set. */
   def dedupGroups(spark: SparkSession, dir: String): DataFrame =
     Components.dedupGroups(
-      TextDedup.minhashLshPairs(Tables.documents(spark, dir),
+      TextDedup.pairGraph(Tables.documents(spark, dir),
         n = 3, numHashes = 16, bands = 8, threshold = 0.5)
         .select(col("doc_a"), col("doc_b")))
 
@@ -95,7 +132,7 @@ object DataOps {
     * oracle unrolls all three power iterations as CTEs over the same
     * pair graph. */
   def pagerankHubs(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = TextDedup.minhashLshPairs(Tables.documents(spark, dir),
+    val pairs = TextDedup.pairGraph(Tables.documents(spark, dir),
         n = 3, numHashes = 16, bands = 8, threshold = 0.5)
       .select(col("doc_a"), col("doc_b"))
     PageRank.ranks(pairs, "doc_a", "doc_b", nIter = 3)
@@ -246,7 +283,7 @@ object DataOps {
     * surviving doc/token counts. */
   def dedupKeep(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val pairs = TextDedup.minhashLshPairs(docs, n = 3, numHashes = 16,
+    val pairs = TextDedup.pairGraph(docs, n = 3, numHashes = 16,
         bands = 8, threshold = 0.5)
       .select(col("doc_a"), col("doc_b"))
     Curation.keeperFilter(docs, pairs)
@@ -293,7 +330,8 @@ object DataOps {
 
   def simTopKLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 3, nPlanes = 3)
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 3, nPlanes = 3,
+        planesOpt = Some(Similarity.gaussianPlanes(lshSeed, 3, embDim)))
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 
@@ -948,14 +986,10 @@ object DataOps {
          |GROUP BY lang
          |ORDER BY lang ASC""".stripMargin,
     "dedup_embedding" ->
-      s"""WITH all_anchors AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS rank, embedding AS plane_vec
-         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 128)
-         |), anchors AS (
-         |  -- only WHOLE bands participate, matching the engine kernel
-         |  -- (nBands = anchors / planesPerBand, trailing planes ignored)
-         |  SELECT * FROM all_anchors
-         |  WHERE rank < ((SELECT count(*) FROM all_anchors) // 4) * 4
+      s"""WITH anchors AS (
+         |  -- fixed-seed Gaussian plane matrix (32 bands x 4 planes),
+         |  -- integer grid / 1024: bit-identical to the engine literals
+         |  ${dkSeededAnchors(128)}
          |), sig AS (
          |  SELECT e.vec_id, a.rank // 4 AS band,
          |         sum(CASE WHEN ${dkDot("e.embedding", "a.plane_vec")} > 0
@@ -989,8 +1023,8 @@ object DataOps {
          |ORDER BY query_id ASC, rank ASC""".stripMargin,
     "sim_topk_lsh" ->
       s"""WITH anchors AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS rank, embedding AS plane_vec
-         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 3)
+         |  -- fixed-seed Gaussian planes, same literals as the engine
+         |  ${dkSeededAnchors(3)}
          |), bucketed AS (
          |  SELECT e.vec_id, e.embedding, sum(
          |      CASE WHEN ${dkDot("e.embedding", "a.plane_vec")} > 0
@@ -1165,6 +1199,7 @@ object DataOps {
     "dedup_exact"       -> (dedupExact _),
     "dedup_jaccard"     -> (dedupJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_minhash_fast" -> (dedupMinhashFast _),
     "dedup_simhash"     -> (dedupSimhash _),
     "dedup_embedding"   -> (dedupEmbedding _),
     "asof_attribution"  -> (asofAttribution _),

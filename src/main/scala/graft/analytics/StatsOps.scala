@@ -28,7 +28,7 @@ object StatsOps {
     * overwhelmingly open wedges, so this is the cheap structural
     * filter before acting on near-dup verdicts. */
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = TextDedup.minhashLshPairs(Tables.documents(spark, dir),
+    val pairs = TextDedup.pairGraph(Tables.documents(spark, dir),
         n = 3, numHashes = 16, bands = 8, threshold = 0.5)
       .select(col("doc_a"), col("doc_b"))
     Triangles.nodeTriangles(pairs, "doc_a", "doc_b")
@@ -73,7 +73,7 @@ object StatsOps {
     val cuts = ord.agg(
       percentile(col("o_totalprice"),
         array((1 to 9).map(i => lit(i / 10.0)): _*)).as("qs"))
-    val assigned = ord.crossJoin(cuts)
+    val assigned = ord.crossJoin(broadcast(cuts))
       .withColumn("decile",
         (1 to 9).map(i => when(col("o_totalprice") >= element_at(col("qs"), i), 1)
           .otherwise(0)).reduce(_ + _) + lit(1))
@@ -95,9 +95,9 @@ object StatsOps {
   def madOutliers(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).filter(col("value").isNotNull)
     val med = ev.agg(percentile(col("value"), lit(0.5)).as("m"))
-    val mad = ev.crossJoin(med)
+    val mad = ev.crossJoin(broadcast(med))
       .agg(percentile(abs(col("value") - col("m")), lit(0.5)).as("d"))
-    ev.crossJoin(med).crossJoin(mad)
+    ev.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
       .withColumn("robust_z", abs(col("value") - col("m")) / col("d"))
       .filter(col("robust_z") > 3.0)
       .select(col("event_id"), Cols.r(col("value"), 4).as("value"),
@@ -121,7 +121,7 @@ object StatsOps {
     val w = Window.orderBy(col("n").desc, col("token").asc)
     top.withColumn("rank", row_number().over(w))
       .withColumn("cum", sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .crossJoin(tot)
+      .crossJoin(broadcast(tot))
       .select(col("token"), col("n"), col("rank"),
         (floor(col("cum").cast("double") / col("t") * 1e6 + lit(0.5)) / 1e6).as("cum_share"))
       .orderBy(col("rank").asc)
@@ -150,7 +150,7 @@ object StatsOps {
     bi.filter(col("n_ab") >= 5)
       .join(broadcast(uni.select(col("w").as("w1"), col("n").as("n_a"))), "w1")
       .join(broadcast(uni.select(col("w").as("w2"), col("n").as("n_b"))), "w2")
-      .crossJoin(utot).crossJoin(btot)
+      .crossJoin(broadcast(utot)).crossJoin(broadcast(btot))
       .select(col("w1"), col("w2"), col("n_ab"),
         (floor(col("n_ab").cast("double") * col("tu") * col("tu")
           / (col("tb") * col("n_a").cast("double") * col("n_b").cast("double"))

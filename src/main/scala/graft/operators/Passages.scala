@@ -48,14 +48,19 @@ object Passages {
 
   /** Each passage instance annotated with its corpus-wide occurrence
     * count — the frame a curation pipeline filters (`n_occurrences
-    * > 1` = the span repeats somewhere) or rewrites documents from. */
+    * > 1` = the span repeats somewhere) or rewrites documents from.
+    *
+    * Single pass: `count().over(partitionBy(passage_hash))` — ONE
+    * shuffle on the hash, versus the groupBy + join-back form, which
+    * tokenizes and explodes the whole corpus twice (once per join
+    * side). A keyed window with no ORDER BY never funnels through a
+    * single partition, so this stays shuffle-linear at 100 TB. */
   def withOccurrenceCounts(docs: DataFrame, w: Int, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val occ = withPassages(docs, w, idCol, textCol)
-    val counts = occ.groupBy(col("passage_hash"))
-      .agg(count(lit(1)).as("n_occurrences"))
-    occ.join(counts, "passage_hash")
-  }
+      textCol: String = "text"): DataFrame =
+    withPassages(docs, w, idCol, textCol)
+      .withColumn("n_occurrences",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("passage_hash"))))
 
   /** The k most repeated passages (≥ minCount occurrences) — the
     * boilerplate candidates a curation run reviews and blocklists.

@@ -76,6 +76,47 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** SplitMix64 step (Steele et al., public domain) — the statistical
+    * mixer behind [[gaussianPlaneGrid]]'s counter-mode stream. */
+  private def splitmix64(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic pseudo-Gaussian hyperplane matrix on an integer
+    * grid: coordinate (p, d) is an Irwin–Hall sum of 12 uniform
+    * 10-bit draws minus 6·1024 — approximately N(0, 1024²) — from a
+    * counter-mode SplitMix64 stream, so the matrix is a pure function
+    * of (seed, nPlanes, dim). The PRODUCTION plane family: unlike
+    * first-n corpus anchors, bucket balance cannot degrade on corpora
+    * with correlated leading ids.
+    *
+    * Integer grid on purpose: the plane value m/1024 (|m| ≤ 6144) is
+    * EXACTLY representable in float and double, and its decimal
+    * expansion is finite — so the DuckDB oracles replay the identical
+    * plane matrix as integer literals divided by 1024, and every dot
+    * product is bit-identical across engines. (Hyperplane LSH only
+    * consumes the SIGN of dot(v, plane), so the Irwin–Hall tail
+    * truncation vs a true Gaussian is irrelevant: direction uniformity
+    * is what matters.) */
+  def gaussianPlaneGrid(seed: Long, nPlanes: Int, dim: Int): Seq[Array[Int]] =
+    Seq.tabulate(nPlanes) { p =>
+      Array.tabulate(dim) { d =>
+        val base = seed + (p.toLong * dim + d) * 12L
+        var s = 0
+        var j = 0
+        while (j < 12) { s += (splitmix64(base + j) >>> 54).toInt; j += 1 }
+        s - 6 * 1024
+      }
+    }
+
+  /** [[gaussianPlaneGrid]] as the float planes the LSH kernels take
+    * (m/1024 is exact in float — see the grid doc). */
+  def gaussianPlanes(seed: Long, nPlanes: Int, dim: Int): Seq[Array[Float]] =
+    gaussianPlaneGrid(seed, nPlanes, dim).map(_.map(_ / 1024.0f))
+
   /** Materialize the first `n` anchor vectors (by ascending id) as
     * driver-side values. This is a bounded PARAMETER fetch — O(n·dim)
     * bytes for a caller-chosen small n, the same class as broadcasting
@@ -137,11 +178,14 @@ object Similarity {
     * all-pairs scan. Recall depends on nPlanes (fewer planes = bigger
     * buckets = higher recall, more compute). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 3,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      planesOpt: Option[Seq[Array[Float]]] = None): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
     require(nPlanes > 0 && nPlanes <= 63, "lshTopK supports 1..63 planes")
-    // one plane materialization shared by both sides
-    val planes = collectPlanes(corpus, nPlanes, idCol, vecCol)
+    // explicit planes (e.g. [[gaussianPlanes]] — the production family)
+    // or the first-n corpus anchors; one materialization, both sides
+    val planes = planesOpt.getOrElse(collectPlanes(corpus, nPlanes, idCol, vecCol))
+    require(planes.size == nPlanes, s"lshTopK got ${planes.size} planes for nPlanes=$nPlanes")
     val cB = withBucketPlanes(corpus, planes, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("bucket"),
         norm(col(vecCol)).as("c_norm"))
@@ -261,12 +305,15 @@ object Similarity {
     * raise `planesPerBand` to keep the per-band self-join linear. */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
       bands: Int = 16, planesPerBand: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      planesOpt: Option[Seq[Array[Float]]] = None): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
     require(planesPerBand > 0 && planesPerBand <= 63,
       "nearDupPairs supports 1..63 planes per band (band keys are single-long sign patterns)")
     require(bands > 0, "nearDupPairs needs at least one band")
-    val planes = collectPlanes(corpus, bands * planesPerBand, idCol, vecCol)
+    // explicit planes ([[gaussianPlanes]] — the production family) or
+    // the first-n corpus anchors as the deterministic fallback
+    val planes = planesOpt.getOrElse(collectPlanes(corpus, bands * planesPerBand, idCol, vecCol))
     require(planes.nonEmpty, "nearDupPairs needs a non-empty corpus")
     // band width is FIXED: fewer anchors than asked just means fewer
     // whole bands (the kernel ignores a trailing partial band, and the

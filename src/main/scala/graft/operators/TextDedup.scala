@@ -271,6 +271,19 @@ object TextDedup {
       bands: Int = 8, threshold: Double = 0.5, fast: Boolean = false): DataFrame =
     verifyJaccard(lshCandidates(docs, n, numHashes, bands, fast), docs, n, threshold, fast)
 
+  /** The verified near-dup pair graph, persisted like the signature
+    * frames: [[minhashLshPairs]] routed through [[index]] so the
+    * candidate-generation + Jaccard-verification work runs ONCE per
+    * corpus and every downstream graph consumer (connected components,
+    * keeper filter, PageRank, triangle counting) reads the same cached
+    * pair table — exactly how a warehouse would materialize a pair
+    * table once and query it repeatedly. Same CacheManager keying as
+    * [[shingleArrays]]: repeat calls with the same docs/params dedupe
+    * to one cache entry. */
+  def pairGraph(docs: DataFrame, n: Int = 3, numHashes: Int = 16,
+      bands: Int = 8, threshold: Double = 0.5, fast: Boolean = false): DataFrame =
+    index(minhashLshPairs(docs, n, numHashes, bands, threshold, fast))
+
   /** 32-bit SimHash fingerprint via the native kernel: bit j is the
     * sign of the sum over tokens of (bit j of token hash ? +1 : −1).
     * Multiset semantics (repeated tokens weigh more), matching

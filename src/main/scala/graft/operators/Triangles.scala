@@ -46,6 +46,16 @@ object Triangles {
     // SAME rank order (that makes the closing edge a pure equi-join
     // below — an OR-of-orientations join would fall off the hash-join
     // path into a nested loop).
+    //
+    // Persisted: `oriented` feeds THREE join subtrees below (wedge
+    // e1/e2 + the closing edge). Uncached, each reference re-runs the
+    // whole und → deg → 2-join chain — and, worse, everything upstream
+    // of `pairs` (at the dup-graph call site that's the full LSH
+    // candidate+verify pipeline), tripling the most expensive subtree
+    // of the query. One MEMORY_AND_DISK block of thin (src, dst, deg)
+    // rows — O(m) — is the materialized edge table a warehouse would
+    // build before a self-join. Session-lived, same policy as
+    // TextDedup.index.
     val oriented = und
       .join(deg.withColumnRenamed("id", "u").withColumnRenamed("deg", "du"), "u")
       .join(deg.withColumnRenamed("id", "v").withColumnRenamed("deg", "dv"), "v")
@@ -54,6 +64,7 @@ object Triangles {
           struct(col("u").as("s"), col("v").as("d"), col("dv").as("dd")))
           .otherwise(struct(col("v").as("s"), col("u").as("d"), col("du").as("dd"))).as("e"))
       .select(col("e.s").as("src"), col("e.d").as("dst"), col("e.dd").as("ddeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Wedges at the min-rank corner: two out-edges src→x, src→y with
     // rank(x) < rank(y). The closing edge, if present, is then

@@ -154,6 +154,27 @@ class SimilaritySpec extends SparkSpec {
     assert(banded.subsetOf(exact))     // verification tail admits no false positives
     assert(banded == exact)            // 16 bands × 2 planes: recall 1 on this fixture
     assert(exact.nonEmpty)
+
+    // seeded Gaussian planes (the production family): same contract —
+    // verified subset, full recall at the same generous band layout
+    val seeded = Similarity.nearDupPairs(d, threshold = 0.95, bands = 16, planesPerBand = 2,
+        planesOpt = Some(Similarity.gaussianPlanes(7L, 32, 16)))
+      .select($"vec_a", $"vec_b", $"cos").as[(Long, Long, Double)].collect().toSet
+    assert(seeded == exact)
+  }
+
+  test("gaussianPlaneGrid is a pure function of the seed, on the exact 1/1024 grid") {
+    val a = Similarity.gaussianPlaneGrid(42L, 4, 16)
+    val b = Similarity.gaussianPlaneGrid(42L, 4, 16)
+    assert(a.map(_.toSeq) == b.map(_.toSeq))
+    assert(Similarity.gaussianPlaneGrid(43L, 4, 16).map(_.toSeq) != a.map(_.toSeq))
+    // Irwin–Hall(12) bounds on the 1024 grid, roughly centered
+    val all = a.flatten
+    assert(all.forall(m => m >= -6144 && m <= 6132))
+    assert(math.abs(all.map(_.toLong).sum.toDouble / all.size) < 1024) // mean ≈ 0 at σ=1024
+    // the float planes are the exact grid values (m/1024 is exact in float)
+    val f = Similarity.gaussianPlanes(42L, 4, 16)
+    assert(f.flatten.zip(all).forall { case (fl, m) => fl.toDouble == m / 1024.0 })
   }
 
   test("ivfTopKTrained: probing every trained cell reproduces brute-force exactly") {

@@ -193,4 +193,26 @@ class TextDedupSpec extends SparkSpec {
       .as[(Long, Seq[Long])].collect().toMap
     assert(sigPortable(0L) != sigFast(0L))
   }
+
+  test("fast family matches the portable family on the sf0.01 harness corpus") {
+    // the equality gate for the production (xxHash64-mod-P) path — the
+    // oracle can't replay xxHash64, so dedup_minhash_fast has no SQL
+    // oracle; THIS is its correctness gate on real harness data
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    def pairsAt(bands: Int, fast: Boolean): Set[(Long, Long)] =
+      TextDedup.minhashLshPairs(corpus, n = 3, numHashes = 16, bands = bands,
+          threshold = 0.5, fast = fast)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    // 16 bands of 1 row: per-pair miss probability (1-J)^16 < 1e-5 at
+    // J >= 0.5 ⇒ both families must surface the identical pair set
+    assert(pairsAt(16, fast = false) == pairsAt(16, fast = true))
+    // the benched 8-band config: family-dependent banding luck may
+    // legitimately differ on borderline pairs, but every detected pair
+    // is Jaccard-verified (subset of exact) and recall stays high
+    val exact = TextDedup.jaccardPairsIndex(corpus, n = 3, threshold = 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val fast8 = pairsAt(8, fast = true)
+    assert(fast8.subsetOf(exact))
+    assert(exact.nonEmpty && fast8.size >= exact.size * 9 / 10)
+  }
 }
