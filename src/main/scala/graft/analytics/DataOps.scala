@@ -370,6 +370,37 @@ object DataOps {
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 
+  /** Measured recall@5 of the approximate ANN paths (seeded-plane LSH,
+    * trained-centroid IVF) against exact brute-force top-k — the
+    * index-quality REGRESSION GATE: a change that degrades recall (a
+    * worse plane family, a broken trainer) flips this oracle row red
+    * instead of silently shipping a worse index. All arithmetic is
+    * exact (integer hit counts; one rounded division at the end), so
+    * the oracle replays the entire computation — search paths AND the
+    * recall math. The exact result is persisted once (50 rows): three
+    * consumers, one corpus scan. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    def row(method: String, approx: DataFrame): DataFrame =
+      approx.select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(nExact))
+        .select(lit(method).as("method"), col("n_exact"), col("n_hits"),
+          Cols.r(col("n_hits").cast("double") / col("n_exact").cast("double"), 6).as("recall"))
+    val lsh = Similarity.lshTopK(emb, q, k = 5, nPlanes = 3,
+      planesOpt = Some(Similarity.gaussianPlanes(lshSeed, 3, embDim)))
+    val ivf = Similarity.ivfTopKTrained(emb, q,
+      KMeans.fit(emb, k = 8, nIter = 2), k = 5, nProbe = 2)
+    row("ivf_kmeans", ivf).unionAll(row("lsh", lsh))
+      .orderBy(col("method").asc)
+  }
+
   // ---- text analysis ---------------------------------------------------
 
   def textTokenStats(spark: SparkSession, dir: String): DataFrame = {
@@ -1076,6 +1107,70 @@ object DataOps {
          |SELECT query_id, rank, neighbor_id, cos FROM ranked
          |WHERE rank <= 3
          |ORDER BY query_id ASC, rank ASC""".stripMargin,
+    "ann_recall" ->
+      s"""WITH c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, embedding AS c
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 8)
+         |), ${dkKmeansIter(1)}, ${dkKmeansIter(2)},
+         |exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${dkCos("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
+         |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 10)
+         |  WHERE rank <= 5
+         |), nex AS (SELECT count(*) AS n_exact FROM exact),
+         |anchors AS (
+         |  ${dkSeededAnchors(3)}
+         |), bucketed AS (
+         |  SELECT e.vec_id, e.embedding, sum(
+         |      CASE WHEN ${dkDot("e.embedding", "a.plane_vec")} > 0
+         |           THEN CAST(pow(2, a.rank) AS BIGINT) ELSE 0 END) AS bucket
+         |  FROM embeddings e CROSS JOIN anchors a
+         |  GROUP BY e.vec_id, e.embedding
+         |), lshr AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${dkCos("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
+         |    FROM bucketed q JOIN bucketed c
+         |      ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 10)
+         |  WHERE rank <= 5
+         |), kc_assign AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${dkCosRaw("e.embedding", "c.c")} DESC, c.cell ASC) AS rn
+         |    FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1
+         |), kq_assign AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${dkCosRaw("e.embedding", "c.c")} DESC, c.cell ASC) AS rn
+         |    FROM embeddings e CROSS JOIN c2 c
+         |    WHERE e.vec_id < 10) WHERE rn <= 2
+         |), ivfr AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${dkCos("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
+         |    FROM kq_assign q JOIN kc_assign c ON q.cell = c.cell AND c.vec_id <> q.vec_id)
+         |  WHERE rank <= 5
+         |), hits_lsh AS (
+         |  SELECT count(*) AS n_hits FROM lshr JOIN exact USING (query_id, neighbor_id)
+         |), hits_ivf AS (
+         |  SELECT count(*) AS n_hits FROM ivfr JOIN exact USING (query_id, neighbor_id)
+         |)
+         |SELECT 'ivf_kmeans' AS method, n_exact, n_hits,
+         |       floor(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) * 1e6 + 0.5) / 1e6 AS recall
+         |FROM hits_ivf CROSS JOIN nex
+         |UNION ALL
+         |SELECT 'lsh', n_exact, n_hits,
+         |       floor(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) * 1e6 + 0.5) / 1e6 AS recall
+         |FROM hits_lsh CROSS JOIN nex
+         |ORDER BY method ASC""".stripMargin,
     "text_token_stats" ->
       """SELECT lang,
         |       count(*) AS n_docs,
@@ -1214,6 +1309,7 @@ object DataOps {
     "sim_topk"          -> (simTopK _),
     "sim_topk_lsh"      -> (simTopKLsh _),
     "sim_topk_ivf"      -> (simTopKIvf _),
+    "ann_recall"        -> (annRecall _),
     "incr_load_events"  -> (incrLoadEvents _),
     "sessionize_daily"  -> (sessionizeDaily _),
     "scd2_user_versions" -> (scd2UserVersions _),

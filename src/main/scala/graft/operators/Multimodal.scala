@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * transforms (the Scala analogue of a vectorized Python UDF: one
   * batch of rows per partition iteration, no per-row driver calls).
   *
-  * The container has no media codecs, so the DECODE STEP IS A STUB —
-  * [[decodeStub]] derives deterministic fake dimensions/features from
-  * the payload bytes and is clearly marked as the splice point for a
-  * real codec. Everything around it — schema, Dataset encoders,
+  * Raster images (PNG/BMP/GIF) DECODE FOR REAL via the JDK's
+  * `javax.imageio` ([[decode]]: true dimensions + a luminance-
+  * histogram feature vector). Formats the JDK cannot decode
+  * (video/audio containers, exotic codecs) fall back to
+  * [[decodeStub]] — deterministic fake dimensions/features from the
+  * payload bytes, clearly marked as the splice point for an external
+  * codec. Everything around the splice — schema, Dataset encoders,
   * partition batching, feature-vector shape, downstream similarity
-  * compatibility — is real and tested.
+  * compatibility — is real and tested either way.
   *
   * Scale: payloads stay distributed (never collected); per-partition
   * work is pure map-side; feature vectors are fixed-size
@@ -84,16 +87,55 @@ object Multimodal {
     }.sum
   }
 
+  /** REAL raster decode via `javax.imageio` (the PNG/BMP/GIF readers
+    * ship in every JDK — no external codec needed): dimensions from
+    * the decoded image and features = 16-bin LUMINANCE histogram
+    * (ITU-R BT.601 integer weights, deterministic) normalized to unit
+    * L1 mass — the same shape/contract as the stub's byte histogram,
+    * so downstream [[Similarity]] composition is unchanged. Payloads
+    * that are not a known raster format (or fail to decode) fall back
+    * to [[decodeStub]]; video/audio remain the documented stub splice
+    * point (no demuxer in the JDK). */
+  def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+    val img =
+      if (imageDims(payload).isEmpty) None
+      else try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+      catch { case _: Exception => None }
+    img match {
+      case Some(i) =>
+        val w = i.getWidth; val h = i.getHeight
+        val hist = new Array[Float](FeatureDim)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = i.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            hist(lum / (256 / FeatureDim)) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = math.max(w * h, 1).toFloat
+        (w, h, hist.map(_ / n))
+      case None => decodeStub(payload)
+    }
+  }
+
   /** Decode + feature-extract, batched per partition. The iterator
     * form means one JVM-level loop per partition (no per-row lambda
-    * dispatch through Catalyst) — where a real codec would also amortize
-    * its init cost (load model / codec context once per partition). */
+    * dispatch through Catalyst) — where a heavier codec would also
+    * amortize its init cost (load model / codec context once per
+    * partition). Raster payloads decode for REAL ([[decode]] /
+    * javax.imageio); everything else takes the deterministic stub. */
   def decodeAll(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition init happens HERE (codec context, model weights)
       rows.map { r =>
-        val (w, h, feats) = decodeStub(r.payload)
+        val (w, h, feats) = decode(r.payload)
         DecodedMedia(r.media_id, r.kind, r.payload.length.toLong, w, h,
           byteEntropy(r.payload), feats)
       }

@@ -71,6 +71,55 @@ class MultimodalSpec extends SparkSpec {
     assert(top.count() == 3)
   }
 
+  test("decode: real PNG/BMP/GIF payloads decode via javax.imageio with luminance features") {
+    // render a real 8x4 image: left half black, right half white
+    def fixture(format: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 8)
+        img.setRGB(x, y, if (x < 4) 0x000000 else 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, format, bos))
+      bos.toByteArray
+    }
+    for (fmt <- Seq("png", "bmp", "gif")) {
+      val (w, h, feats) = decode(fixture(fmt))
+      assert((w, h) == ((8, 4)), fmt)
+      assert(feats.length == FeatureDim)
+      // all luminance mass sits in bin 0 (black) and bin 15 (white);
+      // PNG/BMP round-trip losslessly at exactly half each — the JDK
+      // GIF writer's palette quantizer legitimately shifts the split
+      assert(math.abs(feats(0) + feats(FeatureDim - 1) - 1.0f) < 1e-5, fmt)
+      if (fmt != "gif") {
+        assert(math.abs(feats(0) - 0.5f) < 1e-6, fmt)
+        assert(math.abs(feats(FeatureDim - 1) - 0.5f) < 1e-6, fmt)
+      }
+      assert(math.abs(feats.map(_.toDouble).sum - 1.0) < 1e-5, fmt)
+    }
+    // a payload with a valid magic but truncated body falls back to the
+    // stub instead of throwing mid-partition
+    val broken = fixture("png").take(30)
+    val (bw, bh, bf) = decode(broken)
+    assert(bw >= 1 && bh >= 1 && bf.length == FeatureDim)
+    // non-image payloads keep the stub path byte-for-byte
+    val text = "not an image".getBytes("UTF-8")
+    val (sw, sh, sf) = decodeStub(text)
+    val (dw, dh, df2) = decode(text)
+    assert((dw, dh) == ((sw, sh)) && df2.toSeq == sf.toSeq)
+  }
+
+  test("decodeAll decodes real raster payloads inside the partition iterator") {
+    val img = new java.awt.image.BufferedImage(6, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 3; x <- 0 until 6) img.setRGB(x, y, 0x808080)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq(
+      MediaRow(1L, "image", bos.toByteArray),
+      MediaRow(2L, "text", "plain payload".getBytes("UTF-8"))).toDS()
+    val out = decodeAll(media).collect().map(d => d.media_id -> d).toMap
+    assert((out(1L).width, out(1L).height) == ((6, 3)))
+    assert(out(2L).width >= 1) // stub path still flows through the same schema
+  }
+
   test("payloadStats groups by kind with distinct-content counts") {
     val stats = payloadStats(Tables.documents(spark, dir)).collect()
     assert(stats.nonEmpty)
