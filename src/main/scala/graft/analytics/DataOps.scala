@@ -393,11 +393,12 @@ object DataOps {
         .crossJoin(broadcast(nExact))
         .select(lit(method).as("method"), col("n_exact"), col("n_hits"),
           Cols.r(col("n_hits").cast("double") / col("n_exact").cast("double"), 6).as("recall"))
-    val lsh = Similarity.lshTopK(emb, q, k = 5, nPlanes = 3,
-      planesOpt = Some(Similarity.gaussianPlanes(lshSeed, 3, embDim)))
+    val planes = Some(Similarity.gaussianPlanes(lshSeed, 3, embDim))
+    val lsh = Similarity.lshTopK(emb, q, k = 5, nPlanes = 3, planesOpt = planes)
+    val mlsh = Similarity.lshTopKMultiprobe(emb, q, k = 5, nPlanes = 3, planesOpt = planes)
     val ivf = Similarity.ivfTopKTrained(emb, q,
       KMeans.fit(emb, k = 8, nIter = 2), k = 5, nProbe = 2)
-    row("ivf_kmeans", ivf).unionAll(row("lsh", lsh))
+    row("ivf_kmeans", ivf).unionAll(row("lsh", lsh)).unionAll(row("lsh_multiprobe", mlsh))
       .orderBy(col("method").asc)
   }
 
@@ -1158,8 +1159,23 @@ object DataOps {
          |             ORDER BY ${dkCos("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
          |    FROM kq_assign q JOIN kc_assign c ON q.cell = c.cell AND c.vec_id <> q.vec_id)
          |  WHERE rank <= 5
+         |), mprobes AS (
+         |  -- multi-probe: own bucket + every 1-bit flip of the 3-plane key
+         |  SELECT vec_id, embedding,
+         |         unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4)]) AS bucket
+         |  FROM bucketed WHERE vec_id < 10
+         |), mlshr AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${dkCos("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
+         |    FROM mprobes q JOIN bucketed c
+         |      ON q.bucket = c.bucket AND c.vec_id <> q.vec_id)
+         |  WHERE rank <= 5
          |), hits_lsh AS (
          |  SELECT count(*) AS n_hits FROM lshr JOIN exact USING (query_id, neighbor_id)
+         |), hits_mlsh AS (
+         |  SELECT count(*) AS n_hits FROM mlshr JOIN exact USING (query_id, neighbor_id)
          |), hits_ivf AS (
          |  SELECT count(*) AS n_hits FROM ivfr JOIN exact USING (query_id, neighbor_id)
          |)
@@ -1170,6 +1186,10 @@ object DataOps {
          |SELECT 'lsh', n_exact, n_hits,
          |       floor(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) * 1e6 + 0.5) / 1e6 AS recall
          |FROM hits_lsh CROSS JOIN nex
+         |UNION ALL
+         |SELECT 'lsh_multiprobe', n_exact, n_hits,
+         |       floor(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) * 1e6 + 0.5) / 1e6 AS recall
+         |FROM hits_mlsh CROSS JOIN nex
          |ORDER BY method ASC""".stripMargin,
     "text_token_stats" ->
       """SELECT lang,

@@ -195,6 +195,38 @@ object Similarity {
     probeAndRank(cB, qB, "bucket", k)
   }
 
+  /** Multi-probe LSH top-k (cf. Lv et al., "Multi-probe LSH",
+    * VLDB 2007): each query probes its own bucket PLUS every bucket at
+    * Hamming distance 1 in sign-pattern space (one plane bit flipped).
+    * A near neighbor that lands across a single hyperplane from the
+    * query — the dominant recall failure of single-probe hyperplane
+    * LSH — is recovered without adding planes, bands, or a second
+    * index. Cost model: the query side explodes to `nPlanes + 1` thin
+    * probe rows (queries ≪ corpus, so this is broadcast-side fan-out
+    * only); the probe is still a pure bucket equi-join and the corpus
+    * is still bucketed in the scan that reads it. A (query, neighbor)
+    * pair can meet at most once — corpus vectors live in exactly one
+    * bucket and the probe keys are distinct — so no dedup is needed. */
+  def lshTopKMultiprobe(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      planesOpt: Option[Seq[Array[Float]]] = None): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    require(nPlanes > 0 && nPlanes <= 63, "lshTopKMultiprobe supports 1..63 planes")
+    val planes = planesOpt.getOrElse(collectPlanes(corpus, nPlanes, idCol, vecCol))
+    require(planes.size == nPlanes,
+      s"lshTopKMultiprobe got ${planes.size} planes for nPlanes=$nPlanes")
+    val cB = withBucketPlanes(corpus, planes, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("bucket"),
+        norm(col(vecCol)).as("c_norm"))
+    val probeKeys = (0 to nPlanes).map { i =>
+      if (i == 0) col("bucket") else col("bucket").bitwiseXOR(lit(1L << (i - 1)))
+    }
+    val qB = withBucketPlanes(queries, planes, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        norm(col(vecCol)).as("q_norm"), explode(array(probeKeys: _*)).as("bucket"))
+    probeAndRank(cB, qB, "bucket", k)
+  }
+
   /** IVF cell assignment: each vector goes to its nearest (max
     * cosine) centroid; ties break by centroid id. Centroids are the
     * first `nCentroids` corpus vectors (deterministic and

@@ -163,6 +163,26 @@ class SimilaritySpec extends SparkSpec {
     assert(seeded == exact)
   }
 
+  test("lshTopKMultiprobe recall dominates single-probe and hits exact at 1 plane") {
+    val rng = new scala.util.Random(31)
+    val d = vecs((0L until 60L).map(i => i -> Seq.fill(12)(rng.nextFloat() * 2 - 1)): _*)
+    val q = d.filter($"vec_id" < 6)
+    val planes = Some(Similarity.gaussianPlanes(11L, 3, 12))
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = hits(Similarity.bruteForceTopK(d, q, k = 4))
+    val single = hits(Similarity.lshTopK(d, q, k = 4, nPlanes = 3, planesOpt = planes))
+    val multi = hits(Similarity.lshTopKMultiprobe(d, q, k = 4, nPlanes = 3, planesOpt = planes))
+    // probing the 1-flip neighborhood can only add candidates, so
+    // measured recall must dominate the single-probe search
+    assert((multi & exact).size >= (single & exact).size)
+    // with 1 plane, multiprobe covers BOTH buckets = the whole corpus
+    // ⇒ exact equality with brute force
+    val onePlane = Some(Similarity.gaussianPlanes(11L, 1, 12))
+    val full = hits(Similarity.lshTopKMultiprobe(d, q, k = 4, nPlanes = 1, planesOpt = onePlane))
+    assert(full == exact)
+  }
+
   test("gaussianPlaneGrid is a pure function of the seed, on the exact 1/1024 grid") {
     val a = Similarity.gaussianPlaneGrid(42L, 4, 16)
     val b = Similarity.gaussianPlaneGrid(42L, 4, 16)
