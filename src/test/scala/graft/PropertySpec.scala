@@ -116,6 +116,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("triangle counts equal the brute-force closed form on random graphs") {
+    forAll(Gen.zip(Gen.chooseNum(5, 25), Gen.chooseNum(1L, 9999L)), 6) {
+      case (n: Int, gseed: Long) =>
+        val rng = new scala.util.Random(gseed)
+        // Erdős–Rényi-ish edges, deliberately messy: duplicates in both
+        // orientations and self-loops survive generation
+        val edges = (for {
+          a <- 0 until n; b <- 0 until n
+          if a <= b && rng.nextDouble() < 0.3
+        } yield (a.toLong, b.toLong)) ++ Seq((1L, 1L))
+        val adj = Array.fill(n, n)(false)
+        edges.foreach { case (a, b) =>
+          if (a != b) { adj(a.toInt)(b.toInt) = true; adj(b.toInt)(a.toInt) = true }
+        }
+        val expected = (for {
+          i <- 0 until n; j <- i + 1 until n if adj(i)(j)
+          k <- j + 1 until n if adj(i)(k) && adj(j)(k)
+        } yield Seq(i, j, k)).flatten
+          .groupBy(identity).map { case (id, ts) => id.toLong -> ts.size.toLong }
+        val shuffled = rng.shuffle(edges.map(e => if (rng.nextBoolean()) e.swap else e))
+        val got = graft.operators.Triangles.nodeTriangles(
+            shuffled.toDF("a", "b"), "a", "b")
+          .as[(Long, Long)].collect().toMap
+        assert(got == expected, s"n=$n seed=$gseed")
+    }
+  }
+
   test("int8 quantization error is within half a quantization step, per element") {
     val rng = new scala.util.Random(23)
     val df = (1L to 150L).map(i => (i, Seq.fill(24)(rng.nextFloat() * 1000 - 500)))
