@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Cols
-import graft.operators.{AsOfJoin, Components, Curation, KMeans, Multimodal, PageRank, Passages, RangeJoin, Redaction, Scd2, Sessionize, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{AsOfJoin, Components, Curation, KMeans, Multimodal, PageRank, Passages, RangeJoin, Redaction, Scd2, Sessionize, Similarity, Sketches, TextAnalysis, TextDedup}
 import org.apache.spark.sql.expressions.Window
 
 /** Training-data pipeline query surface: dedup, similarity search, and
@@ -553,6 +553,35 @@ object DataOps {
       .orderBy(col("column_name").asc)
   }
 
+  // ---- sketches --------------------------------------------------------
+
+  /** KMV distinct-cardinality sketch of the event-id stream (k = 256,
+    * rel std err ≈ 1/√254 ≈ 6%), with the exact distinct count and
+    * the realized relative error in the same row — the profiling query
+    * a 100 TB pipeline runs when exact countDistinct is too expensive
+    * and it wants the error bar ON RECORD. The oracle replays hashing,
+    * the min-k order statistic, and the estimator arithmetic. */
+  def kmvDistinctEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_id").cast("string").as("s"))
+    val exact = ev.agg(countDistinct(col("s")).as("n_exact"))
+    Sketches.kmvEstimate(ev, col("s"), 256)
+      .crossJoin(broadcast(exact))
+      .select(col("k"), col("n_exact"), col("kth_hash"), col("n_est"),
+        Cols.r(abs(col("n_est") - col("n_exact")).cast("double")
+          / col("n_exact").cast("double"), 4).as("rel_err"))
+  }
+
+  /** Estimated distinct-user overlap between the click and purchase
+    * audiences via KMV inclusion–exclusion (k = 64) — the cheap
+    * audience-intersection profile: only two k-long min-sets move,
+    * never the user sets themselves. */
+  def kmvUserOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+    def users(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id").cast("string").as("s"))
+    Sketches.kmvOverlap(users("click"), col("s"), users("purchase"), col("s"), 64)
+  }
+
   // ---- multimodal plumbing ---------------------------------------------
 
   def mmPayloadStats(spark: SparkSession, dir: String): DataFrame =
@@ -634,6 +663,22 @@ object DataOps {
        |    ELSE [] END) AS passage
        |  FROM ptoks
        |), pcnt AS (SELECT passage, count(*) AS cnt FROM pinst GROUP BY 1)""".stripMargin
+
+  /** KMV sketch + estimator as a CTE chain over CTE `src` exposing a
+    * string column `s` — mirrors Sketches.kmvSketch/estimate exactly
+    * (distinct portable hashes → min-k → (k−1)·P / h_k, exact below
+    * k). The (k−1)·P scale is computed driver-side and interpolated
+    * as one double literal so both engines divide identical values. */
+  private def dkKmvEst(src: String, k: Int, px: String): String = {
+    val scale = ((k - 1).toDouble * P).toString
+    s"""${px}h AS (SELECT DISTINCT (${dkWordHash("s")} * 2654435761) % $P AS h FROM $src),
+       |${px}m AS (SELECT h FROM ${px}h ORDER BY h ASC LIMIT $k),
+       |${px}e AS (
+       |  SELECT count(*) AS m, max(h) AS kth_hash,
+       |         CASE WHEN count(*) < $k THEN count(*)
+       |              ELSE CAST(floor(CAST('$scale' AS DOUBLE) / CAST(max(h) AS DOUBLE)) AS BIGINT) END AS n_est
+       |  FROM ${px}m)""".stripMargin
+  }
 
   /** One unrolled Lloyd iteration as CTEs: assign against c<i-1>,
     * quantized per-dim sums, means → c<i>. Mirrors KMeans.assignCells
@@ -1300,6 +1345,33 @@ object DataOps {
         |UNION ALL
         |SELECT 'value', n_rows, v_nulls, v_distinct, v_min, v_max, v_median FROM base
         |ORDER BY column_name ASC""".stripMargin,
+    "kmv_distinct_events" ->
+      s"""WITH src AS (SELECT CAST(event_id AS VARCHAR) AS s FROM events WHERE event_id IS NOT NULL),
+         |${dkKmvEst("src", 256, "k")},
+         |ex AS (SELECT count(DISTINCT s) AS n_exact FROM src)
+         |SELECT 256 AS k, n_exact, kth_hash, n_est,
+         |       floor(abs(n_est - n_exact) / CAST(n_exact AS DOUBLE) * 1e4 + 0.5) / 1e4 AS rel_err
+         |FROM ke CROSS JOIN ex""".stripMargin,
+    "kmv_user_overlap" ->
+      s"""WITH ca AS (
+         |  SELECT CAST(user_id AS VARCHAR) AS s FROM events
+         |  WHERE user_id IS NOT NULL AND event_type = 'click'
+         |), cb AS (
+         |  SELECT CAST(user_id AS VARCHAR) AS s FROM events
+         |  WHERE user_id IS NOT NULL AND event_type = 'purchase'
+         |),
+         |${dkKmvEst("ca", 64, "a")},
+         |${dkKmvEst("cb", 64, "b")},
+         |uh AS (SELECT h FROM am UNION SELECT h FROM bm),
+         |um AS (SELECT h FROM uh ORDER BY h ASC LIMIT 64),
+         |ue AS (
+         |  SELECT count(*) AS m, max(h) AS kth_hash,
+         |         CASE WHEN count(*) < 64 THEN count(*)
+         |              ELSE CAST(floor(CAST('${(63.0 * P).toString}' AS DOUBLE) / CAST(max(h) AS DOUBLE)) AS BIGINT) END AS n_est
+         |  FROM um)
+         |SELECT ae.n_est AS n_a, be.n_est AS n_b, ue.n_est AS n_union,
+         |       greatest(ae.n_est + be.n_est - ue.n_est, CAST(0 AS BIGINT)) AS n_intersect
+         |FROM ae CROSS JOIN be CROSS JOIN ue""".stripMargin,
     "mm_payload_stats" ->
       """SELECT coalesce(lang, 'und') AS kind,
         |       count(*) AS n_media,
@@ -1344,6 +1416,8 @@ object DataOps {
     "text_fingerprint"  -> (textFingerprint _),
     "text_winnow"       -> (textWinnow _),
     "mm_payload_stats"  -> (mmPayloadStats _),
+    "kmv_distinct_events" -> (kmvDistinctEvents _),
+    "kmv_user_overlap"  -> (kmvUserOverlap _),
     "profile_events"    -> (profileEvents _)
   )
 }

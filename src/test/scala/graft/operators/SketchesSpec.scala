@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("below k the sketch is exact (m rows, n_est = m)") {
+    val d = (1 to 40).map(i => s"v$i").toDF("s")
+    val out = Sketches.kmvEstimate(d, $"s", 64).collect().head
+    assert(out.getAs[Long]("m") == 40L)
+    assert(out.getAs[Long]("n_est") == 40L)
+  }
+
+  test("estimator lands within 4 sigma of a high-cardinality truth") {
+    val n = 20000
+    val d = (1 to n).map(i => s"item-$i-x").toDF("s")
+    val k = 256
+    val est = Sketches.kmvEstimate(d, $"s", k).collect().head.getAs[Long]("n_est")
+    // rel std err ~ 1/sqrt(k-2); deterministic data, so this is a
+    // fixed-value check on hash-family uniformity, not a flaky sample
+    val sigma = n / math.sqrt(k - 2.0)
+    assert(math.abs(est - n) < 4 * sigma, s"est=$est truth=$n sigma=$sigma")
+  }
+
+  test("mergeability: merge(sketch(A), sketch(B)) == sketch(A ∪ B), exactly") {
+    val a = (1 to 500).map(i => s"key$i").toDF("s")
+    val b = (300 to 800).map(i => s"key$i").toDF("s")
+    val k = 64
+    val direct = Sketches.kmvSketch(a.unionAll(b), $"s", k).as[Long].collect().toSeq
+    val merged = Sketches.merge(
+        Sketches.kmvSketch(a, $"s", k), Sketches.kmvSketch(b, $"s", k), k)
+      .as[Long].collect().toSeq
+    assert(direct == merged)
+  }
+
+  test("overlap estimate brackets a planted intersection") {
+    val a = (1 to 500).map(i => s"key$i").toDF("s")     // |A| = 500
+    val b = (300 to 800).map(i => s"key$i").toDF("s")   // |B| = 501, |A ∩ B| = 201
+    val out = Sketches.kmvOverlap(a, $"s", b, $"s", 64).collect().head
+    val (na, nb, nu, ni) = (out.getAs[Long]("n_a"), out.getAs[Long]("n_b"),
+      out.getAs[Long]("n_union"), out.getAs[Long]("n_intersect"))
+    // union at least as large as either side's estimate, at most the sum
+    assert(nu >= math.max(na, nb) - 1 && nu <= na + nb)
+    // intersection is non-negative by construction and roughly placed:
+    // truth 201 with k=64 (rel err ~12% per estimate, compounding in
+    // the inclusion-exclusion difference) — generous 3x bracket
+    assert(ni >= 0 && ni > 60 && ni < 600, s"n_intersect=$ni")
+  }
+
+  test("NULLs are excluded and determinism holds across runs") {
+    val d = Seq(Some("a"), None, Some("b"), Some("a")).toDF("s")
+    val s1 = Sketches.kmvSketch(d, $"s", 8).as[Long].collect().toSeq
+    val s2 = Sketches.kmvSketch(d, $"s", 8).as[Long].collect().toSeq
+    assert(s1 == s2 && s1.size == 2)
+  }
+}
