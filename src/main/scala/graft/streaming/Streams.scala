@@ -62,9 +62,29 @@ object Streams {
         date_format(col("w.start"), "yyyy-MM-dd HH:00").as("hour"),
         col("n_events"), col("total_value"))
 
-  /** Streaming dedupe on the natural key, watermark-bounded. */
+  /** Streaming dedupe on the natural key, watermark-bounded.
+    *
+    * `dropDuplicatesWithinWatermark`, NOT `dropDuplicates`: with plain
+    * dropDuplicates the event-time column must be part of the dedup
+    * key for state to expire — a bare natural-key dedup accumulates
+    * one state row per id FOREVER (the silent unbounded-state trap at
+    * stream scale). The WithinWatermark form expires each key once the
+    * watermark passes its first-seen time: state is bounded by the
+    * horizon, and an id reappearing after the horizon counts as new —
+    * the at-least-once-replay semantics a warehouse loader wants. */
   def dedupedStream(events: DataFrame, delay: String = "2 hours"): DataFrame =
-    events.withWatermark("ts", delay).dropDuplicates("event_id")
+    events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+
+  /** Content-fingerprint streaming dedup — the streaming twin of the
+    * batch exact-dedup fingerprint ([[graft.operators.TextDedup
+    * .normalized]] → sha256): drops re-posted documents whose
+    * normalized text already streamed within the watermark horizon.
+    * Same bounded-state contract as [[dedupedStream]]. */
+  def dedupedByContent(docs: DataFrame, delay: String = "2 hours",
+      textCol: String = "text"): DataFrame =
+    docs.withWatermark("ts", delay)
+      .withColumn("fp", sha2(graft.operators.TextDedup.normalized(col(textCol)), 256))
+      .dropDuplicatesWithinWatermark("fp")
 
   /** Per-user session windows (gap-based): events within `gap` of each
     * other merge into one session; the watermark closes sessions so

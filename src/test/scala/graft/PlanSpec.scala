@@ -149,4 +149,13 @@ class PlanSpec extends SparkSpec {
     val pu2 = plan(graft.analytics.AppOps.u2ActivityShocks(spark, dir))
     assert(!pu2.contains("Window"))
   }
+
+  test("KMV sketch min-k cut is TakeOrderedAndProject over a partial-agg distinct, no global sort") {
+    val p = plan(graft.analytics.DataOps.kmvDistinctEvents(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the distinct reduction must partial-aggregate map-side before its
+    // exchange (the O(distinct)-not-O(corpus) shuffle property)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -47,6 +47,31 @@ class StreamsSpec extends SparkSpec {
     assert(n == 2)
   }
 
+  test("dedupedByContent drops re-posted normalized text; fingerprints expire after the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String)]
+    val docs = mem.toDF().toDF("ts", "text")
+    val q = dedupedByContent(docs, delay = "1 hour")
+      .writeStream.format("memory").queryName("dc").outputMode(OutputMode.Append()).start()
+    // same normalized fingerprint ("Hello  World" ≡ "hello world") → one survives
+    mem.addData(
+      (ts("2024-01-01 10:00:00"), "Hello  World"),
+      (ts("2024-01-01 10:00:10"), "hello world"),
+      (ts("2024-01-01 10:00:20"), "other doc"))
+    q.processAllAvailable()
+    // advance the watermark past 10:00 + 1h so the fingerprint state expires
+    mem.addData((ts("2024-01-01 13:00:00"), "advance"))
+    q.processAllAvailable()
+    // the same content after the horizon is NEW (state was expired, not leaked)
+    mem.addData((ts("2024-01-01 12:30:00"), "hello world"))
+    q.processAllAvailable()
+    val texts = spark.table("dc").select("text").as[String].collect().toSeq
+    q.stop()
+    assert(texts.count(_.toLowerCase.startsWith("hello")) == 2)
+    assert(texts.contains("other doc") && texts.contains("advance"))
+  }
+
   test("upsertSink merges each micro-batch into parquet, latest batch wins per key") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
