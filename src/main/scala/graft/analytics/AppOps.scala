@@ -115,7 +115,7 @@ object AppOps {
         count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
         Cols.r(Cols.avgExact(col("value"), 2), 4).as("avg_value"))
-      .crossJoin(top)
+      .crossJoin(broadcast(top))
       .withColumn("summary", concat(
         lit("Analyzed "), col("n_events"),
         lit(" events from "), col("n_users"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Cols
-import graft.operators.{AsOfJoin, Components, Curation, KMeans, Multimodal, PageRank, Passages, RangeJoin, Redaction, Scd2, Sessionize, Similarity, Sketches, TextAnalysis, TextDedup}
+import graft.operators.{AsOfJoin, Components, Curation, KMeans, Multimodal, PageRank, Passages, RangeJoin, Redaction, Scd2, Sessionize, Similarity, Sketches, TextAnalysis, TextDedup, TextFeatures}
 import org.apache.spark.sql.expressions.Window
 
 /** Training-data pipeline query surface: dedup, similarity search, and
@@ -551,6 +551,32 @@ object DataOps {
       .select(col("p.column_name"), col("n_rows"), col("p.n_nulls"),
         col("p.n_distinct"), col("p.min_value"), col("p.max_value"), col("p.median_value"))
       .orderBy(col("column_name").asc)
+  }
+
+  /** Per-language hashed-feature class profiles (the hashing-trick
+    * vectorizer at lang granularity, dim = 64): occupied dimensions,
+    * exact L1/L2² masses, and the cosine of each language's profile
+    * against English — integer arithmetic until the single final
+    * rounded division, so the oracle replays hash → dim/sign → signed
+    * sums → integer dots exactly. */
+  def featLangProfile(spark: SparkSession, dir: String): DataFrame = {
+    val dims = TextFeatures.hashedTermDims(Tables.documents(spark, dir),
+      dim = 64, keep = Seq("lang"))
+    val stats = dims.groupBy(col("lang")).agg(
+      count(lit(1)).as("nnz"),
+      sum(abs(col("cnt"))).as("l1"),
+      sum(col("cnt") * col("cnt")).as("l2sq"))
+    val en = dims.filter(col("lang") === "en")
+      .select(col("dim"), col("cnt").as("ecnt"))
+    val dots = dims.join(broadcast(en), "dim")
+      .groupBy(col("lang")).agg(sum(col("cnt") * col("ecnt")).as("dot_en"))
+    val enL2 = stats.filter(col("lang") === "en").select(col("l2sq").as("en_l2sq"))
+    stats.join(dots, "lang").crossJoin(broadcast(enL2))
+      .select(col("lang"), col("nnz"), col("l1"), col("l2sq"),
+        (floor(col("dot_en").cast("double")
+          / (sqrt(col("l2sq").cast("double")) * sqrt(col("en_l2sq").cast("double")))
+          * 1e6 + lit(0.5)) / 1e6).as("cos_en"))
+      .orderBy(col("lang").asc)
   }
 
   // ---- sketches --------------------------------------------------------
@@ -1345,6 +1371,28 @@ object DataOps {
         |UNION ALL
         |SELECT 'value', n_rows, v_nulls, v_distinct, v_min, v_max, v_median FROM base
         |ORDER BY column_name ASC""".stripMargin,
+    "feat_lang_profile" ->
+      s"""WITH ftok AS (SELECT lang, unnest($dkTokenHashes) AS h FROM documents),
+         |fdim AS (
+         |  SELECT lang, h % 64 AS dim, ((h // 64) % 2) * 2 - 1 AS sign FROM ftok
+         |), fcnt AS (
+         |  SELECT lang, dim, CAST(sum(sign) AS BIGINT) AS cnt FROM fdim GROUP BY 1, 2
+         |), fstats AS (
+         |  SELECT lang, count(*) AS nnz,
+         |         CAST(sum(abs(cnt)) AS BIGINT) AS l1,
+         |         CAST(sum(cnt * cnt) AS BIGINT) AS l2sq
+         |  FROM fcnt GROUP BY 1
+         |), fen AS (SELECT dim, cnt AS ecnt FROM fcnt WHERE lang = 'en'),
+         |fdots AS (
+         |  SELECT c.lang, CAST(sum(c.cnt * e.ecnt) AS BIGINT) AS dot_en
+         |  FROM fcnt c JOIN fen e USING (dim) GROUP BY 1
+         |), fenl2 AS (SELECT l2sq AS en_l2sq FROM fstats WHERE lang = 'en')
+         |SELECT s.lang, s.nnz, s.l1, s.l2sq,
+         |       floor(CAST(dot_en AS DOUBLE)
+         |             / (sqrt(CAST(s.l2sq AS DOUBLE)) * sqrt(CAST(en_l2sq AS DOUBLE)))
+         |             * 1e6 + 0.5) / 1e6 AS cos_en
+         |FROM fstats s JOIN fdots USING (lang) CROSS JOIN fenl2
+         |ORDER BY lang ASC""".stripMargin,
     "kmv_distinct_events" ->
       s"""WITH src AS (SELECT CAST(event_id AS VARCHAR) AS s FROM events WHERE event_id IS NOT NULL),
          |${dkKmvEst("src", 256, "k")},
@@ -1417,6 +1465,7 @@ object DataOps {
     "text_winnow"       -> (textWinnow _),
     "mm_payload_stats"  -> (mmPayloadStats _),
     "kmv_distinct_events" -> (kmvDistinctEvents _),
+    "feat_lang_profile" -> (featLangProfile _),
     "kmv_user_overlap"  -> (kmvUserOverlap _),
     "profile_events"    -> (profileEvents _)
   )

@@ -54,7 +54,15 @@ object Passages {
     * shuffle on the hash, versus the groupBy + join-back form, which
     * tokenizes and explodes the whole corpus twice (once per join
     * side). A keyed window with no ORDER BY never funnels through a
-    * single partition, so this stays shuffle-linear at 100 TB. */
+    * single partition, so this stays shuffle-linear at 100 TB.
+    *
+    * Trade-off, measured on a 10× hot-key corpus: every instance of a
+    * hot passage lands in ONE window partition (window state can't
+    * partial-aggregate), so on boilerplate-dominated corpora — a few
+    * passages repeated millions of times — the two-pass groupBy form
+    * ([[passageCounts]] + broadcast join of the count frame) wins:
+    * map-side combine collapses hot keys before the shuffle. Default
+    * stays single-pass; switch for pathological duplication. */
   def withOccurrenceCounts(docs: DataFrame, w: Int, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     withPassages(docs, w, idCol, textCol)

@@ -96,7 +96,7 @@ object Sketches {
     val ea = estimate(sa, k).select(col("n_est").as("n_a"))
     val eb = estimate(sb, k).select(col("n_est").as("n_b"))
     val eu = estimate(merge(sa, sb, k), k).select(col("n_est").as("n_union"))
-    ea.crossJoin(eb).crossJoin(eu)
+    ea.crossJoin(broadcast(eb)).crossJoin(broadcast(eu))
       .select(col("n_a"), col("n_b"), col("n_union"),
         greatest(col("n_a") + col("n_b") - col("n_union"), lit(0L)).as("n_intersect"))
   }

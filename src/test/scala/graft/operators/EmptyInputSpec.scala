@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input hardening: a pipeline stage receiving an empty
+  * upstream (a filter that matched nothing, a day with no data) must
+  * yield an empty/zero result, never a crash — except where an empty
+  * input is a genuine contract violation, which must fail FAST with
+  * the documented error rather than produce garbage downstream. */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def emptyVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+  private def emptyPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+
+  test("text dedup operators yield empty results on an empty corpus") {
+    assert(TextDedup.jaccardPairsIndex(emptyDocs).count() == 0)
+    assert(TextDedup.jaccardPairs(emptyDocs).count() == 0)
+    assert(TextDedup.minhashLshPairs(emptyDocs).count() == 0)
+    assert(TextDedup.simhashPairs(emptyDocs).count() == 0)
+    assert(TextDedup.winnowOverlapPairs(emptyDocs).count() == 0)
+    val s = TextDedup.exactDedupSummary(emptyDocs).collect().head
+    assert((s.getLong(0), s.getLong(1), s.getLong(2)) == ((0L, 0L, 0L)))
+    assert(Passages.withOccurrenceCounts(emptyDocs, 4).count() == 0)
+    assert(Passages.boilerplateTopK(emptyDocs, 4, 10).count() == 0)
+  }
+
+  test("graph operators yield empty results on an empty edge list") {
+    assert(Components.dedupGroups(emptyPairs).count() == 0)
+    assert(Triangles.nodeTriangles(emptyPairs, "doc_a", "doc_b").count() == 0)
+    assert(PageRank.ranks(emptyPairs, "doc_a", "doc_b", nIter = 2).count() == 0)
+  }
+
+  test("sketches degrade to zero estimates on empty input") {
+    val out = Sketches.kmvEstimate(emptyDocs, $"text", 8).collect().head
+    assert(out.getAs[Long]("m") == 0L && out.getAs[Long]("n_est") == 0L)
+  }
+
+  test("similarity: seeded-plane paths pass empties through; corpus-anchor paths fail fast") {
+    val planes = Some(Similarity.gaussianPlanes(1L, 8, 4))
+    assert(Similarity.nearDupPairs(emptyVecs, 0.5, bands = 2, planesPerBand = 4,
+      planesOpt = planes).count() == 0)
+    assert(Similarity.lshTopK(emptyVecs, emptyVecs, k = 3, nPlanes = 8,
+      planesOpt = planes).count() == 0)
+    assert(Similarity.lshTopKMultiprobe(emptyVecs, emptyVecs, k = 3, nPlanes = 8,
+      planesOpt = planes).count() == 0)
+    assert(Similarity.bruteForceTopK(emptyVecs, emptyVecs, k = 3).count() == 0)
+    // anchor planes come FROM the corpus: an empty corpus cannot
+    // produce an index — documented contract, must throw, not return
+    // an all-zero-bucket index that matches everything later
+    intercept[IllegalArgumentException](Similarity.nearDupPairs(emptyVecs, 0.5))
+  }
+}
