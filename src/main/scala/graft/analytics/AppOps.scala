@@ -206,7 +206,7 @@ object AppOps {
         |)
         |SELECT n_events, n_users, avg_value, top_event_id,
         |       concat('Analyzed ', n_events, ' events from ', n_users,
-        |              ' users; avg value ', CAST(CAST(avg_value AS DECIMAL(18,4)) AS VARCHAR),
+        |              ' users; avg value ', CAST(CAST(avg_value AS DECIMAL(18,4)) AS VARCHAR(64)),
         |              '; top event ', top_event_id) AS summary
         |FROM agg CROSS JOIN top""".stripMargin,
     "e_hourly_rollup" ->

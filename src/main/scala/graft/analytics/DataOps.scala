@@ -608,6 +608,29 @@ object DataOps {
     Sketches.kmvOverlap(users("click"), col("s"), users("purchase"), col("s"), 64)
   }
 
+  /** Per-day distinct-user estimates via the typed KMV [[Aggregator]]
+    * (k = 32, one pass, O(k) state per group — the per-group sketch
+    * form a warehouse materializes daily) next to the exact per-day
+    * countDistinct and the realized error. The oracle replays the
+    * per-group min-k with a row_number cut. */
+  def kmvDailyUsers(spark: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    val kmv = udaf(Sketches.kmvAgg(k))
+    val ev = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
+        col("user_id").cast("string").as("s"))
+      .withColumn("h", Sketches.kmvHash(col("s")))
+    ev.groupBy(col("event_date"))
+      .agg(countDistinct(col("s")).as("n_exact"), kmv(col("h")).as("mins"))
+      .select(col("event_date"), col("n_exact"),
+        Sketches.estimateFromMins(col("mins"), k).as("n_est"))
+      .withColumn("rel_err",
+        Cols.r(abs(col("n_est") - col("n_exact")).cast("double")
+          / col("n_exact").cast("double"), 4))
+      .orderBy(col("event_date").asc)
+  }
+
   // ---- multimodal plumbing ---------------------------------------------
 
   def mmPayloadStats(spark: SparkSession, dir: String): DataFrame =
@@ -1400,6 +1423,28 @@ object DataOps {
          |SELECT 256 AS k, n_exact, kth_hash, n_est,
          |       floor(abs(n_est - n_exact) / CAST(n_exact AS DOUBLE) * 1e4 + 0.5) / 1e4 AS rel_err
          |FROM ke CROSS JOIN ex""".stripMargin,
+    "kmv_daily_users" ->
+      s"""WITH dsrc AS (
+         |  SELECT strftime(ts, '%Y-%m-%d') AS event_date, CAST(user_id AS VARCHAR) AS s
+         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+         |), dhs AS (
+         |  SELECT DISTINCT event_date, (${dkWordHash("s")} * 2654435761) % $P AS h FROM dsrc
+         |), drk AS (
+         |  SELECT event_date, h,
+         |         row_number() OVER (PARTITION BY event_date ORDER BY h ASC) AS rn
+         |  FROM dhs
+         |), dag AS (
+         |  SELECT event_date, count(*) AS m, max(h) AS kth,
+         |         CASE WHEN count(*) < 32 THEN count(*)
+         |              ELSE CAST(floor(CAST('${(31.0 * P).toString}' AS DOUBLE) / CAST(max(h) AS DOUBLE)) AS BIGINT) END AS n_est
+         |  FROM drk WHERE rn <= 32 GROUP BY 1
+         |), dex AS (
+         |  SELECT event_date, count(DISTINCT s) AS n_exact FROM dsrc GROUP BY 1
+         |)
+         |SELECT event_date, n_exact, n_est,
+         |       floor(abs(n_est - n_exact) / CAST(n_exact AS DOUBLE) * 1e4 + 0.5) / 1e4 AS rel_err
+         |FROM dag JOIN dex USING (event_date)
+         |ORDER BY event_date ASC""".stripMargin,
     "kmv_user_overlap" ->
       s"""WITH ca AS (
          |  SELECT CAST(user_id AS VARCHAR) AS s FROM events
@@ -1467,6 +1512,7 @@ object DataOps {
     "kmv_distinct_events" -> (kmvDistinctEvents _),
     "feat_lang_profile" -> (featLangProfile _),
     "kmv_user_overlap"  -> (kmvUserOverlap _),
+    "kmv_daily_users"   -> (kmvDailyUsers _),
     "profile_events"    -> (profileEvents _)
   )
 }

@@ -15,6 +15,7 @@ class SqlFrontEndSpec extends SparkSpec {
     * DuckDB-isms). */
   private val ansiPortable = Seq(
     "q1_top_brands", "q4_geo_rollup", "f20_bins_acctbal", "u3_kpi_summary",
+    "u4_result_summary",
     "agg_rollup_totals", "cube_flag_status", "kpi_unpivot", "a5_dup_audit")
 
   test("ANSI oracle SQL runs verbatim via spark.sql with DataFrame-identical results") {

@@ -49,6 +49,30 @@ class SketchesSpec extends SparkSpec {
     assert(ni >= 0 && ni > 60 && ni < 600, s"n_intersect=$ni")
   }
 
+  test("kmvAgg (typed Aggregator) equals the sort-based sketch exactly, globally and per group") {
+    val k = 16
+    val kmv = udaf(Sketches.kmvAgg(k))
+    val rng = new scala.util.Random(17)
+    val rows = (1 to 800).map(i => (s"g${i % 3}", s"val-${rng.nextInt(300)}"))
+    val d = rows.toDF("g", "s").withColumn("h", Sketches.kmvHash($"s"))
+    // global: aggregator path == distinct + orderBy + limit path
+    val viaAgg = d.agg(kmv($"h")).as[Seq[Long]].head()
+    val viaSort = Sketches.kmvSketch(d, $"s", k).as[Long].collect().toSeq
+    assert(viaAgg == viaSort)
+    // per group: each group's min-k equals its own sort-based sketch
+    val grouped = d.groupBy($"g").agg(kmv($"h").as("mins"))
+      .as[(String, Seq[Long])].collect().toMap
+    rows.map(_._1).distinct.foreach { g =>
+      val expect = Sketches.kmvSketch(d.filter($"g" === g), $"s", k).as[Long].collect().toSeq
+      assert(grouped(g) == expect, g)
+    }
+    // estimator over the array matches the frame-based estimator
+    val est = d.agg(kmv($"h").as("mins"))
+      .select(Sketches.estimateFromMins($"mins", k)).as[Long].head()
+    val frameEst = Sketches.kmvEstimate(d, $"s", k).collect().head.getAs[Long]("n_est")
+    assert(est == frameEst)
+  }
+
   test("NULLs are excluded and determinism holds across runs") {
     val d = Seq(Some("a"), None, Some("b"), Some("a")).toDF("s")
     val s1 = Sketches.kmvSketch(d, $"s", 8).as[Long].collect().toSeq
