@@ -608,6 +608,28 @@ object DataOps {
     Sketches.kmvOverlap(users("click"), col("s"), users("purchase"), col("s"), 64)
   }
 
+  /** Salted join under the oracle gate: per-event-type value rollup
+    * where the events⋈dates side runs through [[graft.operators
+    * .SkewJoin.saltedJoin]] (16-way salt on a per-row deterministic
+    * hash, dim side replicated). The oracle is the PLAIN join+rollup —
+    * salting must be result-invisible, so the hash gate directly
+    * certifies the skew machinery's multiset identity on harness
+    * data, complementing the randomized property test. */
+  def skewSaltedRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).filter(col("ts").isNotNull)
+      .select(col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("event_date"))
+    // small side: per-date weekday numbers (a genuine dimension join;
+    // numeric dow — weekday NAMES are locale-dependent across engines)
+    val dates = ev.select(col("event_date")).distinct()
+      .withColumn("dow", dayofweek(col("event_date").cast("date")))
+    graft.operators.SkewJoin.saltedJoin(ev, dates, Seq("event_date"), factor = 16)
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_events"),
+        Cols.r(Cols.sumExact(col("value"), 2), 2).as("total_value"))
+      .orderBy(col("event_type").asc, col("dow").asc)
+  }
+
   /** Per-day distinct-user estimates via the typed KMV [[Aggregator]]
     * (k = 32, one pass, O(k) state per group — the per-group sketch
     * form a warehouse materializes daily) next to the exact per-day
@@ -1423,6 +1445,21 @@ object DataOps {
          |SELECT 256 AS k, n_exact, kth_hash, n_est,
          |       floor(abs(n_est - n_exact) / CAST(n_exact AS DOUBLE) * 1e4 + 0.5) / 1e4 AS rel_err
          |FROM ke CROSS JOIN ex""".stripMargin,
+    "skew_salted_rollup" ->
+      """WITH ev AS (
+        |  SELECT event_type, value, strftime(ts, '%Y-%m-%d') AS event_date
+        |  FROM events WHERE ts IS NOT NULL
+        |), dates AS (
+        |  -- Spark dayofweek: 1 = Sunday .. 7; DuckDB dayofweek: 0 = Sunday
+        |  SELECT DISTINCT event_date,
+        |         dayofweek(CAST(event_date AS DATE)) + 1 AS dow
+        |  FROM ev
+        |)
+        |SELECT event_type, dow, count(*) AS n_events,
+        |       floor((CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS total_value
+        |FROM ev JOIN dates USING (event_date)
+        |GROUP BY event_type, dow
+        |ORDER BY event_type ASC, dow ASC""".stripMargin,
     "kmv_daily_users" ->
       s"""WITH dsrc AS (
          |  SELECT strftime(ts, '%Y-%m-%d') AS event_date, CAST(user_id AS VARCHAR) AS s
@@ -1513,6 +1550,7 @@ object DataOps {
     "feat_lang_profile" -> (featLangProfile _),
     "kmv_user_overlap"  -> (kmvUserOverlap _),
     "kmv_daily_users"   -> (kmvDailyUsers _),
+    "skew_salted_rollup" -> (skewSaltedRollup _),
     "profile_events"    -> (profileEvents _)
   )
 }
