@@ -630,6 +630,26 @@ object DataOps {
       .orderBy(col("event_type").asc, col("dow").asc)
   }
 
+  /** Bloom-filter semi-join reduction under the oracle gate: lineitem
+    * is pre-filtered by a Bloom bitset built from a SELECTIVE orders
+    * subset (~10% of orders) before the equi-join — the runtime-filter
+    * pattern that shrinks the fact-side shuffle by the join's
+    * selectivity at 100 TB. The oracle is the PLAIN join+rollup: the
+    * reduction must be result-invisible (no false negatives, false
+    * positives removed by the real join), so the hash gate certifies
+    * the whole bitset machinery on harness data. */
+  def bloomJoinUrgent(spark: SparkSession, dir: String): DataFrame = {
+    val li  = Tables.lineitem(spark, dir)
+    val sel = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 250000)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    graft.operators.BloomFilterJoin.reducedJoin(li, "l_orderkey", sel, "o_orderkey")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        Cols.r(Cols.sumExact(col("l_extendedprice"), 2), 2).as("total_price"))
+      .orderBy(col("l_returnflag").asc)
+  }
+
   /** Per-day distinct-user estimates via the typed KMV [[Aggregator]]
     * (k = 32, one pass, O(k) state per group — the per-group sketch
     * form a warehouse materializes daily) next to the exact per-day
@@ -1445,6 +1465,13 @@ object DataOps {
          |SELECT 256 AS k, n_exact, kth_hash, n_est,
          |       floor(abs(n_est - n_exact) / CAST(n_exact AS DOUBLE) * 1e4 + 0.5) / 1e4 AS rel_err
          |FROM ke CROSS JOIN ex""".stripMargin,
+    "bloom_join_urgent" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |       floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS total_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC""".stripMargin,
     "skew_salted_rollup" ->
       """WITH ev AS (
         |  SELECT event_type, value, strftime(ts, '%Y-%m-%d') AS event_date
@@ -1551,6 +1578,7 @@ object DataOps {
     "kmv_user_overlap"  -> (kmvUserOverlap _),
     "kmv_daily_users"   -> (kmvDailyUsers _),
     "skew_salted_rollup" -> (skewSaltedRollup _),
+    "bloom_join_urgent"  -> (bloomJoinUrgent _),
     "profile_events"    -> (profileEvents _)
   )
 }
