@@ -12,21 +12,40 @@ import graft.GraftFunctions
   * (hashes uniform on [0, P)), with relative standard error
   * ≈ 1/√(k−2).
   *
-  * Why KMV and not HyperLogLog here: a KMV sketch is pure order
-  * statistics of the engine-portable char-fold hash, so the DuckDB
-  * oracle replays the ENTIRE computation (hashing, the min-k cut, the
-  * estimator arithmetic) and the hash gate covers an approximate
-  * operator exactly — HLL register layouts are engine-private and can
-  * only ever get a tolerance check. KMV sketches are also mergeable
-  * (union = k smallest of the merged min-sets — property-tested), which
-  * is what makes them a sketch and not a sample: per-partition,
-  * per-day, or per-corpus sketches combine without rescanning.
+  * Two families, both fully oracle-replayable:
+  *
+  *  - KMV: pure order statistics of the engine-portable hash, so the
+  *    DuckDB oracle replays the ENTIRE computation (hashing, the min-k
+  *    cut, the estimator arithmetic). Mergeable (union = k smallest of
+  *    the merged min-sets — property-tested). Spark's own
+  *    `approx_count_distinct` (HLL++) can only ever get a tolerance
+  *    check because its register layout is engine-private; these
+  *    sketches are built FROM relational primitives, so the hash gate
+  *    covers them exactly.
+  *  - HLL (Flajolet et al. 2007), hand-rolled on the same hash: a
+  *    register is `max(rho)` per bucket — integer-exact (`rho` comes
+  *    from the binary length of the hash remainder, no floating
+  *    point), so registers replay as a plain GROUP BY. The register
+  *    update being `max` means Spark's native partial aggregation IS
+  *    the sketch merge: map-side combine builds per-partition sketches
+  *    and the shuffle carries at most m registers per group. The
+  *    estimator is bit-deterministic across engines by construction:
+  *    the harmonic sum is a sum of exact powers of two (order-
+  *    independent), `alpha·m²` is embedded as one double literal, and
+  *    the linear-counting branch `floor(m·ln(m/V))` is a precomputed
+  *    m-entry literal table — no libm call in either engine.
+  *
+  * KMV when the distinct count is small-to-moderate and you want the
+  * min-set itself (overlap estimates via inclusion–exclusion); HLL
+  * when groups are many and state must be O(m) fixed regardless of
+  * cardinality.
   *
   * Scale shape: the distinct-hash reduction is a map-side-combinable
   * aggregation on thin longs — for heavy-duplication domains (tokens,
   * shingles: vocab ≪ corpus) the shuffle is O(distinct), not
   * O(corpus) — and the min-k cut is TakeOrderedAndProject (per-
-  * partition top-k, no global sort). The sketch itself is k longs.
+  * partition top-k, no global sort). The sketch itself is k longs
+  * (KMV) or m small ints (HLL).
   */
 object Sketches {
 
@@ -121,6 +140,89 @@ object Sketches {
     when(size(mins) < k, size(mins).cast("long"))
       .otherwise(floor(lit((k - 1).toDouble * P) / element_at(mins, -1).cast("double"))
         .cast("long"))
+
+  // ---------------------------------------------------------------- HLL
+
+  /** Register width: rho values live in 1..W+1 where W = floor(log2(
+    * P/m)) — the usable suffix bits of the mod-P hash after the bucket
+    * index is taken. P ≈ 2^30, so W ≈ 30 − log2(m): cardinalities up
+    * to ~2^W·m are in range (harness scales sit far below). */
+  def hllW(m: Int): Int = {
+    require(m >= 16 && m <= 65536 && (m & (m - 1)) == 0,
+      "hll m must be a power of two in 16..65536")
+    63 - java.lang.Long.numberOfLeadingZeros(P / m)
+  }
+
+  /** Bucket index of a value column: `h mod m` of the scattered
+    * portable hash. */
+  def hllBucket(c: Column, m: Int): Column =
+    pmod(kmvHash(c), lit(m.toLong))
+
+  /** rho of a value column: 1 + number of leading zeros of the hash
+    * remainder within its W-bit window, computed INTEGER-EXACTLY as
+    * `W + 1 − length(bin(v))` (bin = minimal binary string in both
+    * Spark and DuckDB; v = 0 ⇒ W + 1). */
+  def hllRho(c: Column, m: Int): Column = {
+    val w = hllW(m)
+    val v = pmod(floor(kmvHash(c) / lit(m)).cast("long"), lit(1L << w))
+    when(v === 0, lit(w + 1)).otherwise(lit(w + 1) - length(bin(v)))
+  }
+
+  /** `alpha_m · m²` — the HLL bias constant premultiplied driver-side
+    * so both engines see ONE double literal (no multiply-order
+    * divergence). */
+  def hllAlphaM2(m: Int): Double = {
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    alpha * m * m
+  }
+
+  /** Linear-counting table: entry v (1-based) = floor(m·ln(m/v)) for
+    * v = 1..m. Precomputed so NEITHER engine evaluates ln — libm
+    * implementations differ in the last ulp, and a floor on top of
+    * that is exactly the kind of boundary flip the hash gate exists to
+    * catch. */
+  def hllLinearTable(m: Int): IndexedSeq[Long] =
+    (1 to m).map(v => math.floor(m * math.log(m.toDouble / v)).toLong)
+
+  /** HLL estimate from the per-group aggregate pair
+    * (`nPresent` = count of non-empty buckets, `zSum` = Σ 2^-reg over
+    * them): raw harmonic-mean estimate with linear-counting fallback
+    * when E ≤ 2.5m and empty buckets remain. Every arithmetic step is
+    * bit-deterministic across engines (exact power-of-two sums, one
+    * literal constant, table lookup). */
+  def hllEstimate(nPresent: Column, zSum: Column, m: Int): Column = {
+    val zeros = (lit(m) - nPresent).cast("int")
+    val z = zeros.cast("double") + zSum
+    val eRaw = lit(hllAlphaM2(m)) / z
+    when(eRaw <= lit(2.5 * m) && zeros > 0,
+      element_at(typedlit(hllLinearTable(m)), zeros))
+      .otherwise(floor(eRaw).cast("long"))
+  }
+
+  /** Σ 2^-reg aggregate over a register column — exact double
+    * arithmetic: each term is a power of two from an integer shift
+    * (reg ≤ W+1 ≤ 63), so partial sums are exact multiples of 2^-(W+1)
+    * and the result is order-independent. */
+  def hllZSum(reg: Column): Column =
+    sum(lit(1.0) / call_function("shiftleft", lit(1L), reg.cast("int")).cast("double"))
+
+  /** One-shot global HLL distinct estimate of `c`: registers via one
+    * map-side-combinable groupBy(bucket).max(rho), then the estimator.
+    * One row: (m, n_present, n_est). */
+  def hllDistinct(df: DataFrame, c: Column, m: Int): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.where(c.isNotNull)
+      .select(hllBucket(c, m).as("bucket"), hllRho(c, m).as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("reg"))
+      .agg(count(lit(1)).as("n_present"), hllZSum(col("reg")).as("zsum"))
+      .select(lit(m).as("m"), col("n_present"),
+        hllEstimate(col("n_present"), col("zsum"), m).as("n_est"))
+  }
 
   /** Set-overlap estimate between two columns from their sketches
     * (inclusion–exclusion over KMV union): |A∪B| from the merged
