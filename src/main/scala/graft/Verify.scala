@@ -5,10 +5,15 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional third arg (local iteration only — the driver passes two):
+    // regex of query names to dump
+    val nameFilter = if (args.length > 2) Some(args(2).r) else None
     val spark = Sessions.build("graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => nameFilter.forall(_.findFirstIn(name).isDefined) }
+      .foreach { case (name, fn) =>
       // same hygiene as Bench: persisted signature frames must not
       // accumulate across the 30+ query sweep
       spark.catalog.clearCache()

@@ -260,7 +260,7 @@ object CorpusOps {
        |), rates AS (
        |  SELECT source, c,
        |         CAST(floor(least(1.0,
-       |           (CAST(q AS DOUBLE) / qsum) * floor($frac * n) / c) * 1000) AS BIGINT) AS rate_pm
+       |           (CAST(q AS DOUBLE) / qsum) * floor(CAST($frac AS DOUBLE) * n) / c) * 1000) AS BIGINT) AS rate_pm
        |  FROM q CROSS JOIN qs
        |)
        |SELECT d.source, r.c AS candidates, r.rate_pm, count(*) AS kept

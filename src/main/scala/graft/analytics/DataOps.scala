@@ -515,14 +515,23 @@ object DataOps {
   def boilerplateTopk(spark: SparkSession, dir: String): DataFrame =
     Passages.boilerplateTopK(Tables.documents(spark, dir), w = 4, k = 10)
 
+  /** Histogram grid for the profile medians — O(buckets) aggregation
+    * state per column (see [[graft.operators.HistQuantiles]]). */
+  private val ProfileBuckets = 8192
+
   /** Column profiling — the warehouse QA feature: one row per profiled
-    * numeric column with null count, exact distinct count, and rounded
-    * min/max, from a single aggregate pass (Spark plans the three
+    * numeric column with null count, exact distinct count, rounded
+    * min/max from a single aggregate pass (Spark plans the three
     * exact distincts as one Expand — no per-column re-scan) exploded
-    * wide→long. */
+    * wide→long, and a bounded-state histogram median per column (exact
+    * `percentile` would buffer every distinct value into one task —
+    * the 100×-scale OOM pattern this avoids). */
   def profileEvents(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     def nNulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+    val medId = graft.operators.HistQuantiles.cut(ev, col("event_id"), 0.5, ProfileBuckets, "id_med")
+    val medU  = graft.operators.HistQuantiles.cut(ev, col("user_id"),  0.5, ProfileBuckets, "u_med")
+    val medV  = graft.operators.HistQuantiles.cut(ev, col("value"),    0.5, ProfileBuckets, "v_med")
     val agg = ev.agg(
       count(lit(1)).as("n_rows"),
       nNulls("event_id").as("id_nulls"), countDistinct(col("event_id")).as("id_distinct"),
@@ -530,13 +539,11 @@ object DataOps {
       nNulls("user_id").as("u_nulls"), countDistinct(col("user_id")).as("u_distinct"),
       min(col("user_id")).cast("double").as("u_min"), max(col("user_id")).cast("double").as("u_max"),
       nNulls("value").as("v_nulls"), countDistinct(col("value")).as("v_distinct"),
-      Cols.r(min(col("value")), 4).as("v_min"), Cols.r(max(col("value")), 4).as("v_max"),
-      // exact medians: Spark `percentile` and DuckDB `quantile_cont`
-      // share the linear-interpolation definition (type R-7); rounding
-      // to 4 decimals absorbs FP-order differences in the interpolation
-      Cols.r(percentile(col("event_id"), lit(0.5)), 4).as("id_median"),
-      Cols.r(percentile(col("user_id"), lit(0.5)), 4).as("u_median"),
-      Cols.r(percentile(col("value"), lit(0.5)), 4).as("v_median"))
+      Cols.r(min(col("value")), 4).as("v_min"), Cols.r(max(col("value")), 4).as("v_max"))
+      .crossJoin(broadcast(medId)).crossJoin(broadcast(medU)).crossJoin(broadcast(medV))
+      .withColumn("id_median", Cols.r(col("id_med"), 4))
+      .withColumn("u_median", Cols.r(col("u_med"), 4))
+      .withColumn("v_median", Cols.r(col("v_med"), 4))
     agg.select(col("n_rows"), explode(array(
         struct(lit("event_id").as("column_name"), col("id_nulls").as("n_nulls"),
           col("id_distinct").as("n_distinct"), col("id_min").as("min_value"),
@@ -673,6 +680,43 @@ object DataOps {
       .orderBy(col("event_date").asc)
   }
 
+  /** Global HLL distinct estimate of the event-id stream (m = 64
+    * registers, rel std err ≈ 1.04/√64 ≈ 13%) next to the exact count
+    * and realized error — the FIXED-state cousin of
+    * [[kmvDistinctEvents]]: state is m small ints no matter the
+    * cardinality, and Spark's partial aggregation IS the sketch merge.
+    * The oracle replays hashing, bucketing, the integer rho, register
+    * maxima, the exact power-of-two harmonic sum, and the estimator's
+    * literal constants — the entire sketch, not a tolerance check. */
+  def hllDistinctEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_id").cast("string").as("s"))
+    val exact = ev.agg(countDistinct(col("s")).as("n_exact"))
+    Sketches.hllDistinct(ev, col("s"), 64)
+      .crossJoin(broadcast(exact))
+      .select(col("m"), col("n_present"), col("n_exact"), col("n_est"),
+        Cols.r(abs(col("n_est") - col("n_exact")).cast("double")
+          / col("n_exact").cast("double"), 4).as("rel_err"))
+  }
+
+  /** Per-day distinct users via the per-group HLL ([[Sketches
+    * .hllDistinctBy]], m = 64) next to the exact per-day countDistinct.
+    * Daily audiences sit near/below 2.5·m, so this entry exercises the
+    * LINEAR-COUNTING branch (the precomputed floor(m·ln(m/V)) table)
+    * as well as the registers — the branch [[hllDistinctEvents]]'s
+    * high-cardinality stream never takes. */
+  def hllDailyUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
+        col("user_id").cast("string").as("s"))
+    val exact = ev.groupBy(col("event_date")).agg(countDistinct(col("s")).as("n_exact"))
+    exact.join(
+        Sketches.hllDistinctBy(ev, col("event_date"), col("s"), 64)
+          .withColumnRenamed("g", "event_date"), "event_date")
+      .select(col("event_date"), col("n_exact"), col("n_present"), col("n_est"))
+      .orderBy(col("event_date").asc)
+  }
+
   // ---- multimodal plumbing ---------------------------------------------
 
   def mmPayloadStats(spark: SparkSession, dir: String): DataFrame =
@@ -769,6 +813,43 @@ object DataOps {
        |         CASE WHEN count(*) < $k THEN count(*)
        |              ELSE CAST(floor(CAST('$scale' AS DOUBLE) / CAST(max(h) AS DOUBLE)) AS BIGINT) END AS n_est
        |  FROM ${px}m)""".stripMargin
+  }
+
+  /** HLL sketch as a CTE chain over CTE `src` exposing a string column
+    * `s` (plus the group columns in `gCols`) — mirrors
+    * Sketches.hllBucket/hllRho/hllZSum/hllEstimate step for step:
+    * scattered portable hash → bucket/rho split → max-register GROUP
+    * BY → exact power-of-two harmonic sum → estimator with the SAME
+    * literal alpha·m² (string-cast to DOUBLE, like dkKmvEst's scale)
+    * and the SAME precomputed linear-counting table. Emits
+    * `${px}x` (gCols…, n_present, n_est). */
+  private def dkHll(src: String, gCols: Seq[String], m: Int, px: String): String = {
+    val w = Sketches.hllW(m)
+    val alphaM2 = Sketches.hllAlphaM2(m).toString
+    val table = Sketches.hllLinearTable(m).mkString(", ")
+    val gSel = if (gCols.isEmpty) "" else gCols.mkString("", ", ", ", ")
+    val regBy = (gCols :+ "bucket").mkString(", ")
+    val estBy = if (gCols.isEmpty) "" else "GROUP BY " + gCols.mkString(", ")
+    val eRaw = s"CAST('$alphaM2' AS DOUBLE) / (CAST($m - n_present AS DOUBLE) + zsum)"
+    s"""${px}h AS (
+       |  SELECT $gSel h % $m AS bucket,
+       |         CAST(floor(CAST(h AS DOUBLE) / $m) AS BIGINT) % ${1L << w} AS v
+       |  FROM (SELECT $gSel (${dkWordHash("s")} * 2654435761) % $P AS h FROM $src)
+       |), ${px}r AS (
+       |  SELECT $gSel bucket,
+       |         max(CASE WHEN v = 0 THEN ${w + 1} ELSE ${w + 1} - length(bin(v)) END) AS reg
+       |  FROM ${px}h GROUP BY $regBy
+       |), ${px}e AS (
+       |  SELECT $gSel count(*) AS n_present,
+       |         coalesce(sum(CAST(1 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << reg) AS DOUBLE)),
+       |                  CAST(0 AS DOUBLE)) AS zsum
+       |  FROM ${px}r $estBy
+       |), ${px}x AS (
+       |  SELECT $gSel n_present,
+       |         CASE WHEN $eRaw <= ${2.5 * m} AND $m - n_present > 0
+       |              THEN [$table][$m - n_present]
+       |              ELSE CAST(floor($eRaw) AS BIGINT) END AS n_est
+       |  FROM ${px}e)""".stripMargin
   }
 
   /** One unrolled Lloyd iteration as CTEs: assign against c<i-1>,
@@ -1411,31 +1492,33 @@ object DataOps {
          |FROM winnow
          |ORDER BY doc_id ASC""".stripMargin,
     "profile_events" ->
-      """WITH base AS (
-        |  SELECT count(*) AS n_rows,
-        |         count(*) FILTER (WHERE event_id IS NULL) AS id_nulls,
-        |         count(DISTINCT event_id) AS id_distinct,
-        |         CAST(min(event_id) AS DOUBLE) AS id_min, CAST(max(event_id) AS DOUBLE) AS id_max,
-        |         count(*) FILTER (WHERE user_id IS NULL) AS u_nulls,
-        |         count(DISTINCT user_id) AS u_distinct,
-        |         CAST(min(user_id) AS DOUBLE) AS u_min, CAST(max(user_id) AS DOUBLE) AS u_max,
-        |         count(*) FILTER (WHERE value IS NULL) AS v_nulls,
-        |         count(DISTINCT value) AS v_distinct,
-        |         floor((min(value)) * 1e4 + 0.5) / 1e4 AS v_min,
-        |         floor((max(value)) * 1e4 + 0.5) / 1e4 AS v_max,
-        |         floor((quantile_cont(event_id, 0.5)) * 1e4 + 0.5) / 1e4 AS id_median,
-        |         floor((quantile_cont(user_id, 0.5)) * 1e4 + 0.5) / 1e4 AS u_median,
-        |         floor((quantile_cont(value, 0.5)) * 1e4 + 0.5) / 1e4 AS v_median
-        |  FROM events
-        |)
-        |SELECT 'event_id' AS column_name, n_rows, id_nulls AS n_nulls,
-        |       id_distinct AS n_distinct, id_min AS min_value, id_max AS max_value,
-        |       id_median AS median_value FROM base
-        |UNION ALL
-        |SELECT 'user_id', n_rows, u_nulls, u_distinct, u_min, u_max, u_median FROM base
-        |UNION ALL
-        |SELECT 'value', n_rows, v_nulls, v_distinct, v_min, v_max, v_median FROM base
-        |ORDER BY column_name ASC""".stripMargin,
+      s"""WITH ${graft.operators.HistQuantiles.dkCuts("hid", "events", "event_id", 0.5, ProfileBuckets, "id_med")},
+         |${graft.operators.HistQuantiles.dkCuts("hu", "events", "user_id", 0.5, ProfileBuckets, "u_med")},
+         |${graft.operators.HistQuantiles.dkCuts("hv", "events", "value", 0.5, ProfileBuckets, "v_med")},
+         |base AS (
+         |  SELECT count(*) AS n_rows,
+         |         count(*) FILTER (WHERE event_id IS NULL) AS id_nulls,
+         |         count(DISTINCT event_id) AS id_distinct,
+         |         CAST(min(event_id) AS DOUBLE) AS id_min, CAST(max(event_id) AS DOUBLE) AS id_max,
+         |         count(*) FILTER (WHERE user_id IS NULL) AS u_nulls,
+         |         count(DISTINCT user_id) AS u_distinct,
+         |         CAST(min(user_id) AS DOUBLE) AS u_min, CAST(max(user_id) AS DOUBLE) AS u_max,
+         |         count(*) FILTER (WHERE value IS NULL) AS v_nulls,
+         |         count(DISTINCT value) AS v_distinct,
+         |         floor((min(value)) * 1e4 + 0.5) / 1e4 AS v_min,
+         |         floor((max(value)) * 1e4 + 0.5) / 1e4 AS v_max
+         |  FROM events
+         |)
+         |SELECT 'event_id' AS column_name, n_rows, id_nulls AS n_nulls,
+         |       id_distinct AS n_distinct, id_min AS min_value, id_max AS max_value,
+         |       floor(id_med * 1e4 + 0.5) / 1e4 AS median_value FROM base, hid
+         |UNION ALL
+         |SELECT 'user_id', n_rows, u_nulls, u_distinct, u_min, u_max,
+         |       floor(u_med * 1e4 + 0.5) / 1e4 FROM base, hu
+         |UNION ALL
+         |SELECT 'value', n_rows, v_nulls, v_distinct, v_min, v_max,
+         |       floor(v_med * 1e4 + 0.5) / 1e4 FROM base, hv
+         |ORDER BY column_name ASC""".stripMargin,
     "feat_lang_profile" ->
       s"""WITH ftok AS (SELECT lang, unnest($dkTokenHashes) AS h FROM documents),
          |fdim AS (
@@ -1529,6 +1612,23 @@ object DataOps {
          |SELECT ae.n_est AS n_a, be.n_est AS n_b, ue.n_est AS n_union,
          |       greatest(ae.n_est + be.n_est - ue.n_est, CAST(0 AS BIGINT)) AS n_intersect
          |FROM ae CROSS JOIN be CROSS JOIN ue""".stripMargin,
+    "hll_distinct_events" ->
+      s"""WITH src AS (SELECT CAST(event_id AS VARCHAR) AS s FROM events WHERE event_id IS NOT NULL),
+         |${dkHll("src", Seq.empty, 64, "g")},
+         |ex AS (SELECT count(DISTINCT s) AS n_exact FROM src)
+         |SELECT 64 AS m, n_present, n_exact, n_est,
+         |       floor(abs(n_est - n_exact) / CAST(n_exact AS DOUBLE) * 1e4 + 0.5) / 1e4 AS rel_err
+         |FROM gx CROSS JOIN ex""".stripMargin,
+    "hll_daily_users" ->
+      s"""WITH src AS (
+         |  SELECT strftime(ts, '%Y-%m-%d') AS event_date, CAST(user_id AS VARCHAR) AS s
+         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+         |),
+         |${dkHll("src", Seq("event_date"), 64, "d")},
+         |ex AS (SELECT event_date, count(DISTINCT s) AS n_exact FROM src GROUP BY 1)
+         |SELECT event_date, n_exact, n_present, n_est
+         |FROM ex JOIN dx USING (event_date)
+         |ORDER BY event_date ASC""".stripMargin,
     "mm_payload_stats" ->
       """SELECT coalesce(lang, 'und') AS kind,
         |       count(*) AS n_media,
@@ -1577,6 +1677,8 @@ object DataOps {
     "feat_lang_profile" -> (featLangProfile _),
     "kmv_user_overlap"  -> (kmvUserOverlap _),
     "kmv_daily_users"   -> (kmvDailyUsers _),
+    "hll_distinct_events" -> (hllDistinctEvents _),
+    "hll_daily_users"   -> (hllDailyUsers _),
     "skew_salted_rollup" -> (skewSaltedRollup _),
     "bloom_join_urgent"  -> (bloomJoinUrgent _),
     "profile_events"    -> (profileEvents _)

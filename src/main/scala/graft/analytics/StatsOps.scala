@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Cols
-import graft.operators.{Sequences, TextDedup, Triangles}
+import graft.operators.{HistQuantiles, Sequences, TextDedup, Triangles}
 
 /** Statistical / graph / sequence analytics extending the reference's
   * aggregate surface (SURVEY.md §2.5) with the screens a curation
@@ -63,16 +63,24 @@ object StatsOps {
 
   // ---- distribution banding: broadcast-quantile deciles --------------
 
-  /** Order-value deciles WITHOUT a global sort: one exact-percentile
-    * reduce produces the 9 cut points (single row → broadcast cross
-    * join), and assignment is a per-row comparison sum. This is the
-    * 100 TB-safe shape — `ntile(10) OVER (ORDER BY …)` would funnel
-    * every row through one partition. */
+  /** Histogram grid size for the decile cuts: cut resolution is
+    * range/4096 ≈ $40 on the harness price span — far inside a decile
+    * band, and the state bound that makes this 100×-survivable. */
+  val DecileBuckets = 4096
+
+  /** Order-value deciles WITHOUT a global sort and WITHOUT unbounded
+    * aggregation state: fixed-grid histogram cuts ([[HistQuantiles]] —
+    * O(buckets) state, vs exact `percentile` whose single final buffer
+    * holds every distinct value) produce the 9 cut points (single row
+    * → broadcast cross join), and assignment is a per-row comparison
+    * sum. This is the 100 TB-safe shape — `ntile(10) OVER (ORDER BY…)`
+    * would funnel every row through one partition, and exact
+    * `percentile` would OOM one task on a ~unique-valued column. */
   def decilesOrders(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(spark, dir)
-    val cuts = ord.agg(
-      percentile(col("o_totalprice"),
-        array((1 to 9).map(i => lit(i / 10.0)): _*)).as("qs"))
+    val cuts = HistQuantiles.cuts(ord, col("o_totalprice"),
+        (1 to 9).map(_ / 10.0), DecileBuckets)
+      .select(col("qs"))
     val assigned = ord.crossJoin(broadcast(cuts))
       .withColumn("decile",
         (1 to 9).map(i => when(col("o_totalprice") >= element_at(col("qs"), i), 1)
@@ -87,16 +95,21 @@ object StatsOps {
 
   // ---- robust outliers: median/MAD -----------------------------------
 
+  /** Histogram grid for the median/MAD cuts (events.value spans a few
+    * hundred units → sub-0.1 resolution). */
+  val MadBuckets = 8192
+
   /** Median-absolute-deviation outlier screen — the robust cousin of
     * q3's z-score (one huge value cannot drag the cut the way it
-    * drags a mean/stddev). Two exact-percentile reduces, each a
-    * single-row frame cross-joined back: no global sort, no second
-    * full shuffle. */
+    * drags a mean/stddev). Two bounded-state histogram-quantile
+    * reduces ([[HistQuantiles]] — O(buckets) aggregation state), each
+    * a single-row frame cross-joined back: no global sort, no
+    * unbounded percentile buffer, no second full shuffle. */
   def madOutliers(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).filter(col("value").isNotNull)
-    val med = ev.agg(percentile(col("value"), lit(0.5)).as("m"))
-    val mad = ev.crossJoin(broadcast(med))
-      .agg(percentile(abs(col("value") - col("m")), lit(0.5)).as("d"))
+    val med = HistQuantiles.cut(ev, col("value"), 0.5, MadBuckets, "m")
+    val mad = HistQuantiles.cut(ev.crossJoin(broadcast(med)),
+      abs(col("value") - col("m")), 0.5, MadBuckets, "d")
     ev.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
       .withColumn("robust_z", abs(col("value") - col("m")) / col("d"))
       .filter(col("robust_z") > 3.0)
@@ -242,9 +255,23 @@ object StatsOps {
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY return_flag ASC, line_status ASC""".stripMargin,
     "deciles_orders" ->
-      s"""WITH cuts AS (
-         |  SELECT quantile_cont(o_totalprice, [${(1 to 9).map(i => i / 10.0).mkString(", ")}]) AS qs
-         |  FROM orders
+      s"""WITH hq_s AS (
+         |  SELECT count(*) AS n, CAST(min(o_totalprice) AS DOUBLE) AS lo, CAST(max(o_totalprice) AS DOUBLE) AS hi
+         |  FROM orders WHERE o_totalprice IS NOT NULL
+         |), hq_c AS (
+         |  SELECT b, count(*) AS cnt FROM (
+         |    SELECT CASE WHEN hi = lo THEN 0
+         |           ELSE CAST(least(floor((CAST(o_totalprice AS DOUBLE) - lo) / (hi - lo) * $DecileBuckets), ${DecileBuckets - 1}) AS INT) END AS b
+         |    FROM orders, hq_s WHERE o_totalprice IS NOT NULL)
+         |  GROUP BY 1
+         |), hq_u AS (
+         |  SELECT b, sum(cnt) OVER (ORDER BY b ASC ROWS UNBOUNDED PRECEDING) AS cum FROM hq_c
+         |), pick AS (
+         |  SELECT ${(1 to 9).map(i => s"min(CASE WHEN cum >= ceil(CAST(${i / 10.0} AS DOUBLE) * n) THEN b END) AS b$i").mkString(", ")}
+         |  FROM hq_u, hq_s
+         |), cuts AS (
+         |  SELECT [${(1 to 9).map(i => s"CASE WHEN hi = lo THEN lo ELSE lo + (hi - lo) * CAST(b$i + 1 AS DOUBLE) / $DecileBuckets END").mkString(", ")}] AS qs
+         |  FROM pick, hq_s
          |), assigned AS (
          |  SELECT o_totalprice,
          |         ${(1 to 9).map(i => s"(CASE WHEN o_totalprice >= qs[$i] THEN 1 ELSE 0 END)").mkString(" + ")} + 1 AS decile
@@ -257,19 +284,18 @@ object StatsOps {
          |FROM assigned GROUP BY decile
          |ORDER BY decile ASC""".stripMargin,
     "mad_outliers" ->
-      """WITH med AS (
-        |  SELECT quantile_cont(value, 0.5) AS m FROM events WHERE value IS NOT NULL
-        |), madt AS (
-        |  SELECT quantile_cont(abs(value - m), 0.5) AS d
-        |  FROM events, med WHERE value IS NOT NULL
-        |)
-        |SELECT event_id,
-        |       floor(value * 1e4 + 0.5) / 1e4 AS value,
-        |       floor(abs(value - m) / d * 1e6 + 0.5) / 1e6 AS robust_z
-        |FROM events, med, madt
-        |WHERE value IS NOT NULL AND abs(value - m) / d > 3.0
-        |ORDER BY robust_z DESC, event_id ASC
-        |LIMIT 50""".stripMargin,
+      s"""WITH ${HistQuantiles.dkCuts("med", "events", "value", 0.5, MadBuckets, "m")},
+         |dev AS (
+         |  SELECT abs(value - m) AS dv FROM events, med WHERE value IS NOT NULL
+         |),
+         |${HistQuantiles.dkCuts("madt", "dev", "dv", 0.5, MadBuckets, "d")}
+         |SELECT event_id,
+         |       floor(value * 1e4 + 0.5) / 1e4 AS value,
+         |       floor(abs(value - m) / d * 1e6 + 0.5) / 1e6 AS robust_z
+         |FROM events, med, madt
+         |WHERE value IS NOT NULL AND abs(value - m) / d > 3.0
+         |ORDER BY robust_z DESC, event_id ASC
+         |LIMIT 50""".stripMargin,
     "vocab_coverage" ->
       """WITH tok AS (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Bounded-state quantiles via fixed-grid histograms — the 100 TB
+  * replacement for Spark's exact `percentile` aggregate.
+  *
+  * Why not exact `percentile`: its aggregation buffer holds every
+  * distinct (value, count) pair and merges them all into ONE final
+  * buffer, so on a ~unique-valued column the state is O(rows) on a
+  * single task — an executor OOM at scale, not a slowdown. Why not
+  * `approx_percentile`: its t-digest state is bounded but the merge
+  * order is partition-dependent, so the result is not reproducible
+  * across cluster sizes (and cannot be replayed by an engine-neutral
+  * oracle).
+  *
+  * The histogram form is both bounded and deterministic:
+  *
+  *  1. one aggregate computes (n, min, max) — O(1) state;
+  *  2. each value maps to a bucket on the fixed [lo, hi] grid
+  *     (`floor((x−lo)/(hi−lo)·B)` clamped to B−1) and a groupBy(bucket)
+  *     counts occupancy — O(B) state, map-side combinable, and the
+  *     shuffle carries at most B integer rows;
+  *  3. the quantile at probability p is the upper edge of the first
+  *     bucket whose cumulative count reaches ⌈p·n⌉ — a window over at
+  *     most B rows on one task.
+  *
+  * Every step is integer counting or the same IEEE double expression
+  * evaluated in the same association order on any engine, so results
+  * are bit-identical across cluster sizes AND fully replayable in a
+  * DuckDB oracle (see [[dkCuts]]). The price is grid resolution: the
+  * cut lands within (hi−lo)/B of the exact order statistic
+  * (property-tested in HistQuantilesSpec).
+  */
+object HistQuantiles {
+
+  /** Grid-quantile cuts of `c` at probabilities `ps`: a 1-row frame
+    * (qs array<double>, n, lo, hi). NULLs are excluded. Degenerate
+    * inputs: constant column → every cut = lo; empty input → NULL cuts.
+    */
+  def cuts(df: DataFrame, c: Column, ps: Seq[Double], nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= (1 << 20),
+      "nBuckets must be in [2, 2^20]")
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p < 1.0),
+      "probabilities must lie strictly inside (0, 1)")
+    val vals = df.filter(c.isNotNull).select(c.cast("double").as("x"))
+    val stats = vals.agg(count(lit(1)).as("n"),
+      min(col("x")).as("lo"), max(col("x")).as("hi"))
+    // bucket: same expression, same association order as the oracle
+    // mirror — ((x − lo) / (hi − lo)) · B, floored, clamped
+    val b = when(col("hi") === col("lo"), lit(0L)).otherwise(
+      least(floor((col("x") - col("lo")) / (col("hi") - col("lo")) * lit(nBuckets)),
+        lit((nBuckets - 1).toLong)))
+    val counts = vals.crossJoin(broadcast(stats))
+      .select(b.cast("int").as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+    // <= B rows from here on: the single-task window is bounded by design
+    val w = Window.orderBy(col("b").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("cum", sum(col("cnt")).over(w))
+    val pickCols = ps.zipWithIndex.map { case (p, i) =>
+      min(when(col("cum") >= ceil(lit(p) * col("n")), col("b"))).as(s"_b$i")
+    }
+    val picked = cum.crossJoin(broadcast(stats)).agg(pickCols.head, pickCols.tail: _*)
+    picked.crossJoin(broadcast(stats))
+      .select(array(ps.indices.map { i =>
+          when(col("hi") === col("lo"), col("lo"))
+            .otherwise(col("lo") +
+              (col("hi") - col("lo")) * (col(s"_b$i") + lit(1)).cast("double") / lit(nBuckets))
+        }: _*).as("qs"),
+        col("n"), col("lo"), col("hi"))
+  }
+
+  /** Single-probability convenience: 1-row frame with one double
+    * column named `as`. */
+  def cut(df: DataFrame, c: Column, p: Double, nBuckets: Int, as: String): DataFrame =
+    cuts(df, c, Seq(p), nBuckets).select(element_at(col("qs"), 1).as(as))
+
+  // ------------------------------------------------------------ oracle
+
+  /** DuckDB CTE chain replaying [[cuts]] exactly for one probability:
+    * emits CTEs `<tag>_s` (stats), `<tag>_c` (bucket counts), `<tag>_u`
+    * (cumulative), `<tag>_p` (picked bucket) and `<tag>` (1 row, one
+    * column `<valueName>`). `src` must be a relation exposing the
+    * metric as `<x>`; callers splice the fragments with the shared
+    * WITH. */
+  def dkCuts(tag: String, src: String, x: String, p: Double, nBuckets: Int,
+      valueName: String): String = {
+    val bMax = nBuckets - 1
+    s"""${tag}_s AS (
+       |  SELECT count(*) AS n, CAST(min($x) AS DOUBLE) AS lo, CAST(max($x) AS DOUBLE) AS hi
+       |  FROM $src WHERE $x IS NOT NULL
+       |), ${tag}_c AS (
+       |  SELECT b, count(*) AS cnt FROM (
+       |    SELECT CASE WHEN hi = lo THEN 0
+       |           ELSE CAST(least(floor((CAST($x AS DOUBLE) - lo) / (hi - lo) * $nBuckets), $bMax) AS INT) END AS b
+       |    FROM $src, ${tag}_s WHERE $x IS NOT NULL)
+       |  GROUP BY 1
+       |), ${tag}_u AS (
+       |  SELECT b, sum(cnt) OVER (ORDER BY b ASC ROWS UNBOUNDED PRECEDING) AS cum FROM ${tag}_c
+       |), ${tag}_p AS (
+       |  -- CAST: DuckDB parses a bare decimal literal as DECIMAL (exact
+       |  -- arithmetic) while Spark's lit(p) is DOUBLE — the rank target
+       |  -- must come from the identical IEEE product on both engines
+       |  SELECT min(CASE WHEN cum >= ceil(CAST($p AS DOUBLE) * n) THEN b END) AS bq FROM ${tag}_u, ${tag}_s
+       |), $tag AS (
+       |  SELECT CASE WHEN hi = lo THEN lo
+       |         ELSE lo + (hi - lo) * CAST(bq + 1 AS DOUBLE) / $nBuckets END AS $valueName
+       |  FROM ${tag}_p, ${tag}_s
+       |)""".stripMargin
+  }
+}

@@ -113,7 +113,11 @@ object Sketches {
     * unchanged in Structured Streaming aggregations. Input is the
     * ALREADY-HASHED value ([[kmvHash]]); output is the sorted min-k
     * array, ready for [[estimateFromMins]]. */
-  def kmvAgg(k: Int): Aggregator[Long, Seq[Long], Seq[Long]] =
+  def kmvAgg(k: Int): Aggregator[Long, Seq[Long], Seq[Long]] = {
+    // fail fast at construction: k = 0 would otherwise surface as an
+    // executor-side UnsupportedOperationException (Vector.empty.last)
+    // on the first insert
+    require(k >= 2, "kmvAgg needs k >= 2 (same contract as kmvSketch)")
     new Aggregator[Long, Seq[Long], Seq[Long]] {
       import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
       // buffer invariant: sorted ascending, distinct, size <= k
@@ -131,6 +135,7 @@ object Sketches {
           if (merged.size > k) merged.take(k) else merged
         }
     }
+  }
 
   /** Estimator over a min-k ARRAY column (the [[kmvAgg]] output,
     * sorted ascending): exact below k, else `(k-1)·P / max`. Lets the
@@ -213,14 +218,36 @@ object Sketches {
 
   /** One-shot global HLL distinct estimate of `c`: registers via one
     * map-side-combinable groupBy(bucket).max(rho), then the estimator.
-    * One row: (m, n_present, n_est). */
+    * One row: (m, n_present, n_est). Empty input estimates 0 (the
+    * zsum coalesce routes it into the linear-counting branch, whose
+    * table entry at V = m is floor(m·ln(1)) = 0). */
   def hllDistinct(df: DataFrame, c: Column, m: Int): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     df.where(c.isNotNull)
       .select(hllBucket(c, m).as("bucket"), hllRho(c, m).as("rho"))
       .groupBy(col("bucket")).agg(max(col("rho")).as("reg"))
-      .agg(count(lit(1)).as("n_present"), hllZSum(col("reg")).as("zsum"))
+      .agg(count(lit(1)).as("n_present"),
+        coalesce(hllZSum(col("reg")), lit(0.0)).as("zsum"))
       .select(lit(m).as("m"), col("n_present"),
+        hllEstimate(col("n_present"), col("zsum"), m).as("n_est"))
+  }
+
+  /** PER-GROUP HLL distinct estimates — the sketch's native warehouse
+    * form (distinct users per day, distinct tokens per language) built
+    * from two relational aggregations: groupBy(g, bucket).max(rho)
+    * (map-side combinable — partial aggregation IS the sketch merge,
+    * so the shuffle carries ≤ m register rows per group), then the
+    * per-group estimator. State per group is O(m) REGARDLESS of group
+    * cardinality — the property that lets one pass profile a 100 TB
+    * fact. Output: (g, n_present, n_est). */
+  def hllDistinctBy(df: DataFrame, g: Column, c: Column, m: Int): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.where(c.isNotNull)
+      .select(g.as("g"), hllBucket(c, m).as("bucket"), hllRho(c, m).as("rho"))
+      .groupBy(col("g"), col("bucket")).agg(max(col("rho")).as("reg"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n_present"),
+        hllZSum(col("reg")).as("zsum"))
+      .select(col("g"), col("n_present"),
         hllEstimate(col("n_present"), col("zsum"), m).as("n_est"))
   }
 

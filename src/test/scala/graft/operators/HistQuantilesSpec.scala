@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Bounded-state histogram quantiles: grid accuracy vs the exact order
+  * statistic, degenerate shapes, and the plan-level proof that the
+  * unbounded `percentile` buffer is gone from every former call site. */
+class HistQuantilesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("cuts land within one bucket width of the exact order statistic") {
+    // deterministic pseudo-random values (LCG), including duplicates
+    val xs = (1 to 5000).map(i => ((i * 1103515245L + 12345) % 1000003L).toDouble / 7.0)
+    val df = xs.toDF("x")
+    val ps = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+    val b = 4096
+    val row = HistQuantiles.cuts(df, col("x"), ps, b).head()
+    val qs = row.getSeq[Double](0)
+    val (lo, hi) = (xs.min, xs.max)
+    val width = (hi - lo) / b
+    val sorted = xs.sorted
+    ps.zipWithIndex.foreach { case (p, i) =>
+      // exact inverse-CDF order statistic at rank ceil(p*n)
+      val exact = sorted(math.ceil(p * xs.size).toInt - 1)
+      assert(math.abs(qs(i) - exact) <= width + 1e-9,
+        s"p=$p cut=${qs(i)} exact=$exact width=$width")
+    }
+  }
+
+  test("cut is an upper bound: at least ceil(p*n) values sit at or below it") {
+    val xs = (1 to 3000).map(i => ((i * 48271L) % 2147483647L).toDouble)
+    val df = xs.toDF("x")
+    val p = 0.5
+    val q = HistQuantiles.cut(df, col("x"), p, 1024, "m").head().getDouble(0)
+    val atOrBelow = xs.count(_ <= q)
+    assert(atOrBelow >= math.ceil(p * xs.size).toInt)
+  }
+
+  test("constant column: every cut equals the constant; empty input: NULL cuts") {
+    val const = Seq.fill(100)(42.5).toDF("x")
+    val qs = HistQuantiles.cuts(const, col("x"), Seq(0.2, 0.8), 64).head().getSeq[Double](0)
+    assert(qs == Seq(42.5, 42.5))
+    val empty = Seq.empty[Double].toDF("x")
+    val r = HistQuantiles.cuts(empty, col("x"), Seq(0.5), 64).head()
+    assert(r.isNullAt(0) || r.getSeq[Any](0).forall(_ == null))
+  }
+
+  test("NULLs are excluded from the grid and the ranks") {
+    val df = (Seq.fill(50)(Option.empty[Double]) ++ (1 to 100).map(i => Some(i.toDouble)))
+      .toDF("x")
+    val q = HistQuantiles.cut(df, col("x"), 0.5, 1000, "m").head().getDouble(0)
+    // median of 1..100 is near 50, far from what NULL-counting would give
+    assert(q >= 49.0 && q <= 52.0, s"median=$q")
+  }
+
+  test("aggregation state is O(buckets): bucket HashAggregate with partial_count, no percentile buffer") {
+    val p = plan(HistQuantiles.cuts((1 to 100).map(_.toDouble).toDF("v"), col("v"), Seq(0.5), 256))
+    assert(!p.toLowerCase.contains("percentile"), p)
+    // the occupancy count is a plain partial-aggregatable HashAggregate
+    // keyed on the bucket — at most 256 rows cross the wire
+    assert(p.contains("HashAggregate(keys=[b"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("former percentile call sites carry no unbounded-state aggregate in their plans") {
+    val stats = Seq(
+      graft.analytics.StatsOps.decilesOrders(spark, dir),
+      graft.analytics.StatsOps.madOutliers(spark, dir),
+      graft.analytics.DataOps.profileEvents(spark, dir))
+    stats.foreach { df =>
+      val p = plan(df)
+      assert(!p.toLowerCase.contains("percentile"), p.take(2000))
+      // ObjectHashAggregate is the executor of TypedImperative aggs
+      // (percentile's home); its absence means every aggregate here is
+      // a codegen HashAggregate with fixed-width state
+      assert(!p.contains("ObjectHashAggregate"), p.take(2000))
+    }
+  }
+}

@@ -79,4 +79,65 @@ class SketchesSpec extends SparkSpec {
     val s2 = Sketches.kmvSketch(d, $"s", 8).as[Long].collect().toSeq
     assert(s1 == s2 && s1.size == 2)
   }
+
+  test("kmvAgg rejects k < 2 at construction, not on first executor insert") {
+    intercept[IllegalArgumentException] { Sketches.kmvAgg(0) }
+    intercept[IllegalArgumentException] { Sketches.kmvAgg(1) }
+  }
+
+  // ---------------------------------------------------------------- HLL
+
+  test("hll: high-cardinality estimate lands within 4 sigma (harmonic branch)") {
+    val n = 20000
+    val d = (1 to n).map(i => s"item-$i-x").toDF("s")
+    val m = 64
+    val row = Sketches.hllDistinct(d, $"s", m).collect().head
+    val est = row.getAs[Long]("n_est")
+    // rel std err ~ 1.04/sqrt(m); deterministic data → fixed-value
+    // uniformity check, not a flaky sample
+    val sigma = 1.04 * n / math.sqrt(m.toDouble)
+    assert(math.abs(est - n) < 4 * sigma, s"est=$est truth=$n sigma=$sigma")
+    // high cardinality must have filled every register
+    assert(row.getAs[Long]("n_present") == m.toLong)
+  }
+
+  test("hll: small cardinality takes the linear-counting branch and is near-exact") {
+    val n = 30 // well under 2.5m for m=64, with empty buckets remaining
+    val d = (1 to n).map(i => s"small-$i").toDF("s")
+    val row = Sketches.hllDistinct(d, $"s", 64).collect().head
+    assert(row.getAs[Long]("n_present") < 64L) // zeros > 0 → linear counting
+    val est = row.getAs[Long]("n_est")
+    // linear counting is floor(m·ln(m/V)) — with only m = 64 buckets
+    // the variance is real (rel err ~ 1/sqrt(m) scale); the point here
+    // is the BRANCH, deterministically taken and deterministic-valued
+    assert(math.abs(est - n) <= 8, s"est=$est truth=$n")
+    assert(est == Sketches.hllDistinct(d, $"s", 64).collect().head.getAs[Long]("n_est"))
+  }
+
+  test("hll: empty input estimates 0 (not NULL)") {
+    val d = Seq.empty[String].toDF("s")
+    val row = Sketches.hllDistinct(d, $"s", 64).collect().head
+    assert(!row.isNullAt(row.fieldIndex("n_est")))
+    assert(row.getAs[Long]("n_est") == 0L)
+    assert(row.getAs[Long]("n_present") == 0L)
+  }
+
+  test("hll: per-group estimates equal the global path run per group") {
+    val rows = (1 to 900).map(i => (s"g${i % 3}", s"val-${i % (50 * (1 + i % 3))}"))
+    val d = rows.toDF("g", "s")
+    val byGroup = Sketches.hllDistinctBy(d, $"g", $"s", 64)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.map(_._1).distinct.foreach { g =>
+      val solo = Sketches.hllDistinct(d.filter($"g" === g), $"s", 64).collect().head
+      assert(byGroup(g) == ((solo.getAs[Long]("n_present"), solo.getAs[Long]("n_est"))), g)
+    }
+  }
+
+  test("hll: registers are partition-order independent (repartition invariance)") {
+    val d = (1 to 5000).map(i => s"item-$i").toDF("s")
+    val a = Sketches.hllDistinct(d, $"s", 64).collect().head
+    val b = Sketches.hllDistinct(d.repartition(13), $"s", 64).collect().head
+    assert(a.getAs[Long]("n_est") == b.getAs[Long]("n_est"))
+    assert(a.getAs[Long]("n_present") == b.getAs[Long]("n_present"))
+  }
 }
