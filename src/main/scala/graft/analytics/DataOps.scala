@@ -278,18 +278,35 @@ object DataOps {
 
   // ---- corpus curation -------------------------------------------------
 
+  /** Per-doc text-feature table (token count, quality score,
+    * type-token ratio), persisted under the same policy as the shingle
+    * signature frames ([[graft.operators.Persisted.index]]): the
+    * tokenize→score pipeline runs ONCE per corpus and every consumer
+    * (`text_quality`, `mix_budget`, `dedup_keep`) reads the same
+    * cached thin frame — at warehouse scale this is the materialized
+    * doc-features table every curation pass joins against, instead of
+    * re-reading full document text per query. Rounded-4 scores so
+    * every consumer ranks on the identical oracle-stable value. */
+  private def docFeatures(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Persisted.index(
+      Tables.documents(spark, dir).select(
+        col("doc_id"), col("lang"), col("source"),
+        TextAnalysis.nTokens(col("text")).as("n_tokens"),
+        Cols.r(TextAnalysis.qualityScore(col("text")), 4).as("quality"),
+        Cols.r(TextAnalysis.typeTokenRatio(col("text")), 4).as("ttr")))
+
   /** Near-dup collapse end-to-end: MinHash-LSH pairs → components →
     * drop every cluster member except the keeper (min id) → per-lang
     * surviving doc/token counts. */
   def dedupKeep(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val pairs = TextDedup.pairGraph(docs, n = 3, numHashes = 16,
+    val pairs = TextDedup.pairGraph(Tables.documents(spark, dir), n = 3, numHashes = 16,
         bands = 8, threshold = 0.5)
       .select(col("doc_a"), col("doc_b"))
-    Curation.keeperFilter(docs, pairs)
+    // rollup reads the shared thin feature frame, not document text
+    Curation.keeperFilter(docFeatures(spark, dir), pairs)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"),
-        sum(TextAnalysis.nTokens(col("text")).cast("long")).as("kept_tokens"))
+        sum(col("n_tokens").cast("long")).as("kept_tokens"))
       .orderBy(col("lang").asc)
   }
 
@@ -298,15 +315,12 @@ object DataOps {
     * within 2000 — the mixture-assembly step of a curation pipeline.
     * Ordering uses the ROUNDED quality (and doc_id tiebreak) so both
     * engines rank identically at FP boundaries. */
-  def mixBudget(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .withColumn("q", Cols.r(TextAnalysis.qualityScore(col("text")), 4))
-    Curation.tokenBudget(docs, "lang", TextAnalysis.nTokens(col("text")),
-        Seq(col("q").desc, col("doc_id").asc), budget = 2000L)
+  def mixBudget(spark: SparkSession, dir: String): DataFrame =
+    Curation.tokenBudget(docFeatures(spark, dir), "lang", col("n_tokens"),
+        Seq(col("quality").desc, col("doc_id").asc), budget = 2000L)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("budget_tokens")).as("total_tokens"))
       .orderBy(col("lang").asc)
-  }
 
   /** Deterministic stratified sampling: per-language keep rates over a
     * portable multiplicative-hash bucket of doc_id — the reproducible
@@ -382,9 +396,9 @@ object DataOps {
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") < 10)
-    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
-      .select(col("query_id"), col("neighbor_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = graft.operators.Persisted.index(
+      Similarity.bruteForceTopK(emb, q, k = 5)
+        .select(col("query_id"), col("neighbor_id")))
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
     def row(method: String, approx: DataFrame): DataFrame =
       approx.select(col("query_id"), col("neighbor_id"))
@@ -422,16 +436,11 @@ object DataOps {
       .orderBy(col("lang").asc)
   }
 
-  def textQuality(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-    d.select(
-        col("doc_id"),
-        TextAnalysis.nTokens(col("text")).as("n_tokens"),
-        Cols.r(TextAnalysis.qualityScore(col("text")), 4).as("quality"),
-        Cols.r(TextAnalysis.typeTokenRatio(col("text")), 4).as("ttr"))
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    docFeatures(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality"), col("ttr"))
       .orderBy(col("quality").asc, col("doc_id").asc)
       .limit(50)
-  }
 
   def textLangId(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.langIdJoin(Tables.documents(spark, dir))
@@ -715,6 +724,54 @@ object DataOps {
           .withColumnRenamed("g", "event_date"), "event_date")
       .select(col("event_date"), col("n_exact"), col("n_present"), col("n_est"))
       .orderBy(col("event_date").asc)
+  }
+
+  /** END-TO-END STREAMING GATE: the harness events flow through a real
+    * Structured Streaming pipeline — a file-source stream over 5
+    * parquet chunk files (one replayed: at-least-once delivery), one
+    * micro-batch per file (`maxFilesPerTrigger = 1`, AvailableNow),
+    * each batch foreachBatch-MERGEd ([[graft.streaming.Streams
+    * .upsertSink]] → [[graft.operators.Upsert.mergeIntoPath]]) into a
+    * parquet target with checkpointing — and the SETTLED target is
+    * rolled up as the query result. The oracle is the plain batch
+    * rollup over events: any row the stream loses, duplicates
+    * (including the replayed chunk the MERGE must collapse), or
+    * corrupts across batch boundaries flips the hash. This gates the
+    * streaming machinery itself, which the MemoryStream specs cannot:
+    * source→checkpoint→sink wiring on real files.
+    *
+    * The driver-side fetch is the final ≤|event types| rollup rows
+    * (bounded parameter class), so the scratch dir can be deleted
+    * before returning. */
+  def streamMergeEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_merge")
+    val inDir = s"$work/in"; val target = s"$work/target"; val ckpt = s"$work/ckpt"
+    // 4 deterministic hash chunks, one file each, plus a replay of
+    // chunk 0 — five micro-batches, one of them a pure duplicate
+    (0 until 4) :+ 0 foreach { i =>
+      ev.filter(pmod(col("event_id"), lit(4)) === i)
+        .coalesce(1).write.mode("append").parquet(inDir)
+    }
+    val q = graft.streaming.Streams.upsertSink(
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(inDir),
+        target, ckpt, keys = Seq("event_id"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rollup = spark.read.parquet(target)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_id")).as("n_ids"),
+        Cols.r(Cols.sumExact(col("value")), 2).as("total_value"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type").asc)
+    val settled = rollup.collect().toSeq
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(settled, 1), rollup.schema)
+    graft.sources.LocalFs.deleteRecursively(work)
+    out
   }
 
   // ---- multimodal plumbing ---------------------------------------------
@@ -1612,6 +1669,14 @@ object DataOps {
          |SELECT ae.n_est AS n_a, be.n_est AS n_b, ue.n_est AS n_union,
          |       greatest(ae.n_est + be.n_est - ue.n_est, CAST(0 AS BIGINT)) AS n_intersect
          |FROM ae CROSS JOIN be CROSS JOIN ue""".stripMargin,
+    "stream_merge_events" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       count(DISTINCT event_id) AS n_ids,
+        |       floor(CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS total_value,
+        |       min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
     "hll_distinct_events" ->
       s"""WITH src AS (SELECT CAST(event_id AS VARCHAR) AS s FROM events WHERE event_id IS NOT NULL),
          |${dkHll("src", Seq.empty, 64, "g")},
@@ -1679,6 +1744,7 @@ object DataOps {
     "kmv_daily_users"   -> (kmvDailyUsers _),
     "hll_distinct_events" -> (hllDistinctEvents _),
     "hll_daily_users"   -> (hllDailyUsers _),
+    "stream_merge_events" -> (streamMergeEvents _),
     "skew_salted_rollup" -> (skewSaltedRollup _),
     "bloom_join_urgent"  -> (bloomJoinUrgent _),
     "profile_events"    -> (profileEvents _)

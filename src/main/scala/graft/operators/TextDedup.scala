@@ -129,11 +129,11 @@ object TextDedup {
     * this persistence is a materialized signature-index table; here
     * MEMORY_AND_DISK gives the same single-computation property.
     * Caches are keyed by canonicalized plan (Spark's CacheManager
-    * dedupes repeat calls) and live for the session — a long-lived
-    * session sweeping many corpora should call
+    * dedupes repeat calls — [[Persisted.index]] guards the repeat
+    * persist so it is a silent no-op) and live for the session — a
+    * long-lived session sweeping many corpora should call
     * `spark.catalog.clearCache()` between corpora. */
-  private def index(df: DataFrame): DataFrame =
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private def index(df: DataFrame): DataFrame = Persisted.index(df)
 
   /** Per-doc shingle set + size — the ONE materialization of the
     * tokenize→hash→shingle pipeline; every other shingle view

@@ -56,15 +56,14 @@ object Triangles {
     // rows — O(m) — is the materialized edge table a warehouse would
     // build before a self-join. Session-lived, same policy as
     // TextDedup.index.
-    val oriented = und
+    val oriented = Persisted.index(und
       .join(deg.withColumnRenamed("id", "u").withColumnRenamed("deg", "du"), "u")
       .join(deg.withColumnRenamed("id", "v").withColumnRenamed("deg", "dv"), "v")
       .select(
         when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
           struct(col("u").as("s"), col("v").as("d"), col("dv").as("dd")))
           .otherwise(struct(col("v").as("s"), col("u").as("d"), col("du").as("dd"))).as("e"))
-      .select(col("e.s").as("src"), col("e.d").as("dst"), col("e.dd").as("ddeg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("e.s").as("src"), col("e.d").as("dst"), col("e.dd").as("ddeg")))
 
     // Wedges at the min-rank corner: two out-edges src→x, src→y with
     // rank(x) < rank(y). The closing edge, if present, is then
