@@ -3,6 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.Cols
 import graft.operators.{Contamination, Curation, Packing, Quantize, Relevance, Sharding, TextDedup, ZOrder}
 
 /** Corpus-preparation query surface: deterministic shuffle/sharding,
@@ -309,6 +310,53 @@ object CorpusOps {
        |       min(x) AS x_lo, max(x) AS x_hi, min(y) AS y_lo, max(y) AS y_hi
        |FROM z GROUP BY zcell ORDER BY zcell ASC""".stripMargin
 
+  /** READ-SIDE Z-order gate: write the events fact z-ordered on
+    * (user bucket, day) via [[ZOrder.writeZOrdered]] into a scratch
+    * layout, read it back through a 2-D predicate, and roll the
+    * surviving rows up. The oracle computes the same predicate rollup
+    * straight from the events table — if the layout round-trip loses,
+    * duplicates, or corrupts ANY row (the failure mode a layout
+    * rewrite can actually have), the hash flips. The layout's PRUNING
+    * benefit (files/row-groups skipped vs a 1-D sort) is measured in
+    * ZOrderSpec; this entry pins the correctness half: a clustering
+    * rewrite must be result-invisible to readers. The driver-side
+    * fetch is one rollup row (bounded), so the scratch layout can be
+    * deleted before returning. */
+  def zorderRead(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(
+        pmod(col("user_id"), lit(256L)).as("x"),
+        dayofmonth(col("ts")).cast("long").as("y"),
+        col("event_id"), col("value"))
+    val work = java.nio.file.Files.createTempDirectory("graft_zorder_read")
+    ZOrder.writeZOrdered(ev, "x", "y", bits = ZBits, targetFiles = 16, work.toString)
+    val rollup = spark.read.parquet(work.toString)
+      .filter(col("x").between(32, 47) && col("y").between(10, 19))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("event_id")).as("n_ids"),
+        Cols.r(Cols.sumExact(col("value")), 2).as("total_value"),
+        min(col("x")).as("x_lo"), max(col("x")).as("x_hi"),
+        min(col("y")).as("y_lo"), max(col("y")).as("y_hi"))
+    val settled = rollup.collect().toSeq
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(settled, 1), rollup.schema)
+    graft.sources.LocalFs.deleteRecursively(work)
+    out
+  }
+
+  private val zorderReadSql: String =
+    """WITH dims AS (
+      |  SELECT CAST(user_id % 256 AS BIGINT) AS x, CAST(day(ts) AS BIGINT) AS y,
+      |         event_id, value
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |)
+      |SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_ids,
+      |       floor(CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS total_value,
+      |       min(x) AS x_lo, max(x) AS x_hi, min(y) AS y_lo, max(y) AS y_hi
+      |FROM dims
+      |WHERE x BETWEEN 32 AND 47 AND y BETWEEN 10 AND 19""".stripMargin
+
   // ---- catalog wiring -----------------------------------------------
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -318,7 +366,8 @@ object CorpusOps {
     "sim_topk_q8" -> (simTopKQ8 _),
     "pack_plan"   -> (packPlan _),
     "mix_temperature" -> (mixTemperature _),
-    "zorder_cells" -> (zorderCells _)
+    "zorder_cells" -> (zorderCells _),
+    "zorder_read" -> (zorderRead _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -328,6 +377,7 @@ object CorpusOps {
     "sim_topk_q8" -> simTopKQ8Sql,
     "pack_plan"   -> packPlanSql,
     "mix_temperature" -> mixTemperatureSql,
-    "zorder_cells" -> zorderCellsSql
+    "zorder_cells" -> zorderCellsSql,
+    "zorder_read" -> zorderReadSql
   )
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, IntegerType, LongType, NumericType, ShortType}
 
 /** Bloom-filter semi-join reduction — the "runtime filter" pattern
   * (SURVEY.md §7.5 "minimize shuffles"; Snowflake and Spark both ship
@@ -43,11 +44,14 @@ object BloomFilterJoin {
 
     /** True when `key` MAY be in the build set (never false for a key
       * that was inserted — the no-false-negative property is what makes
-      * the reduction result-invisible). NULL keys test NULL, and a
-      * NULL predicate drops the row — safe for equi-joins, where NULL
-      * never matches. */
+      * the reduction result-invisible). NULL keys return FALSE
+      * explicitly: Spark's xxhash64 skips NULL children (the hash
+      * accumulator is left unchanged, producing a REAL hash, not
+      * NULL), so without the isNotNull guard a NULL key could pass the
+      * probes — harmless inside an inner join but wrong for standalone
+      * use as an anti-join prefilter. */
     def mightContain(key: Column): Column =
-      (0 until nHash).map { i =>
+      key.isNotNull && (0 until nHash).map { i =>
         val pos = pmod(xxhash64(lit(i), key), lit(mBits.toLong)).cast("int")
         // `/` is double division in Spark — floor+cast keeps the index integral
         val word = element_at(typedlit(words), floor(pos / 64).cast("int") + 1)
@@ -81,14 +85,79 @@ object BloomFilterJoin {
     BloomBits(words.toIndexedSeq, mBits, nHash)
   }
 
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger("graft.operators.BloomFilterJoin")
+
+  /** Standard Bloom sizing for `nDistinct` keys at `targetFpp`:
+    * m = ⌈−n·ln(p)/ln²2⌉ bits (clamped to [1024, 2^27]),
+    * k = round(m/n·ln2) probes (clamped to [1, 16]). At the default 1%
+    * target that is ~9.6 bits and 7 probes per distinct key. */
+  def sizeFor(nDistinct: Long, targetFpp: Double = 0.01): (Int, Int) = {
+    require(targetFpp > 0 && targetFpp < 1, "targetFpp must be in (0, 1)")
+    val n = math.max(nDistinct, 1L)
+    val ln2 = math.log(2.0)
+    val mRaw = math.ceil(-n.toDouble * math.log(targetFpp) / (ln2 * ln2)).toLong
+    val m = math.min(math.max(mRaw, 1024L), 1L << 27).toInt
+    val k = math.max(1, math.min(16, math.round(m.toDouble / n.toDouble * ln2).toInt))
+    (m, k)
+  }
+
+  /** [[build]] with mBits/nHash derived from the build side's APPROX
+    * distinct key count (HLL++, one cheap aggregate — the sizing only
+    * tunes the false-positive rate, so an approximate count is exactly
+    * right; correctness never depends on it). */
+  def buildAuto(builds: DataFrame, key: Column, targetFpp: Double = 0.01): BloomBits = {
+    val n = builds.where(key.isNotNull)
+      .agg(approx_count_distinct(key).as("n")).head().getLong(0)
+    // 25% headroom: the textbook optimum sets EXACTLY half the bits
+    // (saturation 0.5), and the HLL++ count carries a few percent of
+    // error — headroom keeps realized saturation ~0.43 and the fpp
+    // at-or-below target even when the estimate reads low
+    val (m, k) = sizeFor(math.ceil(n * 1.25).toLong, targetFpp)
+    log.info(s"bloom auto-size: ~$n distinct keys -> mBits=$m nHash=$k (target fpp $targetFpp)")
+    build(builds, key, m, k)
+  }
+
+  /** Sentinel for [[reducedJoin]]'s `mBits`: size the bitset from the
+    * build side's distinct count (targeting ~1% false positives). */
+  val Auto: Int = 0
+
+  /** The hash-input type both join keys are cast to before probing:
+    * Spark's xxhash64 is TYPE-SENSITIVE (xxhash64(1: int) !=
+    * xxhash64(1L)), so mixed-type keys that the join would match after
+    * implicit coercion MUST hash identically on both sides or the
+    * filter silently drops matching rows (false negatives). Same-type
+    * keys pass through; integral pairs widen to long, numeric pairs to
+    * double (the join's own comparison coercion); anything else is
+    * rejected rather than risk a semantic mismatch. */
+  private val integralTypes: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+
+  private[operators] def commonKeyType(a: DataType, b: DataType): DataType = (a, b) match {
+    case _ if a == b => a
+    case _ if integralTypes(a) && integralTypes(b) => LongType
+    case (_: NumericType, _: NumericType) => DoubleType
+    case _ => throw new IllegalArgumentException(
+      s"bloom join keys must share a type family (got $a vs $b) — cast explicitly")
+  }
+
   /** Inner equi-join of `large ⋈ small` on `largeKey = smallKey`, with
     * `large` pre-reduced by a Bloom filter over `small`'s keys. Row
     * multiset identical to the plain inner join (false positives are
-    * removed by the join itself; false negatives cannot occur). */
+    * removed by the join itself; false negatives cannot occur — both
+    * keys hash through the SAME coerced type, see [[commonKeyType]]).
+    * `mBits = Auto` (the default) sizes the bitset from the build
+    * side's approx distinct count at ~1% FPR; the realized saturation
+    * is logged as the standard health diagnostic
+    * (fpp ≈ saturation^nHash). */
   def reducedJoin(large: DataFrame, largeKey: String, small: DataFrame,
-      smallKey: String, mBits: Int = 1 << 16, nHash: Int = 4): DataFrame = {
-    val bloom = build(small, col(smallKey), mBits, nHash)
-    large.where(bloom.mightContain(col(largeKey)))
+      smallKey: String, mBits: Int = Auto, nHash: Int = 4): DataFrame = {
+    val common = commonKeyType(large.schema(largeKey).dataType, small.schema(smallKey).dataType)
+    val bloom =
+      if (mBits == Auto) buildAuto(small, col(smallKey).cast(common))
+      else build(small, col(smallKey).cast(common), mBits, nHash)
+    log.info(f"bloom reducedJoin($largeKey = $smallKey): mBits=${bloom.mBits} " +
+      f"nHash=${bloom.nHash} saturation=${bloom.saturation}%.4f")
+    large.where(bloom.mightContain(col(largeKey).cast(common)))
       .join(small, col(largeKey) === col(smallKey))
   }
 }

@@ -146,17 +146,63 @@ object Multimodal {
     * timestamp, and its bytes. */
   case class FrameRow(media_id: Long, frame_idx: Int, t_ms: Long, frame: Array[Byte])
 
+  /** Parsed RIFF/WAVE container: PCM layout + the data chunk's span
+    * inside the payload. */
+  case class WavInfo(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      dataOffset: Int, dataBytes: Int) {
+    /** Whole bytes per `ms` milliseconds of audio (PCM byte rate). */
+    def bytesFor(ms: Long): Long =
+      sampleRate.toLong * channels * (bitsPerSample / 8) * ms / 1000L
+  }
+
+  /** REAL RIFF/WAVE header parse — pure little-endian byte logic, no
+    * codec: walks the chunk list (word-aligned, per the RIFF spec) for
+    * `fmt ` (channels, sample rate, bit depth) and `data` (PCM span).
+    * A declared data size overrunning the payload is clamped to the
+    * bytes actually present (truncated file ≡ shorter recording).
+    * Returns None for anything that is not a well-formed PCM WAV. */
+  def wavInfo(p: Array[Byte]): Option[WavInfo] = {
+    def u8(i: Int) = p(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def tag(i: Int, s: String) = s.indices.forall(j => p(i + j) == s(j).toByte)
+    if (p.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, sampleRate, bits)
+    var data: Option[(Int, Int)] = None     // (offset, clamped length)
+    while (off + 8 <= p.length && (fmt.isEmpty || data.isEmpty)) {
+      val sz = le32(off + 4)
+      if (sz < 0) return None // malformed size
+      if (tag(off, "fmt ") && sz >= 16 && off + 24 <= p.length)
+        fmt = Some((le16(off + 10), le32(off + 12), le16(off + 22)))
+      if (tag(off, "data"))
+        data = Some((off + 8, math.min(sz.toLong, (p.length - off - 8).toLong).toInt))
+      off += 8 + sz + (sz & 1) // chunks are 2-byte aligned
+    }
+    for {
+      (ch, sr, bits) <- fmt
+      (dOff, dLen) <- data
+      if ch > 0 && sr > 0 && bits > 0 && bits % 8 == 0 && dLen >= 0
+    } yield WavInfo(sr, ch, bits, dOff, dLen)
+  }
+
   /** Frame sampling — the video/audio analogue of [[decodeAll]]:
     * every `sampleEvery`-th frame of each payload is emitted as its
     * own row, so downstream per-frame ops (decode, embed, dedup)
-    * compose relationally. The DEMUXER IS A STUB: payloads are
-    * treated as containers of contiguous `frameBytes`-sized frames at
-    * `frameMs` per frame (a real build splices an ffmpeg-style
-    * demuxer into the marked init/seek points; a trailing partial
-    * frame is dropped, as a real demuxer drops a truncated last
-    * packet). Row explosion happens map-side inside the partition
-    * iterator — 1 input row → n sampled rows with NO shuffle, and the
-    * demuxer context initializes once per PARTITION, not per row. */
+    * compose relationally.
+    *
+    * WAV payloads DEMUX FOR REAL ([[wavInfo]]): a frame is `frameMs`
+    * of PCM audio cut from the data chunk at the format's true byte
+    * rate, so `t_ms` is the actual stream timestamp and frame bytes
+    * are the actual samples of that interval. Other containers
+    * (video, exotic codecs) remain the documented STUB: contiguous
+    * `frameBytes`-sized slices at `frameMs` per frame (an
+    * ffmpeg-style demuxer splices into the same marked seek point).
+    * Both drop a trailing partial frame, as a real demuxer drops a
+    * truncated last packet. Row explosion happens map-side inside the
+    * partition iterator — 1 input row → n sampled rows with NO
+    * shuffle, and the demuxer context initializes once per PARTITION,
+    * not per row. */
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 1024,
       sampleEvery: Int = 5, frameMs: Long = 40L): Dataset[FrameRow] = {
     require(frameBytes > 0 && sampleEvery > 0 && frameMs > 0,
@@ -165,11 +211,23 @@ object Multimodal {
     media.mapPartitions { rows =>
       // per-partition init happens HERE (demuxer/codec context)
       rows.flatMap { r =>
-        val nFrames = r.payload.length / frameBytes
-        Iterator.range(0, nFrames, sampleEvery).map { i =>
-          // a real demuxer seeks here; the stub slices the container
-          FrameRow(r.media_id, i, i * frameMs,
-            java.util.Arrays.copyOfRange(r.payload, i * frameBytes, (i + 1) * frameBytes))
+        wavInfo(r.payload) match {
+          case Some(w) if w.bytesFor(frameMs) > 0 =>
+            // real demux: fixed event-time windows over the PCM span
+            val bpf = w.bytesFor(frameMs)
+            val nFrames = (w.dataBytes / bpf).toInt
+            Iterator.range(0, nFrames, sampleEvery).map { i =>
+              val start = w.dataOffset + i * bpf
+              FrameRow(r.media_id, i, i * frameMs,
+                java.util.Arrays.copyOfRange(r.payload, start.toInt, (start + bpf).toInt))
+            }
+          case _ =>
+            val nFrames = r.payload.length / frameBytes
+            Iterator.range(0, nFrames, sampleEvery).map { i =>
+              // a real demuxer seeks here; the stub slices the container
+              FrameRow(r.media_id, i, i * frameMs,
+                java.util.Arrays.copyOfRange(r.payload, i * frameBytes, (i + 1) * frameBytes))
+            }
         }
       }
     }

@@ -56,4 +56,40 @@ object SkewJoin {
     df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col(keyCol).asc)
       .limit(k)
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.operators.SkewJoin")
+
+  /** Auto-dispatching skew-safe inner join: SAMPLE the large side's
+    * key frequencies (seeded — the decision is reproducible), and pick
+    * the plain join unless one key holds ≥ `hotShare` of the sampled
+    * rows, in which case salt `factor` ways. Both branches produce the
+    * identical row multiset (property-tested), so the dispatch only
+    * ever changes the PLAN — a wrong detection costs performance,
+    * never correctness.
+    *
+    * Scale shape: detection reads `sampleFraction` of the large side's
+    * key columns only (column-pruned scan, two-level aggregate, one
+    * 2-value driver fetch) — at 100 TB that is a bounded parameter
+    * job, the same class as the k-means centroid fetch. The plain
+    * branch leaves Spark free to broadcast the small side (asserted in
+    * SkewJoinSpec); the salted branch spreads one hot key over
+    * `factor` shuffle partitions where even AQE's split partitions
+    * would hot-spot. */
+  def joinSkewSafe(large: DataFrame, small: DataFrame, keys: Seq[String],
+      factor: Int = 16, sampleFraction: Double = 0.01,
+      hotShare: Double = 0.2): DataFrame = {
+    require(sampleFraction > 0 && sampleFraction <= 1, "sampleFraction in (0, 1]")
+    require(hotShare > 0 && hotShare <= 1, "hotShare in (0, 1]")
+    val sampled = large.select(keys.map(col): _*).sample(sampleFraction, 42L)
+    val stats = sampled.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx"), sum(col("n")).as("tot")).head()
+    val (mx, tot) =
+      if (stats.isNullAt(0)) (0L, 0L) else (stats.getLong(0), stats.getLong(1))
+    val skewed = tot > 0 && mx.toDouble / tot >= hotShare
+    log.info(s"joinSkewSafe keys=${keys.mkString(",")} sampledRows=$tot " +
+      s"hottestShare=${if (tot > 0) mx.toDouble / tot else 0.0} -> " +
+      (if (skewed) s"SALTED x$factor" else "plain"))
+    if (skewed) saltedJoin(large, small, keys, factor)
+    else large.join(small, keys)
+  }
 }

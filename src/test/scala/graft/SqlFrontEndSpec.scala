@@ -11,12 +11,20 @@ class SqlFrontEndSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   /** Oracle entries restricted to the ANSI dialect both engines parse
-    * (no strftime / list functions / quantile_cont / FILTER-clause
-    * DuckDB-isms). */
+    * (no strftime / list literals & functions / DuckDB-only routine
+    * names) — every catalog oracle verified to both PARSE and produce
+    * DataFrame-identical results through spark.sql. Includes the
+    * bounded-state histogram quantiles (mad_outliers, profile_events),
+    * the layout queries (zorder_cells/read), and the streaming-gate
+    * rollup. */
   private val ansiPortable = Seq(
-    "q1_top_brands", "q4_geo_rollup", "f20_bins_acctbal", "u3_kpi_summary",
-    "u4_result_summary",
-    "agg_rollup_totals", "cube_flag_status", "kpi_unpivot", "a5_dup_audit")
+    "a5_dup_audit", "agg_rollup_totals", "bloom_join_urgent",
+    "cube_flag_status", "event_transitions", "f20_bins_acctbal",
+    "funnel_stages", "kpi_unpivot", "mad_outliers", "mix_temperature",
+    "profile_events", "q1_top_brands", "q3_zscore_outliers",
+    "q4_geo_rollup", "q5_risk_watchlist", "sample_per_lang",
+    "sample_strata", "stream_merge_events", "u3_kpi_summary",
+    "u4_result_summary", "zorder_cells", "zorder_read")
 
   test("ANSI oracle SQL runs verbatim via spark.sql with DataFrame-identical results") {
     Views.register(spark, dir)

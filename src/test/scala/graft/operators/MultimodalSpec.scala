@@ -161,4 +161,75 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.sampleFrames(tiny, frameBytes = 0))
     intercept[IllegalArgumentException](Multimodal.sampleFrames(tiny, sampleEvery = 0))
   }
+
+  /** A real, playable 16-bit PCM WAV: 44-byte canonical header + the
+    * given samples. Built byte-for-byte here so the fixture carries no
+    * dependency and the expected layout is visible in the test. */
+  private def wavFixture(sampleRate: Int, channels: Int, samples: Array[Short],
+      padDeclaredSize: Int = 0): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val byteRate = sampleRate * channels * 2
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort).putInt(sampleRate).putInt(byteRate)
+      .putShort((channels * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen + padDeclaredSize)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("wavInfo parses a real PCM WAV header and rejects non-WAV payloads") {
+    val wav = wavFixture(8000, 1, Array.tabulate[Short](800)(_.toShort))
+    val info = Multimodal.wavInfo(wav).get
+    assert(info.sampleRate == 8000 && info.channels == 1 && info.bitsPerSample == 16)
+    assert(info.dataOffset == 44 && info.dataBytes == 1600)
+    assert(Multimodal.wavInfo("RIFFxxxxJUNK".getBytes ++ Array.fill[Byte](40)(0)).isEmpty)
+    assert(Multimodal.wavInfo(Array.tabulate[Byte](100)(_.toByte)).isEmpty)
+  }
+
+  test("sampleFrames demuxes real WAV audio: frames are true PCM windows on the real timeline") {
+    import spark.implicits._
+    // 8 kHz mono 16-bit: 100 ms = 800 samples = 1600 bytes of PCM
+    val samples = Array.tabulate[Short](800)(i => (i - 400).toShort)
+    val wav = wavFixture(8000, 1, samples)
+    val media = Seq(Multimodal.MediaRow(7L, "audio", wav)).toDS()
+    // frameMs = 20 → 160 samples = 320 bytes per frame → 5 whole frames
+    val frames = Multimodal.sampleFrames(media, sampleEvery = 2, frameMs = 20L)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    assert(frames.forall(_.frame.length == 320))
+    assert(frames.map(_.t_ms).toSeq == Seq(0L, 40L, 80L)) // true stream time
+    // frame 2's bytes are EXACTLY samples 320..479 little-endian — the
+    // demuxer read the data chunk, not arbitrary container slices
+    val expect = java.nio.ByteBuffer.allocate(320)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (320 until 480).foreach(i => expect.putShort(samples(i)))
+    assert(frames.find(_.frame_idx == 2).get.frame.toSeq == expect.array().toSeq)
+  }
+
+  test("WAV demux clamps a declared data size overrunning the payload and drops the partial frame") {
+    import spark.implicits._
+    // header CLAIMS 1000 extra bytes that do not exist (truncated file)
+    val wav = wavFixture(8000, 1, Array.tabulate[Short](700)(_.toShort), padDeclaredSize = 1000)
+    assert(Multimodal.wavInfo(wav).get.dataBytes == 1400) // clamped to real bytes
+    val media = Seq(Multimodal.MediaRow(1L, "audio", wav)).toDS()
+    // 20 ms frames = 320 B: 1400 B → 4 whole frames, partial 5th dropped
+    val idxs = Multimodal.sampleFrames(media, sampleEvery = 1, frameMs = 20L)
+      .collect().map(_.frame_idx).sorted.toSeq
+    assert(idxs == Seq(0, 1, 2, 3))
+  }
+
+  test("non-WAV payloads keep the stub slicing path unchanged") {
+    import spark.implicits._
+    val p = Array.tabulate[Byte](42)(_.toByte)
+    val media = Seq(Multimodal.MediaRow(1L, "video", p)).toDS()
+    val frames = Multimodal.sampleFrames(media, frameBytes = 4, sampleEvery = 3, frameMs = 40)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 3, 6, 9))
+    assert(frames.find(_.frame_idx == 3).get.frame.toSeq == p.slice(12, 16).toSeq)
+  }
 }

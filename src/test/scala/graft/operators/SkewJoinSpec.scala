@@ -47,4 +47,37 @@ class SkewJoinSpec extends SparkSpec {
     val top = SkewJoin.heavyHitters(df, "k", k = 3).as[(String, Long)].collect()
     assert(top.head == (("hot", 100L)))
   }
+
+  test("joinSkewSafe: both branches produce the identical row multiset to a plain join") {
+    val dim = (1 to 50).map(k => (k, s"name$k")).toDF("k", "name")
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.select($"k", $"v", $"name").as[(Int, Int, String)].collect().sorted.toSeq
+    // skewed shape → salted branch
+    val hot = (1 to 2000).map(i => (if (i % 10 != 0) 1 else 1 + i % 50, i)).toDF("k", "v")
+    assert(multiset(SkewJoin.joinSkewSafe(hot, dim, Seq("k"), sampleFraction = 1.0))
+      == multiset(hot.join(dim, "k")))
+    // uniform shape → plain branch
+    val flat = (1 to 2000).map(i => (1 + i % 50, i)).toDF("k", "v")
+    assert(multiset(SkewJoin.joinSkewSafe(flat, dim, Seq("k"), sampleFraction = 1.0))
+      == multiset(flat.join(dim, "k")))
+  }
+
+  test("joinSkewSafe: plain branch stays a broadcast hash join; salted branch actually salts") {
+    val dim = (1 to 50).map(k => (k, s"name$k")).toDF("k", "name")
+    val flat = (1 to 2000).map(i => (1 + i % 50, i)).toDF("k", "v")
+    val pPlain = SkewJoin.joinSkewSafe(flat, dim, Seq("k"), sampleFraction = 1.0)
+      .queryExecution.executedPlan.toString
+    assert(pPlain.contains("BroadcastHashJoin"), pPlain)
+    assert(!pPlain.contains("_salt"), pPlain)
+    val hot = (1 to 2000).map(i => (if (i % 10 != 0) 1 else 1 + i % 50, i)).toDF("k", "v")
+    val pHot = SkewJoin.joinSkewSafe(hot, dim, Seq("k"), sampleFraction = 1.0)
+      .queryExecution.executedPlan.toString
+    assert(pHot.contains("_salt"), pHot)
+  }
+
+  test("joinSkewSafe: empty large side dispatches plain and returns empty") {
+    val dim = (1 to 5).map(k => (k, s"n$k")).toDF("k", "name")
+    val empty = Seq.empty[(Int, Int)].toDF("k", "v")
+    assert(SkewJoin.joinSkewSafe(empty, dim, Seq("k"), sampleFraction = 1.0).count() == 0)
+  }
 }

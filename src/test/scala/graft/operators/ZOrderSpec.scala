@@ -77,4 +77,54 @@ class ZOrderSpec extends SparkSpec {
     graft.sources.LocalFs.deleteRecursively(java.nio.file.Paths.get(zDir))
     graft.sources.LocalFs.deleteRecursively(java.nio.file.Paths.get(aDir))
   }
+
+  test("read-side win: a 2-D predicate touches fewer z-ordered files than 1-d-sorted ones") {
+    // 64x64 grid, 4 rows per cell — enough rows that file stats matter
+    val grid = (for (a <- 0L until 64L; b <- 0L until 64L; r <- 0 until 4)
+      yield (a, b, a * 64 + b + r)).toDF("a", "b", "v")
+    val zDir = java.nio.file.Files.createTempDirectory("graft-zr").toString
+    val aDir = java.nio.file.Files.createTempDirectory("graft-ar").toString
+    ZOrder.writeZOrdered(grid, "a", "b", bits = 6, targetFiles = 16, outDir = zDir)
+    grid.repartitionByRange(16, $"a").sortWithinPartitions($"a")
+      .write.mode("overwrite").parquet(aDir)
+    // the pruning a parquet reader gets from file/row-group min-max
+    // stats: a file whose bounding rectangle misses the query window
+    // is never opened. Count touched files per layout for a window.
+    def touched(dir: String)(hit: (Long, Long, Long, Long) => Boolean): (Int, Int) = {
+      val files = new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-"))
+      val n = files.count { f =>
+        val bounds = spark.read.parquet(f.getPath)
+          .agg(min($"a"), max($"a"), min($"b"), max($"b"))
+          .as[(Long, Long, Long, Long)].collect().head
+        hit.tupled(bounds)
+      }
+      (n, files.length)
+    }
+    // the read-side WIN is the second dimension: filter on b alone.
+    // The a-sorted layout has no b locality — every file spans all of
+    // b and must be opened; z-ordered files cover small b-rectangles
+    // and most are skipped on stats alone.
+    def bWindow(aLo: Long, aHi: Long, bLo: Long, bHi: Long) = bHi >= 40 && bLo <= 47
+    val (zHitB, zAll) = touched(zDir)(bWindow)
+    val (aHitB, aAll) = touched(aDir)(bWindow)
+    assert(aHitB == aAll, s"1-d layout should touch every file on a b-filter ($aHitB/$aAll)")
+    assert(zHitB < aHitB, s"z-order touched $zHitB/$zAll vs 1-d $aHitB/$aAll")
+    assert(zHitB.toDouble / zAll <= 0.5, s"z-order b-skip ratio too weak: $zHitB/$zAll")
+    // on a 2-D window z-order still bounds BOTH dims: few files touched
+    def abWindow(aLo: Long, aHi: Long, bLo: Long, bHi: Long) =
+      aHi >= 16 && aLo <= 23 && bHi >= 40 && bLo <= 47
+    val (zHit2, _) = touched(zDir)(abWindow)
+    assert(zHit2.toDouble / zAll <= 0.25, s"z-order 2-D skip ratio too weak: $zHit2/$zAll")
+    // correctness of the round-trip under the same predicate
+    val zRows = spark.read.parquet(zDir)
+      .filter($"a".between(16, 23) && $"b".between(40, 47)).count()
+    assert(zRows == 8L * 8 * 4)
+    // the predicate reaches the parquet scan (row-group pruning active)
+    val plan = spark.read.parquet(zDir)
+      .filter($"a".between(16, 23) && $"b".between(40, 47))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(a,16"), plan)
+    graft.sources.LocalFs.deleteRecursively(java.nio.file.Paths.get(zDir))
+    graft.sources.LocalFs.deleteRecursively(java.nio.file.Paths.get(aDir))
+  }
 }
