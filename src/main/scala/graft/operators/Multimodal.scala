@@ -43,6 +43,7 @@ object Multimodal {
     def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
     def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
     def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
     if (p.length >= 24 && p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G')
       Some((be32(16), be32(20)))                             // PNG IHDR
     else if (p.length >= 22 && p(0) == 'B' && p(1) == 'M') le32(14) match {
@@ -55,6 +56,28 @@ object Multimodal {
     }
     else if (p.length >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8')
       Some((le16(6), le16(8)))                               // GIF logical screen
+    else if (p.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      // JPEG: walk segments to the first frame header (SOF0..SOF15
+      // minus DHT/JPG/DAC, per ITU T.81); payload = precision(1),
+      // height(2), width(2)
+      var j = 2
+      var dims: Option[(Int, Int)] = None
+      while (dims.isEmpty && j + 3 < p.length && u8(j) == 0xFF) {
+        val m = u8(j + 1)
+        if (m == 0x01 || (m >= 0xD0 && m <= 0xD9)) j += 2 // standalone markers
+        else {
+          val len = be16(j + 2)
+          if (len < 2) j = p.length
+          else if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+            if (j + 8 < p.length) dims = Some((be16(j + 7), be16(j + 5)))
+            j = p.length
+          }
+          else if (m == 0xDA) j = p.length // scan data starts — no SOF found
+          else j += 2 + len
+        }
+      }
+      dims
+    }
     else None
   }
 
@@ -186,6 +209,60 @@ object Multimodal {
     } yield WavInfo(sr, ch, bits, dOff, dLen)
   }
 
+  /** REAL MJPEG demux: byte spans of the complete JPEG frames in a
+    * concatenated-JPEG stream (the MJPEG container form — each frame a
+    * standalone JPEG). The walk follows ITU T.81 segment structure:
+    * SOI, length-prefixed segments, SOS entropy data (where 0xFF00
+    * byte stuffing and restart markers FFD0–D7 are NOT frame
+    * boundaries), EOI. Malformed stretches are skipped byte-by-byte,
+    * so a corrupted frame drops without desynchronizing the rest of
+    * the stream — the resilience a real demuxer needs on truncated
+    * captures. Pure JDK byte logic, no codec. */
+  def jpegFrameSpans(p: Array[Byte]): IndexedSeq[(Int, Int)] = {
+    def u8(k: Int) = p(k) & 0xff
+    def be16(k: Int) = (u8(k) << 8) | u8(k + 1)
+    val out = IndexedSeq.newBuilder[(Int, Int)]
+    var i = 0
+    while (i + 1 < p.length) {
+      if (u8(i) == 0xFF && u8(i + 1) == 0xD8) {
+        val start = i
+        var j = i + 2
+        var end = -1
+        var ok = true
+        while (ok && end < 0 && j + 1 < p.length) {
+          if (u8(j) != 0xFF) ok = false // lost segment sync — malformed
+          else u8(j + 1) match {
+            case 0xD9 => end = j + 2
+            case 0xD8 => ok = false // nested SOI — malformed
+            case m if m == 0x01 || (m >= 0xD0 && m <= 0xD7) => j += 2
+            case 0xDA =>
+              if (j + 3 >= p.length) ok = false
+              else {
+                j += 2 + be16(j + 2)
+                // entropy-coded data: skip stuffed FF00 and restarts
+                var scanning = true
+                while (scanning && j + 1 < p.length) {
+                  if (u8(j) == 0xFF && u8(j + 1) != 0x00 &&
+                    !(u8(j + 1) >= 0xD0 && u8(j + 1) <= 0xD7)) scanning = false
+                  else j += 1
+                }
+                if (j + 1 >= p.length) ok = false
+              }
+            case _ =>
+              if (j + 3 >= p.length) ok = false
+              else {
+                val len = be16(j + 2)
+                if (len < 2) ok = false else j += 2 + len
+              }
+          }
+        }
+        if (end > 0) { out += ((start, end)); i = end }
+        else i += 1
+      } else i += 1
+    }
+    out.result()
+  }
+
   /** Frame sampling — the video/audio analogue of [[decodeAll]]:
     * every `sampleEvery`-th frame of each payload is emitted as its
     * own row, so downstream per-frame ops (decode, embed, dedup)
@@ -194,15 +271,18 @@ object Multimodal {
     * WAV payloads DEMUX FOR REAL ([[wavInfo]]): a frame is `frameMs`
     * of PCM audio cut from the data chunk at the format's true byte
     * rate, so `t_ms` is the actual stream timestamp and frame bytes
-    * are the actual samples of that interval. Other containers
-    * (video, exotic codecs) remain the documented STUB: contiguous
-    * `frameBytes`-sized slices at `frameMs` per frame (an
-    * ffmpeg-style demuxer splices into the same marked seek point).
-    * Both drop a trailing partial frame, as a real demuxer drops a
-    * truncated last packet. Row explosion happens map-side inside the
-    * partition iterator — 1 input row → n sampled rows with NO
-    * shuffle, and the demuxer context initializes once per PARTITION,
-    * not per row. */
+    * are the actual samples of that interval. MJPEG payloads
+    * (concatenated JPEGs — the simplest real video container) demux
+    * for real too ([[jpegFrameSpans]]): each emitted frame is one
+    * complete JPEG, ready for [[decode]] (javax.imageio reads JPEG),
+    * at `frameMs` per frame on the timeline. Remaining containers
+    * (interleaved A/V, exotic codecs) keep the documented STUB:
+    * contiguous `frameBytes`-sized slices (an ffmpeg-style demuxer
+    * splices into the same marked seek point). All paths drop a
+    * trailing partial frame, as a real demuxer drops a truncated last
+    * packet. Row explosion happens map-side inside the partition
+    * iterator — 1 input row → n sampled rows with NO shuffle, and the
+    * demuxer context initializes once per PARTITION, not per row. */
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 1024,
       sampleEvery: Int = 5, frameMs: Long = 40L): Dataset[FrameRow] = {
     require(frameBytes > 0 && sampleEvery > 0 && frameMs > 0,
@@ -222,11 +302,24 @@ object Multimodal {
                 java.util.Arrays.copyOfRange(r.payload, start.toInt, (start + bpf).toInt))
             }
           case _ =>
-            val nFrames = r.payload.length / frameBytes
-            Iterator.range(0, nFrames, sampleEvery).map { i =>
-              // a real demuxer seeks here; the stub slices the container
-              FrameRow(r.media_id, i, i * frameMs,
-                java.util.Arrays.copyOfRange(r.payload, i * frameBytes, (i + 1) * frameBytes))
+            val jpegSpans =
+              if (r.payload.length >= 4 && r.payload(0) == 0xFF.toByte &&
+                r.payload(1) == 0xD8.toByte) jpegFrameSpans(r.payload)
+              else IndexedSeq.empty
+            if (jpegSpans.nonEmpty)
+              // real MJPEG demux: one row per sampled complete JPEG
+              Iterator.range(0, jpegSpans.length, sampleEvery).map { i =>
+                val (s, e) = jpegSpans(i)
+                FrameRow(r.media_id, i, i * frameMs,
+                  java.util.Arrays.copyOfRange(r.payload, s, e))
+              }
+            else {
+              val nFrames = r.payload.length / frameBytes
+              Iterator.range(0, nFrames, sampleEvery).map { i =>
+                // a real demuxer seeks here; the stub slices the container
+                FrameRow(r.media_id, i, i * frameMs,
+                  java.util.Arrays.copyOfRange(r.payload, i * frameBytes, (i + 1) * frameBytes))
+              }
             }
         }
       }

@@ -232,4 +232,63 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.frame_idx).toSeq == Seq(0, 3, 6, 9))
     assert(frames.find(_.frame_idx == 3).get.frame.toSeq == p.slice(12, 16).toSeq)
   }
+
+  /** A real JPEG encoded by the JDK, w×h with a deterministic fill. */
+  private def jpegFixture(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (x * 31 + y * 17 + seed * 101) & 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("imageDims parses JPEG SOF headers") {
+    assert(Multimodal.imageDims(jpegFixture(20, 12, 1)).contains((20, 12)))
+  }
+
+  test("jpegFrameSpans splits an MJPEG stream at exact encoder frame boundaries") {
+    val f1 = jpegFixture(16, 8, 1); val f2 = jpegFixture(16, 8, 2); val f3 = jpegFixture(16, 8, 3)
+    val stream = f1 ++ f2 ++ f3
+    val spans = Multimodal.jpegFrameSpans(stream)
+    assert(spans == IndexedSeq(
+      (0, f1.length),
+      (f1.length, f1.length + f2.length),
+      (f1.length + f2.length, stream.length)))
+    // non-JPEG bytes yield no frames
+    assert(Multimodal.jpegFrameSpans(Array.tabulate[Byte](100)(_.toByte)).isEmpty)
+  }
+
+  test("sampleFrames demuxes MJPEG: sampled frames are complete JPEGs that decode for real") {
+    import spark.implicits._
+    val fs = (1 to 5).map(i => jpegFixture(16, 8, i))
+    val media = Seq(Multimodal.MediaRow(9L, "video", fs.flatten.toArray)).toDS()
+    val frames = Multimodal.sampleFrames(media, sampleEvery = 2, frameMs = 40L)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    assert(frames.map(_.t_ms).toSeq == Seq(0L, 80L, 160L))
+    // each sampled frame is byte-identical to the encoder's output...
+    assert(frames(1).frame.toSeq == fs(2).toSeq)
+    // ...and decodes through the REAL image path (dims from imageio,
+    // not the stub's hash fakes)
+    frames.foreach { f =>
+      val (w, h, feats) = Multimodal.decode(f.frame)
+      assert(w == 16 && h == 8)
+      assert(math.abs(feats.sum - 1f) < 1e-3)
+    }
+  }
+
+  test("MJPEG demux skips a corrupted frame without desynchronizing the stream") {
+    val good1 = jpegFixture(16, 8, 1)
+    val good2 = jpegFixture(16, 8, 2)
+    // corrupt: SOI then garbage that never closes
+    val corrupt = Array[Byte](0xFF.toByte, 0xD8.toByte, 0x12, 0x34, 0x56)
+    val stream = good1 ++ corrupt ++ good2
+    val spans = Multimodal.jpegFrameSpans(stream)
+    assert(spans.length == 2)
+    assert(spans(0) == ((0, good1.length)))
+    assert(spans(1) == ((good1.length + corrupt.length,
+      good1.length + corrupt.length + good2.length)))
+  }
 }
