@@ -461,6 +461,16 @@ object DataOps {
         array_max(col("winnow_fps")).as("max_fp"))
       .orderBy(col("doc_id").asc)
 
+  /** Passage-overlap pairs via winnowing fingerprints — the MOSS-style
+    * shared-passage screen, top-50 by shared-fingerprint count. The
+    * oracle replays fingerprints AND the overlap equi-join, closing
+    * the one winnowing surface (`winnowOverlapPairs`) that was
+    * spec-only before. */
+  def winnowOverlap(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.winnowOverlapPairs(Tables.documents(spark, dir), n = 3, w = 4, minShared = 2)
+      .orderBy(col("n_shared").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(50)
+
   /** Gopher-style repetition signals rolled up per language: average
     * top-bigram fraction and duplicated-bigram fraction — the
     * boilerplate/spam screen of a curation pipeline. Per-doc fractions
@@ -780,6 +790,21 @@ object DataOps {
     Multimodal.payloadStats(Tables.documents(spark, dir))
 
   // ---- oracles ---------------------------------------------------------
+
+  /** Winnowing fingerprint CTEs (n = 3, w = 4) — mirrors
+    * TextDedup.withWinnowFingerprints exactly; shared by the
+    * fingerprint dump and the overlap-pair oracles. */
+  private lazy val dkWinnowCtes =
+    s"""tok AS (SELECT doc_id, $dkTokenHashes AS th FROM documents),
+       |winnow AS (
+       |  SELECT doc_id, list_distinct(
+       |    CASE WHEN len(th) < 3 THEN []
+       |    ELSE list_transform(generate_series(1, greatest(len(th) - 5, 1)),
+       |      i -> list_min(list_transform(generate_series(i, least(i + 3, len(th) - 2)),
+       |             j -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, j, j + 2)), (acc, h) -> (acc * 131 + h) % 1000000007))))
+       |    END) AS fps
+       |  FROM tok
+       |)""".stripMargin
 
   private val dkSizes =
     s"""tok AS (SELECT doc_id, $dkTokenHashes AS th FROM documents),
@@ -1534,20 +1559,23 @@ object DataOps {
         |FROM documents
         |ORDER BY doc_id ASC""".stripMargin,
     "text_winnow" ->
-      s"""WITH tok AS (SELECT doc_id, $dkTokenHashes AS th FROM documents),
-         |winnow AS (
-         |  SELECT doc_id, list_distinct(
-         |    CASE WHEN len(th) < 3 THEN []
-         |    ELSE list_transform(generate_series(1, greatest(len(th) - 5, 1)),
-         |      i -> list_min(list_transform(generate_series(i, least(i + 3, len(th) - 2)),
-         |             j -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, j, j + 2)), (acc, h) -> (acc * 131 + h) % 1000000007))))
-         |    END) AS fps
-         |  FROM tok
-         |)
+      s"""WITH $dkWinnowCtes
          |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
          |       list_min(fps) AS min_fp, list_max(fps) AS max_fp
          |FROM winnow
          |ORDER BY doc_id ASC""".stripMargin,
+    "winnow_overlap" ->
+      s"""WITH $dkWinnowCtes,
+         |fpx AS (SELECT doc_id, unnest(fps) AS fp FROM winnow),
+         |wpairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |  FROM fpx a JOIN fpx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |  HAVING count(*) >= 2
+         |)
+         |SELECT doc_a, doc_b, n_shared FROM wpairs
+         |ORDER BY n_shared DESC, doc_a ASC, doc_b ASC
+         |LIMIT 50""".stripMargin,
     "profile_events" ->
       s"""WITH ${graft.operators.HistQuantiles.dkCuts("hid", "events", "event_id", 0.5, ProfileBuckets, "id_med")},
          |${graft.operators.HistQuantiles.dkCuts("hu", "events", "user_id", 0.5, ProfileBuckets, "u_med")},
@@ -1737,6 +1765,7 @@ object DataOps {
     "text_langid"       -> (textLangId _),
     "text_fingerprint"  -> (textFingerprint _),
     "text_winnow"       -> (textWinnow _),
+    "winnow_overlap"    -> (winnowOverlap _),
     "mm_payload_stats"  -> (mmPayloadStats _),
     "kmv_distinct_events" -> (kmvDistinctEvents _),
     "feat_lang_profile" -> (featLangProfile _),
