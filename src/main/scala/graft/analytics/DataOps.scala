@@ -784,6 +784,72 @@ object DataOps {
     out
   }
 
+  /** SECOND STREAMING GATE — the dedup path: documents stream through
+    * [[graft.streaming.Streams.dedupedByContent]] (watermark +
+    * `dropDuplicatesWithinWatermark` on the normalized-text sha256)
+    * from a 5-chunk file source (one chunk replayed) into an
+    * append-mode parquet sink, and the settled table must contain
+    * EXACTLY one row per distinct content fingerprint — the oracle
+    * states that invariant as count(DISTINCT fp) twice (rows written
+    * == distinct fingerprints). Cross-batch dedup state, the replay
+    * collapse, and the sink path are all load-bearing: an emitted
+    * duplicate or a dropped first-arrival flips the hash. */
+  def streamDedupDocs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
+    val inDir = s"$work/in"; val target = s"$work/target"; val ckpt = s"$work/ckpt"
+    (0 until 4) :+ 1 foreach { i =>
+      docs.filter(pmod(col("doc_id"), lit(4)) === i)
+        .coalesce(1).write.mode("append").parquet(inDir)
+    }
+    val q = graft.streaming.Streams.dedupedByContent(
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(inDir),
+        delay = "1 hour")
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", target)
+      .start()
+    q.awaitTermination()
+    val rollup = spark.read.parquet(target)
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("fp")).as("n_distinct_fp"))
+    val settled = rollup.collect().toSeq
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(settled, 1), rollup.schema)
+    graft.sources.LocalFs.deleteRecursively(work)
+    out
+  }
+
+  /** BUCKETED-LAYOUT GATE: orders and customer are written as tables
+    * bucketed 8 ways on the join key ([[graft.sources.LayerWriter
+    * .writeBucketed]] — the pay-the-shuffle-once layout), then joined
+    * from the CATALOG TABLES and rolled up per market segment. The
+    * oracle runs the plain join over the source parquet — the bucketed
+    * round-trip (bucket hash assignment, per-bucket files, catalog
+    * metadata, bucket-aware join) must be result-invisible, or the
+    * hash flips. The shuffle-FREE property of same-bucketing joins is
+    * asserted separately in LayerWriterSpec; this entry pins the
+    * correctness half on harness data. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.LayerWriter
+    LayerWriter.writeBucketed(
+      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      "graft_bj_orders", "o_custkey", buckets = 8, sortCols = Seq("o_custkey"))
+    LayerWriter.writeBucketed(
+      Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment")),
+      "graft_bj_customer", "c_custkey", buckets = 8, sortCols = Seq("c_custkey"))
+    spark.table("graft_bj_orders")
+      .join(spark.table("graft_bj_customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        Cols.r(Cols.sumExact(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("c_mktsegment").asc)
+  }
+
   // ---- multimodal plumbing ---------------------------------------------
 
   def mmPayloadStats(spark: SparkSession, dir: String): DataFrame =
@@ -1697,6 +1763,16 @@ object DataOps {
          |SELECT ae.n_est AS n_a, be.n_est AS n_b, ue.n_est AS n_union,
          |       greatest(ae.n_est + be.n_est - ue.n_est, CAST(0 AS BIGINT)) AS n_intersect
          |FROM ae CROSS JOIN be CROSS JOIN ue""".stripMargin,
+    "stream_dedup_docs" ->
+      """SELECT count(DISTINCT fp) AS n_rows, count(DISTINCT fp) AS n_distinct_fp
+        |FROM (SELECT sha256(regexp_replace(lower(trim(text)), '[ \t\n\f\r]+', ' ', 'g')) AS fp
+        |      FROM documents)""".stripMargin,
+    "bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       floor(CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment ASC""".stripMargin,
     "stream_merge_events" ->
       """SELECT event_type, count(*) AS n_events,
         |       count(DISTINCT event_id) AS n_ids,
@@ -1774,6 +1850,8 @@ object DataOps {
     "hll_distinct_events" -> (hllDistinctEvents _),
     "hll_daily_users"   -> (hllDailyUsers _),
     "stream_merge_events" -> (streamMergeEvents _),
+    "stream_dedup_docs" -> (streamDedupDocs _),
+    "bucketed_join"     -> (bucketedJoin _),
     "skew_salted_rollup" -> (skewSaltedRollup _),
     "bloom_join_urgent"  -> (bloomJoinUrgent _),
     "profile_events"    -> (profileEvents _)
