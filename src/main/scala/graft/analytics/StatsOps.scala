@@ -131,7 +131,11 @@ object StatsOps {
       .groupBy("token").agg(count(lit(1)).as("n"))
     val tot = cnt.agg(sum(col("n")).cast("double").as("t"))
     val top = cnt.orderBy(col("n").desc, col("token").asc).limit(30)
-    val w = Window.orderBy(col("n").desc, col("token").asc)
+    // 30 rows — one partition IS the plan; the non-foldable constant
+    // key (rank mod 1 = 0) silences WindowExec's single-partition
+    // warning without changing semantics (a bare literal would be
+    // constant-folded out of the partition spec)
+    val w = Window.partitionBy(pmod(col("n"), lit(1))).orderBy(col("n").desc, col("token").asc)
     top.withColumn("rank", row_number().over(w))
       .withColumn("cum", sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .crossJoin(broadcast(tot))

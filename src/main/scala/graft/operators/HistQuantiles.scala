@@ -56,8 +56,14 @@ object HistQuantiles {
     val counts = vals.crossJoin(broadcast(stats))
       .select(b.cast("int").as("b"))
       .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
-    // <= B rows from here on: the single-task window is bounded by design
-    val w = Window.orderBy(col("b").asc)
+    // <= B rows from here on: the single-task window is bounded by
+    // design; the constant partition key states that intent (and keeps
+    // WindowExec's move-everything-to-one-partition warning out of
+    // logs — here one partition IS the plan)
+    // pmod(b, 1) = 0 for every row but is NOT foldable, so the
+    // optimizer keeps it (a bare lit(0) is constant-folded out of the
+    // partition spec and the warning returns)
+    val w = Window.partitionBy(pmod(col("b"), lit(1))).orderBy(col("b").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = counts.withColumn("cum", sum(col("cnt")).over(w))
     val pickCols = ps.zipWithIndex.map { case (p, i) =>
