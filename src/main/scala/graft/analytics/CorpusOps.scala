@@ -93,19 +93,55 @@ object CorpusOps {
        |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, i, i + ${n - 1})),
        |         (acc, h) -> (acc * 131 + h) % $P))) END""".stripMargin
 
-  private val contamPairsSql: String =
-    s"""WITH th AS (
+  /** Shared contamination shingle CTEs (token hashes → distinct
+    * 8-gram shingles, tagged with source). */
+  private lazy val dkContamShCtes =
+    s"""th AS (
        |  SELECT doc_id, source,
        |         list_transform(string_split(text, ' '), w -> ${dkWordHash("w")}) AS th
        |  FROM documents
        |), sh AS (
        |  SELECT doc_id, source, unnest(${dkShinglesN(ContamN)}) AS s FROM th
-       |)
+       |)""".stripMargin
+
+  private val contamPairsSql: String =
+    s"""WITH $dkContamShCtes
        |SELECT c.doc_id AS corpus_doc, b.doc_id AS bench_doc, count(*) AS hits
        |FROM (SELECT * FROM sh WHERE source <> '$BenchSource') c
        |JOIN (SELECT * FROM sh WHERE source = '$BenchSource') b USING (s)
        |GROUP BY 1, 2
        |ORDER BY corpus_doc ASC, bench_doc ASC""".stripMargin
+
+  /** The SCRUB end of decontamination under the hash gate: corpus
+    * minus every doc colliding with the benchmark slice
+    * ([[Contamination.decontaminate]] — detection + anti-join), rolled
+    * up per source. The oracle replays shingle hashing, the collision
+    * join, AND the anti-join — completing the detect→report→scrub
+    * chain (contam_pairs gates detection; this gates what actually
+    * ships to training). */
+  def contamScrub(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Contamination.decontaminate(
+        docs.filter(col("source") =!= BenchSource),
+        docs.filter(col("source") === BenchSource), n = ContamN)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).cast("long").as("kept_chars"))
+      .orderBy(col("source").asc)
+  }
+
+  private val contamScrubSql: String =
+    s"""WITH $dkContamShCtes,
+       |chits AS (
+       |  SELECT DISTINCT c.doc_id
+       |  FROM (SELECT * FROM sh WHERE source <> '$BenchSource') c
+       |  JOIN (SELECT * FROM sh WHERE source = '$BenchSource') b USING (s)
+       |)
+       |SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
+       |FROM documents
+       |WHERE source <> '$BenchSource' AND doc_id NOT IN (SELECT doc_id FROM chits)
+       |GROUP BY source
+       |ORDER BY source ASC""".stripMargin
 
   // ---- BM25 retrieval -----------------------------------------------
 
@@ -362,6 +398,7 @@ object CorpusOps {
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "shard_plan"  -> (shardPlan _),
     "contam_pairs" -> (contamPairs _),
+    "contam_scrub" -> (contamScrub _),
     "bm25_probe"  -> (bm25Probe _),
     "sim_topk_q8" -> (simTopKQ8 _),
     "pack_plan"   -> (packPlan _),
@@ -373,6 +410,7 @@ object CorpusOps {
   val oracles: Map[String, String] = Map(
     "shard_plan"  -> shardPlanSql,
     "contam_pairs" -> contamPairsSql,
+    "contam_scrub" -> contamScrubSql,
     "bm25_probe"  -> bm25ProbeSql,
     "sim_topk_q8" -> simTopKQ8Sql,
     "pack_plan"   -> packPlanSql,

@@ -109,11 +109,33 @@ object DataOps {
     * replays the identical plane literals and banding, so the gate
     * checks candidate generation AND verification, not just the
     * cosine tail. */
+  /** The VERIFIED embedding near-dup pair graph, persisted once per
+    * corpus ([[graft.operators.Persisted.index]] — the same
+    * materialized-pair-table policy as [[TextDedup.pairGraph]]): the
+    * LSH banding + cosine verification runs once, and every consumer
+    * (the pair dump, the iterative component closure) reads the
+    * cached thin frame — without this the label-propagation loop
+    * re-runs the whole candidate pipeline EVERY round. */
+  private def embPairGraph(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Persisted.index(
+      Similarity.nearDupPairs(Tables.embeddings(spark, dir), threshold = 0.4,
+          bands = 32, planesPerBand = 4,
+          planesOpt = Some(Similarity.gaussianPlanes(lshSeed, 128, embDim))))
+
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
-    Similarity.nearDupPairs(Tables.embeddings(spark, dir), threshold = 0.4,
-        bands = 32, planesPerBand = 4,
-        planesOpt = Some(Similarity.gaussianPlanes(lshSeed, 128, embDim)))
+    embPairGraph(spark, dir)
       .orderBy(col("vec_a").asc, col("vec_b").asc)
+
+  /** Embedding near-dup pairs → duplicate CLUSTERS: the same
+    * composition `dedup_groups` proves for text pairs, over the
+    * hyperplane-LSH embedding pair graph — one row per connected
+    * component with its size and max member. The oracle replays the
+    * seeded planes, banding, cosine verify, AND the recursive
+    * transitive closure. */
+  def dedupEmbeddingGroups(spark: SparkSession, dir: String): DataFrame =
+    Components.dedupGroups(
+      embPairGraph(spark, dir).select(col("vec_a"), col("vec_b")),
+      aCol = "vec_a", bCol = "vec_b")
 
   /** Pairs → duplicate clusters: MinHash-LSH pair graph, transitive
     * closure via distributed min-label propagation, one row per
@@ -872,6 +894,33 @@ object DataOps {
        |  FROM tok
        |)""".stripMargin
 
+  /** Verified embedding near-dup pair CTEs — the seeded hyperplane
+    * LSH banding + exact cosine verify the `dedup_embedding` family
+    * replays (32 bands × 4 planes, cos ≥ 0.4). Emits `epairs`
+    * (vec_a < vec_b, cos). */
+  private lazy val dkEmbPairCtes =
+    s"""anchors AS (
+       |  -- fixed-seed Gaussian plane matrix (32 bands x 4 planes),
+       |  -- integer grid / 1024: bit-identical to the engine literals
+       |  ${dkSeededAnchors(128)}
+       |), sig AS (
+       |  SELECT e.vec_id, a.rank // 4 AS band,
+       |         sum(CASE WHEN ${dkDot("e.embedding", "a.plane_vec")} > 0
+       |             THEN CAST(pow(2, a.rank % 4) AS BIGINT) ELSE 0 END) AS key
+       |  FROM embeddings e CROSS JOIN anchors a
+       |  GROUP BY 1, 2
+       |), cands AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM sig x JOIN sig y
+       |    ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
+       |), epairs AS (
+       |  SELECT c.vec_a, c.vec_b, ${dkCos("a.embedding", "b.embedding")} AS cos
+       |  FROM cands c
+       |  JOIN embeddings a ON a.vec_id = c.vec_a
+       |  JOIN embeddings b ON b.vec_id = c.vec_b
+       |  WHERE ${dkCos("a.embedding", "b.embedding")} >= 0.4
+       |)""".stripMargin
+
   private val dkSizes =
     s"""tok AS (SELECT doc_id, $dkTokenHashes AS th FROM documents),
        |sh AS (SELECT doc_id, unnest($dkShingles) AS sh FROM tok),
@@ -1383,27 +1432,24 @@ object DataOps {
          |GROUP BY lang
          |ORDER BY lang ASC""".stripMargin,
     "dedup_embedding" ->
-      s"""WITH anchors AS (
-         |  -- fixed-seed Gaussian plane matrix (32 bands x 4 planes),
-         |  -- integer grid / 1024: bit-identical to the engine literals
-         |  ${dkSeededAnchors(128)}
-         |), sig AS (
-         |  SELECT e.vec_id, a.rank // 4 AS band,
-         |         sum(CASE WHEN ${dkDot("e.embedding", "a.plane_vec")} > 0
-         |             THEN CAST(pow(2, a.rank % 4) AS BIGINT) ELSE 0 END) AS key
-         |  FROM embeddings e CROSS JOIN anchors a
-         |  GROUP BY 1, 2
-         |), cands AS (
-         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-         |  FROM sig x JOIN sig y
-         |    ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
-         |)
-         |SELECT c.vec_a, c.vec_b, ${dkCos("a.embedding", "b.embedding")} AS cos
-         |FROM cands c
-         |JOIN embeddings a ON a.vec_id = c.vec_a
-         |JOIN embeddings b ON b.vec_id = c.vec_b
-         |WHERE ${dkCos("a.embedding", "b.embedding")} >= 0.4
+      s"""WITH $dkEmbPairCtes
+         |SELECT vec_a, vec_b, cos FROM epairs
          |ORDER BY vec_a ASC, vec_b ASC""".stripMargin,
+    "dedup_embedding_groups" ->
+      s"""WITH RECURSIVE $dkEmbPairCtes,
+         |eedges AS (
+         |  SELECT vec_a AS a, vec_b AS b FROM epairs
+         |  UNION ALL SELECT vec_b, vec_a FROM epairs
+         |), ereach(id, r) AS (
+         |  SELECT a, a FROM eedges
+         |  UNION
+         |  SELECT e.a, ereach.r FROM eedges e JOIN ereach ON ereach.id = e.b
+         |), ecomps AS (
+         |  SELECT id, min(r) AS comp FROM ereach GROUP BY id
+         |)
+         |SELECT comp AS group_id, count(*) AS n_docs, max(id) AS max_doc
+         |FROM ecomps GROUP BY comp
+         |ORDER BY group_id ASC""".stripMargin,
     "sim_topk" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1815,6 +1861,7 @@ object DataOps {
     "dedup_minhash_fast" -> (dedupMinhashFast _),
     "dedup_simhash"     -> (dedupSimhash _),
     "dedup_embedding"   -> (dedupEmbedding _),
+    "dedup_embedding_groups" -> (dedupEmbeddingGroups _),
     "asof_attribution"  -> (asofAttribution _),
     "range_views_before_purchase" -> (rangeViewsBeforePurchase _),
     "dedup_groups"      -> (dedupGroups _),
