@@ -36,6 +36,30 @@ class EmptyInputSpec extends SparkSpec {
   test("sketches degrade to zero estimates on empty input") {
     val out = Sketches.kmvEstimate(emptyDocs, $"text", 8).collect().head
     assert(out.getAs[Long]("m") == 0L && out.getAs[Long]("n_est") == 0L)
+    val hll = Sketches.hllDistinct(emptyDocs, $"text", 64).collect().head
+    assert(hll.getAs[Long]("n_est") == 0L)
+    assert(Sketches.hllDistinctBy(emptyDocs, $"doc_id", $"text", 64).count() == 0)
+  }
+
+  test("curation/contamination/skew pass empties through") {
+    val emptyBench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Contamination.overlapPairs(emptyDocs, emptyBench).count() == 0)
+    assert(Contamination.decontaminate(emptyDocs, emptyBench).count() == 0)
+    // empty BENCHMARK against a real corpus: nothing is contaminated
+    val docs = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    assert(Contamination.decontaminate(docs, emptyBench).count() == 1)
+    val emptyFact = Seq.empty[(Int, Int)].toDF("k", "v")
+    val dim = Seq((1, "x")).toDF("k", "name")
+    assert(SkewJoin.saltedJoin(emptyFact, dim, Seq("k")).count() == 0)
+    assert(SkewJoin.joinSkewSafe(emptyFact, dim, Seq("k"), sampleFraction = 1.0).count() == 0)
+  }
+
+  test("multimodal demuxers reject or pass through degenerate payloads without crashing") {
+    assert(Multimodal.wavInfo(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.wavInfo("RIFF".getBytes).isEmpty)
+    assert(Multimodal.jpegFrameSpans(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.jpegFrameSpans(Array[Byte](0xFF.toByte, 0xD8.toByte)).isEmpty)
+    assert(Multimodal.imageDims(Array.emptyByteArray).isEmpty)
   }
 
   test("similarity: seeded-plane paths pass empties through; corpus-anchor paths fail fast") {
