@@ -806,6 +806,28 @@ object DataOps {
     out
   }
 
+  /** Count-Min Sketch frequency estimates for the top-10 corpus tokens
+    * next to their exact counts and the realized overcount — the
+    * heavy-hitter screen a 100 TB token stream runs when a
+    * full-vocabulary aggregation is too expensive (d·w = 2048 integer
+    * cells of state, vs O(vocab)). CMS never undercounts; the
+    * overcount column puts the collision error ON RECORD. The oracle
+    * replays the hash family, every counter cell, and the min-probe
+    * estimates integer-exactly. */
+  def cmsTokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val truth = tok.groupBy(col("token")).agg(count(lit(1)).as("n_true"))
+      .orderBy(col("n_true").desc, col("token").asc).limit(10)
+    val counters = Sketches.cmsCounters(tok, col("token"), d = 4, w = 512)
+    Sketches.cmsEstimate(counters, truth, col("token"), d = 4, w = 512)
+      .withColumnRenamed("q", "token")
+      .join(truth, "token")
+      .select(col("token"), col("n_true"), col("n_est"),
+        (col("n_est") - col("n_true")).as("overcount"))
+      .orderBy(col("n_true").desc, col("token").asc)
+  }
+
   /** SECOND STREAMING GATE — the dedup path: documents stream through
     * [[graft.streaming.Streams.dedupedByContent]] (watermark +
     * `dropDuplicatesWithinWatermark` on the normalized-text sha256)
@@ -1809,6 +1831,32 @@ object DataOps {
          |SELECT ae.n_est AS n_a, be.n_est AS n_b, ue.n_est AS n_union,
          |       greatest(ae.n_est + be.n_est - ue.n_est, CAST(0 AS BIGINT)) AS n_intersect
          |FROM ae CROSS JOIN be CROSS JOIN ue""".stripMargin,
+    "cms_token_counts" ->
+      s"""WITH ctok AS (
+         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+         |), cth AS (
+         |  SELECT token, ${dkWordHash("token")} AS h FROM ctok
+         |), cpos AS (
+         |  SELECT t.i, ((h * (2 * t.i + 1) + 999983 * t.i) % $P) % 512 AS pos
+         |  FROM cth CROSS JOIN generate_series(0, 3) t(i)
+         |), counters AS (
+         |  SELECT i, pos, count(*) AS cnt FROM cpos GROUP BY 1, 2
+         |), truth AS (
+         |  SELECT token, count(*) AS n_true FROM ctok GROUP BY 1
+         |  ORDER BY n_true DESC, token ASC LIMIT 10
+         |), qpos AS (
+         |  SELECT token, n_true, t.i,
+         |         ((${dkWordHash("token")} * (2 * t.i + 1) + 999983 * t.i) % $P) % 512 AS pos
+         |  FROM truth CROSS JOIN generate_series(0, 3) t(i)
+         |), est AS (
+         |  SELECT token, n_true, min(coalesce(cnt, 0)) AS n_est
+         |  FROM qpos LEFT JOIN counters USING (i, pos)
+         |  GROUP BY 1, 2
+         |)
+         |SELECT token, n_true, CAST(n_est AS BIGINT) AS n_est,
+         |       CAST(n_est - n_true AS BIGINT) AS overcount
+         |FROM est
+         |ORDER BY n_true DESC, token ASC""".stripMargin,
     "stream_dedup_docs" ->
       """SELECT count(DISTINCT fp) AS n_rows, count(DISTINCT fp) AS n_distinct_fp
         |FROM (SELECT sha256(regexp_replace(lower(trim(text)), '[ \t\n\f\r]+', ' ', 'g')) AS fp
@@ -1896,6 +1944,7 @@ object DataOps {
     "kmv_daily_users"   -> (kmvDailyUsers _),
     "hll_distinct_events" -> (hllDistinctEvents _),
     "hll_daily_users"   -> (hllDailyUsers _),
+    "cms_token_counts"  -> (cmsTokenCounts _),
     "stream_merge_events" -> (streamMergeEvents _),
     "stream_dedup_docs" -> (streamDedupDocs _),
     "bucketed_join"     -> (bucketedJoin _),

@@ -251,6 +251,51 @@ object Sketches {
         hllEstimate(col("n_present"), col("zsum"), m).as("n_est"))
   }
 
+  // ---------------------------------------------------------------- CMS
+
+  /** Count-Min Sketch counters (Cormode & Muthukrishnan 2005) over a
+    * string column: `d` independent hash rows of `w` counters; an
+    * item's frequency estimate is the MINIMUM of its d counters —
+    * never an undercount, overcounts only from collisions
+    * (E[over] ≤ e·N/w per row). Row hashes reuse the portable
+    * permutation family ((2i+1)·h + 999983·i mod P, then mod w), so a
+    * DuckDB oracle replays the whole sketch integer-exactly.
+    *
+    * Scale shape: the build is ONE map-side-combinable groupBy over
+    * (row, position) — state is d·w integer cells regardless of input
+    * size, and the shuffle carries at most d·w rows. This is the
+    * frequency-sketch companion to KMV/HLL's cardinality sketches:
+    * heavy-hitter screens over 100 TB token streams without a
+    * full-vocabulary aggregation. Output: (row, pos, cnt), only
+    * occupied cells. */
+  def cmsCounters(df: DataFrame, c: Column, d: Int = 4, w: Int = 512): DataFrame = {
+    require(d >= 1 && d <= 16 && w >= 16, "cms needs 1 <= d <= 16, w >= 16")
+    val th = portableHash(c)
+    df.where(c.isNotNull)
+      .select(posexplode(array((0 until d).map { i =>
+        pmod(pmod(th * lit((2 * i + 1).toLong) + lit(999983L * i), lit(P)), lit(w.toLong))
+      }: _*)).as(Seq("row", "pos")))
+      .groupBy(col("row"), col("pos")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates for `queries`' `qc` values against a
+    * counter table from [[cmsCounters]] (same d, w): min over the d
+    * probed cells; values absent from the build estimate 0. */
+  def cmsEstimate(counters: DataFrame, queries: DataFrame, qc: Column,
+      d: Int = 4, w: Int = 512): DataFrame = {
+    val th = portableHash(qc)
+    queries
+      .select(qc.as("q"), posexplode(array((0 until d).map { i =>
+        pmod(pmod(th * lit((2 * i + 1).toLong) + lit(999983L * i), lit(P)), lit(w.toLong))
+      }: _*)).as(Seq("row", "pos")))
+      .join(broadcast(counters), Seq("row", "pos"), "left")
+      .groupBy(col("q"))
+      // an unoccupied cell IS a zero counter: coalesce BEFORE the min,
+      // or a value absent from the build would read its colliding
+      // cells' counts instead of 0
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
+  }
+
   /** Set-overlap estimate between two columns from their sketches
     * (inclusion–exclusion over KMV union): |A∪B| from the merged
     * sketch, |A∩B| = |A| + |B| − |A∪B|, clamped at 0. One row:
