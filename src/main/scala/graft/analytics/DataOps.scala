@@ -92,6 +92,22 @@ object DataOps {
         n = 3, numHashes = 16, bands = 8, threshold = 0.5, fast = true)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
 
+  /** INCREMENTAL dedup: the `src1` slice plays the role of today's new
+    * batch, LSH-matched against the rest of the corpus as the existing
+    * signature index ([[TextDedup.crossCorpusLshPairs]]) — the daily
+    * crawl-ingest shape, where only the new batch hashes fresh and the
+    * corpus side is a maintained index. The oracle replays signatures
+    * for BOTH sides, the cross-source band join, and the exact
+    * cross-frame Jaccard verification. */
+  def dedupIncrementalBatch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    TextDedup.crossCorpusLshPairs(
+        docs.filter(col("source") === "src1"),
+        docs.filter(col("source") =!= "src1"),
+        n = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
   /** maxHamming = 0 here: the harness docs share one 31-word vocab, so
     * frequency-profile fingerprints cluster tightly (ham ≤ 6 matches
     * 62% of ALL pairs — SimHash needs real lexical diversity to
@@ -1831,6 +1847,37 @@ object DataOps {
          |SELECT ae.n_est AS n_a, be.n_est AS n_b, ue.n_est AS n_union,
          |       greatest(ae.n_est + be.n_est - ue.n_est, CAST(0 AS BIGINT)) AS n_intersect
          |FROM ae CROSS JOIN be CROSS JOIN ue""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH itok AS (SELECT doc_id, source, $dkTokenHashes AS th FROM documents),
+         |ish AS (SELECT doc_id, source, unnest($dkShingles) AS sh FROM itok),
+         |isz AS (SELECT doc_id, count(*) AS n_sh FROM ish GROUP BY 1),
+         |isig AS (
+         |  SELECT doc_id, source,
+         |         list_transform(generate_series(0, 15),
+         |           i -> list_min(list_transform($dkShingles,
+         |                  h -> (CAST(2*i+1 AS BIGINT) * h + 999983 * CAST(i AS BIGINT)) % $P))) AS minhash
+         |  FROM itok
+         |), iband AS (
+         |  SELECT doc_id, source, b.b AS band, list_slice(minhash, b.b * 2 + 1, b.b * 2 + 2) AS key
+         |  FROM isig CROSS JOIN generate_series(0, 7) AS b(b)
+         |), icand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |  FROM iband a JOIN iband c ON a.band = c.band AND a.key = c.key
+         |  WHERE a.source = 'src1' AND c.source <> 'src1'
+         |), iint AS (
+         |  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, count(*) AS n_ab
+         |  FROM ish a JOIN ish c ON a.sh = c.sh
+         |  WHERE a.source = 'src1' AND c.source <> 'src1'
+         |  GROUP BY 1, 2
+         |)
+         |SELECT i.doc_a, i.doc_b,
+         |       floor(CAST(n_ab AS DOUBLE) / (sa.n_sh + sb.n_sh - n_ab) * 1e4 + 0.5) / 1e4 AS jaccard
+         |FROM iint i
+         |JOIN icand USING (doc_a, doc_b)
+         |JOIN isz sa ON sa.doc_id = i.doc_a
+         |JOIN isz sb ON sb.doc_id = i.doc_b
+         |WHERE CAST(n_ab AS DOUBLE) / (sa.n_sh + sb.n_sh - n_ab) >= 0.5
+         |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
     "cms_token_counts" ->
       s"""WITH ctok AS (
          |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
@@ -1907,6 +1954,7 @@ object DataOps {
     "dedup_jaccard"     -> (dedupJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_minhash_fast" -> (dedupMinhashFast _),
+    "dedup_incremental" -> (dedupIncrementalBatch _),
     "dedup_simhash"     -> (dedupSimhash _),
     "dedup_embedding"   -> (dedupEmbedding _),
     "dedup_embedding_groups" -> (dedupEmbeddingGroups _),

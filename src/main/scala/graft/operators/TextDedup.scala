@@ -284,6 +284,41 @@ object TextDedup {
       bands: Int = 8, threshold: Double = 0.5, fast: Boolean = false): DataFrame =
     index(minhashLshPairs(docs, n, numHashes, bands, threshold, fast))
 
+  /** CROSS-CORPUS MinHash-LSH near-dup pairs — the incremental-dedup
+    * form: every (new doc, corpus doc) pair with Jaccard ≥ threshold,
+    * found by joining the NEW batch's band keys against the existing
+    * corpus's band keys (at warehouse scale the corpus side is the
+    * materialized signature index the daily pipeline maintains — only
+    * the new batch is hashed fresh). Same family/banding as
+    * [[minhashLshPairs]]; candidates verified with exact cross-frame
+    * Jaccard. No id-ordering constraint: the sides are distinct
+    * corpora. Output: (doc_a = new id, doc_b = corpus id, jaccard). */
+  def crossCorpusLshPairs(newDocs: DataFrame, corpus: DataFrame, n: Int = 3,
+      numHashes: Int = 16, bands: Int = 8, threshold: Double = 0.5,
+      fast: Boolean = false): DataFrame = {
+    val rows = numHashes / bands
+    def bandFrame(docs: DataFrame) =
+      index(withMinHash(docs, n, numHashes, fast)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), b -> slice(minhash, b * $rows + 1, $rows))"))
+          .as(Seq("band", "key"))))
+    val cands = bandFrame(newDocs).as("a")
+      .join(bandFrame(corpus).as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val arrA = shingleArrays(newDocs, n, fast)
+      .select(col("doc_id").as("doc_a"), col("shingle_hashes").as("sh_a"), col("n_sh").as("n_a"))
+    val arrB = shingleArrays(corpus, n, fast)
+      .select(col("doc_id").as("doc_b"), col("shingle_hashes").as("sh_b"), col("n_sh").as("n_b"))
+    cands.join(arrA, "doc_a").join(arrB, "doc_b")
+      .withColumn("n_ab", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jraw", col("n_ab") / (col("n_a") + col("n_b") - col("n_ab")))
+      .filter(col("jraw") >= threshold)
+      .withColumn("jaccard", floor(col("jraw") * 1e4 + 0.5) / 1e4)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** 32-bit SimHash fingerprint via the native kernel: bit j is the
     * sign of the sum over tokens of (bit j of token hash ? +1 : −1).
     * Multiset semantics (repeated tokens weigh more), matching

@@ -215,4 +215,27 @@ class TextDedupSpec extends SparkSpec {
     assert(fast8.subsetOf(exact))
     assert(exact.nonEmpty && fast8.size >= exact.size * 9 / 10)
   }
+
+  test("crossCorpusLshPairs equals the cross-restriction of the self-join pairs") {
+    // disjoint corpora A (ids < 100) and B (ids >= 100) carved from the
+    // harness documents; the incremental form against B must find the
+    // SAME cross pairs the whole-union self-join finds (same family,
+    // same banding, same verification)
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select($"doc_id", $"text")
+    val a = docs.filter($"doc_id" % 5 === 0)
+    val b = docs.filter($"doc_id" % 5 =!= 0)
+    val cross = TextDedup.crossCorpusLshPairs(a, b, n = 3, numHashes = 16,
+        bands = 8, threshold = 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val self = TextDedup.minhashLshPairs(docs, n = 3, numHashes = 16,
+        bands = 8, threshold = 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val expected = self.collect {
+      case (x, y) if x % 5 == 0 && y % 5 != 0 => (x, y)
+      case (x, y) if y % 5 == 0 && x % 5 != 0 => (y, x)
+    }
+    assert(cross == expected)
+    assert(cross.nonEmpty, "fixture must actually produce cross pairs")
+  }
 }
