@@ -80,7 +80,12 @@ object Components {
       // (2) pointer jump (shortcutting): comp := comp(comp) — labels are
       // node ids, so one extra self-join halves the remaining distance
       // to the root each round, turning O(diameter) rounds into
-      // O(log diameter) on chain-shaped graphs
+      // O(log diameter) on chain-shaped graphs. ONE jump only: a
+      // second jump within the round would reference the once-jumped
+      // frame twice, doubling the un-checkpointed mid-round plan and
+      // quadrupling planning cost per round (measured 6 s → 23 s on
+      // the embedding pair graph) — the checkpoint boundary must stay
+      // one linear chain per round
       val next = propagated
         .join(propagated.select(col("id").as("jid"), col("comp").as("jcomp")),
           col("comp") === col("jid"), "left")
