@@ -119,6 +119,21 @@ object StatsOps {
       .limit(50)
   }
 
+  /** Per-group medians with bounded aggregation state: the GROUPED
+    * form of the histogram-quantile pattern ([[HistQuantiles
+    * .groupedCut]] — state O(groups × buckets), vs per-group exact
+    * `percentile` whose biggest group's buffer holds every distinct
+    * value that group has, concentrating the skew on one task). The
+    * per-group stats rollup is broadcast back (groups ≪ rows); the
+    * cumulative window partitions by group, so it parallelizes across
+    * the key space with ≤ buckets rows per partition. */
+  def gridMedianEvents(spark: SparkSession, dir: String): DataFrame =
+    HistQuantiles.groupedCut(Tables.events(spark, dir),
+        col("event_type"), col("value"), 0.5, MadBuckets, "med")
+      .select(col("k").as("event_type"), Cols.r(col("med"), 6).as("med_value"),
+        col("n").as("n_events"))
+      .orderBy(col("event_type").asc)
+
   // ---- vocabulary coverage (tokenizer planning) ----------------------
 
   /** Top-30 tokens with cumulative corpus share — the "how small can
@@ -200,6 +215,7 @@ object StatsOps {
     "cube_flag_status"  -> (cubeFlagStatus _),
     "deciles_orders"    -> (decilesOrders _),
     "mad_outliers"      -> (madOutliers _),
+    "grid_median_events" -> (gridMedianEvents _),
     "vocab_coverage"    -> (vocabCoverage _),
     "bigram_lift"       -> (bigramLift _),
     "sample_per_lang"   -> (samplePerLang _)
@@ -300,6 +316,13 @@ object StatsOps {
          |WHERE value IS NOT NULL AND abs(value - m) / d > 3.0
          |ORDER BY robust_z DESC, event_id ASC
          |LIMIT 50""".stripMargin,
+    "grid_median_events" ->
+      s"""WITH ${HistQuantiles.dkGroupedCut("gm", "events", "event_type", "value", 0.5, MadBuckets, "med")}
+         |SELECT k AS event_type,
+         |       floor(med * 1e6 + 0.5) / 1e6 AS med_value,
+         |       n AS n_events
+         |FROM gm
+         |ORDER BY event_type ASC""".stripMargin,
     "vocab_coverage" ->
       """WITH tok AS (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents

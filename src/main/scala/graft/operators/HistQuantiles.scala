@@ -84,6 +84,49 @@ object HistQuantiles {
   def cut(df: DataFrame, c: Column, p: Double, nBuckets: Int, as: String): DataFrame =
     cuts(df, c, Seq(p), nBuckets).select(element_at(col("qs"), 1).as(as))
 
+  /** PER-GROUP grid quantile — the grouped form of [[cut]]: one row
+    * per group key with the group's cut value and row count. Total
+    * aggregation state is O(groups × buckets) integer counts (vs
+    * exact `percentile` whose per-group buffer holds every distinct
+    * value the group has — the same one-task OOM as the global case,
+    * multiplied by skew: the biggest group lands on one buffer).
+    *
+    * Shape: per-group (n, lo, hi) is a partial-agg rollup over GROUPS
+    * (broadcast back — `broadcastStats = false` for key spaces too
+    * wide to broadcast, where AQE picks the strategy); bucketing is
+    * map-side; the cumulative window partitions BY GROUP so it
+    * parallelizes across the key space (each partition holds ≤ B
+    * rows by construction). NULL keys and NULL values are excluded. */
+  def groupedCut(df: DataFrame, key: Column, c: Column, p: Double, nBuckets: Int,
+      as: String, broadcastStats: Boolean = true): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= (1 << 20), "nBuckets must be in [2, 2^20]")
+    require(p > 0.0 && p < 1.0, "probability must lie strictly inside (0, 1)")
+    val vals = df.filter(c.isNotNull && key.isNotNull)
+      .select(key.as("k"), c.cast("double").as("x"))
+    val stats = vals.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val bStats = if (broadcastStats) broadcast(stats) else stats
+    val b = when(col("hi") === col("lo"), lit(0L)).otherwise(
+      least(floor((col("x") - col("lo")) / (col("hi") - col("lo")) * lit(nBuckets)),
+        lit((nBuckets - 1).toLong)))
+    val counts = vals.join(bStats, Seq("k"))
+      .select(col("k"), b.cast("int").as("b"))
+      .groupBy(col("k"), col("b")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("k")).orderBy(col("b").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("cum", sum(col("cnt")).over(w))
+    val picked = cum.join(bStats, Seq("k"))
+      .groupBy(col("k"))
+      .agg(min(when(col("cum") >= ceil(lit(p).cast("double") * col("n")), col("b"))).as("bq"))
+    picked.join(bStats, Seq("k"))
+      .select(col("k"),
+        when(col("hi") === col("lo"), col("lo"))
+          .otherwise(col("lo") +
+            (col("hi") - col("lo")) * (col("bq") + lit(1)).cast("double") / lit(nBuckets))
+          .as(as),
+        col("n"))
+  }
+
   // ------------------------------------------------------------ oracle
 
   /** DuckDB CTE chain replaying [[cuts]] exactly for one probability:
@@ -115,6 +158,36 @@ object HistQuantiles {
        |  SELECT CASE WHEN hi = lo THEN lo
        |         ELSE lo + (hi - lo) * CAST(bq + 1 AS DOUBLE) / $nBuckets END AS $valueName
        |  FROM ${tag}_p, ${tag}_s
+       |)""".stripMargin
+  }
+
+  /** DuckDB CTE chain replaying [[groupedCut]]: emits `<tag>` with one
+    * row per group — columns (k, <valueName>, n). `src` must expose
+    * the group key as `<k>` and the metric as `<x>`. Same arithmetic,
+    * same association order as the Spark side. */
+  def dkGroupedCut(tag: String, src: String, k: String, x: String, p: Double,
+      nBuckets: Int, valueName: String): String = {
+    val bMax = nBuckets - 1
+    s"""${tag}_s AS (
+       |  SELECT $k AS k, count(*) AS n, CAST(min($x) AS DOUBLE) AS lo, CAST(max($x) AS DOUBLE) AS hi
+       |  FROM $src WHERE $x IS NOT NULL AND $k IS NOT NULL GROUP BY 1
+       |), ${tag}_c AS (
+       |  SELECT k, b, count(*) AS cnt FROM (
+       |    SELECT s.k, CASE WHEN s.hi = s.lo THEN 0
+       |           ELSE CAST(least(floor((CAST(v.$x AS DOUBLE) - s.lo) / (s.hi - s.lo) * $nBuckets), $bMax) AS INT) END AS b
+       |    FROM $src v JOIN ${tag}_s s ON v.$k = s.k WHERE v.$x IS NOT NULL)
+       |  GROUP BY 1, 2
+       |), ${tag}_u AS (
+       |  SELECT k, b, sum(cnt) OVER (PARTITION BY k ORDER BY b ASC ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM ${tag}_c
+       |), ${tag}_p AS (
+       |  SELECT u.k, min(CASE WHEN u.cum >= ceil(CAST($p AS DOUBLE) * s.n) THEN u.b END) AS bq
+       |  FROM ${tag}_u u JOIN ${tag}_s s ON u.k = s.k GROUP BY 1
+       |), $tag AS (
+       |  SELECT s.k, CASE WHEN s.hi = s.lo THEN s.lo
+       |         ELSE s.lo + (s.hi - s.lo) * CAST(p.bq + 1 AS DOUBLE) / $nBuckets END AS $valueName,
+       |         s.n
+       |  FROM ${tag}_p p JOIN ${tag}_s s ON p.k = s.k
        |)""".stripMargin
   }
 }

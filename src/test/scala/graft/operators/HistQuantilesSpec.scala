@@ -68,6 +68,45 @@ class HistQuantilesSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("groupedCut: each group's cut lands within one bucket width of the group's exact median") {
+    val rows = (1 to 4000).map { i =>
+      val g = s"g${i % 4}"
+      val x = ((i * 1103515245L + 12345) % 1000003L).toDouble / 7.0 + (i % 4) * 1e4
+      (g, x)
+    }
+    val df = rows.toDF("g", "x")
+    val b = 2048
+    val got = HistQuantiles.groupedCut(df, col("g"), col("x"), 0.5, b, "med")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val xs = grp.map(_._2).sorted
+      val exact = xs(math.ceil(0.5 * xs.size).toInt - 1)
+      val width = (xs.max - xs.min) / b
+      val (med, n) = got(g)
+      assert(n == xs.size, s"$g n")
+      assert(math.abs(med - exact) <= width + 1e-9, s"$g med=$med exact=$exact width=$width")
+    }
+  }
+
+  test("groupedCut: NULL keys and NULL values excluded; constant group returns the constant") {
+    val data = (Seq.fill(20)(("c", 7.25)) ++ (1 to 30).map(i => ("b", i.toDouble)) ++
+      Seq((null.asInstanceOf[String], 99.0))).toDF("g", "x")
+    val got = HistQuantiles.groupedCut(data, col("g"), col("x"), 0.5, 64, "med")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set("b", "c"))
+    assert(got("c") == 7.25)
+  }
+
+  test("groupedCut plan: no percentile buffer, bucket counts are partial-agg, window partitions by group") {
+    val df = (1 to 300).map(i => (s"g${i % 3}", i.toDouble)).toDF("g", "x")
+    val p = plan(HistQuantiles.groupedCut(df, col("g"), col("x"), 0.5, 128, "med"))
+    assert(!p.toLowerCase.contains("percentile"), p)
+    assert(!p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_count"), p)
+    // the cumulative window is keyed by the group, not a global sort
+    assert(p.contains("windowspecdefinition(k"), p)
+  }
+
   test("former percentile call sites carry no unbounded-state aggregate in their plans") {
     val stats = Seq(
       graft.analytics.StatsOps.decilesOrders(spark, dir),
