@@ -372,6 +372,21 @@ object DataOps {
       .agg(count(lit(1)).as("n_sampled"))
       .orderBy(col("lang").asc)
 
+  /** Length-weighted document sampling via priority sampling
+    * ([[Curation.prioritySample]] — DLT top-k by w/u priorities with
+    * the subset-sum estimator ŵ = max(w, τ)): longer documents are
+    * proportionally likelier to be kept, and Σŵ over the sample
+    * estimates the corpus's total weight without a full pass. The
+    * oracle replays the hash, the priorities, the (k+1) threshold,
+    * and the adjusted weights. */
+  def samplePriority(spark: SparkSession, dir: String): DataFrame =
+    Curation.prioritySample(Tables.documents(spark, dir), "doc_id",
+        col("n_chars"), k = 50)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        Cols.r(col("priority"), 4).as("priority"),
+        Cols.r(col("w_hat"), 4).as("w_hat"))
+      .orderBy(col("priority").desc, col("doc_id").asc)
+
   // ---- similarity search ---------------------------------------------
 
   def simTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -1477,6 +1492,25 @@ object DataOps {
          |                WHEN 'es' THEN 10 WHEN 'zh' THEN 5 ELSE 10 END
          |GROUP BY lang
          |ORDER BY lang ASC""".stripMargin,
+    "sample_priority" ->
+      s"""WITH wgt AS (
+         |  SELECT doc_id, lang, n_chars,
+         |         CAST(n_chars AS DOUBLE) * 1048576.0
+         |           / CAST(((doc_id * 2654435761) % $P) % 1048576 + 1 AS DOUBLE) AS priority
+         |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+         |), top AS (
+         |  SELECT doc_id, lang, n_chars, priority,
+         |         row_number() OVER (ORDER BY priority DESC, doc_id ASC) AS rn
+         |  FROM wgt ORDER BY priority DESC, doc_id ASC LIMIT 51
+         |), tau AS (
+         |  SELECT coalesce(max(CASE WHEN rn = 51 THEN priority END), 0.0) AS t FROM top
+         |)
+         |SELECT doc_id, lang, n_chars,
+         |       floor(priority * 1e4 + 0.5) / 1e4 AS priority,
+         |       floor(greatest(CAST(n_chars AS DOUBLE), t) * 1e4 + 0.5) / 1e4 AS w_hat
+         |FROM top, tau
+         |WHERE rn <= 50
+         |ORDER BY priority DESC, doc_id ASC""".stripMargin,
     "dedup_embedding" ->
       s"""WITH $dkEmbPairCtes
          |SELECT vec_a, vec_b, cos FROM epairs
@@ -1974,6 +2008,7 @@ object DataOps {
     "dedup_keep"        -> (dedupKeep _),
     "mix_budget"        -> (mixBudget _),
     "sample_strata"     -> (sampleStrata _),
+    "sample_priority"   -> (samplePriority _),
     "kmeans_cells"      -> (kmeansCells _),
     "sim_topk_ivf_kmeans" -> (simTopKIvfKmeans _),
     "sim_topk"          -> (simTopK _),

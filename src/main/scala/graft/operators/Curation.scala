@@ -78,6 +78,61 @@ object Curation {
     docs.filter(bucket < rate)
   }
 
+  /** Weighted top-k sampling WITHOUT replacement via priority sampling
+    * (Duffield–Lund–Thorup, "Priority sampling for estimation of
+    * arbitrary subset sums", JACM 54(6) 2007): each row gets priority
+    * q = w/u with u uniform on (0, 1]; the sample is the k largest
+    * priorities, and with threshold τ = the (k+1)-th priority the
+    * adjusted weight ŵ = max(w, τ) estimates any subset-sum of w
+    * unbiasedly (near-optimal variance among k-sparse estimators).
+    * The curation use: sample documents proportional to length /
+    * quality / token count while keeping the subset-sum estimator for
+    * downstream token accounting.
+    *
+    * Portability: u = (bucket+1)/modulus with the repo's standard
+    * multiplicative-hash bucket — modulus a power of two, so the
+    * division is EXACT in doubles and q = w·modulus/(bucket+1) is one
+    * IEEE division of integer-valued doubles: bit-identical on any
+    * engine, fully replayable by the DuckDB oracle (no rand()).
+    * Determinism note: a fixed hash means a fixed u per id — the
+    * estimator's unbiasedness statement is over the hash-family draw,
+    * the standard fixed-seed trade every deterministic sampler here
+    * makes.
+    *
+    * Scale shape: the top-(k+1) selection is TakeOrderedAndProject
+    * (per-partition heaps, no global sort); the rank/τ window then
+    * runs over ≤ k+1 rows on one task — bounded by construction.
+    * Rows with w ≤ 0 or NULL are excluded (DLT requires w > 0).
+    * Output: input columns + `priority`, `tau`, `w_hat`. */
+  def prioritySample(docs: DataFrame, idCol: String, weight: Column, k: Int,
+      modulus: Int = 1 << 20): DataFrame = {
+    require(k >= 1, "prioritySample needs k >= 1")
+    require(modulus >= 2 && modulus <= (1 << 20) && (modulus & (modulus - 1)) == 0,
+      "modulus must be a power of two in [2, 2^20] — exact double division")
+    val P = TextDedup.P
+    val bucket = pmod(pmod(col(idCol).cast("long") * lit(2654435761L), lit(P)),
+      lit(modulus.toLong))
+    val wgt = docs.withColumn("_w", weight.cast("double"))
+      .filter(col("_w").isNotNull && col("_w") > 0)
+      .withColumn("priority",
+        col("_w") * lit(modulus.toDouble) / (bucket + lit(1L)).cast("double"))
+    val top = wgt.orderBy(col("priority").desc, col(idCol).asc).limit(k + 1)
+    // ≤ k+1 rows — one partition IS the plan; the non-foldable constant
+    // key silences WindowExec's single-partition warning (see
+    // HistQuantiles for the same pattern)
+    val w = Window.partitionBy(pmod(col(idCol).cast("long"), lit(1)))
+      .orderBy(col("priority").desc, col(idCol).asc)
+    val ranked = top.withColumn("_rn", row_number().over(w))
+    // τ = the (k+1)-th priority; 0 when the population has ≤ k rows
+    // (every row sampled ⇒ ŵ = w exactly, per DLT)
+    val tau = ranked.agg(
+      coalesce(max(when(col("_rn") === k + 1, col("priority"))), lit(0.0)).as("tau"))
+    ranked.filter(col("_rn") <= k)
+      .crossJoin(broadcast(tau))
+      .withColumn("w_hat", greatest(col("_w"), col("tau")))
+      .drop("_rn", "_w")
+  }
+
   /** Temperature-based mixture resampling (the multilingual-LM
     * recipe: raise stratum shares to `p^alpha` so low-resource strata
     * are upweighted relative to their natural frequency). Computes a

@@ -88,6 +88,77 @@ class CurationSpec extends SparkSpec {
     assert(run() == run())
   }
 
+  // -------- priority sampling (Duffield–Lund–Thorup) ------------------
+
+  private def weighted = (1L to 500L).map(i => (i, (i % 37 + 1).toDouble)).toDF("doc_id", "w")
+
+  test("prioritySample keeps exactly the k largest priorities with tau = the (k+1)-th") {
+    val k = 25
+    val got = Curation.prioritySample(weighted, "doc_id", $"w", k)
+      .select($"doc_id", $"priority", $"tau", $"w_hat")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(got.length == k)
+    // replicate the arithmetic locally
+    val P = 1000000007L
+    val m = 1 << 20
+    val all = (1L to 500L).map { i =>
+      val w = (i % 37 + 1).toDouble
+      val bucket = ((i * 2654435761L) % P) % m
+      (i, w, w * m / (bucket + 1).toDouble)
+    }.sortBy { case (id, _, q) => (-q, id) }
+    val expTau = all(k)._3
+    val expIds = all.take(k).map(_._1).toSet
+    assert(got.map(_._1).toSet == expIds)
+    got.foreach { case (id, q, t, wh) =>
+      assert(t == expTau, s"tau $t != $expTau")
+      assert(q >= t, s"kept priority $q below tau")
+      val w = (id % 37 + 1).toDouble
+      assert(wh == math.max(w, expTau), s"w_hat $wh for id $id")
+    }
+  }
+
+  test("prioritySample with k >= population keeps everything with tau = 0 and w_hat = w") {
+    val small = (1L to 10L).map(i => (i, i.toDouble)).toDF("doc_id", "w")
+    val got = Curation.prioritySample(small, "doc_id", $"w", k = 50)
+      .select($"doc_id", $"tau", $"w_hat").as[(Long, Double, Double)].collect()
+    assert(got.length == 10)
+    got.foreach { case (id, t, wh) => assert(t == 0.0 && wh == id.toDouble) }
+  }
+
+  test("prioritySample drops non-positive and NULL weights, is deterministic, and validates k") {
+    val df = Seq((1L, Some(5.0)), (2L, Some(0.0)), (3L, Some(-1.0)), (4L, None), (5L, Some(2.0)))
+      .toDF("doc_id", "w")
+    def run() = Curation.prioritySample(df, "doc_id", $"w", k = 10)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(run() == Set(1L, 5L))
+    assert(run() == run())
+    intercept[IllegalArgumentException](
+      Curation.prioritySample(df, "doc_id", $"w", k = 0))
+    intercept[IllegalArgumentException](
+      Curation.prioritySample(df, "doc_id", $"w", k = 1, modulus = 1000)) // not a power of two
+  }
+
+  test("prioritySample subset-sum estimator: mean of sum(w_hat) over disjoint id spaces tracks sum(w)") {
+    // unbiasedness is over the u draw; emulate independent draws by
+    // shifting the id space (each shift scatters to fresh hash buckets)
+    val trials = (0 until 8).map { s =>
+      val df = (1L to 300L).map(i => (i + s * 1000000L, (i % 23 + 1).toDouble))
+        .toDF("doc_id", "w")
+      val est = Curation.prioritySample(df, "doc_id", $"w", k = 60)
+        .agg(sum($"w_hat")).as[Double].head()
+      val truth = (1L to 300L).map(i => (i % 23 + 1).toDouble).sum
+      est / truth
+    }
+    val mean = trials.sum / trials.size
+    assert(mean > 0.85 && mean < 1.15, s"estimator ratio mean $mean, trials $trials")
+  }
+
+  test("prioritySample plan: top-k is TakeOrderedAndProject, no global Sort over the corpus") {
+    val p = Curation.prioritySample(weighted, "doc_id", $"w", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("temperatureMix validates its parameters") {
     intercept[IllegalArgumentException](
       Curation.temperatureMix(skewed, "source", "doc_id", alpha = 0.0))
