@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Cols
-import graft.operators.{AsOfJoin, Components, Curation, KMeans, Multimodal, PageRank, Passages, RangeJoin, Redaction, Scd2, Sessionize, Similarity, Sketches, TextAnalysis, TextDedup, TextFeatures}
+import graft.operators.{AsOfJoin, Components, Curation, KMeans, LanguageModel, Multimodal, PageRank, Passages, RangeJoin, Redaction, Scd2, Sessionize, Similarity, Sketches, TextAnalysis, TextDedup, TextFeatures}
 import org.apache.spark.sql.expressions.Window
 
 /** Training-data pipeline query surface: dedup, similarity search, and
@@ -371,6 +371,21 @@ object DataOps {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_sampled"))
       .orderBy(col("lang").asc)
+
+  /** Per-document bigram-LM surprisal (the perplexity filter of
+    * CCNet/Gopher pipelines, self-trained here: outliers against the
+    * corpus's own bigram statistics are templated/degenerate text).
+    * Surprisal is computed with [[graft.operators.LanguageModel]]'s
+    * transcendental-free log2 (octave ladder + chord — bit-identical
+    * on every engine, ≤0.09-bit systematic bias), summed per document
+    * in integer micro-bits (order-independent). perplexity =
+    * 2^avg_bits, left to the consumer. Top 20 most-surprising docs. */
+  def lmSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    LanguageModel.surprisalScores(docs, docs)
+      .orderBy(col("avg_bits").desc, col("doc_id").asc)
+      .limit(20)
+  }
 
   /** Length-weighted document sampling via priority sampling
     * ([[Curation.prioritySample]] — DLT top-k by w/u priorities with
@@ -1492,6 +1507,42 @@ object DataOps {
          |                WHEN 'es' THEN 10 WHEN 'zh' THEN 5 ELSE 10 END
          |GROUP BY lang
          |ORDER BY lang ASC""".stripMargin,
+    "lm_surprisal" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |), uni AS (
+         |  SELECT w1, count(*) AS c_a FROM (SELECT unnest(t) AS w1 FROM tk) GROUP BY 1
+         |), voc AS (
+         |  SELECT count(*) AS v FROM uni
+         |), bi AS (
+         |  SELECT w1, w2, count(*) AS c_ab FROM (
+         |    SELECT bg['w1'] AS w1, bg['w2'] AS w2 FROM (
+         |      SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+         |               i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS bg
+         |      FROM tk WHERE len(t) >= 2))
+         |  GROUP BY 1, 2
+         |), db AS (
+         |  SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2 FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+         |             i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS bg
+         |    FROM tk WHERE len(t) >= 2)
+         |), pp AS (
+         |  SELECT d.doc_id,
+         |         CAST(coalesce(b.c_ab, 0) + 1 AS DOUBLE)
+         |           / CAST(coalesce(u.c_a, 0) + voc.v AS DOUBLE) AS p
+         |  FROM db d
+         |  LEFT JOIN bi b ON b.w1 = d.w1 AND b.w2 = d.w2
+         |  LEFT JOIN uni u ON u.w1 = d.w1
+         |  CROSS JOIN voc
+         |), sc AS (
+         |  SELECT doc_id, CAST(floor(${LanguageModel.dkSurprisal("p")} * 1e6 + 0.5) AS BIGINT) AS su
+         |  FROM pp
+         |)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |       floor(CAST(sum(su) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) / 1e6 AS avg_bits
+         |FROM sc GROUP BY doc_id
+         |ORDER BY avg_bits DESC, doc_id ASC
+         |LIMIT 20""".stripMargin,
     "sample_priority" ->
       s"""WITH wgt AS (
          |  SELECT doc_id, lang, n_chars,
@@ -2009,6 +2060,7 @@ object DataOps {
     "mix_budget"        -> (mixBudget _),
     "sample_strata"     -> (sampleStrata _),
     "sample_priority"   -> (samplePriority _),
+    "lm_surprisal"      -> (lmSurprisal _),
     "kmeans_cells"      -> (kmeansCells _),
     "sim_topk_ivf_kmeans" -> (simTopKIvfKmeans _),
     "sim_topk"          -> (simTopK _),

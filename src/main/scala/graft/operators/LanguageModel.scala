@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model scoring for corpus curation — the
+  * perplexity-filter step of CCNet/Gopher-style pipelines (score every
+  * document against a reference LM; prune or bucket the tail). The
+  * model is a bigram LM with add-one smoothing:
+  *
+  *   p(w2 | w1) = (c(w1,w2) + 1) / (c(w1) + V)
+  *
+  * trained on any reference frame (self-scoring the corpus flags
+  * machine-generated/templated outliers; a held-out reference corpus
+  * gives the classic domain-mismatch filter).
+  *
+  * Scores are average per-bigram SURPRISAL in bits (perplexity =
+  * 2^avg_bits — monotone, left to the consumer: `pow` is libm and
+  * engines disagree in the last ulp). The log2 itself is computed
+  * WITHOUT any transcendental function, so scores are bit-identical
+  * on every engine and fully replayable by a SQL oracle:
+  *
+  *  - octave: j = #{ t in 1..64 : p <= 2^-t } — a comparison ladder
+  *    against exact power-of-two literals, so p·2^j lands in (0.5, 1];
+  *  - chord: log2(m) ~ 2m - 2 on (0.5, 1] (exact at both endpoints,
+  *    max error 0.0861 bits at m = 1/ln2·? — property-tested), giving
+  *    surprisal(p) = j + 2 - p·2^(j+1), one array lookup and one
+  *    multiply of exact-scaled doubles.
+  *
+  * The approximation bias is IDENTICAL on both engines (they evaluate
+  * the same IEEE expression), so the oracle gate compares exact
+  * equality; the ≤0.09-bit systematic error only matters to the
+  * consumer and is documented at the call sites. p < 2^-64 clamps to
+  * the top rung (error grows past ~43 bits of surprisal — beyond any
+  * add-one-smoothed bigram model's range until corpus size ~2^64).
+  *
+  * Order-independence: per-bigram surprisal is quantized to integer
+  * MICRO-BITS before the per-document sum (double addition is not
+  * associative; integer addition is), the same decimal-quantization
+  * policy as Cols.sumExact.
+  *
+  * Scale shape: unigram/vocab frames are broadcast (vocab ≪ corpus);
+  * the bigram count table is left to AQE (broadcast when it measures
+  * small, shuffle join for vocab² blowups); the per-doc reduce is one
+  * map-side-combinable aggregation. The corpus shuffles once, on the
+  * bigram join key.
+  */
+object LanguageModel {
+
+  /** Comparison-ladder depth: p >= 2^-64 resolves exactly; smaller
+    * clamps to the top rung. */
+  val MaxOctave = 64
+
+  /** Exact powers of two 2^1 .. 2^(MaxOctave+1) for the scale lookup. */
+  private val pow2: Seq[Double] = (1 to MaxOctave + 1).map(i => math.pow(2.0, i))
+
+  /** Portable -log2(p) for p in (0, 1]: octave ladder + chord
+    * interpolation, no libm. Exact at powers of two; error <= 0.0861
+    * bits in between; monotone decreasing in p. */
+  def surprisalBits(p: Column): Column = {
+    val j = (1 to MaxOctave).map(t =>
+      when(p <= lit(math.pow(2.0, -t)), 1).otherwise(0)).reduce(_ + _)
+    val scale = element_at(typedlit(pow2), j + 1) // = 2^(j+1)
+    j.cast("double") + lit(2.0) - p * scale
+  }
+
+  /** (id, w1, w2) adjacent-token bigrams of `textCol` (whitespace
+    * tokens); documents with fewer than 2 tokens contribute none. */
+  def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), split(col(textCol), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col(idCol), explode(
+        zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  /** Per-document average bigram surprisal in bits against a bigram LM
+    * trained on `ref` (add-one smoothing, vocabulary = ref's unigram
+    * set). Output: (idCol, n_bigrams, avg_bits); documents with < 2
+    * tokens are absent (no bigram evidence). OOV continuations score
+    * p = 1/(c(w1)+V); fully-OOV contexts score p = 1/V. */
+  def surprisalScores(docs: DataFrame, ref: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val uni = ref.select(explode(split(col(textCol), " ")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c_a"))
+    val voc = uni.agg(count(lit(1)).as("v"))
+    val bi = bigrams(ref, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    val p = (coalesce(col("c_ab"), lit(0L)) + lit(1L)).cast("double") /
+      (coalesce(col("c_a"), lit(0L)) + col("v")).cast("double")
+    bigrams(docs, idCol, textCol)
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(broadcast(uni), Seq("w1"), "left")
+      .crossJoin(broadcast(voc))
+      .select(col(idCol),
+        floor(surprisalBits(p) * lit(1e6) + lit(0.5)).cast("long").as("su"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("su")).as("su_sum"))
+      .select(col(idCol), col("n_bigrams"),
+        (floor(col("su_sum").cast("double") / col("n_bigrams").cast("double") + lit(0.5))
+          / lit(1e6)).as("avg_bits"))
+  }
+
+  // ------------------------------------------------------------ oracle
+
+  /** SQL expression replaying [[surprisalBits]] over the probability
+    * expression `p` — the identical ladder literals, scale lookup, and
+    * association order. */
+  def dkSurprisal(p: String): String = {
+    val j = (1 to MaxOctave).map(t =>
+      s"(CASE WHEN $p <= ${math.pow(2.0, -t)} THEN 1 ELSE 0 END)").mkString(" + ")
+    val lst = pow2.mkString("[", ", ", "]")
+    s"(CAST(($j) AS DOUBLE) + 2.0 - $p * list_extract($lst, ($j) + 1))"
+  }
+}
