@@ -158,4 +158,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("LM surprisal: vocab side broadcasts, per-doc reduce partial-aggregates, no cartesian") {
+    val p = plan(graft.analytics.DataOps.lmSurprisal(spark, dir))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the unigram/vocab frames ride a broadcast, the corpus is never
+    // shuffled for them; the doc-level sum partial-aggregates map-side
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p.take(3000))
+  }
 }

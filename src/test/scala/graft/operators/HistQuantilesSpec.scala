@@ -111,6 +111,7 @@ class HistQuantilesSpec extends SparkSpec {
     val stats = Seq(
       graft.analytics.StatsOps.decilesOrders(spark, dir),
       graft.analytics.StatsOps.madOutliers(spark, dir),
+      graft.analytics.StatsOps.gridMedianEvents(spark, dir),
       graft.analytics.DataOps.profileEvents(spark, dir))
     stats.foreach { df =>
       val p = plan(df)
