@@ -80,7 +80,10 @@ object LanguageModel {
     * trained on `ref` (add-one smoothing, vocabulary = ref's unigram
     * set). Output: (idCol, n_bigrams, avg_bits); documents with < 2
     * tokens are absent (no bigram evidence). OOV continuations score
-    * p = 1/(c(w1)+V); fully-OOV contexts score p = 1/V. */
+    * p = 1/(c(w1)+V); fully-OOV contexts score p = 1/V. An EMPTY
+    * reference has no vocabulary — the model is undefined, so the
+    * result is empty (the `v > 0` guard below also keeps the ANSI
+    * divide from tripping on the degenerate frame). */
   def surprisalScores(docs: DataFrame, ref: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val uni = ref.select(explode(split(col(textCol), " ")).as("w1"))
@@ -94,6 +97,7 @@ object LanguageModel {
       .join(bi, Seq("w1", "w2"), "left")
       .join(broadcast(uni), Seq("w1"), "left")
       .crossJoin(broadcast(voc))
+      .filter(col("v") > 0)
       .select(col(idCol),
         floor(surprisalBits(p) * lit(1e6) + lit(0.5)).cast("long").as("su"))
       .groupBy(col(idCol))

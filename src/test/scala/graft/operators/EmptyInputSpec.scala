@@ -54,6 +54,19 @@ class EmptyInputSpec extends SparkSpec {
     assert(SkewJoin.joinSkewSafe(emptyFact, dim, Seq("k"), sampleFraction = 1.0).count() == 0)
   }
 
+  test("quantiles/sampling/LM pass empties through") {
+    val emptyW = Seq.empty[(Long, Double)].toDF("doc_id", "w")
+    assert(Curation.prioritySample(emptyW, "doc_id", $"w", k = 5).count() == 0)
+    val emptyKX = Seq.empty[(String, Double)].toDF("g", "x")
+    assert(HistQuantiles.groupedCut(emptyKX, $"g", $"x", 0.5, 64, "med").count() == 0)
+    assert(LanguageModel.surprisalScores(emptyDocs, emptyDocs).count() == 0)
+    // empty REFERENCE with a non-empty corpus: no vocabulary means the
+    // add-one model is undefined (p = 1/(0+0) trips the ANSI divide) —
+    // the documented contract is an EMPTY result, not a crash
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(LanguageModel.surprisalScores(docs, emptyDocs).count() == 0)
+  }
+
   test("multimodal demuxers reject or pass through degenerate payloads without crashing") {
     assert(Multimodal.wavInfo(Array.emptyByteArray).isEmpty)
     assert(Multimodal.wavInfo("RIFF".getBytes).isEmpty)
