@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -119,6 +119,42 @@ object StatsOps {
       .limit(50)
   }
 
+  /** Per-group median/MAD outlier screen — [[madOutliers]] stratified
+    * by event type, so a type whose values run an order of magnitude
+    * hotter doesn't drown the quiet types' outliers. Two grouped
+    * bounded-state quantile reduces ([[HistQuantiles.groupedCut]] —
+    * O(groups × buckets) state each), both broadcast back; groups
+    * whose MAD is 0 (constant values) have no dispersion to screen
+    * against and are excluded — which also keeps the ANSI divide
+    * clean. */
+  /** The reusable core: rows of `df` whose |value − group median| /
+    * group MAD exceeds `zCut`, with the group key as `grp` and the
+    * unrounded `robust_z` attached. Zero-MAD (constant) groups are
+    * excluded — no dispersion to screen against. */
+  def madScreenByGroup(df: DataFrame, key: Column, value: Column,
+      zCut: Double, buckets: Int): DataFrame = {
+    val base = df.filter(value.isNotNull)
+    val med = HistQuantiles.groupedCut(base, key, value, 0.5, buckets, "m")
+      .select(col("k"), col("m"))
+    val dev = base.join(broadcast(med), key === med("k"))
+    val mad = HistQuantiles.groupedCut(dev, key, abs(value - col("m")), 0.5, buckets, "d")
+      .select(col("k").as("k2"), col("d"))
+    base.join(broadcast(med), key === col("k"))
+      .join(broadcast(mad), key === col("k2"))
+      .filter(col("d") > 0)
+      .withColumn("robust_z", abs(value - col("m")) / col("d"))
+      .filter(col("robust_z") > zCut)
+      .drop("k", "k2", "m", "d")
+  }
+
+  def madOutliersByType(spark: SparkSession, dir: String): DataFrame =
+    madScreenByGroup(Tables.events(spark, dir), col("event_type"), col("value"),
+        zCut = 3.0, buckets = MadBuckets)
+      .select(col("event_type"), col("event_id"),
+        Cols.r(col("value"), 4).as("value"), Cols.r(col("robust_z"), 6).as("robust_z"))
+      .orderBy(col("event_type").asc, col("robust_z").desc, col("event_id").asc)
+      .limit(100)
+
   /** Per-group medians with bounded aggregation state: the GROUPED
     * form of the histogram-quantile pattern ([[HistQuantiles
     * .groupedCut]] — state O(groups × buckets), vs per-group exact
@@ -216,6 +252,7 @@ object StatsOps {
     "deciles_orders"    -> (decilesOrders _),
     "mad_outliers"      -> (madOutliers _),
     "grid_median_events" -> (gridMedianEvents _),
+    "mad_outliers_by_type" -> (madOutliersByType _),
     "vocab_coverage"    -> (vocabCoverage _),
     "bigram_lift"       -> (bigramLift _),
     "sample_per_lang"   -> (samplePerLang _)
@@ -316,6 +353,24 @@ object StatsOps {
          |WHERE value IS NOT NULL AND abs(value - m) / d > 3.0
          |ORDER BY robust_z DESC, event_id ASC
          |LIMIT 50""".stripMargin,
+    "mad_outliers_by_type" ->
+      s"""WITH ${HistQuantiles.dkGroupedCut("gm", "events", "event_type", "value", 0.5, MadBuckets, "m")},
+         |dev AS (
+         |  SELECT e.event_type, abs(e.value - g.m) AS dv
+         |  FROM events e JOIN gm g ON e.event_type = g.k
+         |  WHERE e.value IS NOT NULL
+         |),
+         |${HistQuantiles.dkGroupedCut("gd", "dev", "event_type", "dv", 0.5, MadBuckets, "d")}
+         |SELECT e.event_type, e.event_id,
+         |       floor(e.value * 1e4 + 0.5) / 1e4 AS value,
+         |       floor(abs(e.value - m.m) / d.d * 1e6 + 0.5) / 1e6 AS robust_z
+         |FROM events e
+         |JOIN gm m ON e.event_type = m.k
+         |JOIN gd d ON e.event_type = d.k
+         |WHERE e.value IS NOT NULL AND d.d > 0
+         |  AND abs(e.value - m.m) / d.d > 3.0
+         |ORDER BY event_type ASC, robust_z DESC, event_id ASC
+         |LIMIT 100""".stripMargin,
     "grid_median_events" ->
       s"""WITH ${HistQuantiles.dkGroupedCut("gm", "events", "event_type", "value", 0.5, MadBuckets, "med")}
          |SELECT k AS event_type,

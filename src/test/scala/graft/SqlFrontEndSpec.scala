@@ -21,7 +21,7 @@ class SqlFrontEndSpec extends SparkSpec {
     "a5_dup_audit", "agg_rollup_totals", "bloom_join_urgent",
     "cube_flag_status", "event_transitions", "f20_bins_acctbal",
     "funnel_stages", "grid_median_events", "kpi_unpivot", "mad_outliers",
-    "mix_temperature", "sample_priority",
+    "mad_outliers_by_type", "mix_temperature", "sample_priority",
     "profile_events", "q1_top_brands", "q3_zscore_outliers",
     "q4_geo_rollup", "q5_risk_watchlist", "sample_per_lang",
     "sample_strata", "stream_merge_events", "u3_kpi_summary",

@@ -107,6 +107,23 @@ class HistQuantilesSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(k"), p)
   }
 
+  test("grouped MAD screen catches small-scale outliers a global screen would drown") {
+    // group A runs at ~1000 with spread ~100; group B at ~1 with
+    // spread ~0.1 plus one planted outlier at 5 — globally invisible
+    // (|5 - median| is tiny on A's scale), obvious within B
+    val rows = (1 to 500).map(i => ("A", 1000.0 + (i % 100))) ++
+      (1 to 500).map(i => ("B", 1.0 + (i % 10) / 100.0)) :+ ("B", 5.0)
+    val df = rows.toDF("g", "x")
+    val byGroup = graft.analytics.StatsOps.madScreenByGroup(df, col("g"), col("x"),
+        zCut = 3.0, buckets = 4096)
+      .select(col("g"), col("x")).collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(byGroup.contains(("B", 5.0)), s"planted B outlier missed: ${byGroup.toSeq}")
+    // constant group exclusion: no divide error, no rows
+    val const = (1 to 50).map(_ => ("C", 2.0)).toDF("g", "x")
+    assert(graft.analytics.StatsOps.madScreenByGroup(const, col("g"), col("x"),
+      3.0, 64).count() == 0)
+  }
+
   test("former percentile call sites carry no unbounded-state aggregate in their plans") {
     val stats = Seq(
       graft.analytics.StatsOps.decilesOrders(spark, dir),
