@@ -402,6 +402,18 @@ object DataOps {
         Cols.r(col("w_hat"), 4).as("w_hat"))
       .orderBy(col("priority").desc, col("doc_id").asc)
 
+  /** Per-language length-weighted sampling with per-stratum subset-sum
+    * estimators ([[Curation.prioritySampleByGroup]]): 10 docs per
+    * language, each stratum carrying its own τ and adjusted weights so
+    * Σŵ per language estimates that language's total chars. */
+  def samplePriorityLang(spark: SparkSession, dir: String): DataFrame =
+    Curation.prioritySampleByGroup(Tables.documents(spark, dir), "doc_id", "lang",
+        col("n_chars"), kPerGroup = 10)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        Cols.r(col("priority"), 4).as("priority"),
+        Cols.r(col("w_hat"), 4).as("w_hat"))
+      .orderBy(col("lang").asc, col("priority").desc, col("doc_id").asc)
+
   // ---- similarity search ---------------------------------------------
 
   def simTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -1562,6 +1574,25 @@ object DataOps {
          |FROM top, tau
          |WHERE rn <= 50
          |ORDER BY priority DESC, doc_id ASC""".stripMargin,
+    "sample_priority_lang" ->
+      s"""WITH wgt AS (
+         |  SELECT doc_id, lang, n_chars,
+         |         CAST(n_chars AS DOUBLE) * 1048576.0
+         |           / CAST(((doc_id * 2654435761) % $P) % 1048576 + 1 AS DOUBLE) AS priority
+         |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+         |), ranked AS (
+         |  SELECT doc_id, lang, n_chars, priority,
+         |         row_number() OVER (PARTITION BY lang ORDER BY priority DESC, doc_id ASC) AS rn
+         |  FROM wgt
+         |), taug AS (
+         |  SELECT lang, priority AS t FROM ranked WHERE rn = 11
+         |)
+         |SELECT r.lang, r.doc_id, r.n_chars,
+         |       floor(r.priority * 1e4 + 0.5) / 1e4 AS priority,
+         |       floor(greatest(CAST(r.n_chars AS DOUBLE), coalesce(g.t, 0.0)) * 1e4 + 0.5) / 1e4 AS w_hat
+         |FROM ranked r LEFT JOIN taug g ON r.lang = g.lang
+         |WHERE r.rn <= 10
+         |ORDER BY r.lang ASC, priority DESC, doc_id ASC""".stripMargin,
     "dedup_embedding" ->
       s"""WITH $dkEmbPairCtes
          |SELECT vec_a, vec_b, cos FROM epairs
@@ -2060,6 +2091,7 @@ object DataOps {
     "mix_budget"        -> (mixBudget _),
     "sample_strata"     -> (sampleStrata _),
     "sample_priority"   -> (samplePriority _),
+    "sample_priority_lang" -> (samplePriorityLang _),
     "lm_surprisal"      -> (lmSurprisal _),
     "kmeans_cells"      -> (kmeansCells _),
     "sim_topk_ivf_kmeans" -> (simTopKIvfKmeans _),

@@ -133,6 +133,42 @@ object Curation {
       .drop("_rn", "_w")
   }
 
+  /** PER-GROUP priority sampling: k rows per group by the same w/u
+    * priorities as [[prioritySample]], with a per-group threshold
+    * τ_g = the group's (k+1)-th priority and per-group adjusted
+    * weights ŵ = max(w, τ_g) — DLT's estimator holds within each
+    * stratum, so Σŵ per group estimates each stratum's weight total
+    * (the per-language token accounting a mixture plan needs).
+    *
+    * Scale shape: one shuffle on the group key; the rank window
+    * parallelizes across groups (the standard per-group top-k shape —
+    * a GLOBAL top-k would be TakeOrderedAndProject, see
+    * [[prioritySample]]); the τ frame is one row per group, broadcast
+    * back. Output: input columns + `priority`, `tau`, `w_hat`. */
+  def prioritySampleByGroup(docs: DataFrame, idCol: String, groupCol: String,
+      weight: Column, kPerGroup: Int, modulus: Int = 1 << 20): DataFrame = {
+    require(kPerGroup >= 1, "prioritySampleByGroup needs kPerGroup >= 1")
+    require(modulus >= 2 && modulus <= (1 << 20) && (modulus & (modulus - 1)) == 0,
+      "modulus must be a power of two in [2, 2^20] — exact double division")
+    val P = TextDedup.P
+    val bucket = pmod(pmod(col(idCol).cast("long") * lit(2654435761L), lit(P)),
+      lit(modulus.toLong))
+    val wgt = docs.withColumn("_w", weight.cast("double"))
+      .filter(col("_w").isNotNull && col("_w") > 0)
+      .withColumn("priority",
+        col("_w") * lit(modulus.toDouble) / (bucket + lit(1L)).cast("double"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("priority").desc, col(idCol).asc)
+    val ranked = wgt.withColumn("_rn", row_number().over(w))
+    val tauG = ranked.filter(col("_rn") === kPerGroup + 1)
+      .select(col(groupCol), col("priority").as("tau"))
+    ranked.filter(col("_rn") <= kPerGroup)
+      .join(broadcast(tauG), Seq(groupCol), "left")
+      .withColumn("tau", coalesce(col("tau"), lit(0.0)))
+      .withColumn("w_hat", greatest(col("_w"), col("tau")))
+      .drop("_rn", "_w")
+  }
+
   /** Temperature-based mixture resampling (the multilingual-LM
     * recipe: raise stratum shares to `p^alpha` so low-resource strata
     * are upweighted relative to their natural frequency). Computes a

@@ -24,6 +24,7 @@ class SqlFrontEndSpec extends SparkSpec {
     "mad_outliers_by_type", "mix_temperature", "sample_priority",
     "profile_events", "q1_top_brands", "q3_zscore_outliers",
     "q4_geo_rollup", "q5_risk_watchlist", "sample_per_lang",
+    "sample_priority_lang",
     "sample_strata", "stream_merge_events", "u3_kpi_summary",
     "u4_result_summary", "zorder_cells", "zorder_read")
 

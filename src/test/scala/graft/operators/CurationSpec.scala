@@ -153,6 +153,40 @@ class CurationSpec extends SparkSpec {
     assert(mean > 0.85 && mean < 1.15, s"estimator ratio mean $mean, trials $trials")
   }
 
+  test("prioritySampleByGroup: k per group, per-group tau, single-group case equals global sampler") {
+    val df = (1L to 400L).map(i => (i, s"g${i % 4}", (i % 13 + 1).toDouble))
+      .toDF("doc_id", "grp", "w")
+    val k = 8
+    val got = Curation.prioritySampleByGroup(df, "doc_id", "grp", $"w", k)
+      .select($"grp", $"doc_id", $"priority", $"tau", $"w_hat")
+      .as[(String, Long, Double, Double, Double)].collect()
+    val byGrp = got.groupBy(_._1)
+    assert(byGrp.keySet == Set("g0", "g1", "g2", "g3"))
+    byGrp.foreach { case (g, rows) =>
+      assert(rows.length == k, s"$g kept ${rows.length}")
+      // local replay of the group's priorities
+      val P = 1000000007L; val m = 1 << 20
+      val all = (1L to 400L).filter(i => s"g${i % 4}" == g).map { i =>
+        val w = (i % 13 + 1).toDouble
+        (i, w, w * m / ((((i * 2654435761L) % P) % m) + 1).toDouble)
+      }.sortBy { case (id, _, q) => (-q, id) }
+      val expTau = all(k)._3
+      assert(rows.map(_._2).toSet == all.take(k).map(_._1).toSet, s"$g kept set")
+      rows.foreach { case (_, id, q, t, wh) =>
+        assert(t == expTau && q >= t)
+        assert(wh == math.max((id % 13 + 1).toDouble, expTau))
+      }
+    }
+    // one group ⇒ identical to the global sampler
+    val one = (1L to 100L).map(i => (i, "only", (i % 7 + 1).toDouble))
+      .toDF("doc_id", "grp", "w")
+    val grouped = Curation.prioritySampleByGroup(one, "doc_id", "grp", $"w", 5)
+      .select($"doc_id", $"w_hat").as[(Long, Double)].collect().toSet
+    val global = Curation.prioritySample(one.drop("grp"), "doc_id", $"w", 5)
+      .select($"doc_id", $"w_hat").as[(Long, Double)].collect().toSet
+    assert(grouped == global)
+  }
+
   test("prioritySample plan: top-k is TakeOrderedAndProject, no global Sort over the corpus") {
     val p = Curation.prioritySample(weighted, "doc_id", $"w", k = 5)
       .queryExecution.executedPlan.toString
