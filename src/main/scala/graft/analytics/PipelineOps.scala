@@ -109,6 +109,34 @@ object PipelineOps {
       .orderBy(col("event_type").asc)
   }
 
+  /** Cross-system reconciliation audit — the FULL OUTER join surface:
+    * per-user order activity vs event activity, categorized by
+    * presence (both / orders_only / events_only). Both sides
+    * pre-aggregate BEFORE the outer join, so the shuffle carries one
+    * row per user, not raw facts, and the join reuses the rollups'
+    * hash partitioning (no extra exchange). All output measures are
+    * integer sums — order-independent by construction. */
+  def reconOrdersEvents(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_custkey").isNotNull)
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(count(lit(1)).as("n_orders"))
+    val e = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    o.join(e, Seq("user_id"), "full_outer")
+      .withColumn("presence",
+        when(col("n_orders").isNotNull && col("n_events").isNotNull, "both")
+          .when(col("n_orders").isNotNull, "orders_only")
+          .otherwise("events_only"))
+      .groupBy(col("presence"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(coalesce(col("n_orders"), lit(0L))).as("n_orders"),
+        sum(coalesce(col("n_events"), lit(0L))).as("n_events"))
+      .orderBy(col("presence").asc)
+  }
+
   /** A5 analogue — duplicate-key audit: GROUP BY key HAVING COUNT>1
     * (ref sql/02_load_data.sql:170-175). */
   def a5DupAudit(spark: SparkSession, dir: String): DataFrame = {
@@ -227,7 +255,24 @@ object PipelineOps {
         |GROUP BY l_orderkey
         |HAVING count(*) > 1
         |ORDER BY n_dup DESC, l_orderkey ASC
-        |LIMIT 500""".stripMargin
+        |LIMIT 500""".stripMargin,
+    "recon_orders_events" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS user_id, count(*) AS n_orders
+        |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+        |), e AS (
+        |  SELECT user_id, count(*) AS n_events
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        |)
+        |SELECT CASE WHEN o.user_id IS NOT NULL AND e.user_id IS NOT NULL THEN 'both'
+        |            WHEN o.user_id IS NOT NULL THEN 'orders_only'
+        |            ELSE 'events_only' END AS presence,
+        |       count(*) AS n_users,
+        |       CAST(sum(coalesce(o.n_orders, 0)) AS BIGINT) AS n_orders,
+        |       CAST(sum(coalesce(e.n_events, 0)) AS BIGINT) AS n_events
+        |FROM o FULL OUTER JOIN e ON o.user_id = e.user_id
+        |GROUP BY 1
+        |ORDER BY presence ASC""".stripMargin
   )
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -236,6 +281,7 @@ object PipelineOps {
     "j3_upsert_users"  -> (j3UpsertUsers _),
     "qa_counts_events" -> (qaCountsEvents _),
     "a5_dup_audit"     -> (a5DupAudit _),
+    "recon_orders_events" -> (reconOrdersEvents _),
     "s13_fact_prune"   -> (s13FactPrune _)
   )
 }

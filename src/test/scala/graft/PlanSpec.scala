@@ -159,6 +159,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("full-outer reconciliation: rollups shuffle once each and the join reuses their partitioning") {
+    val df = graft.analytics.PipelineOps.reconOrdersEvents(spark, dir)
+    val p = plan(df)
+    assert(p.contains("FullOuter"), p.take(3000))
+    // 2 rollup exchanges + 1 final presence-agg exchange; a 4th would
+    // mean the outer join re-shuffled the already-partitioned rollups
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 3, s"expected <= 3 exchanges, got $exchanges\n${p.take(3000)}")
+  }
+
   test("LM surprisal: vocab side broadcasts, per-doc reduce partial-aggregates, no cartesian") {
     val p = plan(graft.analytics.DataOps.lmSurprisal(spark, dir))
     assert(!p.contains("CartesianProduct"), p.take(3000))

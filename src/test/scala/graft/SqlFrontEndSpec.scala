@@ -22,7 +22,7 @@ class SqlFrontEndSpec extends SparkSpec {
     "cube_flag_status", "event_transitions", "f20_bins_acctbal",
     "funnel_stages", "grid_median_events", "kpi_unpivot", "mad_outliers",
     "mad_outliers_by_type", "mix_temperature", "sample_priority",
-    "profile_events", "q1_top_brands", "q3_zscore_outliers",
+    "profile_events", "q1_top_brands", "q3_zscore_outliers", "recon_orders_events",
     "q4_geo_rollup", "q5_risk_watchlist", "sample_per_lang",
     "sample_priority_lang",
     "sample_strata", "stream_merge_events", "u3_kpi_summary",
