@@ -891,6 +891,29 @@ object DataOps {
       .orderBy(col("n_true").desc, col("token").asc)
   }
 
+  /** Join-size estimation from CMS sketches ([[Sketches.cmsJoinSize]]
+    * — the Cormode–Muthukrishnan inner-product estimator): predict
+    * |orders ⋈ events| on the user key from two d×w counter tables,
+    * next to the exact answer and the realized over-ratio. The
+    * planner's broadcast-vs-shuffle-vs-salt decision at 100 TB runs
+    * on exactly this estimate; the gate proves estimator and exact
+    * side agree with the oracle's integer replay of both. */
+  def cmsJoinSizeOrdersEvents(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_custkey").isNotNull)
+      .select(col("o_custkey").cast("string").as("k"))
+    val e = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+      .select(col("user_id").cast("string").as("k"))
+    val est = Sketches.cmsJoinSize(o, col("k"), e, col("k"), d = 4, w = 8192)
+    val actual = o.groupBy(col("k")).agg(count(lit(1)).as("n_o"))
+      .join(e.groupBy(col("k")).agg(count(lit(1)).as("n_e")), Seq("k"))
+      .agg(sum(col("n_o") * col("n_e")).as("join_size_actual"))
+    est.crossJoin(broadcast(actual))
+      .select(col("join_size_est"), col("join_size_actual"),
+        (floor(col("join_size_est").cast("double")
+          / col("join_size_actual").cast("double") * lit(1e4) + lit(0.5)) / lit(1e4))
+          .as("over_ratio"))
+  }
+
   /** SECOND STREAMING GATE — the dedup path: documents stream through
     * [[graft.streaming.Streams.dedupedByContent]] (watermark +
     * `dropDuplicatesWithinWatermark` on the normalized-text sha256)
@@ -2028,6 +2051,35 @@ object DataOps {
          |       CAST(n_est - n_true AS BIGINT) AS overcount
          |FROM est
          |ORDER BY n_true DESC, token ASC""".stripMargin,
+    "cms_join_size" ->
+      s"""WITH ko AS (
+         |  SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders WHERE o_custkey IS NOT NULL
+         |), ke AS (
+         |  SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE user_id IS NOT NULL
+         |), pa AS (
+         |  SELECT t.i AS row, ((h * (2 * t.i + 1) + 999983 * t.i) % $P) % 8192 AS pos
+         |  FROM (SELECT ${dkWordHash("k")} AS h FROM ko) CROSS JOIN generate_series(0, 3) t(i)
+         |), sa AS (
+         |  SELECT row, pos, count(*) AS ca FROM pa GROUP BY 1, 2
+         |), pb AS (
+         |  SELECT t.i AS row, ((h * (2 * t.i + 1) + 999983 * t.i) % $P) % 8192 AS pos
+         |  FROM (SELECT ${dkWordHash("k")} AS h FROM ke) CROSS JOIN generate_series(0, 3) t(i)
+         |), sb AS (
+         |  SELECT row, pos, count(*) AS cb FROM pb GROUP BY 1, 2
+         |), ip AS (
+         |  SELECT row, sum(ca * cb) AS ip FROM sa JOIN sb USING (row, pos) GROUP BY 1
+         |), mi AS (
+         |  SELECT min(ip) AS min_ip, count(*) AS n_rows FROM ip
+         |), est AS (
+         |  SELECT CAST(CASE WHEN n_rows < 4 THEN 0 ELSE min_ip END AS BIGINT) AS join_size_est FROM mi
+         |), act AS (
+         |  SELECT CAST(sum(n_o * n_e) AS BIGINT) AS join_size_actual FROM
+         |    (SELECT k, count(*) AS n_o FROM ko GROUP BY 1) a
+         |    JOIN (SELECT k, count(*) AS n_e FROM ke GROUP BY 1) b USING (k)
+         |)
+         |SELECT join_size_est, join_size_actual,
+         |       floor(CAST(join_size_est AS DOUBLE) / CAST(join_size_actual AS DOUBLE) * 1e4 + 0.5) / 1e4 AS over_ratio
+         |FROM est, act""".stripMargin,
     "stream_dedup_docs" ->
       """SELECT count(DISTINCT fp) AS n_rows, count(DISTINCT fp) AS n_distinct_fp
         |FROM (SELECT sha256(regexp_replace(lower(trim(text)), '[ \t\n\f\r]+', ' ', 'g')) AS fp
@@ -2121,6 +2173,7 @@ object DataOps {
     "hll_distinct_events" -> (hllDistinctEvents _),
     "hll_daily_users"   -> (hllDailyUsers _),
     "cms_token_counts"  -> (cmsTokenCounts _),
+    "cms_join_size"     -> (cmsJoinSizeOrdersEvents _),
     "stream_merge_events" -> (streamMergeEvents _),
     "stream_dedup_docs" -> (streamDedupDocs _),
     "bucketed_join"     -> (bucketedJoin _),

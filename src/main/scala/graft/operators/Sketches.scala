@@ -296,6 +296,29 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
   }
 
+  /** Join-cardinality estimate from two CMS counter tables over the
+    * join key (Cormode & Muthukrishnan 2005 §4.2, the inner-product
+    * estimator): |A ⋈ B| = Σ_k fA(k)·fB(k), estimated as the MINIMUM
+    * over the d hash rows of the row-wise counter inner product.
+    * Never an undercount (every true matching pair lands in the same
+    * cell of every row); overcounts only from collisions,
+    * E[over] ≤ N_A·N_B/w per row. The planner use: size a join from
+    * two d·w-cell sketches — kilobytes of state per 100 TB input —
+    * before choosing broadcast vs shuffle vs salting. */
+  def cmsJoinSize(a: DataFrame, ca: Column, b: DataFrame, cb: Column,
+      d: Int = 4, w: Int = 512): DataFrame = {
+    val sa = cmsCounters(a, ca, d, w).withColumnRenamed("cnt", "ca")
+    val sb = cmsCounters(b, cb, d, w).withColumnRenamed("cnt", "cb")
+    sa.join(sb, Seq("row", "pos")) // a cell unoccupied on either side adds 0
+      .groupBy(col("row"))
+      .agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("min_ip"), count(lit(1)).as("n_rows"))
+      // a hash row with NO co-occupied cells has inner product 0; the
+      // inner join dropped it, so the min must be forced to see it
+      .select(when(col("n_rows") < d, lit(0L)).otherwise(col("min_ip"))
+        .as("join_size_est"))
+  }
+
   /** Set-overlap estimate between two columns from their sketches
     * (inclusion–exclusion over KMV union): |A∪B| from the merged
     * sketch, |A∩B| = |A| + |B| − |A∪B|, clamped at 0. One row:

@@ -171,6 +171,31 @@ class SketchesSpec extends SparkSpec {
     assert(est == 0L)
   }
 
+  test("cms: join-size estimate never undercounts and is exact at low load") {
+    // A: key i repeated (i%5+1) times; B: key i repeated (i%3+1) times
+    val a = (1 to 200).flatMap(i => Seq.fill(i % 5 + 1)(s"k$i")).toDF("s")
+    val b = (1 to 200).flatMap(i => Seq.fill(i % 3 + 1)(s"k$i")).toDF("s")
+    val actual = (1 to 200).map(i => (i % 5 + 1).toLong * (i % 3 + 1)).sum
+    val wide = Sketches.cmsJoinSize(a, $"s", b, $"s", d = 4, w = 8192)
+      .collect().head.getLong(0)
+    assert(wide == actual, s"wide sketch should be exact: $wide vs $actual")
+    val narrow = Sketches.cmsJoinSize(a, $"s", b, $"s", d = 4, w = 32)
+      .collect().head.getLong(0)
+    assert(narrow >= actual, s"narrow sketch must never undercount: $narrow vs $actual")
+  }
+
+  test("cms: join-size estimate is 0 against an empty or fully-disjoint side") {
+    val a = (1 to 50).map(i => s"a$i").toDF("s")
+    val empty = Seq.empty[String].toDF("s")
+    assert(Sketches.cmsJoinSize(a, $"s", empty, $"s").collect().head.getLong(0) == 0L)
+    // disjoint keys can still collide in cells; with a wide sketch the
+    // collision product vanishes and the min over rows reaches 0
+    val b = (1 to 50).map(i => s"b$i").toDF("s")
+    val est = Sketches.cmsJoinSize(a, $"s", b, $"s", d = 4, w = 8192)
+      .collect().head.getLong(0)
+    assert(est == 0L, s"disjoint wide-sketch estimate should be 0, got $est")
+  }
+
   test("hll: registers are partition-order independent (repartition invariance)") {
     val d = (1 to 5000).map(i => s"item-$i").toDF("s")
     val a = Sketches.hllDistinct(d, $"s", 64).collect().head
