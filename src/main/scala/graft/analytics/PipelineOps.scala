@@ -109,6 +109,30 @@ object PipelineOps {
       .orderBy(col("event_type").asc)
   }
 
+  /** Cohort retention — the first-seen-cohort × day-offset activity
+    * matrix every product-analytics stack runs: users grouped by the
+    * date of their first event, distinct-user counts for each later
+    * active day offset (0..14). Shape: one rollup for first-seen (a
+    * per-user min — partial-aggregable), one distinct-activity frame,
+    * one join on user_id (first-seen side is users-not-events sized;
+    * AQE broadcasts when it measures small), then a two-key count
+    * distinct. Dates leave as strings (engine-portable compare). */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_d"))
+    ev.distinct()
+      .join(first, Seq("user_id"))
+      .withColumn("day_offset", datediff(col("d"), col("cohort_d")).cast("long"))
+      .filter(col("day_offset") <= 14)
+      .groupBy(col("cohort_d"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("cohort_d"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("n_users"))
+      .orderBy(col("cohort_day").asc, col("day_offset").asc)
+  }
+
   /** Cross-system reconciliation audit — the FULL OUTER join surface:
     * per-user order activity vs event activity, categorized by
     * presence (both / orders_only / events_only). Both sides
@@ -256,6 +280,22 @@ object PipelineOps {
         |HAVING count(*) > 1
         |ORDER BY n_dup DESC, l_orderkey ASC
         |LIMIT 500""".stripMargin,
+    "cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), act AS (
+        |  SELECT DISTINCT user_id, d FROM ev
+        |), fst AS (
+        |  SELECT user_id, min(d) AS cohort_d FROM ev GROUP BY 1
+        |)
+        |SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort_day,
+        |       CAST(date_diff('day', cohort_d, d) AS BIGINT) AS day_offset,
+        |       count(DISTINCT a.user_id) AS n_users
+        |FROM act a JOIN fst f USING (user_id)
+        |WHERE date_diff('day', cohort_d, d) <= 14
+        |GROUP BY 1, 2
+        |ORDER BY cohort_day ASC, day_offset ASC""".stripMargin,
     "recon_orders_events" ->
       """WITH o AS (
         |  SELECT o_custkey AS user_id, count(*) AS n_orders
@@ -282,6 +322,7 @@ object PipelineOps {
     "qa_counts_events" -> (qaCountsEvents _),
     "a5_dup_audit"     -> (a5DupAudit _),
     "recon_orders_events" -> (reconOrdersEvents _),
+    "cohort_retention" -> (cohortRetention _),
     "s13_fact_prune"   -> (s13FactPrune _)
   )
 }

@@ -28,6 +28,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(df.count() == df.select($"user_id").distinct().count())
   }
 
+  test("cohort retention: offset 0 counts every cohort's full size; offsets never grow") {
+    val ret = PipelineOps.cohortRetention(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(ret.nonEmpty)
+    val byCohort = ret.groupBy(_._1)
+    byCohort.foreach { case (c, rows) =>
+      val m = rows.map(t => t._2 -> t._3).toMap
+      // a user is active on their own first day by definition
+      assert(m.contains(0L), s"cohort $c missing offset 0")
+      // retention at any offset cannot exceed the cohort's day-0 size
+      m.foreach { case (off, n) => assert(n <= m(0L), s"$c offset $off") }
+    }
+  }
+
   test("j3 upsert: matched keys take the new batch, unmatched old rows survive") {
     val out = PipelineOps.j3UpsertUsers(spark, dir)
     // one row per user
