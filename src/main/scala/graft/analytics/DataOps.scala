@@ -387,6 +387,20 @@ object DataOps {
       .limit(20)
   }
 
+  /** Trigram stupid-backoff surprisal with a TRAIN/SCORE SPLIT: the
+    * model trains on even doc_ids and scores odd doc_ids, so held-out
+    * trigrams actually exercise the backoff chain (self-scoring would
+    * keep every trigram in-model and the backoff branches dead). Top
+    * 20 most-surprising held-out docs. */
+  def lmBackoff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    LanguageModel.backoffScores(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 1),
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 0))
+      .orderBy(col("avg_bits").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
   /** Length-weighted document sampling via priority sampling
     * ([[Curation.prioritySample]] — DLT top-k by w/u priorities with
     * the subset-sum estimator ŵ = max(w, τ)): longer documents are
@@ -1578,6 +1592,60 @@ object DataOps {
          |FROM sc GROUP BY doc_id
          |ORDER BY avg_bits DESC, doc_id ASC
          |LIMIT 20""".stripMargin,
+    "lm_backoff" ->
+      s"""WITH rtk AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id % 2 = 0
+         |), stk AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id % 2 = 1
+         |), uni AS (
+         |  SELECT w, count(*) AS c1 FROM (SELECT unnest(t) AS w FROM rtk) GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(sum(c1) AS BIGINT) AS n_tok, count(*) AS v FROM uni
+         |), rbi AS (
+         |  SELECT w1, w2, count(*) AS c12 FROM (
+         |    SELECT bg['w1'] AS w1, bg['w2'] AS w2 FROM (
+         |      SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+         |               i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS bg
+         |      FROM rtk WHERE len(t) >= 2))
+         |  GROUP BY 1, 2
+         |), rtri AS (
+         |  SELECT w1, w2, w3, count(*) AS c123 FROM (
+         |    SELECT tg['w1'] AS w1, tg['w2'] AS w2, tg['w3'] AS w3 FROM (
+         |      SELECT unnest(list_transform(generate_series(1, len(t) - 2),
+         |               i -> struct_pack(w1 := t[i], w2 := t[i + 1], w3 := t[i + 2]))) AS tg
+         |      FROM rtk WHERE len(t) >= 3))
+         |  GROUP BY 1, 2, 3
+         |), trim_ AS (
+         |  SELECT r.w1, r.w2, r.w3, r.c123, b.c12
+         |  FROM rtri r JOIN rbi b ON r.w1 = b.w1 AND r.w2 = b.w2
+         |), bim AS (
+         |  SELECT b.w1 AS w2, b.w2 AS w3, b.c12 AS c23, u.c1 AS c2
+         |  FROM rbi b JOIN uni u ON u.w = b.w1
+         |), dtri AS (
+         |  SELECT doc_id, tg['w1'] AS w1, tg['w2'] AS w2, tg['w3'] AS w3 FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+         |             i -> struct_pack(w1 := t[i], w2 := t[i + 1], w3 := t[i + 2]))) AS tg
+         |    FROM stk WHERE len(t) >= 3)
+         |), pp AS (
+         |  SELECT d.doc_id,
+         |         CASE WHEN t.c123 IS NOT NULL THEN CAST(t.c123 AS DOUBLE) / CAST(t.c12 AS DOUBLE)
+         |              WHEN m.c23 IS NOT NULL THEN CAST(0.4 AS DOUBLE) * (CAST(m.c23 AS DOUBLE) / CAST(m.c2 AS DOUBLE))
+         |              ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+         |                   * (CAST(coalesce(u.c1, 0) + 1 AS DOUBLE) / CAST(n_tok + v AS DOUBLE)) END AS p
+         |  FROM dtri d
+         |  LEFT JOIN trim_ t ON d.w1 = t.w1 AND d.w2 = t.w2 AND d.w3 = t.w3
+         |  LEFT JOIN bim m ON d.w2 = m.w2 AND d.w3 = m.w3
+         |  LEFT JOIN uni u ON u.w = d.w3
+         |  CROSS JOIN tot
+         |), sc AS (
+         |  SELECT doc_id, CAST(floor(${LanguageModel.dkSurprisal("p")} * 1e6 + 0.5) AS BIGINT) AS su
+         |  FROM pp
+         |)
+         |SELECT doc_id, count(*) AS n_trigrams,
+         |       floor(CAST(sum(su) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) / 1e6 AS avg_bits
+         |FROM sc GROUP BY doc_id
+         |ORDER BY avg_bits DESC, doc_id ASC
+         |LIMIT 20""".stripMargin,
     "sample_priority" ->
       s"""WITH wgt AS (
          |  SELECT doc_id, lang, n_chars,
@@ -2145,6 +2213,7 @@ object DataOps {
     "sample_priority"   -> (samplePriority _),
     "sample_priority_lang" -> (samplePriorityLang _),
     "lm_surprisal"      -> (lmSurprisal _),
+    "lm_backoff"        -> (lmBackoff _),
     "kmeans_cells"      -> (kmeansCells _),
     "sim_topk_ivf_kmeans" -> (simTopKIvfKmeans _),
     "sim_topk"          -> (simTopK _),

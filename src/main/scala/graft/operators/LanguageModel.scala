@@ -107,6 +107,80 @@ object LanguageModel {
           / lit(1e6)).as("avg_bits"))
   }
 
+  /** (id, w1, w2, w3) adjacent-token trigrams; documents with fewer
+    * than 3 tokens contribute none. */
+  def trigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), split(col(textCol), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col(idCol), explode(
+        zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 2),
+          zip_with(
+            slice(col("t"), lit(2), size(col("t")) - 2),
+            slice(col("t"), lit(3), size(col("t")) - 2),
+            (b, c) => struct(b.as("w2"), c.as("w3"))),
+          (a, bc) => struct(a.as("w1"),
+            bc.getField("w2").as("w2"), bc.getField("w3").as("w3")))).as("tg"))
+      .select(col(idCol), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+
+  /** Per-document average trigram surprisal under STUPID BACKOFF
+    * (Brants et al., "Large Language Models in Machine Translation",
+    * EMNLP 2007): score each trigram as
+    *
+    *   S(w3|w1,w2) = c123/c12                    if the trigram is in the model
+    *               = α · c23/c2                  else if the (w2,w3) bigram is
+    *               = α² · (c3+1)/(N+V)           otherwise (add-one on the
+    *                                             unigram floor keeps S > 0
+    *                                             for OOV w3)
+    *
+    * with α = 0.4 (the published constant). Scores are MLE ratios, not
+    * probabilities — the standard web-scale trade: no discounting pass
+    * over the count tables. Every branch is a ratio of integers times
+    * an exact literal, so S is bit-identical cross-engine and the
+    * surprisal ladder ([[surprisalBits]]) replays in the oracle.
+    * Count tables carry their context denominator in the same row
+    * (c123 WITH c12, c23 WITH c2), so scoring joins each model table
+    * once. Per-doc sums are integer micro-bits (order-independent).
+    * Same degenerate contracts as [[surprisalScores]]: empty reference
+    * → empty result; docs with < 3 tokens absent. */
+  def backoffScores(docs: DataFrame, ref: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val refTok = ref.select(explode(split(col(textCol), " ")).as("w"))
+    val uni = refTok.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val tot = uni.agg(sum(col("c1")).as("n_tok"), count(lit(1)).as("v"))
+    val bi = bigrams(ref, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    // trigram rows carry their context bigram count
+    val tri = trigrams(ref, idCol, textCol)
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c123"))
+      .join(bi, Seq("w1", "w2"))
+    // bigram model keyed by (w2, w3) with its context unigram count
+    val biM = bi.select(col("w1").as("w2"), col("w2").as("w3"), col("c12").as("c23"))
+      .join(uni.select(col("w").as("w2"), col("c1").as("c2")), Seq("w2"))
+    val s = when(col("c123").isNotNull,
+        col("c123").cast("double") / col("c12").cast("double"))
+      .when(col("c23").isNotNull,
+        lit(alpha) * (col("c23").cast("double") / col("c2").cast("double")))
+      .otherwise(lit(alpha) * lit(alpha) *
+        ((coalesce(col("c3"), lit(0L)) + lit(1L)).cast("double")
+          / (col("n_tok") + col("v")).cast("double")))
+    trigrams(docs, idCol, textCol)
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(biM, Seq("w2", "w3"), "left")
+      .join(broadcast(uni.select(col("w").as("w3"), col("c1").as("c3"))), Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+      .filter(col("v") > 0)
+      .select(col(idCol),
+        floor(surprisalBits(s) * lit(1e6) + lit(0.5)).cast("long").as("su"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("su")).as("su_sum"))
+      .select(col(idCol), col("n_trigrams"),
+        (floor(col("su_sum").cast("double") / col("n_trigrams").cast("double") + lit(0.5))
+          / lit(1e6)).as("avg_bits"))
+  }
+
   // ------------------------------------------------------------ oracle
 
   /** SQL expression replaying [[surprisalBits]] over the probability

@@ -63,6 +63,44 @@ class LanguageModelSpec extends SparkSpec {
     assert(got.getDouble(2) == exp, s"got ${got.getDouble(2)} want $exp")
   }
 
+  test("backoffScores matches a hand-computed stupid-backoff model across all three branches") {
+    // ref: "a b c a b c"  →  unigrams a=2,b=2,c=2 (N=6, V=3)
+    //   bigrams: (a,b)=2, (b,c)=2, (c,a)=1
+    //   trigrams: (a,b,c)=2, (b,c,a)=1, (c,a,b)=1
+    val ref = Seq((0L, "a b c a b c")).toDF("doc_id", "text")
+    // doc 9: "a b c a z" → trigrams:
+    //   (a,b,c): in model → 2/2 = 1                      [branch 1]
+    //   (b,c,a): in model → 1/2                          [branch 1]
+    //   (c,a,z): no trigram, no (a,z) bigram, z OOV →
+    //            0.4·0.4·(0+1)/(6+3)                     [branch 3]
+    val docs = Seq((9L, "a b c a z")).toDF("doc_id", "text")
+    val got = LanguageModel.backoffScores(docs, ref).collect().head
+    def s(p: Double): Double = {
+      val j = (1 to 64).count(t => p <= math.pow(2.0, -t))
+      math.floor((j + 2.0 - p * math.pow(2.0, j + 1)) * 1e6 + 0.5)
+    }
+    val exp = math.floor((s(1.0) + s(0.5) + s(0.4 * 0.4 * (1.0 / 9))) / 3.0 + 0.5) / 1e6
+    assert(got.getLong(1) == 3L)
+    assert(got.getDouble(2) == exp, s"got ${got.getDouble(2)} want $exp")
+    // branch 2: "x b c" — the (x,b,c) trigram is unseen (x is OOV)
+    // but the backoff bigram (b,c) IS in the model → 0.4·(2/2)
+    val d2 = Seq((7L, "x b c")).toDF("doc_id", "text")
+    val got2 = LanguageModel.backoffScores(d2, ref).collect().head
+    val exp2 = math.floor(s(0.4 * (2.0 / 2)) / 1.0 + 0.5) / 1e6
+    assert(got2.getDouble(2) == exp2, s"got ${got2.getDouble(2)} want $exp2")
+  }
+
+  test("backoffScores: in-model text scores lower surprisal than held-out noise") {
+    val ref = (1L to 40L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val docs = Seq((100L, "the quick brown fox jumps"), (101L, "dog the over fox quick"))
+      .toDF("doc_id", "text")
+    val got = LanguageModel.backoffScores(docs, ref)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(100L) < got(101L),
+      s"in-model ${got(100L)} must beat shuffled ${got(101L)}")
+  }
+
   test("documents with fewer than 2 tokens are absent; determinism holds") {
     val docs = Seq((1L, "only"), (2L, "a b")).toDF("doc_id", "text")
     def run() = LanguageModel.surprisalScores(docs, docs)
