@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Cols
@@ -508,6 +508,41 @@ object DataOps {
       KMeans.fit(emb, k = 8, nIter = 2), k = 5, nProbe = 2)
     row("ivf_kmeans", ivf).unionAll(row("lsh", lsh)).unionAll(row("lsh_multiprobe", mlsh))
       .orderBy(col("method").asc)
+  }
+
+  /** Measured cosine distortion of random projection ([[Similarity
+    * .randomProject]] — 128 → 64 dims): mean/max |cos_original −
+    * cos_projected| over a fixed 600-pair sample. This is the JL
+    * property the operator actually guarantees — DISTANCE
+    * preservation, not top-k rank preservation: on this corpus the
+    * neighbor margins (top cos ≈ 0.38 over a 1/√128 noise floor) are
+    * smaller than the projection noise, so a rank-recall gate would
+    * only measure the corpus, not the operator. Per-pair errors are
+    * quantized to integer micro-units before the mean (order-
+    * independent). The oracle replays the 64 plane literals, the
+    * float-cast projections, and both cosine grids. */
+  def rpDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val proj = Similarity.randomProject(emb,
+      Similarity.gaussianPlanes(lshSeed, 64, embDim))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .join(proj.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qp")), Seq("qid"))
+    val c = emb.filter(col("vec_id") >= 10 && col("vec_id") < 70)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .join(proj.filter(col("vec_id") >= 10 && col("vec_id") < 70)
+        .select(col("vec_id").as("cid"), col("embedding").as("cp")), Seq("cid"))
+    def grid(x: Column): Column = floor(x * lit(1e6) + lit(0.5)) / lit(1e6)
+    c.crossJoin(broadcast(q))
+      .select((floor(abs(grid(Similarity.cosine(col("qv"), col("cv")))
+          - grid(Similarity.cosine(col("qp"), col("cp")))) * lit(1e6) + lit(0.5)))
+        .cast("long").as("e"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("e")).as("esum"), max(col("e")).as("emax"))
+      .select(lit(64).as("rdim"), col("n_pairs"),
+        (floor(col("esum").cast("double") / col("n_pairs").cast("double") + lit(0.5)) / lit(1e6))
+          .as("mean_abs_err"),
+        (col("emax").cast("double") / lit(1e6)).as("max_abs_err"))
   }
 
   // ---- text analysis ---------------------------------------------------
@@ -1772,6 +1807,27 @@ object DataOps {
          |SELECT query_id, rank, neighbor_id, cos FROM ranked
          |WHERE rank <= 3
          |ORDER BY query_id ASC, rank ASC""".stripMargin,
+    "rp_distortion" ->
+      s"""WITH anchors AS (
+         |  ${dkSeededAnchors(64)}
+         |), proj AS (
+         |  SELECT e.vec_id,
+         |         list(CAST(${dkDot("e.embedding", "a.plane_vec")} AS REAL) ORDER BY a.rank ASC) AS p
+         |  FROM embeddings e CROSS JOIN anchors a
+         |  GROUP BY e.vec_id
+         |), er AS (
+         |  SELECT CAST(floor(abs(${dkCos("q.embedding", "c.embedding")}
+         |                        - ${dkCos("qp.p", "cp.p")}) * 1e6 + 0.5) AS BIGINT) AS e
+         |  FROM embeddings q
+         |  JOIN embeddings c ON c.vec_id >= 10 AND c.vec_id < 70
+         |  JOIN proj qp ON qp.vec_id = q.vec_id
+         |  JOIN proj cp ON cp.vec_id = c.vec_id
+         |  WHERE q.vec_id < 10
+         |)
+         |SELECT 64 AS rdim, count(*) AS n_pairs,
+         |       floor(CAST(sum(e) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) / 1e6 AS mean_abs_err,
+         |       CAST(max(e) AS DOUBLE) / 1e6 AS max_abs_err
+         |FROM er""".stripMargin,
     "ann_recall" ->
       s"""WITH c0 AS (
          |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, embedding AS c
@@ -2220,6 +2276,7 @@ object DataOps {
     "sim_topk_lsh"      -> (simTopKLsh _),
     "sim_topk_ivf"      -> (simTopKIvf _),
     "ann_recall"        -> (annRecall _),
+    "rp_distortion"     -> (rpDistortion _),
     "incr_load_events"  -> (incrLoadEvents _),
     "sessionize_daily"  -> (sessionizeDaily _),
     "scd2_user_versions" -> (scd2UserVersions _),

@@ -76,6 +76,23 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Random-projection dimensionality reduction (Johnson &
+    * Lindenstrauss): replace each vector with its dot products onto
+    * `planes.size` seeded Gaussian directions. Map-side only — one
+    * codegen'd kernel call per direction against a literal plane
+    * vector, no shuffle, no fitted state — and the projections are
+    * cast to float so a projected corpus is a drop-in corpus for
+    * every similarity operator here (brute force, LSH, IVF). The
+    * 100 TB use: cut the per-pair cosine cost of a verify stage by
+    * dim/rDim with a distance distortion bounded by the JL lemma. */
+  def randomProject(df: DataFrame, planes: Seq[Array[Float]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(planes.nonEmpty, "randomProject needs at least one plane")
+    GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol), array(planes.map(p =>
+      GraftFunctions.dot(col(vecCol), typedlit(p.toSeq)).cast("float")): _*).as(vecCol))
+  }
+
   /** SplitMix64 step (Steele et al., public domain) — the statistical
     * mixer behind [[gaussianPlaneGrid]]'s counter-mode stream. */
   private def splitmix64(x: Long): Long = {

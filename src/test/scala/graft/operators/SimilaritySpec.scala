@@ -246,4 +246,31 @@ class SimilaritySpec extends SparkSpec {
     assert(buckets(200L) == 0L && buckets(201L) == 0L)
     assert(buckets.values.forall(b => b >= 0L && b < 4L))
   }
+
+  test("randomProject: deterministic, right arity, and distortion shrinks as rDim grows") {
+    val dim = 32
+    // deterministic pseudo-random unit-ish vectors
+    val data = (0L until 40L).map { i =>
+      i -> (0 until dim).map(d => (((i * 31 + d) * 2654435761L % 1000) / 1000.0f - 0.5f)).toSeq
+    }
+    val df = data.toDF("vec_id", "embedding")
+    def meanErr(r: Int): Double = {
+      val proj = Similarity.randomProject(df, Similarity.gaussianPlanes(7L, r, dim))
+      val o = df.select($"vec_id".as("id"), $"embedding".as("v"))
+      val p = proj.select($"vec_id".as("id"), $"embedding".as("pv"))
+      val both = o.join(p, "id")
+      val q = both.filter($"id" < 5)
+        .select($"id".as("qid"), $"v".as("qv"), $"pv".as("qp"))
+      both.filter($"id" >= 5).crossJoin(q)
+        .select(abs(Similarity.cosine($"qv", $"v") - Similarity.cosine($"qp", $"pv")).as("e"))
+        .agg(avg($"e")).as[Double].head()
+    }
+    val (e4, e24) = (meanErr(4), meanErr(24))
+    assert(e24 < e4, s"JL: rDim 24 ($e24) must distort less than rDim 4 ($e4)")
+    // determinism + arity
+    val p1 = Similarity.randomProject(df, Similarity.gaussianPlanes(7L, 8, dim))
+    val p2 = Similarity.randomProject(df, Similarity.gaussianPlanes(7L, 8, dim))
+    assert(p1.collect().map(_.toString).sorted.sameElements(p2.collect().map(_.toString).sorted))
+    assert(p1.select(size($"embedding")).distinct().as[Int].collect().toSeq == Seq(8))
+  }
 }
