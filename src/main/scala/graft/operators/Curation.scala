@@ -103,6 +103,8 @@ object Curation {
     * (per-partition heaps, no global sort); the rank/τ window then
     * runs over ≤ k+1 rows on one task — bounded by construction.
     * Rows with w ≤ 0 or NULL are excluded (DLT requires w > 0).
+    * Ids must be non-negative and below ~3.4e9 for the same
+    * multiplicative-hash overflow/modulo reasons as [[hashSample]].
     * Output: input columns + `priority`, `tau`, `w_hat`. */
   def prioritySample(docs: DataFrame, idCol: String, weight: Column, k: Int,
       modulus: Int = 1 << 20): DataFrame = {

@@ -84,7 +84,10 @@ object Similarity {
     * cast to float so a projected corpus is a drop-in corpus for
     * every similarity operator here (brute force, LSH, IVF). The
     * 100 TB use: cut the per-pair cosine cost of a verify stage by
-    * dim/rDim with a distance distortion bounded by the JL lemma. */
+    * dim/rDim with a distance distortion bounded by the JL lemma.
+    * Plane dimension must match the vector dimension — a mismatch
+    * surfaces as NULL projections (graft_dot's length contract), not
+    * a wrong number. */
   def randomProject(df: DataFrame, planes: Seq[Array[Float]],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(planes.nonEmpty, "randomProject needs at least one plane")
