@@ -177,4 +177,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p.take(3000))
     assert(p.contains("partial_sum") || p.contains("partial_count"), p.take(3000))
   }
+
+  test("LM backoff and CMS join-size keep relational shapes: no cartesian, partial aggregation") {
+    val pb = plan(graft.analytics.DataOps.lmBackoff(spark, dir))
+    assert(!pb.contains("CartesianProduct"), pb.take(3000))
+    assert(pb.contains("partial_sum") || pb.contains("partial_count"), pb.take(3000))
+    val pc = plan(graft.analytics.DataOps.cmsJoinSizeOrdersEvents(spark, dir))
+    assert(!pc.contains("CartesianProduct"), pc.take(3000))
+    // both counter tables are partial-agg reductions before their join
+    assert(pc.contains("partial_count"), pc.take(3000))
+  }
 }
