@@ -170,6 +170,18 @@ object StatsOps {
         col("n").as("n_events"))
       .orderBy(col("event_type").asc)
 
+  /** Quantile normalization of event values ([[HistQuantiles.cdf]] —
+    * per-row empirical-CDF rank from the O(buckets) histogram, one-
+    * bucket resolution, corpus never shuffles): the monotone feature
+    * scaler used before mixing heterogeneous quality scores. Top-20
+    * ranked rows shown. */
+  def cdfEventsValue(spark: SparkSession, dir: String): DataFrame =
+    HistQuantiles.cdf(Tables.events(spark, dir).filter(col("value").isNotNull),
+        col("value"), MadBuckets, "pct")
+      .select(col("event_id"), Cols.r(col("value"), 4).as("value"), col("pct"))
+      .orderBy(col("pct").desc, col("value").desc, col("event_id").asc)
+      .limit(20)
+
   // ---- vocabulary coverage (tokenizer planning) ----------------------
 
   /** Top-30 tokens with cumulative corpus share — the "how small can
@@ -253,6 +265,7 @@ object StatsOps {
     "mad_outliers"      -> (madOutliers _),
     "grid_median_events" -> (gridMedianEvents _),
     "mad_outliers_by_type" -> (madOutliersByType _),
+    "cdf_events_value"  -> (cdfEventsValue _),
     "vocab_coverage"    -> (vocabCoverage _),
     "bigram_lift"       -> (bigramLift _),
     "sample_per_lang"   -> (samplePerLang _)
@@ -371,6 +384,29 @@ object StatsOps {
          |  AND abs(e.value - m.m) / d.d > 3.0
          |ORDER BY event_type ASC, robust_z DESC, event_id ASC
          |LIMIT 100""".stripMargin,
+    "cdf_events_value" ->
+      s"""WITH s AS (
+         |  SELECT count(*) AS n, CAST(min(value) AS DOUBLE) AS lo, CAST(max(value) AS DOUBLE) AS hi
+         |  FROM events WHERE value IS NOT NULL
+         |), c AS (
+         |  SELECT b, count(*) AS cnt FROM (
+         |    SELECT CASE WHEN hi = lo THEN 0
+         |           ELSE CAST(least(floor((CAST(value AS DOUBLE) - lo) / (hi - lo) * $MadBuckets), ${MadBuckets - 1}) AS INT) END AS b
+         |    FROM events, s WHERE value IS NOT NULL)
+         |  GROUP BY 1
+         |), u AS (
+         |  SELECT b, sum(cnt) OVER (ORDER BY b ASC ROWS UNBOUNDED PRECEDING) AS cum FROM c
+         |)
+         |SELECT event_id,
+         |       floor(e.value * 1e4 + 0.5) / 1e4 AS value,
+         |       floor(CAST(u.cum AS DOUBLE) / CAST(s.n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS pct
+         |FROM events e
+         |CROSS JOIN s
+         |JOIN u ON u.b = (CASE WHEN s.hi = s.lo THEN 0
+         |                 ELSE CAST(least(floor((CAST(e.value AS DOUBLE) - s.lo) / (s.hi - s.lo) * $MadBuckets), ${MadBuckets - 1}) AS INT) END)
+         |WHERE e.value IS NOT NULL
+         |ORDER BY pct DESC, value DESC, event_id ASC
+         |LIMIT 20""".stripMargin,
     "grid_median_events" ->
       s"""WITH ${HistQuantiles.dkGroupedCut("gm", "events", "event_type", "value", 0.5, MadBuckets, "med")}
          |SELECT k AS event_type,

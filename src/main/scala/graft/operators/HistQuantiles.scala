@@ -127,6 +127,42 @@ object HistQuantiles {
         col("n"))
   }
 
+  /** Per-row CDF transform (quantile normalization): attach `as` =
+    * the empirical CDF at the row's value, read off the fixed-grid
+    * histogram — `cum(bucket(x)) / n`, quantized to the 1e-6 grid.
+    * The monotone feature-scaling step (rank features before mixing
+    * heterogeneous scores) with the same bounded-state machinery as
+    * [[cuts]]: resolution is one bucket (ties within a bucket share a
+    * rank), which is the price of O(buckets) state instead of a
+    * corpus-wide sort. The histogram is O(B) rows and rides a
+    * broadcast back onto the corpus — the corpus itself never
+    * shuffles. NULL values get a NULL rank. */
+  def cdf(df: DataFrame, c: Column, nBuckets: Int, as: String): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= (1 << 20), "nBuckets must be in [2, 2^20]")
+    val vals = df.filter(c.isNotNull).select(c.cast("double").as("x"))
+    val stats = vals.agg(count(lit(1)).as("n"),
+      min(col("x")).as("lo"), max(col("x")).as("hi"))
+    def bucketOf(x: Column): Column =
+      when(col("hi") === col("lo"), lit(0L)).otherwise(
+        least(floor((x - col("lo")) / (col("hi") - col("lo")) * lit(nBuckets)),
+          lit((nBuckets - 1).toLong)))
+    val counts = vals.crossJoin(broadcast(stats))
+      .select(bucketOf(col("x")).cast("int").as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(pmod(col("b"), lit(1))).orderBy(col("b").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("cum", sum(col("cnt")).over(w)).select(col("b"), col("cum"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("_b", when(c.isNull, lit(null)).otherwise(
+        bucketOf(c.cast("double")).cast("int")))
+      .join(broadcast(cum), col("_b") === cum("b"), "left")
+      .withColumn(as,
+        when(c.isNull, lit(null))
+          .otherwise(floor(col("cum").cast("double") / col("n").cast("double") * lit(1e6)
+            + lit(0.5)) / lit(1e6)))
+      .drop("_b", "b", "cum", "n", "lo", "hi")
+  }
+
   // ------------------------------------------------------------ oracle
 
   /** DuckDB CTE chain replaying [[cuts]] exactly for one probability:

@@ -107,6 +107,37 @@ class HistQuantilesSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(k"), p)
   }
 
+  test("cdf: monotone in the value, max rank = 1, within one bucket of the exact empirical CDF") {
+    val xs = (1 to 2000).map(i => ((i * 48271L) % 99991L).toDouble)
+    val df = xs.toDF("x")
+    val b = 1024
+    val got = HistQuantiles.cdf(df, col("x"), b, "pct")
+      .select(col("x"), col("pct")).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1))
+    val sorted = got.sortBy(_._1)
+    sorted.sliding(2).foreach { w => assert(w(0)._2 <= w(1)._2 + 1e-12) }
+    assert(sorted.last._2 == 1.0)
+    val n = xs.size.toDouble
+    // the histogram CDF can lag/lead the exact empirical CDF by at
+    // most the occupancy of one bucket's worth of value range
+    val xsSorted = xs.sorted
+    got.foreach { case (x, pct) =>
+      val exact = xsSorted.count(_ <= x) / n
+      val bucketSpan = (xs.max - xs.min) / b
+      val nearby = xsSorted.count(v => math.abs(v - x) <= bucketSpan) / n
+      assert(math.abs(pct - exact) <= nearby + 1e-6, s"x=$x pct=$pct exact=$exact")
+    }
+  }
+
+  test("cdf: NULL values keep NULL ranks and non-null count is preserved") {
+    val df = (Seq.fill(5)(Option.empty[Double]) ++ (1 to 95).map(i => Some(i.toDouble)))
+      .toDF("x")
+    val out = HistQuantiles.cdf(df, col("x"), 64, "pct")
+    assert(out.count() == 100)
+    assert(out.filter(col("pct").isNull).count() == 5)
+    assert(out.filter(col("x").isNotNull && col("pct").isNotNull).count() == 95)
+  }
+
   test("grouped MAD screen catches small-scale outliers a global screen would drown") {
     // group A runs at ~1000 with spread ~100; group B at ~1 with
     // spread ~0.1 plus one planted outlier at 5 — globally invisible
