@@ -64,10 +64,18 @@ object LanguageModel {
     j.cast("double") + lit(2.0) - p * scale
   }
 
+  /** Tokenized (id, t: array) frame, persisted once per corpus under
+    * the shared [[Persisted.index]] policy — every n-gram order and
+    * both the train and score sides of a scoring call re-read this
+    * frame instead of re-splitting the text (the same materialized-
+    * derived-table pattern as the dedup signature index). */
+  private def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    Persisted.index(docs.select(col(idCol), split(col(textCol), " ").as("t")))
+
   /** (id, w1, w2) adjacent-token bigrams of `textCol` (whitespace
     * tokens); documents with fewer than 2 tokens contribute none. */
   def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), split(col(textCol), " ").as("t"))
+    tokenized(docs, idCol, textCol)
       .filter(size(col("t")) >= 2)
       .select(col(idCol), explode(
         zip_with(
@@ -86,7 +94,7 @@ object LanguageModel {
     * divide from tripping on the degenerate frame). */
   def surprisalScores(docs: DataFrame, ref: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val uni = ref.select(explode(split(col(textCol), " ")).as("w1"))
+    val uni = tokenized(ref, idCol, textCol).select(explode(col("t")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c_a"))
     val voc = uni.agg(count(lit(1)).as("v"))
     val bi = bigrams(ref, idCol, textCol)
@@ -110,7 +118,7 @@ object LanguageModel {
   /** (id, w1, w2, w3) adjacent-token trigrams; documents with fewer
     * than 3 tokens contribute none. */
   def trigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), split(col(textCol), " ").as("t"))
+    tokenized(docs, idCol, textCol)
       .filter(size(col("t")) >= 3)
       .select(col(idCol), explode(
         zip_with(
@@ -147,7 +155,7 @@ object LanguageModel {
   def backoffScores(docs: DataFrame, ref: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", alpha: Double = 0.4): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
-    val refTok = ref.select(explode(split(col(textCol), " ")).as("w"))
+    val refTok = tokenized(ref, idCol, textCol).select(explode(col("t")).as("w"))
     val uni = refTok.groupBy(col("w")).agg(count(lit(1)).as("c1"))
     val tot = uni.agg(sum(col("c1")).as("n_tok"), count(lit(1)).as("v"))
     val bi = bigrams(ref, idCol, textCol)
