@@ -263,6 +263,57 @@ object Multimodal {
     out.result()
   }
 
+  /** REAL animated-GIF timing parse: per-frame delays (centiseconds)
+    * from the Graphic Control Extension blocks (0x21 0xF9 0x04 …,
+    * delay LE16 at +4 — GIF89a spec §23). Pure byte scan, no decode;
+    * frames without a GCE contribute delay 0, matching the spec's
+    * default. Empty for anything that is not a GIF. */
+  def gifFrameDelaysCs(p: Array[Byte]): IndexedSeq[Int] = {
+    def u8(i: Int) = p(i) & 0xff
+    if (p.length < 6 || p(0) != 'G' || p(1) != 'I' || p(2) != 'F' || p(3) != '8')
+      return IndexedSeq.empty
+    val out = IndexedSeq.newBuilder[Int]
+    var i = 6
+    while (i + 7 < p.length) {
+      if (u8(i) == 0x21 && u8(i + 1) == 0xF9 && u8(i + 2) == 0x04) {
+        out += (u8(i + 4) | (u8(i + 5) << 8))
+        i += 8
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** REAL animated-GIF frame extraction via the JDK's gif
+    * `ImageReader`: one `FrameRow` per sampled frame, the payload a
+    * PNG re-encode of the decoded raster (standalone and readable by
+    * [[decode]]), `t_ms` the CUMULATIVE per-frame delay from the
+    * container's own GCE blocks — actual stream timestamps, like the
+    * WAV path, not a synthetic timeline. Returns None when the
+    * payload is not a multi-image-readable GIF (caller falls through
+    * to the next demuxer). */
+  private def gifFrames(mediaId: Long, p: Array[Byte], sampleEvery: Int): Option[Iterator[FrameRow]] = {
+    if (p.length < 6 || p(0) != 'G' || p(1) != 'I' || p(2) != 'F' || p(3) != '8') return None
+    val in = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(p))
+    val readers = javax.imageio.ImageIO.getImageReaders(in)
+    if (!readers.hasNext) { in.close(); return None }
+    val reader = readers.next()
+    try {
+      reader.setInput(in, false, true)
+      val n = reader.getNumImages(true)
+      if (n <= 0) return None
+      val delays = gifFrameDelaysCs(p)
+      // cumulative start times: frame i begins after the delays of 0..i-1
+      val starts = delays.scanLeft(0L)((acc, d) => acc + d * 10L)
+      Some(Iterator.range(0, n, sampleEvery).map { i =>
+        val img = reader.read(i)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        FrameRow(mediaId, i, if (i < starts.length) starts(i) else i * 40L, bos.toByteArray)
+      }.toIndexedSeq.iterator) // materialize before closing the reader
+    } catch { case _: Exception => None }
+    finally { reader.dispose(); in.close() }
+  }
+
   /** Frame sampling — the video/audio analogue of [[decodeAll]]:
     * every `sampleEvery`-th frame of each payload is emitted as its
     * own row, so downstream per-frame ops (decode, embed, dedup)
@@ -275,7 +326,10 @@ object Multimodal {
     * (concatenated JPEGs — the simplest real video container) demux
     * for real too ([[jpegFrameSpans]]): each emitted frame is one
     * complete JPEG, ready for [[decode]] (javax.imageio reads JPEG),
-    * at `frameMs` per frame on the timeline. Remaining containers
+    * at `frameMs` per frame on the timeline. Animated GIFs demux for
+    * real as well ([[gifFrames]]): JDK ImageReader frames re-encoded
+    * as standalone PNGs with t_ms from the container's OWN per-frame
+    * GCE delays. Remaining containers
     * (interleaved A/V, exotic codecs) keep the documented STUB:
     * contiguous `frameBytes`-sized slices (an ffmpeg-style demuxer
     * splices into the same marked seek point). All paths drop a
@@ -301,7 +355,9 @@ object Multimodal {
               FrameRow(r.media_id, i, i * frameMs,
                 java.util.Arrays.copyOfRange(r.payload, start.toInt, (start + bpf).toInt))
             }
-          case _ =>
+          case _ => gifFrames(r.media_id, r.payload, sampleEvery) match {
+            case Some(frames) => frames
+            case None =>
             val jpegSpans =
               if (r.payload.length >= 4 && r.payload(0) == 0xFF.toByte &&
                 r.payload(1) == 0xD8.toByte) jpegFrameSpans(r.payload)
@@ -321,6 +377,7 @@ object Multimodal {
                   java.util.Arrays.copyOfRange(r.payload, i * frameBytes, (i + 1) * frameBytes))
               }
             }
+          }
         }
       }
     }

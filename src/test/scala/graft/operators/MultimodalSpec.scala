@@ -279,6 +279,72 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  /** Animated GIF with explicit per-frame GCE delays (centiseconds),
+    * written with the JDK's own gif sequence writer. */
+  private def animatedGifFixture(delaysCs: Seq[Int], w: Int, h: Int): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    import java.awt.image.BufferedImage
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    delaysCs.zipWithIndex.foreach { case (d, idx) =>
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color((idx * 80) % 256, 40, 40)); g.fillRect(0, 0, w, h)
+      g.dispose()
+      val typ = ImageTypeSpecifier.createFromBufferedImageType(BufferedImage.TYPE_INT_RGB)
+      val meta = writer.getDefaultImageMetadata(typ, writer.getDefaultWriteParam)
+      val fmt = meta.getNativeMetadataFormatName
+      val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      val existing = (0 until root.getLength).map(root.item)
+        .collectFirst { case n: IIOMetadataNode if n.getNodeName == "GraphicControlExtension" => n }
+      val gce = existing.getOrElse {
+        val n = new IIOMetadataNode("GraphicControlExtension"); root.appendChild(n); n
+      }
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", d.toString)
+      gce.setAttribute("transparentColorIndex", "0")
+      meta.setFromTree(fmt, root)
+      writer.writeToSequence(new IIOImage(img, null, meta), writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence(); ios.close()
+    bos.toByteArray
+  }
+
+  test("animated GIF demuxes for real: container GCE delays become stream timestamps") {
+    val gif = animatedGifFixture(Seq(10, 25, 5), 12, 6)
+    assert(Multimodal.gifFrameDelaysCs(gif) == IndexedSeq(10, 25, 5))
+    val media = Seq(Multimodal.MediaRow(4L, "video", gif)).toDS()
+    val frames = Multimodal.sampleFrames(media, sampleEvery = 1)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 1, 2))
+    // t_ms = cumulative GCE delays x 10 — the container's OWN timing
+    assert(frames.map(_.t_ms).toSeq == Seq(0L, 100L, 350L))
+    // every frame is a standalone PNG the real decode path reads
+    frames.foreach { f =>
+      val (w, h, feats) = Multimodal.decode(f.frame)
+      assert(w == 12 && h == 6)
+      assert(math.abs(feats.sum - 1f) < 1e-3)
+    }
+    // sampling stride applies to GIF frames like any other container
+    val every2 = Multimodal.sampleFrames(media, sampleEvery = 2).collect()
+    assert(every2.map(_.frame_idx).sorted.toSeq == Seq(0, 2))
+  }
+
+  test("truncated or non-animated GIF payloads fall through without crashing") {
+    assert(Multimodal.gifFrameDelaysCs("GIF8".getBytes) == IndexedSeq.empty)
+    assert(Multimodal.gifFrameDelaysCs(Array[Byte](1, 2, 3)) == IndexedSeq.empty)
+    val junk = Seq(Multimodal.MediaRow(5L, "video", "GIF89a then garbage".getBytes)).toDS()
+    // malformed GIF → demuxer falls back to the stub slicer (no frames
+    // for a payload smaller than frameBytes), never throws
+    assert(Multimodal.sampleFrames(junk, frameBytes = 1024).collect().isEmpty)
+  }
+
   test("MJPEG demux skips a corrupted frame without desynchronizing the stream") {
     val good1 = jpegFixture(16, 8, 1)
     val good2 = jpegFixture(16, 8, 2)
