@@ -29,6 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_token_hashes_fast"),
       TextHashExprs.tokenFastInfo, TextHashExprs.tokenFastBuilder))
     ext.injectFunction((FunctionIdentifier("graft_q8"), Q8Quantize.info, Q8Quantize.builder))
+    ext.injectFunction((FunctionIdentifier("graft_gram_hashes"),
+      TextHashExprs.gramInfo, TextHashExprs.gramBuilder))
   }
 }
 
@@ -45,7 +47,7 @@ object GraftFunctions {
     * build) self-heals instead of skipping the additions. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier("graft_q8"))) {
+    if (!reg.functionExists(FunctionIdentifier("graft_gram_hashes"))) {
       reg.createOrReplaceTempFunction("graft_dot", DotProduct.builder, "built-in")
       reg.createOrReplaceTempFunction("graft_token_hashes", TextHashExprs.tokenBuilder, "built-in")
       reg.createOrReplaceTempFunction("graft_shingle_hashes", TextHashExprs.shingleBuilder, "built-in")
@@ -54,6 +56,7 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction("graft_hyperplane_keys", HyperplaneKeys.builder, "built-in")
       reg.createOrReplaceTempFunction("graft_token_hashes_fast", TextHashExprs.tokenFastBuilder, "built-in")
       reg.createOrReplaceTempFunction("graft_q8", Q8Quantize.builder, "built-in")
+      reg.createOrReplaceTempFunction("graft_gram_hashes", TextHashExprs.gramBuilder, "built-in")
     }
     // the HOF-dot rewrite for sessions built without the extensions
     // config; experimental.extraOptimizations runs in the same
@@ -73,6 +76,9 @@ object GraftFunctions {
   def simhash(hashes: Column): Column = call_function("graft_simhash", hashes)
   def minhash(hashes: Column, n: Int): Column =
     call_function("graft_minhash", hashes, lit(n))
+
+  def gramHashes(hashes: Column, n: Int): Column =
+    call_function("graft_gram_hashes", hashes, lit(n))
 
   /** Fused int8 quantization: struct(q8, qscale) (see
     * [[graft.functions.Q8Quantize]]). */

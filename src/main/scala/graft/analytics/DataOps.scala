@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Cols
-import graft.operators.{AsOfJoin, Components, Curation, KMeans, LanguageModel, Multimodal, PageRank, Passages, RangeJoin, Redaction, Scd2, Sessionize, Similarity, Sketches, TextAnalysis, TextDedup, TextFeatures}
+import graft.operators.{AsOfJoin, Components, Curation, KMeans, LanguageModel, Multimodal, PageRank, Passages, RangeJoin, Redaction, Scd2, Sessionize, Similarity, Sketches, SpanDedup, TextAnalysis, TextDedup, TextFeatures}
 import org.apache.spark.sql.expressions.Window
 
 /** Training-data pipeline query surface: dedup, similarity search, and
@@ -107,6 +107,37 @@ object DataOps {
         n = 3, numHashes = 16, bands = 8, threshold = 0.5)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
+
+  /** Exact-substring spans ([[SpanDedup]]): the 40 longest maximal
+    * token spans shared verbatim by ≥ 2 documents — the substring-
+    * level (Lee et al. ExactSubstr) complement of the whole-document
+    * families above. n = 8: long enough that shared spans are real
+    * copying on this vocab, short enough that the harness corpus has
+    * them at every sf. The oracle replays the positional gram hashes,
+    * the distinct-doc gram filter, AND the interval merge. */
+  def spanDupSpans(spark: SparkSession, dir: String): DataFrame =
+    SpanDedup.duplicatedSpans(Tables.documents(spark, dir), n = 8, minDocs = 2)
+      .orderBy(col("span_len").desc, col("doc_id").asc, col("span_start").asc)
+      .limit(40)
+
+  /** Per-document duplication profile over the same spans: the 20
+    * most-duplicated docs by excisable token count — what a
+    * substring-level cleaner would report before surgery. */
+  def spanDupProfile(spark: SparkSession, dir: String): DataFrame =
+    SpanDedup.spanProfile(Tables.documents(spark, dir), n = 8, minDocs = 2)
+      .orderBy(col("dup_tokens").desc, col("doc_id").asc)
+      .limit(20)
+
+  /** The excision end of the span pipeline ([[SpanDedup.excised]]):
+    * the 15 docs losing the most tokens, WITH their cleaned text —
+    * the oracle string-compares the post-surgery documents, so the
+    * gate covers covered-position union, anti-join, and ordered
+    * re-assembly, not just span arithmetic. */
+  def spanDupExcise(spark: SparkSession, dir: String): DataFrame =
+    SpanDedup.excised(Tables.documents(spark, dir), n = 8, minDocs = 2)
+      .withColumn("removed_tokens", col("n_tokens") - col("kept_tokens"))
+      .orderBy(col("removed_tokens").desc, col("doc_id").asc)
+      .limit(15)
 
   /** maxHamming = 0 here: the harness docs share one 31-word vocab, so
     * frequency-profile fingerprints cluster tightly (ham ≤ 6 matches
@@ -1156,6 +1187,42 @@ object DataOps {
        |  FROM ptoks
        |), pcnt AS (SELECT passage, count(*) AS cnt FROM pinst GROUP BY 1)""".stripMargin
 
+  /** SpanDedup replay (n = 8, minDocs = 2), ending in CTE
+    * `spans(doc_id, span_start, span_end)`. Mirrors
+    * [[graft.operators.SpanDedup.duplicatedSpans]] step for step:
+    * positional gram hashes (two same-length unnests zip in DuckDB),
+    * distinct-doc gram filter, running-max interval merge. */
+  private val dkSpanCtes =
+    s"""stok AS (SELECT doc_id, $dkTokenHashes AS th FROM documents),
+       |sgram AS (
+       |  SELECT doc_id,
+       |         unnest(generate_series(1, greatest(len(th) - 7, 0))) AS pos,
+       |         unnest(CASE WHEN len(th) < 8 THEN [] ELSE
+       |           list_transform(generate_series(1, len(th) - 7),
+       |             i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, i, i + 7)),
+       |                  (acc, h) -> (acc * 131 + h) % $P)) END) AS g
+       |  FROM stok
+       |),
+       |sdup AS (SELECT g FROM sgram GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+       |sduppos AS (SELECT doc_id, pos FROM sgram WHERE g IN (SELECT g FROM sdup)),
+       |smarked AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN max(pos + 8) OVER w IS NULL OR pos > max(pos + 8) OVER w
+       |              THEN 1 ELSE 0 END AS is_new
+       |  FROM sduppos
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos ASC
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |),
+       |snum AS (
+       |  SELECT doc_id, pos, sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos ASC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+       |  FROM smarked
+       |),
+       |spans AS (
+       |  SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end
+       |  FROM snum GROUP BY doc_id, span_id
+       |)""".stripMargin
+
   /** KMV sketch + estimator as a CTE chain over CTE `src` exposing a
     * string column `s` — mirrors Sketches.kmvSketch/estimate exactly
     * (distinct portable hashes → min-k → (k−1)·P / h_k, exact below
@@ -1507,6 +1574,53 @@ object DataOps {
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 0
          |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
+    "span_dup_spans" ->
+      s"""WITH $dkSpanCtes
+         |SELECT doc_id, span_start, span_end, span_end - span_start AS span_len
+         |FROM spans
+         |ORDER BY span_len DESC, doc_id ASC, span_start ASC
+         |LIMIT 40""".stripMargin,
+    "span_dup_profile" ->
+      s"""WITH $dkSpanCtes,
+         |sprof AS (
+         |  SELECT doc_id, count(*) AS n_spans,
+         |         CAST(sum(span_end - span_start) AS BIGINT) AS dup_tokens
+         |  FROM spans GROUP BY doc_id
+         |)
+         |SELECT p.doc_id, p.n_spans, p.dup_tokens,
+         |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |       CAST(len(string_split(d.text, ' ')) AS BIGINT) - p.dup_tokens AS kept_tokens
+         |FROM sprof p JOIN documents d ON p.doc_id = d.doc_id
+         |ORDER BY dup_tokens DESC, p.doc_id ASC
+         |LIMIT 20""".stripMargin,
+    "span_dup_excise" ->
+      s"""WITH $dkSpanCtes,
+         |scov AS (
+         |  SELECT DISTINCT doc_id, pos FROM (
+         |    SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS pos FROM sduppos)
+         |),
+         |stoksx AS (
+         |  SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, unnest(t) AS tok
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         |),
+         |skept AS (
+         |  SELECT k.doc_id, k.pos, k.tok
+         |  FROM stoksx k LEFT JOIN scov c ON k.doc_id = c.doc_id AND k.pos = c.pos
+         |  WHERE c.pos IS NULL
+         |),
+         |sclean AS (
+         |  SELECT doc_id, count(*) AS kept_tokens,
+         |         array_to_string(list(tok ORDER BY pos ASC), ' ') AS clean_text
+         |  FROM skept GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, coalesce(s.clean_text, '') AS clean_text,
+         |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(s.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+         |       CAST(len(string_split(d.text, ' ')) AS BIGINT)
+         |         - CAST(coalesce(s.kept_tokens, 0) AS BIGINT) AS removed_tokens
+         |FROM documents d LEFT JOIN sclean s ON d.doc_id = s.doc_id
+         |ORDER BY removed_tokens DESC, d.doc_id ASC
+         |LIMIT 15""".stripMargin,
     "asof_attribution" ->
       """WITH clicks AS (
         |  SELECT user_id, ts FROM events WHERE event_type = 'click' AND ts IS NOT NULL
@@ -2257,6 +2371,9 @@ object DataOps {
     "dedup_minhash_fast" -> (dedupMinhashFast _),
     "dedup_incremental" -> (dedupIncrementalBatch _),
     "dedup_simhash"     -> (dedupSimhash _),
+    "span_dup_spans"    -> (spanDupSpans _),
+    "span_dup_profile"  -> (spanDupProfile _),
+    "span_dup_excise"   -> (spanDupExcise _),
     "dedup_embedding"   -> (dedupEmbedding _),
     "dedup_embedding_groups" -> (dedupEmbeddingGroups _),
     "asof_attribution"  -> (asofAttribution _),

@@ -150,6 +150,51 @@ case class ShingleHashes(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** (array<bigint>, n) → array<bigint>: ORDERED, non-distinct word-
+  * n-gram hashes — element i is the fold of window [i, i+n) — so
+  * `posexplode` yields (position, gram) pairs for positional dedup
+  * ([[graft.operators.SpanDedup]]). Same fold, modulus, and null
+  * propagation as [[ShingleHashes]]; the only difference is keeping
+  * order and repeats, exactly the
+  * `transform(sequence(1, size-n+1), i -> aggregate(slice(th, i, n), ...))`
+  * form the oracles replay. Arrays shorter than n yield empty. */
+case class GramHashes(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_gram_hashes expects (array<bigint>, int), got ${l.sql}, ${r.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_gram_hashes"
+
+  override def nullSafeEval(hashes: Any, nAny: Any): Any = {
+    val arr = hashes.asInstanceOf[ArrayData]
+    val n = nAny.asInstanceOf[Int]
+    val len = arr.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](len - n + 1)
+    var i = 0
+    while (i <= len - n) {
+      var acc: java.lang.Long = 0L
+      var j = 0
+      while (j < n && acc != null) {
+        if (arr.isNullAt(i + j)) acc = null
+        else acc = (acc * 131 + arr.getLong(i + j)) % TextHashes.P
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** array<bigint> → bigint: 32-bit SimHash. Bit j set iff the sum over
   * hashes of (bit j of h ? +1 : −1) is positive; any null element
   * zeroes every bit (the lambda fold's null propagation through
@@ -248,6 +293,8 @@ object TextHashExprs {
     "graft_minhash", "graft_minhash(hashes, n) - n-permutation MinHash signature", "")
   val tokenFastInfo = new ExpressionInfo(classOf[TokenHashesFast].getCanonicalName, null,
     "graft_token_hashes_fast", "graft_token_hashes_fast(arr) - xxHash64-mod-P hash per token", "")
+  val gramInfo = new ExpressionInfo(classOf[GramHashes].getCanonicalName, null,
+    "graft_gram_hashes", "graft_gram_hashes(hashes, n) - ordered positional n-gram hashes", "")
 
   val tokenBuilder: Seq[Expression] => Expression =
     { case Seq(a) => TokenHashes(a); case a => argErr("graft_token_hashes", 1, a.length) }
@@ -259,6 +306,8 @@ object TextHashExprs {
     { case Seq(a, b) => MinHashSig(a, b); case a => argErr("graft_minhash", 2, a.length) }
   val tokenFastBuilder: Seq[Expression] => Expression =
     { case Seq(a) => TokenHashesFast(a); case a => argErr("graft_token_hashes_fast", 1, a.length) }
+  val gramBuilder: Seq[Expression] => Expression =
+    { case Seq(a, b) => GramHashes(a, b); case a => argErr("graft_gram_hashes", 2, a.length) }
 
   private def argErr(name: String, want: Int, got: Int): Nothing =
     throw new IllegalArgumentException(s"$name expects $want arguments, got $got")

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.GraftFunctions
+
+/** Cross-document exact-substring dedup: find the maximal token spans
+  * that occur verbatim in ≥ `minDocs` distinct documents — the
+  * positional complement of the set-based families in [[TextDedup]].
+  * MinHash/Jaccard answer "are these DOCUMENTS near-dups?"; this
+  * answers "WHICH PART of this document is copied?" — the operation
+  * behind substring-level training-data dedup (Lee et al. 2022,
+  * "Deduplicating Training Data Makes Language Models Better", whose
+  * ExactSubstr dedup removes 50-token repeated substrings rather than
+  * whole documents) and boilerplate excision.
+  *
+  * Algorithm — relational, no suffix arrays:
+  *  1. every length-`n` token window becomes one (doc_id, pos, gram
+  *     hash) row ([[gramPositions]] — ordered positional hashes from
+  *     the native kernel, `posexplode`d);
+  *  2. gram hashes appearing in ≥ `minDocs` distinct docs are the
+  *     duplicated windows (hash-aggregate on the gram key, partial-agg
+  *     friendly; a LEFT SEMI join marks the positions);
+  *  3. per doc, overlapping/adjacent duplicated windows [pos, pos+n)
+  *     merge into maximal spans: a window marks positions starting a
+  *     new span (pos > running max end over earlier windows), a
+  *     running sum of those marks numbers the spans, and a group-by
+  *     yields [span_start, span_end).
+  *
+  * Every shared substring of ≥ n tokens is covered by ≥ 1 duplicated
+  * window, so reported spans cover exactly the tokens inside maximal
+  * shared regions (windows shorter than n at region edges are not
+  * flagged — the span boundary is tight at the gram granularity).
+  *
+  * Scale shape (100 TB): step 1 is map-side; step 2 shuffles gram
+  * rows once on the hash key (integer pairs, partial-aggregated) and
+  * probes with a semi-join — no collect_list per gram, so a
+  * boilerplate gram shared by millions of docs cannot blow up one
+  * reducer (its positions stay distributed with their docs); step 3
+  * shuffles only the DUPLICATED positions, partitioned per doc, and
+  * each doc's window is bounded by its own token count. Nothing is
+  * quadratic and no state outlives a group.
+  *
+  * Portability: the gram hash is the char-fold/131-fold family every
+  * oracle replays ([[graft.functions.TextHashes]]); at this corpus
+  * size collisions of the 30-bit modulus are possible in principle
+  * and IDENTICAL on both engines, so the gate stays exact. A real
+  * 100 TB run would widen to a 128-bit gram hash (same plan shape).
+  */
+object SpanDedup {
+
+  /** (doc_id, pos, g): the hash of the token window starting at `pos`
+    * (1-based — DuckDB list indexing — so span_end = pos_last + n is
+    * an exclusive 1-based token index). Docs shorter than `n` tokens
+    * contribute no rows. */
+  def gramPositions(docs: DataFrame, n: Int, fast: Boolean = false): DataFrame = {
+    require(n >= 2, "gramPositions needs n >= 2")
+    TextDedup.withTokenHashes(docs, fast)
+      .withColumn("ga", GraftFunctions.gramHashes(col("token_hashes"), n))
+      .select(col("doc_id"), posexplode(col("ga")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("g"))
+  }
+
+  /** Start positions of duplicated windows: (doc_id, pos) for every
+    * length-`n` window whose gram occurs in ≥ `minDocs` distinct
+    * docs. The shared first half of [[duplicatedSpans]] and
+    * [[excised]]. */
+  private def duplicatedPositions(docs: DataFrame, n: Int, minDocs: Int): DataFrame = {
+    require(minDocs >= 2, "span dedup needs minDocs >= 2 (1 would flag every window)")
+    val grams = gramPositions(docs, n)
+    // duplicated gram keys — thin (g) frame; countDistinct partial-
+    // aggregates per partition before the one shuffle on g
+    val dup = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("g"))
+    grams.join(dup, Seq("g"), "left_semi").select(col("doc_id"), col("pos"))
+  }
+
+  /** Maximal duplicated spans: (doc_id, span_start, span_end,
+    * span_len) for every maximal run of tokens covered by length-`n`
+    * windows occurring in ≥ `minDocs` distinct documents.
+    * `span_end` is exclusive; `span_len = span_end - span_start` is
+    * the token count a substring-level cleaner would excise. */
+  def duplicatedSpans(docs: DataFrame, n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val dupPos = duplicatedPositions(docs, n, minDocs)
+    // interval merge of [pos, pos+n): new span iff pos starts past the
+    // running max end of every earlier duplicated window in the doc
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val prevEnd = max(col("pos") + lit(n))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val marked = dupPos.withColumn("is_new",
+      when(prevEnd.isNull.or(col("pos") > prevEnd), lit(1L)).otherwise(lit(0L)))
+    val numbered = marked.withColumn("span_id",
+      sum(col("is_new")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    numbered.groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("span_start"), (max(col("pos")) + lit(n)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_len"))
+  }
+
+  /** The surgery itself: every doc with its duplicated spans excised
+    * token-wise — (doc_id, clean_text, n_tokens, kept_tokens). Docs
+    * without spans pass through verbatim; a fully-duplicated doc
+    * keeps `clean_text = ""` (kept_tokens = 0), which a downstream
+    * keeper filter drops.
+    *
+    * Shape: covered token positions = the union of [pos, pos+n) over
+    * flagged windows (explode of an n-element sequence — fan-out n on
+    * the DUPLICATED subset only, then distinct), removed from the
+    * posexploded token stream with a LEFT ANTI join on (doc_id, pos);
+    * the survivors re-assemble per doc via a position-sorted
+    * collect_list. Each step is one keyed shuffle — no per-token
+    * lambda over per-doc span lists (that form re-evaluates the
+    * tokenization per element once CollapseProject inlines it —
+    * O(tokens²) per doc). */
+  def excised(docs: DataFrame, n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val covered = duplicatedPositions(docs, n, minDocs)
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
+      .distinct()
+    val toks = TextDedup.tokenized(docs)
+      .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"),
+        posexplode(col("tokens")))
+      .select(col("doc_id"), col("n_tokens"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_tokens"),
+        concat_ws(" ", expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"))
+          .as("clean_text"))
+    docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"), coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+  }
+
+  /** Per-document duplication profile: how much of each affected doc
+    * is inside a duplicated span — (doc_id, n_spans, dup_tokens,
+    * n_tokens, kept_tokens). Docs with no duplicated span don't
+    * appear (their profile is trivially all-kept). */
+  def spanProfile(docs: DataFrame, n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val perDoc = duplicatedSpans(docs, n, minDocs)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("span_len")).as("dup_tokens"))
+    val sizes = TextDedup.tokenized(docs)
+      .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"))
+    perDoc.join(sizes, Seq("doc_id"))
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens"), col("n_tokens"),
+        (col("n_tokens") - col("dup_tokens")).as("kept_tokens"))
+  }
+}

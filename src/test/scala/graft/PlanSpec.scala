@@ -187,4 +187,16 @@ class PlanSpec extends SparkSpec {
     // both counter tables are partial-agg reductions before their join
     assert(pc.contains("partial_count"), pc.take(3000))
   }
+
+  test("span dedup: semi-join marks duplicated grams, no cartesian, gram df partial-aggregates") {
+    val p = plan(graft.analytics.DataOps.spanDupSpans(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // the duplicated-gram probe is a semi join (positions never fan out
+    // per duplicate), and the distinct-doc gram filter partial-aggregates
+    // before its one shuffle on g
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(p.contains("partial_count"), p.take(3000))
+    // interval merge runs per doc, not in one global window
+    assert(!p.contains("Window [") || !p.contains("SinglePartition"), p.take(3000))
+  }
 }
