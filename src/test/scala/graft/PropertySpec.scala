@@ -143,6 +143,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("span dedup agrees with a brute-force string-gram reference on random corpora") {
+    val n = 3
+    val wordG = Gen.oneOf("aa", "bb", "cc", "dd") // tiny vocab forces shared runs
+    val docG = Gen.chooseNum(1, 12).flatMap(k => Gen.listOfN(k, wordG).map(_.mkString(" ")))
+    forAll(Gen.chooseNum(2, 5).flatMap(m => Gen.listOfN(m, docG)), 8) { (texts: List[String]) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.operators.SpanDedup.duplicatedSpans(df, n)
+        .select($"doc_id", $"span_start".cast("int"), $"span_end".cast("int"))
+        .as[(Long, Int, Int)].collect().toSet
+      // reference: string-equality grams, ≥2 distinct docs, interval merge
+      val toks = texts.map(_.split(" ").toSeq)
+      val grams = toks.zipWithIndex.flatMap { case (ts, d) =>
+        ts.sliding(n).filter(_.size == n).zipWithIndex
+          .map { case (g, p) => (g.mkString(" "), d.toLong, p + 1) }
+      }
+      val dupG = grams.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+      val expected = grams.filter(g => dupG(g._1)).groupBy(_._2).flatMap { case (d, ps) =>
+        val sorted = ps.map(_._3).sorted
+        val spans = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+        sorted.foreach { p =>
+          if (spans.nonEmpty && p <= spans.last._2) {
+            val (s, e) = spans.remove(spans.length - 1); spans += ((s, math.max(e, p + n)))
+          } else spans += ((p, p + n))
+        }
+        spans.map { case (s, e) => (d, s, e) }
+      }.toSet
+      assert(got == expected, s"texts=$texts")
+      // excision invariant: kept tokens = tokens at uncovered positions, in order
+      val cleaned = graft.operators.SpanDedup.excised(df, n)
+        .select($"doc_id", $"clean_text").as[(Long, String)].collect().toMap
+      toks.zipWithIndex.foreach { case (ts, d) =>
+        val covered = expected.collect { case (dd, s, e) if dd == d.toLong =>
+          (s to (e - 1)) }.flatten.toSet
+        val ref = ts.zipWithIndex.collect { case (t, i) if !covered(i + 1) => t }.mkString(" ")
+        assert(cleaned(d.toLong) == ref, s"doc=$d texts=$texts")
+      }
+    }
+  }
+
   test("int8 quantization error is within half a quantization step, per element") {
     val rng = new scala.util.Random(23)
     val df = (1L to 150L).map(i => (i, Seq.fill(24)(rng.nextFloat() * 1000 - 500)))
