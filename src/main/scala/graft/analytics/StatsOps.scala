@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Cols
-import graft.operators.{HistQuantiles, Sequences, TextDedup, Triangles}
+import graft.operators.{Drift, HistQuantiles, Sequences, TextDedup, Triangles}
 
 /** Statistical / graph / sequence analytics extending the reference's
   * aggregate surface (SURVEY.md §2.5) with the screens a curation
@@ -255,6 +255,68 @@ object StatsOps {
       .orderBy(col("lang").asc, col("rn").asc)
   }
 
+  // ---- distribution drift: PSI between time windows ------------------
+
+  /** PSI grid size: coarse on purpose — drift detection wants stable
+    * per-bucket mass, not quantile resolution. */
+  val PsiBuckets = 16
+
+  /** The 2024-01 harness window splits at mid-month: first half is
+    * the baseline slice, second half the current slice. */
+  private val psiSplit = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+
+  private def psiInput(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).filter(col("ts").isNotNull)
+
+  /** Per-bucket PSI decomposition of `events.value` between the two
+    * half-month windows ([[Drift.psiBuckets]]): the feature-drift
+    * monitor a production scoring pipeline runs per batch. The oracle
+    * replays the shared grid, Laplace smoothing, AND the octave-ladder
+    * log2 — the drift number matches in integer micro-bits. */
+  def psiValueDrift(spark: SparkSession, dir: String): DataFrame =
+    Drift.psiBuckets(psiInput(spark, dir), col("value"), col("ts") < psiSplit, PsiBuckets)
+      .orderBy(col("bucket").asc)
+
+  /** One-row drift summary over the same decomposition. */
+  def psiDriftTotal(spark: SparkSession, dir: String): DataFrame =
+    Drift.psi(psiInput(spark, dir), col("value"), col("ts") < psiSplit, PsiBuckets)
+
+  /** DuckDB replay of [[Drift.psiBuckets]] on events.value split at
+    * the mid-month literal, ending in CTE
+    * `ppsi(bucket, c_a, c_b, psi_microbits)`. */
+  private val dkPsiCtes = {
+    val pa = "(CAST(c_a + 1 AS DOUBLE) / CAST(n_a + 16 AS DOUBLE))"
+    val pb = "(CAST(c_b + 1 AS DOUBLE) / CAST(n_b + 16 AS DOUBLE))"
+    s"""pvals AS (
+       |  SELECT CAST(value AS DOUBLE) AS x, (ts < TIMESTAMP '2024-01-16') AS is_a
+       |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+       |), pstats AS (
+       |  SELECT min(x) AS lo, max(x) AS hi,
+       |         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+       |  FROM pvals
+       |), pcnt AS (
+       |  SELECT CAST(CASE WHEN s.hi = s.lo THEN 0
+       |              ELSE least(floor((v.x - s.lo) / (s.hi - s.lo) * 16), 15) END AS INT) AS bucket,
+       |         CAST(sum(CASE WHEN v.is_a THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+       |         CAST(sum(CASE WHEN v.is_a THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+       |  FROM pvals v CROSS JOIN pstats s GROUP BY 1
+       |), pspine AS (
+       |  SELECT unnest(generate_series(0, 15)) AS bucket, n_a, n_b FROM pstats
+       |), pfill AS (
+       |  SELECT sp.bucket, coalesce(c.c_a, 0) AS c_a, coalesce(c.c_b, 0) AS c_b,
+       |         sp.n_a, sp.n_b
+       |  FROM pspine sp LEFT JOIN pcnt c ON sp.bucket = c.bucket
+       |), ppsi AS (
+       |  SELECT bucket, c_a, c_b,
+       |         CAST(floor(($pa - $pb)
+       |           * (${graft.operators.LanguageModel.dkSurprisal(pb)}
+       |              - ${graft.operators.LanguageModel.dkSurprisal(pa)}) * 1e6 + 0.5)
+       |           AS BIGINT) AS psi_microbits
+       |  FROM pfill
+       |)""".stripMargin
+  }
+
   // ---- registration ---------------------------------------------------
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -268,7 +330,9 @@ object StatsOps {
     "cdf_events_value"  -> (cdfEventsValue _),
     "vocab_coverage"    -> (vocabCoverage _),
     "bigram_lift"       -> (bigramLift _),
-    "sample_per_lang"   -> (samplePerLang _)
+    "sample_per_lang"   -> (samplePerLang _),
+    "psi_value_drift"   -> (psiValueDrift _),
+    "psi_drift_total"   -> (psiDriftTotal _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -466,6 +530,15 @@ object StatsOps {
         |           ORDER BY (doc_id * 2654435761) % 1000000007 ASC, doc_id ASC) AS rn
         |  FROM documents)
         |WHERE rn <= 3
-        |ORDER BY lang ASC, rn ASC""".stripMargin
+        |ORDER BY lang ASC, rn ASC""".stripMargin,
+    "psi_value_drift" ->
+      s"""WITH $dkPsiCtes
+         |SELECT bucket, c_a, c_b, psi_microbits FROM ppsi
+         |ORDER BY bucket ASC""".stripMargin,
+    "psi_drift_total" ->
+      s"""WITH $dkPsiCtes
+         |SELECT CAST(sum(c_a) AS BIGINT) AS n_a, CAST(sum(c_b) AS BIGINT) AS n_b,
+         |       CAST(sum(psi_microbits) AS BIGINT) AS psi_microbits
+         |FROM ppsi""".stripMargin
   )
 }
