@@ -314,6 +314,69 @@ object Multimodal {
     finally { reader.dispose(); in.close() }
   }
 
+  /** REAL Y4M (YUV4MPEG2) demux — the uncompressed interchange format
+    * ffmpeg and every codec test suite speak. Pure byte logic: the
+    * space-separated header line carries W/H, the F<num>:<den> frame
+    * rate, and the C chroma subsampling (default 420 per spec); each
+    * frame is a `FRAME[params]\n` marker followed by fixed-size
+    * planar YUV. Emitted frames are the LUMA plane re-encoded as a
+    * standalone grayscale PNG (readable by [[decode]], like the GIF
+    * path's PNGs), `t_ms` = frame_idx · 1000·den/num — the stream's
+    * own clock. A trailing partial frame is dropped (truncated
+    * capture ≡ shorter clip); an unknown chroma tag or malformed
+    * header falls through to the next demuxer. */
+  private[operators] def y4mFrames(mediaId: Long, p: Array[Byte],
+      sampleEvery: Int): Option[Iterator[FrameRow]] = {
+    val magic = "YUV4MPEG2 "
+    if (p.length < magic.length + 4 ||
+      !magic.indices.forall(i => p(i) == magic(i).toByte)) return None
+    val hdrEnd = p.indexOf('\n'.toByte)
+    if (hdrEnd < 0) return None
+    val params = new String(p, 0, hdrEnd, "ISO-8859-1").split(' ').drop(1)
+    def param(tag: Char): Option[String] =
+      params.find(s => s.nonEmpty && s.head == tag).map(_.tail)
+    val parsed = for {
+      w <- param('W').flatMap(_.toIntOption) if w > 0
+      h <- param('H').flatMap(_.toIntOption) if h > 0
+      rate = param('F').map(_.split(":", 2)).collect {
+        case Array(n, d) if n.toIntOption.exists(_ > 0) && d.toIntOption.exists(_ > 0) =>
+          (n.toInt, d.toInt)
+      }.getOrElse((25, 1)) // spec default when F is absent
+      chroma = param('C').getOrElse("420")
+      frameSize <- chroma match {
+        case c if c.startsWith("420") => Some(w * h + 2 * ((w / 2) * (h / 2)))
+        case c if c.startsWith("422") => Some(w * h * 2)
+        case c if c.startsWith("444") => Some(w * h * 3)
+        case "mono"                   => Some(w * h)
+        case _                        => None // unknown chroma → not ours
+      }
+    } yield (w, h, rate, frameSize)
+    parsed.map { case (w, h, (fn, fd), frameSize) =>
+      // walk the FRAME markers; stop at the first malformed/truncated one
+      val offsets = IndexedSeq.newBuilder[Int]
+      var off = hdrEnd + 1
+      var ok = true
+      while (ok && off + 6 <= p.length) {
+        ok = "FRAME".indices.forall(i => p(off + i) == "FRAME" (i).toByte)
+        if (ok) {
+          val nl = p.indexOf('\n'.toByte, off + 5)
+          ok = nl >= 0 && nl + 1 + frameSize <= p.length
+          if (ok) { offsets += (nl + 1); off = nl + 1 + frameSize }
+        }
+      }
+      val frames = offsets.result()
+      Iterator.range(0, frames.length, sampleEvery).map { i =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        img.getRaster.setDataElements(0, 0, w, h,
+          java.util.Arrays.copyOfRange(p, frames(i), frames(i) + w * h))
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        FrameRow(mediaId, i, i.toLong * 1000L * fd / fn, bos.toByteArray)
+      }
+    }
+  }
+
   /** Frame sampling — the video/audio analogue of [[decodeAll]]:
     * every `sampleEvery`-th frame of each payload is emitted as its
     * own row, so downstream per-frame ops (decode, embed, dedup)
@@ -329,7 +392,10 @@ object Multimodal {
     * at `frameMs` per frame on the timeline. Animated GIFs demux for
     * real as well ([[gifFrames]]): JDK ImageReader frames re-encoded
     * as standalone PNGs with t_ms from the container's OWN per-frame
-    * GCE delays. Remaining containers
+    * GCE delays. Y4M streams demux for real ([[y4mFrames]]): FRAME
+    * markers walked at the header's exact plane size, luma planes
+    * re-encoded as grayscale PNGs, t_ms from the header's F rate.
+    * Remaining containers
     * (interleaved A/V, exotic codecs) keep the documented STUB:
     * contiguous `frameBytes`-sized slices (an ffmpeg-style demuxer
     * splices into the same marked seek point). All paths drop a
@@ -355,7 +421,8 @@ object Multimodal {
               FrameRow(r.media_id, i, i * frameMs,
                 java.util.Arrays.copyOfRange(r.payload, start.toInt, (start + bpf).toInt))
             }
-          case _ => gifFrames(r.media_id, r.payload, sampleEvery) match {
+          case _ => y4mFrames(r.media_id, r.payload, sampleEvery)
+              .orElse(gifFrames(r.media_id, r.payload, sampleEvery)) match {
             case Some(frames) => frames
             case None =>
             val jpegSpans =

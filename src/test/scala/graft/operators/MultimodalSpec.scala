@@ -345,6 +345,66 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sampleFrames(junk, frameBytes = 1024).collect().isEmpty)
   }
 
+  /** Hand-built YUV4MPEG2 stream: header + FRAME-marked 4:2:0 planar
+    * frames with distinct constant luma per frame. */
+  private def y4mFixture(w: Int, h: Int, lumas: Seq[Int], rate: String = "25:1",
+      chroma: String = "420"): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(s"YUV4MPEG2 W$w H$h F$rate Ip A1:1 C$chroma\n".getBytes("ISO-8859-1"))
+    val chromaBytes = chroma match {
+      case "420" => 2 * ((w / 2) * (h / 2))
+      case "mono" => 0
+      case _ => fail(s"fixture chroma $chroma")
+    }
+    lumas.foreach { y =>
+      bos.write("FRAME\n".getBytes("ISO-8859-1"))
+      bos.write(Array.fill(w * h)(y.toByte))
+      bos.write(Array.fill(chromaBytes)(128.toByte))
+    }
+    bos.toByteArray
+  }
+
+  test("Y4M demuxes for real: header rate becomes stream timestamps, luma frames decode") {
+    val y4m = y4mFixture(4, 2, Seq(10, 120, 240), rate = "25:1")
+    val media = Seq(Multimodal.MediaRow(6L, "video", y4m)).toDS()
+    val frames = Multimodal.sampleFrames(media, sampleEvery = 1)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 1, 2))
+    assert(frames.map(_.t_ms).toSeq == Seq(0L, 40L, 80L)) // 25 fps
+    frames.foreach { f =>
+      val (w, h, feats) = Multimodal.decode(f.frame)
+      assert(w == 4 && h == 2)
+      assert(math.abs(feats.sum - 1f) < 1e-3)
+    }
+    // constant-luma frames land their whole mass in one histogram bin,
+    // and different lumas land in different bins
+    val (_, _, f0) = Multimodal.decode(frames(0).frame)
+    val (_, _, f2) = Multimodal.decode(frames(2).frame)
+    assert(f0.indexOf(f0.max) != f2.indexOf(f2.max))
+    // stride sampling applies
+    val every2 = Multimodal.sampleFrames(media, sampleEvery = 2).collect()
+    assert(every2.map(_.frame_idx).sorted.toSeq == Seq(0, 2))
+  }
+
+  test("Y4M trailing partial frame is dropped; mono chroma sizes correctly") {
+    val full = y4mFixture(4, 2, Seq(1, 2, 3))
+    val truncated = java.util.Arrays.copyOfRange(full, 0, full.length - 3)
+    val media = Seq(Multimodal.MediaRow(7L, "video", truncated)).toDS()
+    assert(Multimodal.sampleFrames(media, sampleEvery = 1).collect()
+      .map(_.frame_idx).sorted.toSeq == Seq(0, 1)) // 3rd frame incomplete
+    val mono = y4mFixture(4, 2, Seq(9, 9), chroma = "mono")
+    val mmedia = Seq(Multimodal.MediaRow(8L, "video", mono)).toDS()
+    assert(Multimodal.sampleFrames(mmedia, sampleEvery = 1).collect().length == 2)
+  }
+
+  test("non-Y4M and unknown-chroma payloads fall through to the stub without crashing") {
+    assert(Multimodal.y4mFrames(1L, "YUV4MPEG2".getBytes, 1).isEmpty) // no trailing space/header
+    assert(Multimodal.y4mFrames(1L, "YUV4MPEG2 W4 H2 C999\nFRAME\n12345678".getBytes, 1).isEmpty)
+    val junk = Seq(Multimodal.MediaRow(9L, "video",
+      "YUV4MPEG2 W0 H2 F25:1\nFRAME\n".getBytes)).toDS()
+    assert(Multimodal.sampleFrames(junk, frameBytes = 1024).collect().isEmpty)
+  }
+
   test("MJPEG demux skips a corrupted frame without desynchronizing the stream") {
     val good1 = jpegFixture(16, 8, 1)
     val good2 = jpegFixture(16, 8, 2)
