@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Cols
-import graft.operators.{Drift, HistQuantiles, Sequences, TextDedup, Triangles}
+import graft.operators.{Association, Drift, HistQuantiles, Sequences, TextDedup, Triangles}
 
 /** Statistical / graph / sequence analytics extending the reference's
   * aggregate surface (SURVEY.md §2.5) with the screens a curation
@@ -322,6 +322,68 @@ object StatsOps {
       .orderBy(col("day").asc)
   }
 
+  /** Exact-sufficient-statistics Pearson correlation
+    * ([[Association.pearson]]) between line-item price and quantity —
+    * deliberately NOT Spark's `corr` (partition-order-dependent
+    * running moments); the decimal sums make the statistic
+    * bit-reproducible and the oracle replay exact. ANSI-portable:
+    * also runs verbatim through spark.sql. */
+  def corrPriceQty(spark: SparkSession, dir: String): DataFrame =
+    Association.pearson(Tables.lineitem(spark, dir),
+      col("l_extendedprice"), col("l_quantity"))
+
+  /** Pointwise-MI decomposition ([[Association.mutualInformation]])
+    * of return flag × line status — the categorical-association
+    * screen (feature selection, leakage detection) with the octave-
+    * ladder log2 so the oracle replays every cell in micro-bits. */
+  def miFlagStatus(spark: SparkSession, dir: String): DataFrame =
+    Association.mutualInformation(Tables.lineitem(spark, dir),
+        col("l_returnflag"), col("l_linestatus"))
+      .orderBy(col("a").asc, col("b").asc)
+
+  /** Benford first-digit expectations log10(1 + 1/d), d = 1..9 —
+    * driver-computed constants embedded as the SAME double literals
+    * in the Spark plan and the oracle text. */
+  private val benfordP: Seq[Double] = (1 to 9).map(d => math.log10(1 + 1.0 / d))
+
+  /** First-significant-digit expression shared by the Spark side and
+    * (string-rendered) the oracle: integer part, then a comparison
+    * ladder of floor-divides by powers of ten. floor-of-double is
+    * deterministic IEEE on both engines; o_totalprice < 10^7 bounds
+    * the ladder. */
+  private def firstDigit(xi: Column): Column =
+    (6 to 1 by -1).foldLeft(when(lit(false), lit(0.0))) { (acc, t) =>
+      acc.when(xi >= lit(math.pow(10, t).toLong), floor(xi.cast("double") / lit(math.pow(10, t))))
+    }.otherwise(xi.cast("double")).cast("long")
+
+  /** Benford first-digit screen on order totals — the classic
+    * fabricated-numbers audit: observed first-digit counts vs the
+    * log10(1+1/d) law, with the χ² decomposition per digit in
+    * integer micro-units. Natural multi-magnitude amounts follow the
+    * law; heaped or invented ones don't. (TPC-H-style uniform prices
+    * deliberately DON'T follow Benford — the gate pins the exact
+    * χ² value, not conformance.) ANSI-portable end to end: the
+    * oracle text also runs verbatim through spark.sql. */
+  def benfordTotalprice(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_totalprice").isNotNull && col("o_totalprice") >= 1)
+    val counts = ord.select(firstDigit(floor(col("o_totalprice")).cast("long")).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = counts.agg(coalesce(sum(col("n_obs")), lit(0L)).as("n"))
+    val spine = tot.select(explode(sequence(lit(1L), lit(9L))).as("digit"), col("n"))
+    val p = benfordP.zipWithIndex.foldLeft(when(lit(false), lit(0.0))) {
+      case (acc, (pd, i)) => acc.when(col("digit") === lit((i + 1).toLong), lit(pd))
+    }
+    val exp = col("n").cast("double") * p
+    spine.join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"), exp.as("e"))
+      .select(col("digit"), col("n_obs"),
+        floor(col("e") * lit(1e6) + lit(0.5)).cast("long").as("expected_micro"),
+        floor((col("n_obs").cast("double") - col("e")) * (col("n_obs").cast("double") - col("e"))
+          / col("e") * lit(1e6) + lit(0.5)).cast("long").as("chi2_micro"))
+      .orderBy(col("digit").asc)
+  }
+
   /** DuckDB replay of [[Drift.psiBuckets]] on events.value split at
     * the mid-month literal, ending in CTE
     * `ppsi(bucket, c_a, c_b, psi_microbits)`. */
@@ -374,7 +436,10 @@ object StatsOps {
     "sample_per_lang"   -> (samplePerLang _),
     "psi_value_drift"   -> (psiValueDrift _),
     "psi_drift_total"   -> (psiDriftTotal _),
-    "cusum_value_shift" -> (cusumValueShift _)
+    "cusum_value_shift" -> (cusumValueShift _),
+    "corr_price_qty"    -> (corrPriceQty _),
+    "mi_flag_status"    -> (miFlagStatus _),
+    "benford_totalprice" -> (benfordTotalprice _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -602,6 +667,87 @@ object StatsOps {
         |       CAST(floor(cusum * 1e6 + 0.5) AS BIGINT) AS cusum_micro,
         |       CASE WHEN abs(cusum) = mxv THEN 1 ELSE 0 END AS is_shift
         |FROM c CROSS JOIN mx
-        |ORDER BY day ASC""".stripMargin
+        |ORDER BY day ASC""".stripMargin,
+    "benford_totalprice" -> {
+      // exponent-suffixed literals parse as DOUBLE on both engines;
+      // bare decimals would parse as DECIMAL and round-trip through a
+      // decimal→double conversion the engines need not agree on
+      val ladder = (6 to 1 by -1).map(t =>
+        s"WHEN xi >= ${math.pow(10, t).toLong} THEN floor(CAST(xi AS DOUBLE) / ${math.pow(10, t).toLong}e0)")
+        .mkString(" ")
+      val pCase = benfordP.zipWithIndex.map { case (p, i) =>
+        s"WHEN s.digit = ${i + 1} THEN ${p}e0" }.mkString(" ")
+      s"""WITH v AS (
+         |  SELECT CAST(floor(o_totalprice) AS BIGINT) AS xi
+         |  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1
+         |), dg AS (
+         |  SELECT CAST(CASE $ladder ELSE CAST(xi AS DOUBLE) END AS BIGINT) AS digit FROM v
+         |), cnt AS (SELECT digit, count(*) AS n_obs FROM dg GROUP BY digit),
+         |tot AS (SELECT coalesce(sum(n_obs), 0) AS n FROM cnt),
+         |spine AS (SELECT CAST(d AS BIGINT) AS digit
+         |          FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) AS t(d)),
+         |e AS (
+         |  SELECT s.digit, CAST(coalesce(c.n_obs, 0) AS BIGINT) AS n_obs,
+         |         CAST(tot.n AS DOUBLE) * (CASE $pCase END) AS e
+         |  FROM spine s LEFT JOIN cnt c ON s.digit = c.digit CROSS JOIN tot
+         |)
+         |SELECT digit, n_obs,
+         |       CAST(floor(e * 1e6 + 0.5) AS BIGINT) AS expected_micro,
+         |       CAST(floor((CAST(n_obs AS DOUBLE) - e) * (CAST(n_obs AS DOUBLE) - e) / e * 1e6 + 0.5)
+         |         AS BIGINT) AS chi2_micro
+         |FROM e ORDER BY digit ASC""".stripMargin
+    },
+    "corr_price_qty" ->
+      """WITH v AS (
+        |  SELECT CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS xi,
+        |         CAST(floor(CAST(l_quantity AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS yi
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |), s AS (
+        |  SELECT count(*) AS n,
+        |         sum(CAST(xi AS DECIMAL(38,0))) AS sx,
+        |         sum(CAST(yi AS DECIMAL(38,0))) AS sy,
+        |         sum(CAST(xi * yi AS DECIMAL(38,0))) AS sxy,
+        |         sum(CAST(xi * xi AS DECIMAL(38,0))) AS sxx,
+        |         sum(CAST(yi * yi AS DECIMAL(38,0))) AS syy
+        |  FROM v
+        |), m AS (
+        |  SELECT n,
+        |         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+        |         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+        |         sxx
+        |  FROM s
+        |)
+        |SELECT n,
+        |       CASE WHEN n > 0 AND sxx IS NOT NULL THEN
+        |         CASE WHEN vx > 0 AND vy > 0 THEN
+        |           CAST(floor(cov / sqrt(vx * vy) * 1e6 + 0.5) AS BIGINT)
+        |         ELSE NULL END
+        |       ELSE NULL END AS corr_micro
+        |FROM m""".stripMargin,
+    "mi_flag_status" ->
+      s"""WITH j AS (
+         |  SELECT l_returnflag AS a, l_linestatus AS b, count(*) AS c_ab
+         |  FROM lineitem
+         |  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+         |  GROUP BY 1, 2
+         |), ma AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM j GROUP BY 1),
+         |mb AS (SELECT b, CAST(sum(c_ab) AS BIGINT) AS c_b FROM j GROUP BY 1),
+         |nn AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n FROM j),
+         |cells AS (
+         |  SELECT j.a, j.b, j.c_ab, nn.n,
+         |         (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))
+         |           / (CAST(j.c_ab AS DOUBLE) * CAST(nn.n AS DOUBLE)) AS r_inv
+         |  FROM j JOIN ma ON j.a = ma.a JOIN mb ON j.b = mb.b CROSS JOIN nn
+         |)
+         |SELECT a, b, c_ab,
+         |       CAST(floor(CAST(c_ab AS DOUBLE) / CAST(n AS DOUBLE)
+         |         * (CASE WHEN r_inv <= 1.0
+         |              THEN ${graft.operators.LanguageModel.dkSurprisal("r_inv")}
+         |              ELSE -(${graft.operators.LanguageModel.dkSurprisal("(1.0 / r_inv)")}) END)
+         |         * 1e6 + 0.5) AS BIGINT) AS mi_microbits
+         |FROM cells
+         |ORDER BY a ASC, b ASC""".stripMargin
   )
 }

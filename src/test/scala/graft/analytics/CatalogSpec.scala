@@ -44,6 +44,18 @@ class CatalogSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("benford screen: 9-digit spine, counts reconcile, expected mass sums to n") {
+    val rows = StatsOps.benfordTotalprice(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("digit")).toSeq == (1L to 9L))
+    val n = rows.map(_.getAs[Long]("n_obs")).sum
+    assert(n > 0)
+    // Σ expected = n · Σ log10(1+1/d) = n exactly (telescoping), up to
+    // 9 micro-roundings
+    val expSum = rows.map(_.getAs[Long]("expected_micro")).sum
+    assert(math.abs(expSum - n * 1000000L) <= 9, s"expSum=$expSum n=$n")
+    assert(rows.forall(_.getAs[Long]("chi2_micro") >= 0L))
+  }
+
   test("cusum scan: one row per day, shift flag marks exactly the |cusum| peak") {
     val rows = StatsOps.cusumValueShift(spark, dir).collect()
     assert(rows.length == 30) // the harness window is Jan 2024
