@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Cols
-import graft.operators.{AsOfJoin, Components, Curation, KMeans, LanguageModel, Multimodal, PageRank, Passages, RangeJoin, Redaction, Scd2, Sessionize, Similarity, Sketches, SpanDedup, TextAnalysis, TextDedup, TextFeatures}
+import graft.operators.{AsOfJoin, Components, Curation, KCore, KMeans, LanguageModel, Multimodal, PageRank, Passages, RangeJoin, Redaction, Scd2, Sessionize, Similarity, Sketches, SpanDedup, TextAnalysis, TextDedup, TextFeatures}
 import org.apache.spark.sql.expressions.Window
 
 /** Training-data pipeline query surface: dedup, similarity search, and
@@ -209,6 +209,23 @@ object DataOps {
       .orderBy(col("rank").desc, col("doc_id").asc)
       .limit(20)
   }
+
+  /** Dense-region extraction: the 2-core of the duplicate pair graph
+    * ([[KCore.kCore]]) — nodes surviving iterative peeling of
+    * degree-<2 leaves. Components says who is connected; the k-core
+    * says where the template/boilerplate MESH is (chains and isolated
+    * pairs peel away). The oracle unrolls the peel as fixpoint-stable
+    * CTE rounds (extra rounds are no-ops once stable, so 12 unrolled
+    * rounds equal the fixpoint for any peel depth ≤ 12 — near-dup
+    * graphs settle in 2–3). */
+  def kcoreDocs(spark: SparkSession, dir: String): DataFrame =
+    KCore.kCore(
+        TextDedup.pairGraph(Tables.documents(spark, dir),
+          n = 3, numHashes = 16, bands = 8, threshold = 0.5)
+          .select(col("doc_a"), col("doc_b")),
+        "doc_a", "doc_b", k = 2)
+      .select(col("id").as("doc_id"), col("core_deg"))
+      .orderBy(col("doc_id").asc)
 
   /** As-of attribution: each click joined to the user's latest
     * purchase at or before the click (the temporal-join workload),
@@ -1321,6 +1338,27 @@ object DataOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "kcore_docs" -> {
+      // unrolled peel: each round keeps edges whose BOTH endpoints
+      // have degree >= 2; once the core is stable further rounds are
+      // identities, so 12 rounds == the fixpoint for peel depth <= 12
+      // MATERIALIZED: each round references the previous THREE times;
+      // DuckDB's default CTE inlining would expand the base scan 3^12
+      // times (observed as an fd explosion on the parquet view)
+      val rounds = (1 to 12).map { i =>
+        s"""kd$i AS MATERIALIZED (SELECT a, count(*) AS d FROM k${i - 1} GROUP BY a),
+           |kk$i AS MATERIALIZED (SELECT a FROM kd$i WHERE d >= 2),
+           |k$i AS MATERIALIZED (SELECT k${i - 1}.a, k${i - 1}.b FROM k${i - 1}
+           |        JOIN kk$i x ON k${i - 1}.a = x.a
+           |        JOIN kk$i y ON k${i - 1}.b = y.a)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $dkPairGraphCtes,
+         |k0 AS MATERIALIZED (SELECT a, b FROM edges),
+         |$rounds
+         |SELECT a AS doc_id, count(*) AS core_deg
+         |FROM k12 GROUP BY a
+         |ORDER BY doc_id ASC""".stripMargin
+    },
     "pagerank_hubs" ->
       s"""WITH $dkPairGraphCtes,
          |prdeg AS (SELECT a AS id, count(*) AS deg FROM edges GROUP BY 1),
@@ -2380,6 +2418,7 @@ object DataOps {
     "range_views_before_purchase" -> (rangeViewsBeforePurchase _),
     "dedup_groups"      -> (dedupGroups _),
     "pagerank_hubs"     -> (pagerankHubs _),
+    "kcore_docs"        -> (kcoreDocs _),
     "dedup_keep"        -> (dedupKeep _),
     "mix_budget"        -> (mixBudget _),
     "sample_strata"     -> (sampleStrata _),
