@@ -341,6 +341,15 @@ object StatsOps {
         col("l_returnflag"), col("l_linestatus"))
       .orderBy(col("a").asc, col("b").asc)
 
+  /** Welch two-sample t statistic ([[Association.welchT]]) on the
+    * same mid-month split as the PSI gate — the third leg of the
+    * drift toolkit: PSI says the DISTRIBUTION moved, CUSUM says WHEN,
+    * the t statistic says whether the MEAN shift clears sampling
+    * noise. Exact decimal sufficient statistics; ANSI-portable
+    * (verbatim through spark.sql). */
+  def ttestValueHalves(spark: SparkSession, dir: String): DataFrame =
+    Association.welchT(psiInput(spark, dir), col("value"), col("ts") < psiSplit)
+
   /** Benford first-digit expectations log10(1 + 1/d), d = 1..9 —
     * driver-computed constants embedded as the SAME double literals
     * in the Spark plan and the oracle text. */
@@ -439,7 +448,8 @@ object StatsOps {
     "cusum_value_shift" -> (cusumValueShift _),
     "corr_price_qty"    -> (corrPriceQty _),
     "mi_flag_status"    -> (miFlagStatus _),
-    "benford_totalprice" -> (benfordTotalprice _)
+    "benford_totalprice" -> (benfordTotalprice _),
+    "ttest_value_halves" -> (ttestValueHalves _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -668,6 +678,48 @@ object StatsOps {
         |       CASE WHEN abs(cusum) = mxv THEN 1 ELSE 0 END AS is_shift
         |FROM c CROSS JOIN mx
         |ORDER BY day ASC""".stripMargin,
+    "ttest_value_halves" ->
+      """WITH tv AS (
+        |  SELECT CAST(floor(CAST(value AS DOUBLE) * 100e0 + 0.5) AS BIGINT) AS xi,
+        |         (ts < TIMESTAMP '2024-01-16') AS is_a
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        |), s AS (
+        |  SELECT CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |         sum(CAST(CASE WHEN is_a THEN xi ELSE 0 END AS DECIMAL(38,0))) AS sa,
+        |         sum(CAST(CASE WHEN is_a THEN xi * xi ELSE 0 END AS DECIMAL(38,0))) AS ssa,
+        |         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+        |         sum(CAST(CASE WHEN is_a THEN 0 ELSE xi END AS DECIMAL(38,0))) AS sb,
+        |         sum(CAST(CASE WHEN is_a THEN 0 ELSE xi * xi END AS DECIMAL(38,0))) AS ssb
+        |  FROM tv
+        |), m AS (
+        |  SELECT na, nb,
+        |         CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100e0 AS ma,
+        |         CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100e0 AS mb,
+        |         (CAST(na AS DOUBLE) * CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+        |           / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0)) AS va,
+        |         (CAST(nb AS DOUBLE) * CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+        |           / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)) AS vb
+        |  FROM s
+        |), m2 AS (
+        |  SELECT na, nb, ma, mb, va, vb,
+        |         va / 10000e0 / CAST(na AS DOUBLE) AS sea,
+        |         vb / 10000e0 / CAST(nb AS DOUBLE) AS seb
+        |  FROM m
+        |)
+        |SELECT na AS n_a, nb AS n_b,
+        |       CASE WHEN na >= 2 AND nb >= 2
+        |            THEN CAST(floor(ma * 1e6 + 0.5) AS BIGINT) ELSE NULL END AS mean_a_micro,
+        |       CASE WHEN na >= 2 AND nb >= 2
+        |            THEN CAST(floor(mb * 1e6 + 0.5) AS BIGINT) ELSE NULL END AS mean_b_micro,
+        |       CASE WHEN na >= 2 AND nb >= 2 AND (va > 0 OR vb > 0)
+        |            THEN CAST(floor((ma - mb) / sqrt(sea + seb) * 1e6 + 0.5) AS BIGINT)
+        |            ELSE NULL END AS t_micro,
+        |       CASE WHEN na >= 2 AND nb >= 2 AND (va > 0 OR vb > 0)
+        |            THEN CAST(floor((sea + seb) * (sea + seb)
+        |              / (sea * sea / (CAST(na AS DOUBLE) - 1.0)
+        |                 + seb * seb / (CAST(nb AS DOUBLE) - 1.0)) * 1e6 + 0.5) AS BIGINT)
+        |            ELSE NULL END AS dof_micro
+        |FROM m2""".stripMargin,
     "benford_totalprice" -> {
       // exponent-suffixed literals parse as DOUBLE on both engines;
       // bare decimals would parse as DECIMAL and round-trip through a

@@ -64,6 +64,51 @@ object Association {
         .otherwise(lit(null).cast("long")).as("corr_micro"))
   }
 
+  /** Welch's two-sample t statistic between the `sideA` rows and the
+    * rest of `value`, from the same exact-decimal sufficient
+    * statistics as [[pearson]] — one aggregate pass, O(1) state,
+    * engine-identical doubles. Output (1 row): n_a, n_b, and in
+    * micro units: mean_a, mean_b, t (Welch denominator √(s²ₐ/nₐ +
+    * s²ᵦ/nᵦ), sample variances with the n−1 correction), plus the
+    * Welch–Satterthwaite degrees of freedom. NULL t when either side
+    * has < 2 rows or both variances are zero. */
+  def welchT(df: DataFrame, value: Column, sideA: Column, scale: Int = 2): DataFrame = {
+    require(scale >= 0 && scale <= 6, "scale must be in [0, 6]")
+    val q = math.pow(10, scale)
+    val xi = floor(value.cast("double") * lit(q) + lit(0.5)).cast("long")
+    val vals = df.filter(value.isNotNull && sideA.isNotNull)
+      .select(xi.as("xi"), sideA.cast("boolean").as("is_a"))
+    def side(a: Boolean, suffix: String) = Seq(
+      coalesce(sum(when(col("is_a") === lit(a), 1L).otherwise(0L)), lit(0L)).as(s"n$suffix"),
+      coalesce(sum(when(col("is_a") === lit(a), col("xi")).otherwise(0L).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as(s"s$suffix"),
+      coalesce(sum(when(col("is_a") === lit(a), col("xi") * col("xi")).otherwise(0L)
+        .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as(s"ss$suffix"))
+    val cols = side(true, "a") ++ side(false, "b")
+    val sums = vals.agg(cols.head, cols.tail: _*)
+    def d(c: String): Column = col(c).cast("double")
+    // sample variance via the exact-sums form: (n·Σx² − (Σx)²) / (n·(n−1))
+    val va = (d("na") * d("ssa") - d("sa") * d("sa")) / (d("na") * (d("na") - lit(1.0)))
+    val vb = (d("nb") * d("ssb") - d("sb") * d("sb")) / (d("nb") * (d("nb") - lit(1.0)))
+    val ma = d("sa") / d("na") / lit(q)
+    val mb = d("sb") / d("nb") / lit(q)
+    val sea = va / lit(q * q) / d("na") // variance of the mean, unquantized units
+    val seb = vb / lit(q * q) / d("nb")
+    val t = (ma - mb) / sqrt(sea + seb)
+    val dof = (sea + seb) * (sea + seb) /
+      (sea * sea / (d("na") - lit(1.0)) + seb * seb / (d("nb") - lit(1.0)))
+    def micro(c: Column): Column = floor(c * lit(1e6) + lit(0.5)).cast("long")
+    sums.select(col("na").as("n_a"), col("nb").as("n_b"),
+      when(col("na") >= 2 && col("nb") >= 2, micro(ma)).otherwise(lit(null).cast("long"))
+        .as("mean_a_micro"),
+      when(col("na") >= 2 && col("nb") >= 2, micro(mb)).otherwise(lit(null).cast("long"))
+        .as("mean_b_micro"),
+      when(col("na") >= 2 && col("nb") >= 2 && (va > 0 || vb > 0), micro(t))
+        .otherwise(lit(null).cast("long")).as("t_micro"),
+      when(col("na") >= 2 && col("nb") >= 2 && (va > 0 || vb > 0), micro(dof))
+        .otherwise(lit(null).cast("long")).as("dof_micro"))
+  }
+
   /** Pointwise-MI decomposition of two categorical columns: one row
     * per observed (a, b) cell with its count and its contribution
     * (c_ab/N)·log2(c_ab·N / (c_a·c_b)) in integer micro-bits. The

@@ -26,7 +26,7 @@ class SqlFrontEndSpec extends SparkSpec {
     "q4_geo_rollup", "q5_risk_watchlist", "sample_per_lang",
     "sample_priority_lang",
     "sample_strata", "stream_merge_events", "u3_kpi_summary", "cusum_value_shift",
-    "corr_price_qty", "benford_totalprice",
+    "corr_price_qty", "benford_totalprice", "ttest_value_halves",
     "u4_result_summary", "zorder_cells", "zorder_read")
 
   test("ANSI oracle SQL runs verbatim via spark.sql with DataFrame-identical results") {

@@ -48,6 +48,42 @@ class AssociationSpec extends SparkSpec {
     assert(n == 2L) // only fully-present pairs count
   }
 
+  test("welch t matches a double-precision reference on two shifted samples") {
+    val rng = new scala.util.Random(3)
+    val a = Seq.fill(120)(rng.nextGaussian() * 4 + 20)
+    val b = Seq.fill(80)(rng.nextGaussian() * 6 + 18)
+    val df = (a.map((_, true)) ++ b.map((_, false))).toDF("x", "side")
+    val row = Association.welchT(df, $"x", $"side")
+      .select($"n_a", $"n_b", $"t_micro", $"dof_micro")
+      .as[(Long, Long, Long, Long)].head()
+    assert(row._1 == 120L && row._2 == 80L)
+    // reference on the same cent-quantized values
+    def q(v: Seq[Double]) = v.map(x => math.floor(x * 100 + 0.5) / 100.0)
+    val (qa, qb) = (q(a), q(b))
+    def meanVar(v: Seq[Double]) = {
+      val m = v.sum / v.size
+      (m, v.map(x => (x - m) * (x - m)).sum / (v.size - 1))
+    }
+    val ((ma, va), (mb, vb)) = (meanVar(qa), meanVar(qb))
+    val (sea, seb) = (va / qa.size, vb / qb.size)
+    val tRef = (ma - mb) / math.sqrt(sea + seb)
+    val dofRef = (sea + seb) * (sea + seb) /
+      (sea * sea / (qa.size - 1) + seb * seb / (qb.size - 1))
+    assert(math.abs(row._3 - math.floor(tRef * 1e6 + 0.5).toLong) <= 2, s"t=${row._3} ref=$tRef")
+    assert(math.abs(row._4 - math.floor(dofRef * 1e6 + 0.5).toLong) <= 2, s"dof=${row._4} ref=$dofRef")
+  }
+
+  test("welch t: identical sides ≈ 0; an undersized side yields NULLs") {
+    val same = ((1 to 50).map(i => (i.toDouble % 7, true)) ++
+      (1 to 50).map(i => (i.toDouble % 7, false))).toDF("x", "side")
+    val t0 = Association.welchT(same, $"x", $"side").select($"t_micro").as[Long].head()
+    assert(t0 == 0L)
+    val tiny = Seq((1.0, true), (2.0, false), (3.0, false)).toDF("x", "side")
+    val r = Association.welchT(tiny, $"x", $"side")
+      .select($"t_micro", $"mean_a_micro").collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("MI of a variable with itself is its entropy — exact at power-of-two uniform") {
     // 4 uniform categories, a == b: MI = H = log2 4 = 2 bits, and the
     // octave ladder is EXACT at powers of two → 500000 micro per cell
