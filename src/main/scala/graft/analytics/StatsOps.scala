@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Cols
-import graft.operators.{Association, Drift, HistQuantiles, Sequences, TextDedup, Triangles}
+import graft.operators.{Association, Bootstrap, Drift, HistQuantiles, Sequences, TextDedup, Triangles}
 
 /** Statistical / graph / sequence analytics extending the reference's
   * aggregate surface (SURVEY.md §2.5) with the screens a curation
@@ -350,6 +350,16 @@ object StatsOps {
   def ttestValueHalves(spark: SparkSession, dir: String): DataFrame =
     Association.welchT(psiInput(spark, dir), col("value"), col("ts") < psiSplit)
 
+  /** Poisson-bootstrap 95% CI on the mean of events.value
+    * ([[Bootstrap.meanCi]], B = 64 replicas, centi-unit grid): the
+    * error bar a metrics pipeline puts on a corpus-scale mean in ONE
+    * pass — no resampling shuffle, O(B) state, bounds as exact order
+    * statistics of the replica means. Deterministic end to end (hashed
+    * uniforms, driver-constant Poisson CDF ladder), so the oracle
+    * replays it bit-for-bit. */
+  def bootstrapMeanCi(spark: SparkSession, dir: String): DataFrame =
+    Bootstrap.meanCi(Tables.events(spark, dir), col("value"), col("event_id"))
+
   /** Benford first-digit expectations log10(1 + 1/d), d = 1..9 —
     * driver-computed constants embedded as the SAME double literals
     * in the Spark plan and the oracle text. */
@@ -449,7 +459,8 @@ object StatsOps {
     "corr_price_qty"    -> (corrPriceQty _),
     "mi_flag_status"    -> (miFlagStatus _),
     "benford_totalprice" -> (benfordTotalprice _),
-    "ttest_value_halves" -> (ttestValueHalves _)
+    "ttest_value_halves" -> (ttestValueHalves _),
+    "bootstrap_mean_ci" -> (bootstrapMeanCi _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -800,6 +811,48 @@ object StatsOps {
          |              ELSE -(${graft.operators.LanguageModel.dkSurprisal("(1.0 / r_inv)")}) END)
          |         * 1e6 + 0.5) AS BIGINT) AS mi_microbits
          |FROM cells
-         |ORDER BY a ASC, b ASC""".stripMargin
+         |ORDER BY a ASC, b ASC""".stripMargin,
+    "bootstrap_mean_ci" -> {
+      // identical CDF doubles as the Spark plan (Benford literal policy);
+      // ranks replay meanCi's defaults: B=64, alpha=0.05 -> 2 and 63
+      val b = 64
+      val loRank = math.max(1, math.floor(b * 0.025).toInt + 1)
+      val hiRank = math.min(b, math.floor(b * 0.975).toInt + 1)
+      val ladder = Bootstrap.PoissonCdf
+        .map(c => s"(CASE WHEN u >= ${c}e0 THEN 1 ELSE 0 END)").mkString("\n           + ")
+      s"""WITH v AS (
+         |  SELECT CAST(floor(CAST(value AS DOUBLE) * 100e0 + 0.5) AS BIGINT) AS xi,
+         |         CAST(event_id AS BIGINT) AS k
+         |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+         |), ex AS (
+         |  SELECT xi, r,
+         |         CAST(((2 * r + 1) * (((k % 1000000007) * 2654435761) % 1000000007)
+         |               + 999983 * r) % 1000000007 AS DOUBLE)
+         |           / 1000000007e0 AS u
+         |  FROM v CROSS JOIN (SELECT unnest(generate_series(0, ${b - 1})) AS r) rs
+         |), wts AS (
+         |  SELECT xi, r,
+         |         $ladder AS w
+         |  FROM ex
+         |), rep AS (
+         |  SELECT r, sum(w * xi) AS swx, sum(w) AS sw FROM wts GROUP BY r
+         |), rm AS (
+         |  SELECT r, CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) / 100e0 AS rm
+         |  FROM rep WHERE sw > 0
+         |), rk AS (
+         |  SELECT rm, row_number() OVER (ORDER BY rm ASC, r ASC) AS rk FROM rm
+         |), bnd AS (
+         |  SELECT min(CASE WHEN rk = $loRank THEN rm END) AS lo,
+         |         min(CASE WHEN rk = $hiRank THEN rm END) AS hi
+         |  FROM rk
+         |), s AS (SELECT count(*) AS n, sum(xi) AS sx FROM v)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |       CASE WHEN n > 0 THEN
+         |         CAST(floor(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100e0 * 1e6 + 0.5) AS BIGINT)
+         |       ELSE NULL END AS mean_micro,
+         |       CAST(floor(lo * 1e6 + 0.5) AS BIGINT) AS lo_micro,
+         |       CAST(floor(hi * 1e6 + 0.5) AS BIGINT) AS hi_micro
+         |FROM s CROSS JOIN bnd""".stripMargin
+    }
   )
 }
