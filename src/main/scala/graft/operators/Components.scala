@@ -47,11 +47,79 @@ object Components {
       .distinct()
   }
 
+  /** Edge budget below which the closure runs driver-side
+    * ([[unionFindLabels]]): 2²¹ (long, long) edges = 32 MiB — the same
+    * bounded-parameter-fetch policy as the Bloom bitset (≤ 2²⁷ bits,
+    * BloomFilterJoin) and the k-means centroid collect. The PAIR frame
+    * is not the corpus: candidate generation + cosine/Jaccard
+    * verification have already shrunk it by orders of magnitude, so
+    * most real dedup runs land under the budget; those that don't take
+    * the distributed loop unchanged. */
+  val DriverEdgeLimit: Long = 1L << 21
+
+  /** Driver-side exact closure: union-find with path compression +
+    * union by rank over a bounded edge list, roots canonicalized to
+    * the component's MIN id afterwards — identical labels to the
+    * distributed loop (both define comp = min member id), O(m α(m)),
+    * no per-round jobs. Deterministic for any edge order. */
+  private def unionFindLabels(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val idx = scala.collection.mutable.HashMap.empty[Long, Int]
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def id(x: Long): Int = idx.getOrElseUpdate(x, { ids += x; ids.length - 1 })
+    edges.foreach { case (a, b) => id(a); id(b) }
+    val parent = Array.tabulate(ids.length)(identity)
+    val rank = new Array[Byte](ids.length)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(id(a)), find(id(b)))
+      if (ra != rb) {
+        if (rank(ra) < rank(rb)) parent(ra) = rb
+        else if (rank(rb) < rank(ra)) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) = (rank(ra) + 1).toByte }
+      }
+    }
+    val minOfRoot = scala.collection.mutable.HashMap.empty[Int, Long]
+    ids.indices.foreach { i =>
+      val r = find(i)
+      val m = minOfRoot.getOrElse(r, Long.MaxValue)
+      if (ids(i) < m) minOfRoot(r) = ids(i)
+    }
+    ids.indices.map(i => (ids(i), minOfRoot(find(i)))).toArray
+  }
+
   /** (id, comp) for every node appearing in `edges`; `comp` is the
     * smallest node id in the component (the canonical keeper under a
-    * min-id keeper rule). Self-loops ignored; edges undirected. */
+    * min-id keeper rule). Self-loops ignored; edges undirected.
+    *
+    * Adaptive execution (the AQE ethos — pick the strategy from a
+    * measured statistic, not a guess): the normalized edge count is
+    * read with one narrow scan; at or under `driverEdgeLimit` edges
+    * the closure is solved exactly on the driver ([[unionFindLabels]]
+    * — a bounded fetch, like a broadcast join's build side), above it
+    * the distributed min-label + pointer-jumping loop runs. Both paths
+    * produce identical labels. `driverEdgeLimit = 0` forces the
+    * distributed loop (used by specs to pin its equivalence). */
   def connectedComponents(edges: DataFrame, src: String = "src", dst: String = "dst",
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, driverEdgeLimit: Long = DriverEdgeLimit): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst") && col("src").isNotNull && col("dst").isNotNull)
+    if (driverEdgeLimit > 0 && e.limit((driverEdgeLimit + 1).toInt).count() <= driverEdgeLimit) {
+      import spark.implicits._
+      val labels = unionFindLabels(
+        e.as[(Long, Long)].collect())
+      spark.createDataset(labels.toSeq).toDF("id", "comp")
+    } else distributedComponents(edges, src, dst, maxIter)
+  }
+
+  private def distributedComponents(edges: DataFrame, src: String, dst: String,
+      maxIter: Int): DataFrame = {
     val sym = symmetrize(edges, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
     // LAZY checkpoints: the changed-rows count below materializes the
     // round's checkpoint inside the SAME job, so each round costs one

@@ -27,22 +27,43 @@ class ComponentsSpec extends SparkSpec {
     byComp.toMap
   }
 
-  test("connectedComponents matches union-find on a random graph") {
+  test("connectedComponents matches union-find on a random graph — BOTH paths") {
     val rng = new scala.util.Random(19)
     val edges = Seq.fill(120)((rng.nextInt(80).toLong, rng.nextInt(80).toLong))
       .filter(e => e._1 != e._2)
-    val got = Components.connectedComponents(edges.toDF("src", "dst"))
+    val expected = canon(unionFind(edges))
+    // default: size-gated driver union-find path
+    val fast = Components.connectedComponents(edges.toDF("src", "dst"))
       .as[(Long, Long)].collect().toMap
-    assert(canon(got) == canon(unionFind(edges)))
+    // driverEdgeLimit = 0: the distributed min-label loop
+    val dist = Components.connectedComponents(edges.toDF("src", "dst"),
+        driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(canon(fast) == expected)
+    assert(dist == fast, "driver and distributed paths must produce identical labels")
     // labels are canonical: every comp is the min id of its members
-    assert(got.groupBy(_._2).forall { case (comp, members) => members.keys.min == comp })
+    assert(fast.groupBy(_._2).forall { case (comp, members) => members.keys.min == comp })
   }
 
-  test("connectedComponents closes a long chain (worst-case diameter)") {
+  test("connectedComponents closes a long chain (worst-case diameter) — both paths") {
     val chain = (0L until 30L).map(i => (i, i + 1))
-    val got = Components.connectedComponents(chain.toDF("src", "dst"))
-      .as[(Long, Long)].collect().toMap
-    assert(got.size == 31 && got.values.forall(_ == 0L))
+    for (lim <- Seq(Components.DriverEdgeLimit, 0L)) {
+      val got = Components.connectedComponents(chain.toDF("src", "dst"),
+          driverEdgeLimit = lim)
+        .as[(Long, Long)].collect().toMap
+      assert(got.size == 31 && got.values.forall(_ == 0L), s"limit=$lim")
+    }
+  }
+
+  test("duplicate and reversed edges don't disturb either path") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 4L), (4L, 3L))
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L)
+    for (lim <- Seq(Components.DriverEdgeLimit, 0L)) {
+      val got = Components.connectedComponents(edges.toDF("src", "dst"),
+          driverEdgeLimit = lim)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"limit=$lim")
+    }
   }
 
   test("per-round checkpoints are released: persistent-RDD count stays O(1) in rounds") {
@@ -53,7 +74,10 @@ class ComponentsSpec extends SparkSpec {
     val chain = (0L until 64L).map(i => (i, i + 1))
     val deltas = (1 to 3).map { _ =>
       val before = spark.sparkContext.getPersistentRDDs.size
-      Components.connectedComponents(chain.toDF("src", "dst")).count()
+      // driverEdgeLimit = 0 forces the distributed loop — the default
+      // path would solve this 64-edge chain on the driver and checkpoint
+      // nothing, making the leak assertion vacuous
+      Components.connectedComponents(chain.toDF("src", "dst"), driverEdgeLimit = 0L).count()
       spark.sparkContext.getPersistentRDDs.size - before
     }
     // only the FINAL round's checkpoint (backing the returned frame) may
@@ -62,12 +86,15 @@ class ComponentsSpec extends SparkSpec {
       s"expected at most 1 surviving checkpoint in some attempt, deltas were $deltas")
   }
 
-  test("self-loops are ignored; empty edge set yields empty labeling") {
-    val got = Components.connectedComponents(Seq((5L, 5L), (1L, 2L)).toDF("src", "dst"))
-      .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L)) // node 5 had only a self-loop: absent
-    assert(Components.connectedComponents(
-      Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
+  test("self-loops are ignored; empty edge set yields empty labeling — both paths") {
+    for (lim <- Seq(Components.DriverEdgeLimit, 0L)) {
+      val got = Components.connectedComponents(
+          Seq((5L, 5L), (1L, 2L)).toDF("src", "dst"), driverEdgeLimit = lim)
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L), s"limit=$lim") // node 5: self-loop only, absent
+      assert(Components.connectedComponents(
+        Seq.empty[(Long, Long)].toDF("src", "dst"), driverEdgeLimit = lim).count() == 0)
+    }
   }
 
   test("dedupGroups: one row per cluster with size and keeper (min id)") {
