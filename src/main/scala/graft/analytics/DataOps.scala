@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Cols
-import graft.operators.{AsOfJoin, Components, Curation, KCore, KMeans, LanguageModel, Multimodal, PageRank, Passages, RangeJoin, Redaction, Scd2, Sessionize, Similarity, Sketches, SpanDedup, TextAnalysis, TextDedup, TextFeatures}
+import graft.operators.{AsOfJoin, Classifier, Components, Curation, KCore, KMeans, LanguageModel, Multimodal, PageRank, Passages, RangeJoin, Redaction, Scd2, Sessionize, Similarity, Sketches, SpanDedup, TextAnalysis, TextDedup, TextFeatures}
 import org.apache.spark.sql.expressions.Window
 
 /** Training-data pipeline query surface: dedup, similarity search, and
@@ -447,6 +447,42 @@ object DataOps {
         docs.filter(pmod(col("doc_id"), lit(2L)) === 0))
       .orderBy(col("avg_bits").desc, col("doc_id").asc)
       .limit(20)
+  }
+
+  /** TRAINED quality classifier ([[graft.operators.Classifier]] —
+    * softsign-logistic batch GD, 8 iterations, lr 2.0): distills the
+    * rule-based quality filter into a single learned linear scorer —
+    * label = qualityScore ≥ 0.875, features = the rule's four
+    * component scores (length band, stopword presence, lexical
+    * diversity, word-length band). This is the fasttext-style
+    * filter-training step of a curation pipeline (heuristic labels →
+    * cheap learned model), run entirely in the engine; the data is
+    * linearly separable with margin, so GD genuinely converges
+    * (train accuracy 0.61 majority → ~0.99 by iteration 4 at sf0.01).
+    * The oracle replays the WHOLE training loop (every gradient sum
+    * on the 1e-6 grid, every weight update's double arithmetic) as
+    * unrolled CTE blocks, then the final weights and train accuracy —
+    * the same whole-loop gate as `kmeans_cells`.
+    * One row: (n, n_correct, w0..w4 in micro units). */
+  def clfQualityWeights(spark: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    val feats = graft.operators.Persisted.index(
+      Tables.documents(spark, dir).select(
+        when(TextAnalysis.qualityScore(txt) >= 0.875, lit(1.0)).otherwise(lit(0.0)).as("y"),
+        TextAnalysis.lengthScore(txt).as("x1"),
+        TextAnalysis.stopwordScore(txt).as("x2"),
+        TextAnalysis.diversityScore(txt).as("x3"),
+        TextAnalysis.wordLengthScore(txt).as("x4")))
+    val xs = Seq(col("x1"), col("x2"), col("x3"), col("x4"))
+    val w = Classifier.fitSoftsignLogit(feats, xs, col("y"), nIter = 8, lr = 2.0)
+    def micro(v: Double): Long = math.floor(v * 1e6 + 0.5).toLong
+    Classifier.score(feats, xs, w)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred") === col("y").cast("int"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("n"), col("n_correct"),
+        lit(micro(w(0))).as("w0_micro"), lit(micro(w(1))).as("w1_micro"),
+        lit(micro(w(2))).as("w2_micro"), lit(micro(w(3))).as("w3_micro"),
+        lit(micro(w(4))).as("w4_micro"))
   }
 
   /** Length-weighted document sampling via priority sampling
@@ -2412,6 +2448,76 @@ object DataOps {
          |SELECT event_date, n_exact, n_present, n_est
          |FROM ex JOIN dx USING (event_date)
          |ORDER BY event_date ASC""".stripMargin,
+    "clf_quality_weights" -> {
+      // Whole-training-loop replay (the kmeans_cells pattern): the
+      // rule's component scores as features, then 8 unrolled
+      // softsign-GD blocks — every double expression written in the
+      // SAME association order as the Spark plan, gradient sums on the
+      // 1e-6 integer grid, weight updates as lr*((s/1e6)/n) double
+      // arithmetic. All features are exact multiples of 0.5, so every
+      // product below is IEEE-exact on both engines.
+      val sig = (z: String) => s"(0.5e0 + 0.5e0 * $z / (1e0 + abs($z)))"
+      def mrg(w: String) =
+        s"(((($w.b + $w.w1 * x1) + $w.w2 * x2) + $w.w3 * x3) + $w.w4 * x4)"
+      def iterBlock(i: Int): String = {
+        val p = sig("z")
+        s"""m$i AS (
+           |  SELECT y, x1, x2, x3, x4, ${mrg(s"wt${i - 1}")} AS z
+           |  FROM feats CROSS JOIN wt${i - 1}
+           |), g$i AS (
+           |  SELECT count(*) AS n,
+           |         CAST(sum(CAST(floor(($p - y) * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT) AS s0,
+           |         CAST(sum(CAST(floor(($p - y) * x1 * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT) AS s1,
+           |         CAST(sum(CAST(floor(($p - y) * x2 * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT) AS s2,
+           |         CAST(sum(CAST(floor(($p - y) * x3 * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT) AS s3,
+           |         CAST(sum(CAST(floor(($p - y) * x4 * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT) AS s4
+           |  FROM m$i
+           |), wt$i AS (
+           |  SELECT b - 2e0 * (CAST(s0 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)) AS b,
+           |         w1 - 2e0 * (CAST(s1 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)) AS w1,
+           |         w2 - 2e0 * (CAST(s2 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)) AS w2,
+           |         w3 - 2e0 * (CAST(s3 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)) AS w3,
+           |         w4 - 2e0 * (CAST(s4 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)) AS w4
+           |  FROM wt${i - 1} CROSS JOIN g$i
+           |)"""
+      }
+      s"""WITH raw AS (
+         |  SELECT CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+         |         CAST(len(list_filter(string_split(text, ' '),
+         |              w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE)
+         |           / len(string_split(text, ' ')) AS swr,
+         |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |           / len(string_split(text, ' ')) AS ttr,
+         |         (length(text) - len(string_split(text, ' ')) + 1.0) / len(string_split(text, ' ')) AS awl
+         |  FROM documents
+         |), scored AS (
+         |  SELECT CASE WHEN nt >= 20 AND nt <= 80 THEN 1e0 WHEN nt >= 10 THEN 0.5e0 ELSE 0e0 END AS x1,
+         |         CASE WHEN swr >= 0.05e0 THEN 1e0 ELSE 0e0 END AS x2,
+         |         CASE WHEN ttr >= 0.3e0 THEN 1e0 WHEN ttr >= 0.15e0 THEN 0.5e0 ELSE 0e0 END AS x3,
+         |         CASE WHEN awl >= 3e0 AND awl <= 10e0 THEN 1e0 ELSE 0e0 END AS x4
+         |  FROM raw
+         |), feats AS (
+         |  SELECT CASE WHEN (((x1 + x2) + x3) + x4) / 4e0 >= 0.875e0 THEN 1e0 ELSE 0e0 END AS y,
+         |         x1, x2, x3, x4
+         |  FROM scored
+         |), wt0 AS (
+         |  SELECT 0e0 AS b, 0e0 AS w1, 0e0 AS w2, 0e0 AS w3, 0e0 AS w4
+         |), ${(1 to 8).map(iterBlock).mkString(",\n")},
+         |pred AS (
+         |  SELECT y, ${mrg("wt8")} AS z FROM feats CROSS JOIN wt8
+         |), acc AS (
+         |  SELECT count(*) AS n,
+         |         CAST(sum(CASE WHEN (z >= 0e0) = (y = 1e0) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+         |  FROM pred
+         |)
+         |SELECT n, n_correct,
+         |       CAST(floor(b * 1e6 + 0.5e0) AS BIGINT) AS w0_micro,
+         |       CAST(floor(w1 * 1e6 + 0.5e0) AS BIGINT) AS w1_micro,
+         |       CAST(floor(w2 * 1e6 + 0.5e0) AS BIGINT) AS w2_micro,
+         |       CAST(floor(w3 * 1e6 + 0.5e0) AS BIGINT) AS w3_micro,
+         |       CAST(floor(w4 * 1e6 + 0.5e0) AS BIGINT) AS w4_micro
+         |FROM acc CROSS JOIN wt8""".stripMargin
+    },
     "mm_payload_stats" ->
       """SELECT coalesce(lang, 'und') AS kind,
         |       count(*) AS n_media,
@@ -2446,6 +2552,7 @@ object DataOps {
     "sample_priority_lang" -> (samplePriorityLang _),
     "lm_surprisal"      -> (lmSurprisal _),
     "lm_backoff"        -> (lmBackoff _),
+    "clf_quality_weights" -> (clfQualityWeights _),
     "kmeans_cells"      -> (kmeansCells _),
     "sim_topk_ivf_kmeans" -> (simTopKIvfKmeans _),
     "sim_topk"          -> (simTopK _),

@@ -49,20 +49,34 @@ object TextAnalysis {
     size(array_distinct(split(text, " "))).cast("double") /
       nTokens(text).cast("double")
 
+  /** The four component scores of [[qualityScore]], exposed
+    * individually so downstream operators (e.g. the trained-filter
+    * distillation in [[graft.analytics.DataOps.clfQualityWeights]])
+    * can use the rule's own basis as features. Each is an exact
+    * multiple of 0.5 — no FP noise crosses an engine boundary. */
+  def lengthScore(text: Column): Column = {
+    val nt = nTokens(text).cast("double")
+    when(nt >= 20 && nt <= 80, 1.0).when(nt >= 10, 0.5).otherwise(0.0)
+  }
+  def stopwordScore(text: Column): Column =
+    when(stopwordRatio(text) >= 0.05, 1.0).otherwise(0.0)
+  def diversityScore(text: Column): Column = {
+    val ttr = typeTokenRatio(text)
+    when(ttr >= 0.3, 1.0).when(ttr >= 0.15, 0.5).otherwise(0.0)
+  }
+  def wordLengthScore(text: Column): Column = {
+    val nt = nTokens(text).cast("double")
+    val awl = (length(text) - nt + 1) / nt // avg word length
+    when(awl >= 3 && awl <= 10, 1.0).otherwise(0.0)
+  }
+
   /** Composite quality score in [0,1] — the standard pre-training
     * heuristics (length band, stopword presence, lexical diversity,
     * mean word length band), equal-weighted. Deterministic double
     * arithmetic, identical formula in the oracle. */
-  def qualityScore(text: Column): Column = {
-    val nt = nTokens(text).cast("double")
-    val lenScore = when(nt >= 20 && nt <= 80, 1.0).when(nt >= 10, 0.5).otherwise(0.0)
-    val swScore = when(stopwordRatio(text) >= 0.05, 1.0).otherwise(0.0)
-    val ttr = typeTokenRatio(text)
-    val divScore = when(ttr >= 0.3, 1.0).when(ttr >= 0.15, 0.5).otherwise(0.0)
-    val awl = (length(text) - nt + 1) / nt // avg word length
-    val awlScore = when(awl >= 3 && awl <= 10, 1.0).otherwise(0.0)
-    (lenScore + swScore + divScore + awlScore) / 4.0
-  }
+  def qualityScore(text: Column): Column =
+    (lengthScore(text) + stopwordScore(text) + diversityScore(text) +
+      wordLengthScore(text)) / 4.0
 
   /** Marker-word language profiles: tiny per-language function-word
     * lists. On real multilingual text this separates languages by
