@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Cols
-import graft.operators.{AsOfJoin, Classifier, Components, Curation, KCore, KMeans, LanguageModel, Multimodal, PageRank, Passages, RangeJoin, Redaction, Scd2, Sessionize, Similarity, Sketches, SpanDedup, TextAnalysis, TextDedup, TextFeatures}
+import graft.operators.{AsOfJoin, Classifier, Components, Curation, Gapfill, KCore, KMeans, LanguageModel, Multimodal, PageRank, Passages, RangeJoin, Redaction, Scd2, Sessionize, Similarity, Sketches, SpanDedup, TextAnalysis, TextDedup, TextFeatures}
 import org.apache.spark.sql.expressions.Window
 
 /** Training-data pipeline query surface: dedup, similarity search, and
@@ -312,6 +312,25 @@ object DataOps {
         Cols.r(sum(col("n_events")).cast("double") / count(lit(1)), 6).as("avg_session_events"),
         Cols.r(sum(col("duration_us")).cast("double") / count(lit(1)) / 1e6, 6).as("avg_duration_sec"))
       .orderBy(col("session_date").asc)
+  }
+
+  /** Calendar densification ([[graft.operators.Gapfill]]): daily value
+    * sums per (event_type, user-bucket) series, densified to each
+    * series' own date span and LOCF-filled; emits the GAP days with
+    * their carried values (233 at sf0.01). Carried values are
+    * bit-identical copies of the rounded daily sums, so the oracle's
+    * `last_value IGNORE NULLS` replay matches exactly. */
+  def gapfillDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), pmod(col("user_id"), lit(25L)).as("bucket"),
+        to_date(col("ts")).as("d"))
+      .agg(Cols.r(Cols.sumExact(col("value"), 2), 2).as("v"))
+    Gapfill.dailyLocf(daily, Seq("event_type", "bucket"), "d", Seq("v"))
+      .filter(col("is_gap"))
+      .select(col("event_type"), col("bucket"),
+        date_format(col("d"), "yyyy-MM-dd").as("day"), col("v").as("v_carried"))
+      .orderBy(col("event_type").asc, col("bucket").asc, col("day").asc)
   }
 
   /** SCD2 dimension history for a changing user attribute (the props
@@ -1511,6 +1530,32 @@ object DataOps {
         |       floor(CAST(sum(duration_us) AS DOUBLE) / count(*) / 1e6 * 1e6 + 0.5) / 1e6 AS avg_duration_sec
         |FROM sess GROUP BY 1
         |ORDER BY session_date ASC""".stripMargin,
+    "gapfill_daily" ->
+      """WITH daily AS (
+        |  SELECT event_type, user_id % 25 AS bucket, CAST(ts AS DATE) AS d,
+        |         floor((CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS v
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1, 2, 3
+        |), bounds AS (
+        |  SELECT event_type, bucket, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1, 2
+        |), spine AS (
+        |  SELECT event_type, bucket,
+        |         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM bounds
+        |), j AS (
+        |  SELECT s.event_type, s.bucket, s.d, daily.v,
+        |         daily.v IS NOT NULL AS obs
+        |  FROM spine s LEFT JOIN daily USING (event_type, bucket, d)
+        |), f AS (
+        |  SELECT event_type, bucket, d, obs,
+        |         last_value(v IGNORE NULLS) OVER (
+        |           PARTITION BY event_type, bucket ORDER BY d ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+        |  FROM j
+        |)
+        |SELECT event_type, bucket, strftime(d, '%Y-%m-%d') AS day, v AS v_carried
+        |FROM f WHERE NOT obs
+        |ORDER BY event_type ASC, bucket ASC, day ASC""".stripMargin,
     "scd2_user_versions" ->
       """WITH chg AS (
         |  SELECT user_id, ts, event_id,
@@ -2562,6 +2607,7 @@ object DataOps {
     "rp_distortion"     -> (rpDistortion _),
     "incr_load_events"  -> (incrLoadEvents _),
     "sessionize_daily"  -> (sessionizeDaily _),
+    "gapfill_daily"     -> (gapfillDaily _),
     "scd2_user_versions" -> (scd2UserVersions _),
     "funnel_stages"     -> (funnelStages _),
     "text_repetition"   -> (textRepetition _),
