@@ -333,6 +333,21 @@ object DataOps {
       .orderBy(col("event_type").asc, col("bucket").asc, col("day").asc)
   }
 
+  /** Record linkage ([[graft.operators.FuzzyLink]]): near-duplicate
+    * customer names (edit distance ≤ 1) within nation blocks — the
+    * block → compare → match shape of entity resolution. Cost is
+    * Σ|block|², not |table|²; the bounded `levenshtein(a, b, 1)`
+    * abandons each pair in O(min(len)) once the cut is passed. */
+  def fuzzyPairsCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
+    graft.operators.FuzzyLink
+      .selfMatch(cust, "c_custkey", "c_name", Seq("c_nationkey"), maxDist = 1)
+      .select(col("c_nationkey").as("nation"), col("id_a"), col("id_b"),
+        col("dist").cast("long").as("dist"))
+      .orderBy(col("nation").asc, col("id_a").asc, col("id_b").asc)
+  }
+
   /** SCD2 dimension history for a changing user attribute (the props
     * JSON `k` bucketed into tiers): full version rows with half-open
     * validity intervals, no-change versions collapsed. Limited to
@@ -1556,6 +1571,14 @@ object DataOps {
         |SELECT event_type, bucket, strftime(d, '%Y-%m-%d') AS day, v AS v_carried
         |FROM f WHERE NOT obs
         |ORDER BY event_type ASC, bucket ASC, day ASC""".stripMargin,
+    "fuzzy_pairs_customers" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey, c_name FROM customer)
+        |SELECT a.c_nationkey AS nation, a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM c a JOIN c b ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY nation ASC, id_a ASC, id_b ASC""".stripMargin,
     "scd2_user_versions" ->
       """WITH chg AS (
         |  SELECT user_id, ts, event_id,
@@ -2608,6 +2631,7 @@ object DataOps {
     "incr_load_events"  -> (incrLoadEvents _),
     "sessionize_daily"  -> (sessionizeDaily _),
     "gapfill_daily"     -> (gapfillDaily _),
+    "fuzzy_pairs_customers" -> (fuzzyPairsCustomers _),
     "scd2_user_versions" -> (scd2UserVersions _),
     "funnel_stages"     -> (funnelStages _),
     "text_repetition"   -> (textRepetition _),
