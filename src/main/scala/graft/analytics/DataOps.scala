@@ -946,6 +946,41 @@ object DataOps {
       .orderBy(col("event_date").asc)
   }
 
+  /** ROLLING 7-day distinct users via KMV sketch merge — the query
+    * that motivates mergeable sketches at scale: exact rolling
+    * distinct must re-scan every (day, user) pair per window, while
+    * the sketch path merges 7 pre-reduced O(k) daily min-sets per
+    * day (explode + re-aggregate IS the union-trim merge,
+    * property-tested in SketchesSpec). The exact side here is the
+    * reference gauge for the realized error, not the scale path.
+    * Oracle replays hashing, per-window min-32 rank cut, and the
+    * estimator's literal constants. */
+  def kmvRollingUsers(spark: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    val kmv = udaf(Sketches.kmvAgg(k))
+    val dayUsers = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(to_date(col("ts")).as("d"), col("user_id").cast("string").as("s"))
+      .distinct()
+    val daily = dayUsers.withColumn("h", Sketches.kmvHash(col("s")))
+      .groupBy(col("d")).agg(kmv(col("h")).as("mins")) // days × O(k) state
+    val days = daily.select(col("d").as("day"))
+    val est = broadcast(days)
+      .join(daily, col("d").between(date_sub(col("day"), 6), col("day")))
+      .select(col("day"), explode(col("mins")).as("h"))
+      .groupBy(col("day")).agg(kmv(col("h")).as("mins7"))
+      .select(col("day"), Sketches.estimateFromMins(col("mins7"), k).as("n_est"))
+    val exact = broadcast(days)
+      .join(dayUsers, col("d").between(date_sub(col("day"), 6), col("day")))
+      .groupBy(col("day")).agg(countDistinct(col("s")).as("n_exact"))
+    exact.join(est, "day")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_exact"), col("n_est"),
+        Cols.r(abs(col("n_est") - col("n_exact")).cast("double")
+          / col("n_exact").cast("double"), 4).as("rel_err"))
+      .orderBy(col("day").asc)
+  }
+
   /** Global HLL distinct estimate of the event-id stream (m = 64
     * registers, rel std err ≈ 1.04/√64 ≈ 13%) next to the exact count
     * and realized error — the FIXED-state cousin of
@@ -2374,6 +2409,35 @@ object DataOps {
          |       floor(abs(n_est - n_exact) / CAST(n_exact AS DOUBLE) * 1e4 + 0.5) / 1e4 AS rel_err
          |FROM dag JOIN dex USING (event_date)
          |ORDER BY event_date ASC""".stripMargin,
+    "kmv_rolling_users" ->
+      s"""WITH rsrc AS (
+         |  SELECT CAST(ts AS DATE) AS d, CAST(user_id AS VARCHAR) AS s
+         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+         |), rdays AS (
+         |  SELECT DISTINCT d FROM rsrc
+         |), rhs AS (
+         |  SELECT DISTINCT d, (${dkWordHash("s")} * 2654435761) % $P AS h FROM rsrc
+         |), rwin AS (
+         |  SELECT DISTINCT t.d AS day, u.h
+         |  FROM rdays t JOIN rhs u ON u.d BETWEEN t.d - 6 AND t.d
+         |), rrk AS (
+         |  SELECT day, h,
+         |         row_number() OVER (PARTITION BY day ORDER BY h ASC) AS rn
+         |  FROM rwin
+         |), rag AS (
+         |  SELECT day, count(*) AS m, max(h) AS kth,
+         |         CASE WHEN count(*) < 32 THEN count(*)
+         |              ELSE CAST(floor(CAST('${(31.0 * P).toString}' AS DOUBLE) / CAST(max(h) AS DOUBLE)) AS BIGINT) END AS n_est
+         |  FROM rrk WHERE rn <= 32 GROUP BY 1
+         |), rex AS (
+         |  SELECT t.d AS day, count(DISTINCT u.s) AS n_exact
+         |  FROM rdays t JOIN rsrc u ON u.d BETWEEN t.d - 6 AND t.d
+         |  GROUP BY 1
+         |)
+         |SELECT strftime(day, '%Y-%m-%d') AS day, n_exact, n_est,
+         |       floor(abs(n_est - n_exact) / CAST(n_exact AS DOUBLE) * 1e4 + 0.5) / 1e4 AS rel_err
+         |FROM rag JOIN rex USING (day)
+         |ORDER BY day ASC""".stripMargin,
     "kmv_user_overlap" ->
       s"""WITH ca AS (
          |  SELECT CAST(user_id AS VARCHAR) AS s FROM events
@@ -2649,6 +2713,7 @@ object DataOps {
     "feat_lang_profile" -> (featLangProfile _),
     "kmv_user_overlap"  -> (kmvUserOverlap _),
     "kmv_daily_users"   -> (kmvDailyUsers _),
+    "kmv_rolling_users" -> (kmvRollingUsers _),
     "hll_distinct_events" -> (hllDistinctEvents _),
     "hll_daily_users"   -> (hllDailyUsers _),
     "cms_token_counts"  -> (cmsTokenCounts _),

@@ -199,4 +199,32 @@ class PlanSpec extends SparkSpec {
     // interval merge runs per doc, not in one global window
     assert(!p.contains("Window [") || !p.contains("SinglePartition"), p.take(3000))
   }
+
+  test("classifier scoring is map-side: no exchange, no window, stays in whole-stage codegen") {
+    import org.apache.spark.sql.functions.col
+    val feats = Tables.documents(spark, dir).select(
+      graft.operators.TextAnalysis.lengthScore(col("text")).as("x1"),
+      graft.operators.TextAnalysis.stopwordScore(col("text")).as("x2"))
+    val p = plan(graft.operators.Classifier.score(
+      feats, Seq(col("x1"), col("x2")), Array(0.1, 0.2, 0.3)))
+    assert(!p.contains("Exchange"), p.take(3000))
+    assert(!p.contains("Window ["), p.take(3000))
+    assert(p.contains("*("), p.take(3000)) // whole-stage-codegen stage marks
+  }
+
+  test("gapfill: spine bounds partial-aggregate; LOCF window is keyed, never SinglePartition") {
+    val p = plan(graft.analytics.DataOps.gapfillDaily(spark, dir))
+    assert(p.contains("partial_min") || p.contains("partial_max"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // the LOCF window hashes on the series keys
+    assert(!p.contains("Window [") || !p.contains("SinglePartition"), p.take(3000))
+  }
+
+  test("fuzzy link: hash join on the block key with both pair-pruning predicates pushed") {
+    val p = plan(graft.analytics.DataOps.fuzzyPairsCustomers(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // id ordering and the length band are join-condition/filter predicates,
+    // evaluated before the bounded levenshtein
+    assert(p.contains("levenshtein"), p.take(3000))
+  }
 }
