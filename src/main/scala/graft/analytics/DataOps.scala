@@ -981,6 +981,34 @@ object DataOps {
       .orderBy(col("day").asc)
   }
 
+  /** Exact bag-of-words COSINE as the verification stage over
+    * MinHash-LSH candidates — the alternative verifier to Jaccard
+    * (`dedup_minhash_lsh`) on the same candidate generator. The
+    * 100 TB shape: cosine is computed for CANDIDATE pairs only
+    * (broadcastable pair list ⋈ tf index on (doc, token)), never
+    * all-pairs. Portability needs no transcendentals: integer tf dot
+    * products and sums are exact, and IEEE-754 `sqrt` is correctly
+    * rounded on every engine, so `dot / (√ssq_a · √ssq_b)` is
+    * bit-identical in Spark and DuckDB. */
+  def cosineVerifyLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cands = TextDedup.lshCandidates(docs, n = 3, numHashes = 16, bands = 8)
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val norms = tf.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("ssq"))
+    val dot = broadcast(cands)
+      .join(tf.select(col("doc_id").as("doc_a"), col("t"), col("tf").as("tf_a")), Seq("doc_a"))
+      .join(tf.select(col("doc_id").as("doc_b"), col("t"), col("tf").as("tf_b")), Seq("doc_b", "t"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(sum(col("tf_a") * col("tf_b")).as("dot"))
+    dot
+      .join(norms.select(col("doc_id").as("doc_a"), col("ssq").as("ssq_a")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("ssq").as("ssq_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        Cols.r(col("dot").cast("double")
+          / (sqrt(col("ssq_a").cast("double")) * sqrt(col("ssq_b").cast("double"))), 6).as("cosine"))
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
   /** Global HLL distinct estimate of the event-id stream (m = 64
     * registers, rel std err ≈ 1.04/√64 ≈ 13%) next to the exact count
     * and realized error — the FIXED-state cousin of
@@ -1753,6 +1781,41 @@ object DataOps {
          |FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
          |WHERE j.jraw >= 0.5
          |ORDER BY j.doc_a ASC, j.doc_b ASC""".stripMargin,
+    "cosine_verify_lsh" ->
+      s"""WITH $dkSizes,
+         |sigs AS (
+         |  SELECT doc_id,
+         |         list_transform(generate_series(0, 15),
+         |           i -> list_min(list_transform($dkShingles,
+         |                  h -> (CAST(2*i+1 AS BIGINT) * h + 999983 * CAST(i AS BIGINT)) % $P))) AS minhash
+         |  FROM tok
+         |), bandsx AS (
+         |  SELECT doc_id, b.b AS band, list_slice(minhash, b.b * 2 + 1, b.b * 2 + 2) AS key
+         |  FROM sigs CROSS JOIN generate_series(0, 7) AS b(b)
+         |), cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bandsx a JOIN bandsx b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |), tfx AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+         |), tfc AS (
+         |  SELECT doc_id, t, count(*) AS tf FROM tfx GROUP BY 1, 2
+         |), cnorms AS (
+         |  SELECT doc_id, sum(tf * tf) AS ssq FROM tfc GROUP BY 1
+         |), dotc AS (
+         |  SELECT c.doc_a, c.doc_b, CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+         |  FROM cands c
+         |  JOIN tfc a ON a.doc_id = c.doc_a
+         |  JOIN tfc b ON b.doc_id = c.doc_b AND b.t = a.t
+         |  GROUP BY 1, 2
+         |)
+         |SELECT d.doc_a, d.doc_b,
+         |       floor(CAST(d.dot AS DOUBLE)
+         |         / (sqrt(CAST(na.ssq AS DOUBLE)) * sqrt(CAST(nb.ssq AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS cosine
+         |FROM dotc d
+         |JOIN cnorms na ON d.doc_a = na.doc_id
+         |JOIN cnorms nb ON d.doc_b = nb.doc_id
+         |ORDER BY d.doc_a ASC, d.doc_b ASC""".stripMargin,
     "dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, $dkTokenHashes AS th FROM documents),
          |sim AS (
@@ -2664,6 +2727,7 @@ object DataOps {
     "dedup_exact"       -> (dedupExact _),
     "dedup_jaccard"     -> (dedupJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "cosine_verify_lsh" -> (cosineVerifyLsh _),
     "dedup_minhash_fast" -> (dedupMinhashFast _),
     "dedup_incremental" -> (dedupIncrementalBatch _),
     "dedup_simhash"     -> (dedupSimhash _),
