@@ -156,6 +156,65 @@ object Queries {
       .limit(50)
   }
 
+  /** Anti-join churn audit (the TPC-H Q22 shape): customers with no
+    * order since the cutoff, rolled up per nation — closes the
+    * join-type surface (inner, outer, semi, ANTI) in the oracle
+    * catalog. The date filter pushes into the orders scan BEFORE the
+    * anti join, so the build side is the pruned recent-key set, not
+    * the fact table. */
+  def antiLapsedCusts(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-07-01").cast("date"))
+      .select(col("o_custkey"))
+    cust.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("nation"))
+      .agg(count(lit(1)).as("n_custs"),
+        Cols.r(Cols.sumExact(col("c_acctbal"), 2), 2).as("total_bal"))
+      .orderBy(col("nation").asc)
+  }
+
+  /** The rank-window family on one partition spec: rank, dense_rank,
+    * percent_rank, cume_dist, ntile(4) over order value within nation
+    * — every score is a ratio of integers (rank positions and
+    * partition counts), so the doubles are bit-identical across
+    * engines with no rounding ladder. */
+  def windowRankFamily(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("pct_rank", Cols.r(percent_rank().over(w), 6))
+      .withColumn("cume", Cols.r(cume_dist().over(w), 6))
+      .withColumn("quartile", ntile(4).over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("c_nationkey").as("nation"), col("o_orderkey"),
+        Cols.r(col("o_totalprice"), 2).as("o_totalprice"),
+        col("rnk").cast("long").as("rnk"), col("drnk").cast("long").as("drnk"),
+        col("pct_rank"), col("cume"), col("quartile").cast("long").as("quartile"))
+      .orderBy(col("nation").asc, col("rnk").asc, col("o_orderkey").asc)
+  }
+
+  /** PIVOT: daily event counts spread to one column per event type
+    * (explicit value list, so the output schema is static and the
+    * oracle mirrors it with conditional aggregation — the engine-
+    * portable form of PIVOT). */
+  def pivotDailyTypes(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("event_date"), col("event_type"))
+      .groupBy(col("event_date"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy(col("event_date").asc)
+  }
+
   /** DuckDB oracle SQL for the queries above. Column aliases match the
     * Spark side exactly (driver sorts columns by name before hashing). */
   val oracles: Map[String, String] = Map(
@@ -229,6 +288,43 @@ object Queries {
         |WHERE spike_ratio >= 1.5 AND momentum <= 0
         |ORDER BY spike_ratio DESC, momentum ASC, l_orderkey ASC, l_linenumber ASC
         |LIMIT 50""".stripMargin,
+    "anti_lapsed_custs" ->
+      """SELECT c_nationkey AS nation, count(*) AS n_custs,
+        |       floor((CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS total_bal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderdate >= DATE '2000-07-01')
+        |GROUP BY 1
+        |ORDER BY nation ASC""".stripMargin,
+    "window_rank_family" ->
+      """WITH j AS (
+        |  SELECT c_nationkey AS nation, o_orderkey, o_totalprice,
+        |         rank() OVER w AS rnk,
+        |         dense_rank() OVER w AS drnk,
+        |         percent_rank() OVER w AS praw,
+        |         cume_dist() OVER w AS craw,
+        |         ntile(4) OVER w AS quartile
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |)
+        |SELECT nation, o_orderkey,
+        |       floor((o_totalprice) * 1e2 + 0.5) / 1e2 AS o_totalprice,
+        |       CAST(rnk AS BIGINT) AS rnk, CAST(drnk AS BIGINT) AS drnk,
+        |       floor(praw * 1e6 + 0.5) / 1e6 AS pct_rank,
+        |       floor(craw * 1e6 + 0.5) / 1e6 AS cume,
+        |       CAST(quartile AS BIGINT) AS quartile
+        |FROM j WHERE rnk <= 5
+        |ORDER BY nation ASC, rnk ASC, o_orderkey ASC""".stripMargin,
+    "pivot_daily_types" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1
+        |ORDER BY event_date ASC""".stripMargin,
     "agg_rollup_totals" ->
       """SELECT coalesce(r_name, 'ALL') AS region_name,
         |       coalesce(n_name, 'ALL') AS nation_name,
@@ -259,6 +355,9 @@ object Queries {
     "q4_geo_rollup"      -> (q4GeoRollup _),
     "q5_risk_watchlist"  -> (q5RiskWatchlist _),
     "agg_rollup_totals"  -> (aggRollupTotals _),
-    "kpi_unpivot"        -> (kpiUnpivot _)
+    "kpi_unpivot"        -> (kpiUnpivot _),
+    "anti_lapsed_custs"  -> (antiLapsedCusts _),
+    "window_rank_family" -> (windowRankFamily _),
+    "pivot_daily_types"  -> (pivotDailyTypes _)
   )
 }
