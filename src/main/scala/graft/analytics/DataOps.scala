@@ -519,6 +519,32 @@ object DataOps {
         lit(micro(w(4))).as("w4_micro"))
   }
 
+  /** The APPLY step of the trained filter: score every document with
+    * the weights [[clfQualityWeights]] learns and roll up the keep
+    * decision per language — train → score → filter, end to end in
+    * the engine. Scoring is map-side codegen over the cached feature
+    * frame (plan-asserted); per-mille keep mass rides along as the
+    * exact integer micro-sum of the softsign scores. */
+  def clfKeepDocs(spark: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    val feats = graft.operators.Persisted.index(
+      Tables.documents(spark, dir).select(
+        col("lang"),
+        when(TextAnalysis.qualityScore(txt) >= 0.875, lit(1.0)).otherwise(lit(0.0)).as("y"),
+        TextAnalysis.lengthScore(txt).as("x1"),
+        TextAnalysis.stopwordScore(txt).as("x2"),
+        TextAnalysis.diversityScore(txt).as("x3"),
+        TextAnalysis.wordLengthScore(txt).as("x4")))
+    val xs = Seq(col("x1"), col("x2"), col("x3"), col("x4"))
+    val w = Classifier.fitSoftsignLogit(feats, xs, col("y"), nIter = 8, lr = 2.0)
+    Classifier.score(feats, xs, w)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("pred").cast("long")).as("n_kept"),
+        sum(floor(col("p") * lit(1e6) + lit(0.5)).cast("long")).as("p_micro_sum"))
+      .orderBy(col("lang").asc)
+  }
+
   /** Length-weighted document sampling via priority sampling
     * ([[Curation.prioritySample]] — DLT top-k by w/u priorities with
     * the subset-sum estimator ŵ = max(w, τ)): longer documents are
@@ -1286,6 +1312,65 @@ object DataOps {
     s"""tok AS (SELECT doc_id, $dkTokenHashes AS th FROM documents),
        |sh AS (SELECT doc_id, unnest($dkShingles) AS sh FROM tok),
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)""".stripMargin
+
+  /** Softsign-GD training replay (the kmeans_cells whole-loop
+    * pattern), shared by the classifier oracles: every double
+    * expression in the SAME association order as the Spark plan,
+    * gradient sums on the 1e-6 integer grid, weight updates as
+    * lr*((s/1e6)/n) double arithmetic. All features are exact
+    * multiples of 0.5, so every product is IEEE-exact on both
+    * engines. `dkClfCtes` ends at the trained `wt8`. */
+  private def dkClfSig(z: String) = s"(0.5e0 + 0.5e0 * $z / (1e0 + abs($z)))"
+  private def dkClfMrg(w: String) =
+    s"(((($w.b + $w.w1 * x1) + $w.w2 * x2) + $w.w3 * x3) + $w.w4 * x4)"
+  private def dkClfIter(i: Int): String = {
+    val p = dkClfSig("z")
+    s"""m$i AS (
+       |  SELECT y, x1, x2, x3, x4, ${dkClfMrg(s"wt${i - 1}")} AS z
+       |  FROM feats CROSS JOIN wt${i - 1}
+       |), g$i AS (
+       |  SELECT count(*) AS n,
+       |         CAST(sum(CAST(floor(($p - y) * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT) AS s0,
+       |         CAST(sum(CAST(floor(($p - y) * x1 * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT) AS s1,
+       |         CAST(sum(CAST(floor(($p - y) * x2 * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT) AS s2,
+       |         CAST(sum(CAST(floor(($p - y) * x3 * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT) AS s3,
+       |         CAST(sum(CAST(floor(($p - y) * x4 * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT) AS s4
+       |  FROM m$i
+       |), wt$i AS (
+       |  SELECT b - 2e0 * (CAST(s0 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)) AS b,
+       |         w1 - 2e0 * (CAST(s1 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)) AS w1,
+       |         w2 - 2e0 * (CAST(s2 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)) AS w2,
+       |         w3 - 2e0 * (CAST(s3 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)) AS w3,
+       |         w4 - 2e0 * (CAST(s4 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)) AS w4
+       |  FROM wt${i - 1} CROSS JOIN g$i
+       |)"""
+  }
+  private lazy val dkClfCtes: String =
+    s"""craw AS (
+       |  SELECT lang,
+       |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+       |         CAST(len(list_filter(string_split(text, ' '),
+       |              w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE)
+       |           / len(string_split(text, ' ')) AS swr,
+       |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |           / len(string_split(text, ' ')) AS ttr,
+       |         (length(text) - len(string_split(text, ' ')) + 1.0) / len(string_split(text, ' ')) AS awl
+       |  FROM documents
+       |), cscored AS (
+       |  SELECT lang,
+       |         CASE WHEN nt >= 20 AND nt <= 80 THEN 1e0 WHEN nt >= 10 THEN 0.5e0 ELSE 0e0 END AS x1,
+       |         CASE WHEN swr >= 0.05e0 THEN 1e0 ELSE 0e0 END AS x2,
+       |         CASE WHEN ttr >= 0.3e0 THEN 1e0 WHEN ttr >= 0.15e0 THEN 0.5e0 ELSE 0e0 END AS x3,
+       |         CASE WHEN awl >= 3e0 AND awl <= 10e0 THEN 1e0 ELSE 0e0 END AS x4
+       |  FROM craw
+       |), feats AS (
+       |  SELECT lang,
+       |         CASE WHEN (((x1 + x2) + x3) + x4) / 4e0 >= 0.875e0 THEN 1e0 ELSE 0e0 END AS y,
+       |         x1, x2, x3, x4
+       |  FROM cscored
+       |), wt0 AS (
+       |  SELECT 0e0 AS b, 0e0 AS w1, 0e0 AS w2, 0e0 AS w3, 0e0 AS w4
+       |), ${(1 to 8).map(dkClfIter).mkString(",\n")}""".stripMargin
 
   /** MinHash-LSH pair graph as a reusable CTE chain: `pairs`
     * (doc_a < doc_b) and symmetric `edges` (a, b) — identical to the
@@ -2643,63 +2728,10 @@ object DataOps {
          |SELECT event_date, n_exact, n_present, n_est
          |FROM ex JOIN dx USING (event_date)
          |ORDER BY event_date ASC""".stripMargin,
-    "clf_quality_weights" -> {
-      // Whole-training-loop replay (the kmeans_cells pattern): the
-      // rule's component scores as features, then 8 unrolled
-      // softsign-GD blocks — every double expression written in the
-      // SAME association order as the Spark plan, gradient sums on the
-      // 1e-6 integer grid, weight updates as lr*((s/1e6)/n) double
-      // arithmetic. All features are exact multiples of 0.5, so every
-      // product below is IEEE-exact on both engines.
-      val sig = (z: String) => s"(0.5e0 + 0.5e0 * $z / (1e0 + abs($z)))"
-      def mrg(w: String) =
-        s"(((($w.b + $w.w1 * x1) + $w.w2 * x2) + $w.w3 * x3) + $w.w4 * x4)"
-      def iterBlock(i: Int): String = {
-        val p = sig("z")
-        s"""m$i AS (
-           |  SELECT y, x1, x2, x3, x4, ${mrg(s"wt${i - 1}")} AS z
-           |  FROM feats CROSS JOIN wt${i - 1}
-           |), g$i AS (
-           |  SELECT count(*) AS n,
-           |         CAST(sum(CAST(floor(($p - y) * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT) AS s0,
-           |         CAST(sum(CAST(floor(($p - y) * x1 * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT) AS s1,
-           |         CAST(sum(CAST(floor(($p - y) * x2 * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT) AS s2,
-           |         CAST(sum(CAST(floor(($p - y) * x3 * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT) AS s3,
-           |         CAST(sum(CAST(floor(($p - y) * x4 * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT) AS s4
-           |  FROM m$i
-           |), wt$i AS (
-           |  SELECT b - 2e0 * (CAST(s0 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)) AS b,
-           |         w1 - 2e0 * (CAST(s1 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)) AS w1,
-           |         w2 - 2e0 * (CAST(s2 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)) AS w2,
-           |         w3 - 2e0 * (CAST(s3 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)) AS w3,
-           |         w4 - 2e0 * (CAST(s4 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)) AS w4
-           |  FROM wt${i - 1} CROSS JOIN g$i
-           |)"""
-      }
-      s"""WITH raw AS (
-         |  SELECT CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
-         |         CAST(len(list_filter(string_split(text, ' '),
-         |              w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE)
-         |           / len(string_split(text, ' ')) AS swr,
-         |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-         |           / len(string_split(text, ' ')) AS ttr,
-         |         (length(text) - len(string_split(text, ' ')) + 1.0) / len(string_split(text, ' ')) AS awl
-         |  FROM documents
-         |), scored AS (
-         |  SELECT CASE WHEN nt >= 20 AND nt <= 80 THEN 1e0 WHEN nt >= 10 THEN 0.5e0 ELSE 0e0 END AS x1,
-         |         CASE WHEN swr >= 0.05e0 THEN 1e0 ELSE 0e0 END AS x2,
-         |         CASE WHEN ttr >= 0.3e0 THEN 1e0 WHEN ttr >= 0.15e0 THEN 0.5e0 ELSE 0e0 END AS x3,
-         |         CASE WHEN awl >= 3e0 AND awl <= 10e0 THEN 1e0 ELSE 0e0 END AS x4
-         |  FROM raw
-         |), feats AS (
-         |  SELECT CASE WHEN (((x1 + x2) + x3) + x4) / 4e0 >= 0.875e0 THEN 1e0 ELSE 0e0 END AS y,
-         |         x1, x2, x3, x4
-         |  FROM scored
-         |), wt0 AS (
-         |  SELECT 0e0 AS b, 0e0 AS w1, 0e0 AS w2, 0e0 AS w3, 0e0 AS w4
-         |), ${(1 to 8).map(iterBlock).mkString(",\n")},
+    "clf_quality_weights" ->
+      s"""WITH $dkClfCtes,
          |pred AS (
-         |  SELECT y, ${mrg("wt8")} AS z FROM feats CROSS JOIN wt8
+         |  SELECT y, ${dkClfMrg("wt8")} AS z FROM feats CROSS JOIN wt8
          |), acc AS (
          |  SELECT count(*) AS n,
          |         CAST(sum(CASE WHEN (z >= 0e0) = (y = 1e0) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
@@ -2711,8 +2743,18 @@ object DataOps {
          |       CAST(floor(w2 * 1e6 + 0.5e0) AS BIGINT) AS w2_micro,
          |       CAST(floor(w3 * 1e6 + 0.5e0) AS BIGINT) AS w3_micro,
          |       CAST(floor(w4 * 1e6 + 0.5e0) AS BIGINT) AS w4_micro
-         |FROM acc CROSS JOIN wt8""".stripMargin
-    },
+         |FROM acc CROSS JOIN wt8""".stripMargin,
+    "clf_keep_docs" ->
+      s"""WITH $dkClfCtes,
+         |predk AS (
+         |  SELECT lang, ${dkClfMrg("wt8")} AS z FROM feats CROSS JOIN wt8
+         |)
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN z >= 0e0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(sum(CAST(floor(${dkClfSig("z")} * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT) AS p_micro_sum
+         |FROM predk
+         |GROUP BY lang
+         |ORDER BY lang ASC""".stripMargin,
     "mm_payload_stats" ->
       """SELECT coalesce(lang, 'und') AS kind,
         |       count(*) AS n_media,
@@ -2749,6 +2791,7 @@ object DataOps {
     "lm_surprisal"      -> (lmSurprisal _),
     "lm_backoff"        -> (lmBackoff _),
     "clf_quality_weights" -> (clfQualityWeights _),
+    "clf_keep_docs"     -> (clfKeepDocs _),
     "kmeans_cells"      -> (kmeansCells _),
     "sim_topk_ivf_kmeans" -> (simTopKIvfKmeans _),
     "sim_topk"          -> (simTopK _),
