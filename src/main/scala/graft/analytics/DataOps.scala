@@ -454,6 +454,21 @@ object DataOps {
       .agg(count(lit(1)).as("n_sampled"))
       .orderBy(col("lang").asc)
 
+  /** Deterministic 80/10/10 train/val/test assignment
+    * ([[Curation.assignSplits]]) with the per-split × per-language
+    * audit rollup — the split-balance check run before training
+    * (hash splits are disjoint and growth-stable by construction, but
+    * per-stratum balance is a property of the data and must be
+    * measured). Map-side label + one partial-aggregable rollup; the
+    * corpus never shuffles on anything wider than the (split, lang)
+    * key. */
+  def splitTrainValTest(spark: SparkSession, dir: String): DataFrame =
+    Curation.assignSplits(Tables.documents(spark, dir), "doc_id",
+        cuts = Seq(("train", 80), ("val", 90)), lastLabel = "test")
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("split").asc, col("lang").asc)
+
   /** Per-document bigram-LM surprisal (the perplexity filter of
     * CCNet/Gopher pipelines, self-trained here: outliers against the
     * corpus's own bigram statistics are templated/degenerate text).
@@ -2050,6 +2065,14 @@ object DataOps {
          |                WHEN 'es' THEN 10 WHEN 'zh' THEN 5 ELSE 10 END
          |GROUP BY lang
          |ORDER BY lang ASC""".stripMargin,
+    "split_train_val_test" ->
+      s"""SELECT CASE WHEN ((doc_id * 2654435761) % $P) % 100 < 80 THEN 'train'
+         |            WHEN ((doc_id * 2654435761) % $P) % 100 < 90 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents
+         |GROUP BY 1, 2
+         |ORDER BY split ASC, lang ASC""".stripMargin,
     "lm_surprisal" ->
       s"""WITH tk AS (
          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -2786,6 +2809,7 @@ object DataOps {
     "dedup_keep"        -> (dedupKeep _),
     "mix_budget"        -> (mixBudget _),
     "sample_strata"     -> (sampleStrata _),
+    "split_train_val_test" -> (splitTrainValTest _),
     "sample_priority"   -> (samplePriority _),
     "sample_priority_lang" -> (samplePriorityLang _),
     "lm_surprisal"      -> (lmSurprisal _),

@@ -170,6 +170,57 @@ object StatsOps {
         col("n").as("n_events"))
       .orderBy(col("event_type").asc)
 
+  /** Rolling 7-day median of events.value — the QUANTILE twin of
+    * kmv_rolling_users' sketch-merge pattern: exact quantiles don't
+    * merge across windows (each window would need its own full sort),
+    * but fixed-grid histograms on a SHARED grid are integer bucket
+    * counts, and counts ADD. One histogram per day (state O(days×B)),
+    * each day's 7-day histogram is the SUM of its trailing days'
+    * counts (a ×7 map-side fan-out + re-aggregate — no window over
+    * raw rows, no per-window re-scan), and the median is the usual
+    * cumulative cut on the merged counts. The same shape computes any
+    * trailing-window quantile at 100 TB: the corpus aggregates ONCE
+    * into daily histograms; everything after runs on bounded
+    * sketch-sized frames. Grid resolution (range/8192) is the
+    * documented trade vs exact per-window medians. */
+  def rollingMedianValue(spark: SparkSession, dir: String): DataFrame = {
+    val b = MadBuckets
+    val ev = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("ts").cast("date").as("d"), col("value").cast("double").as("x"))
+    val stats = ev.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val bkt = when(col("hi") === col("lo"), lit(0L)).otherwise(
+      least(floor((col("x") - col("lo")) / (col("hi") - col("lo")) * lit(b)),
+        lit((b - 1).toLong)))
+    val daily = ev.crossJoin(broadcast(stats))
+      .select(col("d"), bkt.cast("int").as("b"))
+      .groupBy(col("d"), col("b")).agg(count(lit(1)).as("cnt"))
+    val days = ev.select(col("d").as("day")).distinct()
+    // fan each day's counts forward onto the 7 windows it belongs to,
+    // then keep only windows anchored on days that exist in the data
+    val merged = daily
+      .withColumn("o", explode(sequence(lit(0), lit(6))))
+      .select(date_add(col("d"), col("o")).as("day"), col("b"), col("cnt"))
+      .join(broadcast(days), Seq("day"))
+      .groupBy(col("day"), col("b")).agg(sum(col("cnt")).as("cnt"))
+    val tot = merged.groupBy(col("day")).agg(sum(col("cnt")).as("n"))
+    val w = Window.partitionBy(col("day")).orderBy(col("b").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = merged.withColumn("cum", sum(col("cnt")).over(w))
+    val picked = cum.join(broadcast(tot), Seq("day"))
+      .groupBy(col("day"))
+      .agg(min(when(col("cum") >= ceil(lit(0.5) * col("n")), col("b"))).as("bq"),
+        max(col("n")).as("n"))
+    picked.crossJoin(broadcast(stats))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        Cols.r(when(col("hi") === col("lo"), col("lo"))
+          .otherwise(col("lo") +
+            (col("hi") - col("lo")) * (col("bq") + lit(1)).cast("double") / lit(b)), 6)
+          .as("med7"),
+        col("n").as("n_window"))
+      .orderBy(col("day").asc)
+  }
+
   /** Quantile normalization of event values ([[HistQuantiles.cdf]] —
     * per-row empirical-CDF rank from the O(buckets) histogram, one-
     * bucket resolution, corpus never shuffles): the monotone feature
@@ -448,6 +499,7 @@ object StatsOps {
     "deciles_orders"    -> (decilesOrders _),
     "mad_outliers"      -> (madOutliers _),
     "grid_median_events" -> (gridMedianEvents _),
+    "rolling_median_value" -> (rollingMedianValue _),
     "mad_outliers_by_type" -> (madOutliersByType _),
     "cdf_events_value"  -> (cdfEventsValue _),
     "vocab_coverage"    -> (vocabCoverage _),
@@ -599,6 +651,45 @@ object StatsOps {
          |WHERE e.value IS NOT NULL
          |ORDER BY pct DESC, value DESC, event_id ASC
          |LIMIT 20""".stripMargin,
+    "rolling_median_value" ->
+      s"""WITH v AS (
+         |  SELECT CAST(ts AS DATE) AS d, CAST(value AS DOUBLE) AS x
+         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+         |), s AS (
+         |  SELECT min(x) AS lo, max(x) AS hi FROM v
+         |), daily AS (
+         |  SELECT d,
+         |         CASE WHEN hi = lo THEN 0
+         |              ELSE CAST(least(floor((x - lo) / (hi - lo) * $MadBuckets), ${MadBuckets - 1}) AS INT) END AS b,
+         |         count(*) AS cnt
+         |  FROM v, s GROUP BY 1, 2
+         |), days AS (
+         |  SELECT DISTINCT d AS day FROM v
+         |), merged AS (
+         |  SELECT f.day, f.b, CAST(sum(f.cnt) AS BIGINT) AS cnt FROM (
+         |    SELECT daily.d + CAST(o AS INTEGER) AS day, b, cnt
+         |    FROM daily CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS o) os) f
+         |  JOIN days dd ON f.day = dd.day
+         |  GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT day, CAST(sum(cnt) AS BIGINT) AS n FROM merged GROUP BY 1
+         |), cum AS (
+         |  SELECT day, b,
+         |         sum(cnt) OVER (PARTITION BY day ORDER BY b ASC ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM merged
+         |), picked AS (
+         |  SELECT c.day, min(CASE WHEN c.cum >= ceil(0.5e0 * t.n) THEN c.b END) AS bq,
+         |         max(t.n) AS n
+         |  FROM cum c JOIN tot t ON c.day = t.day
+         |  GROUP BY 1
+         |)
+         |SELECT strftime(p.day, '%Y-%m-%d') AS day,
+         |       floor((CASE WHEN s.hi = s.lo THEN s.lo
+         |              ELSE s.lo + (s.hi - s.lo) * CAST(p.bq + 1 AS DOUBLE) / $MadBuckets END)
+         |             * 1e6 + 0.5) / 1e6 AS med7,
+         |       n AS n_window
+         |FROM picked p, s
+         |ORDER BY day ASC""".stripMargin,
     "grid_median_events" ->
       s"""WITH ${HistQuantiles.dkGroupedCut("gm", "events", "event_type", "value", 0.5, MadBuckets, "med")}
          |SELECT k AS event_type,

@@ -78,6 +78,35 @@ object Curation {
     docs.filter(bucket < rate)
   }
 
+  /** Deterministic disjoint split assignment (train/val/test …):
+    * attach a `split` label from contiguous bucket ranges of the same
+    * portable multiplicative-hash bucket as [[hashSample]]. `cuts`
+    * are (label, upperBoundExclusive) pairs with strictly ascending
+    * bounds inside (0, modulus); buckets at or past the last bound
+    * get `lastLabel`. Properties a training pipeline needs and a
+    * rand() split lacks: reproducible in any engine (the oracle
+    * replays it), exactly disjoint and exhaustive by construction,
+    * and STABLE UNDER CORPUS GROWTH — a document's split depends only
+    * on its own id, so adding data never migrates an old document
+    * across the train/test boundary (the classic leakage accident).
+    * Same id-range contract as [[hashSample]] (non-negative, below
+    * ~3.4e9). NULL ids get the NULL label (flagged, not silently
+    * binned). */
+  def assignSplits(docs: DataFrame, idCol: String, cuts: Seq[(String, Int)],
+      lastLabel: String, modulus: Int = 100): DataFrame = {
+    require(cuts.nonEmpty, "need at least one (label, bound) cut")
+    require(cuts.map(_._2) == cuts.map(_._2).sorted && cuts.map(_._2).distinct == cuts.map(_._2),
+      "cut bounds must be strictly ascending")
+    require(cuts.head._2 > 0 && cuts.last._2 < modulus,
+      s"cut bounds must lie inside (0, $modulus)")
+    val bucket = pmod(pmod(col(idCol).cast("long") * lit(2654435761L), lit(TextDedup.P)),
+      lit(modulus.toLong))
+    val split = cuts.foldRight(lit(lastLabel): Column) { case ((lbl, ub), acc) =>
+      when(bucket < lit(ub.toLong), lit(lbl)).otherwise(acc)
+    }
+    docs.withColumn("split", when(col(idCol).isNotNull, split))
+  }
+
   /** Weighted top-k sampling WITHOUT replacement via priority sampling
     * (Duffield–Lund–Thorup, "Priority sampling for estimation of
     * arbitrary subset sums", JACM 54(6) 2007): each row gets priority

@@ -201,4 +201,36 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Curation.temperatureMix(skewed, "source", "doc_id", targetFrac = 1.5))
   }
+
+  test("assignSplits is disjoint, exhaustive, and stable under corpus growth") {
+    val docs = (0L until 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val split = Curation.assignSplits(docs, "doc_id",
+      Seq(("train", 80), ("val", 90)), "test")
+    // every row gets exactly one label from the declared set
+    val labels = split.select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(labels.size == 500 && labels.values.toSet == Set("train", "val", "test"))
+    // roughly 80/10/10 (multiplicative-hash scatter, not exact)
+    val n = labels.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(n("train") > 300 && n("val") > 10 && n("test") > 10)
+    // growth stability: the same doc keeps its split in a larger corpus
+    val grown = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val labels2 = Curation.assignSplits(grown, "doc_id",
+        Seq(("train", 80), ("val", 90)), "test")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    labels.foreach { case (id, l) => assert(labels2(id) == l) }
+  }
+
+  test("assignSplits flags NULL ids with a NULL label and validates cuts") {
+    val docs = Seq(Some(1L), None).map(i => (i, "x")).toDF("doc_id", "text")
+    val got = Curation.assignSplits(docs, "doc_id", Seq(("a", 50)), "b")
+      .select($"doc_id", $"split").as[(Option[Long], Option[String])].collect().toSet
+    assert(got.exists { case (id, s) => id.isEmpty && s.isEmpty })
+    assert(got.exists { case (id, s) => id.nonEmpty && s.nonEmpty })
+    intercept[IllegalArgumentException](
+      Curation.assignSplits(docs, "doc_id", Seq.empty, "z"))
+    intercept[IllegalArgumentException](
+      Curation.assignSplits(docs, "doc_id", Seq(("a", 90), ("b", 50)), "z"))
+    intercept[IllegalArgumentException](
+      Curation.assignSplits(docs, "doc_id", Seq(("a", 120)), "z"))
+  }
 }

@@ -170,4 +170,28 @@ class HistQuantilesSpec extends SparkSpec {
       assert(!p.contains("ObjectHashAggregate"), p.take(2000))
     }
   }
+
+  test("rolling 7-day median lands within one bucket width of the exact per-window median") {
+    val got = graft.analytics.StatsOps.rollingMedianValue(spark, dir)
+      .select(col("day"), col("med7"), col("n_window"))
+      .as[(String, Double, Long)].collect().sortBy(_._1)
+    assert(got.nonEmpty)
+    // brute-force: exact trailing-window order statistic per day
+    val ev = graft.Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("ts").cast("date").cast("string"), col("value"))
+      .as[(String, Double)].collect()
+    val byDay = ev.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    val all = ev.map(_._2)
+    val width = (all.max - all.min) / graft.analytics.StatsOps.MadBuckets
+    got.foreach { case (day, med7, n) =>
+      val d = java.time.LocalDate.parse(day, fmt)
+      val win = (0 to 6).flatMap(o => byDay.getOrElse(d.minusDays(o).toString, Array.empty[Double]))
+      assert(win.size == n, s"$day window size $n vs ${win.size}")
+      val exact = win.sorted.apply(math.ceil(0.5 * win.size).toInt - 1)
+      assert(math.abs(med7 - exact) <= width + 1e-6,
+        s"$day med7=$med7 exact=$exact width=$width")
+    }
+  }
 }
