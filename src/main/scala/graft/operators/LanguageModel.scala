@@ -94,11 +94,14 @@ object LanguageModel {
     * divide from tripping on the degenerate frame). */
   def surprisalScores(docs: DataFrame, ref: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val uni = tokenized(ref, idCol, textCol).select(explode(col("t")).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("c_a"))
+    // count tables are the trained model — persisted under the shared
+    // index policy (one cache entry per canonicalized plan), so repeat
+    // scoring calls against the same reference train once
+    val uni = Persisted.index(tokenized(ref, idCol, textCol).select(explode(col("t")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c_a")))
     val voc = uni.agg(count(lit(1)).as("v"))
-    val bi = bigrams(ref, idCol, textCol)
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    val bi = Persisted.index(bigrams(ref, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab")))
     val p = (coalesce(col("c_ab"), lit(0L)) + lit(1L)).cast("double") /
       (coalesce(col("c_a"), lit(0L)) + col("v")).cast("double")
     bigrams(docs, idCol, textCol)
@@ -155,15 +158,17 @@ object LanguageModel {
   def backoffScores(docs: DataFrame, ref: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", alpha: Double = 0.4): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    // model count tables persist under the shared index policy (see
+    // surprisalScores) — repeat scoring calls train once
     val refTok = tokenized(ref, idCol, textCol).select(explode(col("t")).as("w"))
-    val uni = refTok.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val uni = Persisted.index(refTok.groupBy(col("w")).agg(count(lit(1)).as("c1")))
     val tot = uni.agg(sum(col("c1")).as("n_tok"), count(lit(1)).as("v"))
-    val bi = bigrams(ref, idCol, textCol)
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val bi = Persisted.index(bigrams(ref, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
     // trigram rows carry their context bigram count
-    val tri = trigrams(ref, idCol, textCol)
+    val tri = Persisted.index(trigrams(ref, idCol, textCol)
       .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c123"))
-      .join(bi, Seq("w1", "w2"))
+      .join(bi, Seq("w1", "w2")))
     // bigram model keyed by (w2, w3) with its context unigram count
     val biM = bi.select(col("w1").as("w2"), col("w2").as("w3"), col("c12").as("c23"))
       .join(uni.select(col("w").as("w2"), col("c1").as("c2")), Seq("w2"))
