@@ -194,6 +194,31 @@ object DataOps {
         n = 3, numHashes = 16, bands = 8, threshold = 0.5)
         .select(col("doc_a"), col("doc_b")))
 
+  /** Cross-split leakage audit: near-dup pairs from the shared
+    * MinHash-LSH pair graph whose endpoints land in DIFFERENT splits
+    * of the deterministic train/val/test assignment — the
+    * contamination a held-out evaluation quietly assumes away (a test
+    * doc with a train-side near-duplicate is not held out). Composes
+    * two materialized pieces: the persisted pair graph and the
+    * map-side split label; the only joins are the pair list against
+    * the (doc_id, split) projection, both equi-joins AQE can size.
+    * At 100 TB the pair list is the small side by construction
+    * (near-dup pairs ≪ corpus). */
+  def splitLeakagePairs(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = TextDedup.pairGraph(Tables.documents(spark, dir),
+        n = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val splits = Curation.assignSplits(Tables.documents(spark, dir), "doc_id",
+        cuts = Seq(("train", 80), ("val", 90)), lastLabel = "test")
+      .select(col("doc_id"), col("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"))
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
   /** Duplicate-graph centrality: PageRank over the MinHash-LSH pair
     * graph surfaces template/boilerplate hubs (documents whose
     * near-dup neighborhoods are large and well-connected) — the
@@ -2019,6 +2044,21 @@ object DataOps {
          |SELECT comp AS group_id, count(*) AS n_docs, max(id) AS max_doc
          |FROM comps GROUP BY comp
          |ORDER BY group_id ASC""".stripMargin,
+    "split_leakage_pairs" ->
+      s"""WITH $dkPairGraphCtes,
+         |sp AS (
+         |  SELECT doc_id,
+         |         CASE WHEN ((doc_id * 2654435761) % $P) % 100 < 80 THEN 'train'
+         |              WHEN ((doc_id * 2654435761) % $P) % 100 < 90 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM documents
+         |)
+         |SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b
+         |FROM pairs p
+         |JOIN sp sa ON p.doc_a = sa.doc_id
+         |JOIN sp sb ON p.doc_b = sb.doc_id
+         |WHERE sa.split <> sb.split
+         |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
     "dedup_keep" ->
       s"""WITH RECURSIVE $dkComponentCtes,
          |dropped AS (SELECT id FROM comps WHERE id <> comp)
@@ -2804,6 +2844,7 @@ object DataOps {
     "asof_attribution"  -> (asofAttribution _),
     "range_views_before_purchase" -> (rangeViewsBeforePurchase _),
     "dedup_groups"      -> (dedupGroups _),
+    "split_leakage_pairs" -> (splitLeakagePairs _),
     "pagerank_hubs"     -> (pagerankHubs _),
     "kcore_docs"        -> (kcoreDocs _),
     "dedup_keep"        -> (dedupKeep _),
