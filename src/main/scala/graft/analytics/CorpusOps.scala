@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Cols
-import graft.operators.{Contamination, Curation, Packing, Quantize, Relevance, Sharding, TextDedup, ZOrder}
+import org.apache.spark.sql.expressions.Window
+import graft.operators.{Contamination, Curation, Packing, Quantize, Relevance, Sharding, Similarity, TextDedup, ZOrder}
 
 /** Corpus-preparation query surface: deterministic shuffle/sharding,
   * train/eval decontamination, BM25 retrieval, and int8-quantized
@@ -154,13 +155,16 @@ object CorpusOps {
   def bm25Probe(spark: SparkSession, dir: String): DataFrame =
     Relevance.bm25TopK(Tables.documents(spark, dir), Bm25Terms, Bm25K, K1, B)
 
-  private val bm25ProbeSql: String = {
+  /** Shared BM25 CTE block (through per-doc `bmdoc(doc_id, score)`),
+    * reused verbatim by the probe gate and the hybrid-fusion gate so
+    * the lexical leg can never drift between them. */
+  private val bm25Ctes: String = {
     val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
     // every constant below prints from the SAME Scala double the Spark
     // plan uses, so both engines parse identical bits
     val k1p1 = (K1 + 1.0).toString
     val oneMinusB = (1.0 - B).toString
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
        |         unnest(string_split(text, ' ')) AS term
        |  FROM documents
@@ -181,11 +185,16 @@ object CorpusOps {
        |             / (tf + $K1 * ($oneMinusB + ($B * dl) / avgdl))
        |           * 1e6 + 0.5) AS BIGINT) AS tq
        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
-       |)
-       |SELECT doc_id, CAST(sum(tq) AS DOUBLE) / 1e6 AS score
-       |FROM scored GROUP BY doc_id
-       |ORDER BY score DESC, doc_id ASC LIMIT $Bm25K""".stripMargin
+       |), bmdoc AS (
+       |  SELECT doc_id, CAST(sum(tq) AS DOUBLE) / 1e6 AS score
+       |  FROM scored GROUP BY doc_id
+       |)""".stripMargin
   }
+
+  private val bm25ProbeSql: String =
+    s"""WITH $bm25Ctes
+       |SELECT doc_id, score FROM bmdoc
+       |ORDER BY score DESC, doc_id ASC LIMIT $Bm25K""".stripMargin
 
   // ---- int8-quantized similarity ------------------------------------
 
@@ -201,6 +210,12 @@ object CorpusOps {
   private def dkIntDot(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip($a, $b), " +
       s"x -> CAST(x[1] AS BIGINT) * CAST(x[2] AS BIGINT))), (acc, v) -> acc + v)"
+
+  /** DuckDB: double dot product in the engine's exact fold order
+    * (= Similarity.dot / graft_dot). */
+  private def dkDblDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, $b), " +
+      s"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (acc, v) -> acc + v)"
 
   private val simTopKQ8Sql: String =
     s"""WITH q8 AS (
@@ -228,6 +243,82 @@ object CorpusOps {
        |SELECT query_id, rank, neighbor_id, qcos FROM ranked
        |WHERE rank <= 5
        |ORDER BY query_id ASC, rank ASC""".stripMargin
+
+  // ---- hybrid retrieval: BM25 ⊕ cosine via reciprocal-rank fusion ----
+
+  private val RrfC = 60       // the published RRF constant (Cormack et al. 2009)
+  private val HybridLegK = 20 // per-leg candidate depth
+  private val HybridOut = 15
+
+  /** Hybrid retrieval: RECIPROCAL-RANK FUSION (Cormack, Clarke &
+    * Büttcher, SIGIR 2009) of the lexical BM25 leg over `documents`
+    * and the semantic cosine leg over the aligned `embeddings` row
+    * (vec_id ≡ doc_id; query = vec 0) — the standard two-channel
+    * retrieval stack, fused on RANKS so the two legs' incomparable
+    * score scales never meet: rrf(d) = Σ_legs 1/(C + rank_leg(d)),
+    * with a leg contributing 0 when d is outside its top-k.
+    *
+    * Portability: ranks are integers, each contribution is ONE IEEE
+    * division of integers, and the two-term sum is written in the
+    * same order on both engines before micro-quantization — no score
+    * normalization, no transcendentals beyond the BM25 leg's own
+    * (already hash-proven) idf. Absent-leg ranks surface as 0 in the
+    * output (not NULL — "not in this leg's top-k", and the gate's
+    * dtype stays integral).
+    *
+    * Scale shape: each leg is its own bounded top-k (TakeOrdered /
+    * windowed rank over ≤ leg-k rows); the fusion full-outer-joins
+    * two ≤ k-row frames — driver-scale work no matter the corpus. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val lex = Relevance.bm25TopK(docs, Bm25Terms, HybridLegK, K1, B)
+      .withColumn("r_lex", row_number().over(
+        Window.partitionBy(pmod(col("doc_id"), lit(1L)))
+          .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("r_lex"))
+    val sem = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), HybridLegK)
+      .select(col("neighbor_id").as("doc_id"), col("rank").cast("long").as("r_sem"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_micro", floor(
+        (coalesce(lit(1.0) / (lit(RrfC) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfC) + col("r_sem")), lit(0.0))) * lit(1e6) + lit(0.5))
+        .cast("long"))
+      .select(col("doc_id"), coalesce(col("r_lex"), lit(0L)).as("r_lex"),
+        coalesce(col("r_sem"), lit(0L)).as("r_sem"), col("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+      .limit(HybridOut)
+  }
+
+  private val hybridRrfSql: String =
+    s"""WITH $bm25Ctes,
+       |lexr AS (
+       |  SELECT doc_id, CAST(r AS BIGINT) AS r_lex FROM (
+       |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+       |    FROM bmdoc)
+       |  WHERE r <= $HybridLegK
+       |), semscored AS (
+       |  SELECT c.vec_id AS doc_id,
+       |         floor(${dkDblDot("q.embedding", "c.embedding")}
+       |           / (sqrt(${dkDblDot("q.embedding", "q.embedding")})
+       |              * sqrt(${dkDblDot("c.embedding", "c.embedding")})) * 1e6 + 0.5) / 1e6 AS cos
+       |  FROM embeddings c JOIN embeddings q ON q.vec_id = 0 AND c.vec_id <> q.vec_id
+       |), semr AS (
+       |  SELECT doc_id, CAST(r AS BIGINT) AS r_sem FROM (
+       |    SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS r
+       |    FROM semscored)
+       |  WHERE r <= $HybridLegK
+       |), fused AS (
+       |  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+       |         coalesce(l.r_lex, 0) AS r_lex, coalesce(s.r_sem, 0) AS r_sem,
+       |         CAST(floor((coalesce(1.0 / ($RrfC + l.r_lex), 0.0)
+       |                     + coalesce(1.0 / ($RrfC + s.r_sem), 0.0)) * 1e6 + 0.5) AS BIGINT)
+       |           AS rrf_micro
+       |  FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+       |)
+       |SELECT doc_id, CAST(r_lex AS BIGINT) AS r_lex, CAST(r_sem AS BIGINT) AS r_sem, rrf_micro
+       |FROM fused
+       |ORDER BY rrf_micro DESC, doc_id ASC LIMIT $HybridOut""".stripMargin
 
   // ---- sequence packing ---------------------------------------------
 
@@ -400,6 +491,7 @@ object CorpusOps {
     "contam_pairs" -> (contamPairs _),
     "contam_scrub" -> (contamScrub _),
     "bm25_probe"  -> (bm25Probe _),
+    "hybrid_rrf"  -> (hybridRrf _),
     "sim_topk_q8" -> (simTopKQ8 _),
     "pack_plan"   -> (packPlan _),
     "mix_temperature" -> (mixTemperature _),
@@ -412,6 +504,7 @@ object CorpusOps {
     "contam_pairs" -> contamPairsSql,
     "contam_scrub" -> contamScrubSql,
     "bm25_probe"  -> bm25ProbeSql,
+    "hybrid_rrf"  -> hybridRrfSql,
     "sim_topk_q8" -> simTopKQ8Sql,
     "pack_plan"   -> packPlanSql,
     "mix_temperature" -> mixTemperatureSql,
