@@ -170,6 +170,33 @@ object StatsOps {
         col("n").as("n_events"))
       .orderBy(col("event_type").asc)
 
+  /** Winsorized summary of events.value: clamp to the [p01, p99]
+    * grid-quantile band ([[HistQuantiles.cuts]] — one bounded-state
+    * reduce for BOTH cuts, broadcast back), then exact clip counts
+    * and the winsorized mean (per-row 1e-4 quantization → integer
+    * sums, order-independent). The robust alternative to dropping
+    * outliers: heavy tails stop dominating the mean without
+    * discarding rows. One corpus aggregate + one map-side clamp —
+    * no sort, no percentile buffer. */
+  def winsorStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).filter(col("value").isNotNull)
+    val cuts = HistQuantiles.cuts(ev, col("value"), Seq(0.01, 0.99), MadBuckets)
+      .select(element_at(col("qs"), 1).as("p01"), element_at(col("qs"), 2).as("p99"))
+    val w = least(greatest(col("value"), col("p01")), col("p99"))
+    ev.crossJoin(broadcast(cuts))
+      .select(col("value"), col("p01"), col("p99"),
+        floor(w * lit(1e4) + lit(0.5)).cast("long").as("wq"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") < col("p01"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("value") > col("p99"), 1L).otherwise(0L)).as("n_clip_hi"),
+        Cols.r(max(col("p01")), 6).as("p01"),
+        Cols.r(max(col("p99")), 6).as("p99"),
+        floor(sum(col("wq")).cast("double") / lit(1e4)
+          / count(lit(1)).cast("double") * lit(1e6) + lit(0.5)).cast("long")
+          .as("winsor_mean_micro"))
+  }
+
   /** Rolling 7-day median of events.value — the QUANTILE twin of
     * kmv_rolling_users' sketch-merge pattern: exact quantiles don't
     * merge across windows (each window would need its own full sort),
@@ -500,6 +527,7 @@ object StatsOps {
     "mad_outliers"      -> (madOutliers _),
     "grid_median_events" -> (gridMedianEvents _),
     "rolling_median_value" -> (rollingMedianValue _),
+    "winsor_stats"      -> (winsorStats _),
     "mad_outliers_by_type" -> (madOutliersByType _),
     "cdf_events_value"  -> (cdfEventsValue _),
     "vocab_coverage"    -> (vocabCoverage _),
@@ -651,6 +679,17 @@ object StatsOps {
          |WHERE e.value IS NOT NULL
          |ORDER BY pct DESC, value DESC, event_id ASC
          |LIMIT 20""".stripMargin,
+    "winsor_stats" ->
+      s"""WITH ${HistQuantiles.dkCuts("w1", "events", "value", 0.01, MadBuckets, "p01")},
+         |${HistQuantiles.dkCuts("w99", "events", "value", 0.99, MadBuckets, "p99")}
+         |SELECT count(*) AS n,
+         |       CAST(sum(CASE WHEN value < p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+         |       CAST(sum(CASE WHEN value > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+         |       floor(max(p01) * 1e6 + 0.5) / 1e6 AS p01,
+         |       floor(max(p99) * 1e6 + 0.5) / 1e6 AS p99,
+         |       CAST(floor(CAST(sum(CAST(floor(least(greatest(value, p01), p99) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE)
+         |         / 1e4 / count(*) * 1e6 + 0.5) AS BIGINT) AS winsor_mean_micro
+         |FROM events, w1, w99 WHERE value IS NOT NULL""".stripMargin,
     "rolling_median_value" ->
       s"""WITH v AS (
          |  SELECT CAST(ts AS DATE) AS d, CAST(value AS DOUBLE) AS x
