@@ -620,6 +620,43 @@ object DataOps {
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 
+  /** Embedding QA: the 20 vectors LEAST similar to their own label's
+    * centroid — the mislabeled/corrupt-vector screen run before
+    * embeddings feed retrieval or dedup. Centroids come from a
+    * bounded (labels × dims) reduce with per-element 1e-6 integer
+    * quantization (order-independent exact sums → one IEEE division
+    * per coordinate, so both engines build bit-identical centroids);
+    * the assembled centroid arrays broadcast back and the per-row
+    * cosine is the codegen'd [[graft.functions.DotProduct]] kernel —
+    * the corpus never shuffles. The oracle rebuilds the centroids via
+    * positional unnest-zip and replays the kernel's left-to-right
+    * fold. */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull && col("label").isNotNull)
+    val ex = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .select(col("label"), (col("pos0") + 1).as("pos"), col("v").cast("double").as("v"))
+    val cent = ex.groupBy(col("label"), col("pos"))
+      .agg(sum(floor(col("v") * lit(1e6) + lit(0.5)).cast("long")).as("sq"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        (col("sq").cast("double") / lit(1e6) / col("n").cast("double")).as("c"))
+    val centArr = cent.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cent"))
+    val dotQC = graft.GraftFunctions.dot(col("embedding"), col("cent"))
+    val nV = graft.GraftFunctions.dot(col("embedding"), col("embedding"))
+    val nC = graft.GraftFunctions.dot(col("cent"), col("cent"))
+    emb.join(broadcast(centArr), Seq("label"))
+      .filter(nV > 0 && nC > 0)
+      .withColumn("cos", floor(dotQC / (sqrt(nV) * sqrt(nC)) * lit(1e6) + lit(0.5)) / lit(1e6))
+      .select(col("vec_id"), col("label"), col("cos"))
+      .orderBy(col("cos").asc, col("vec_id").asc)
+      .limit(20)
+  }
+
   def simTopKLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 3, nPlanes = 3,
@@ -2260,6 +2297,28 @@ object DataOps {
          |SELECT comp AS group_id, count(*) AS n_docs, max(id) AS max_doc
          |FROM ecomps GROUP BY comp
          |ORDER BY group_id ASC""".stripMargin,
+    "embed_outliers" ->
+      s"""WITH ex AS (
+         |  SELECT label, unnest(embedding) AS v,
+         |         unnest(generate_series(1, len(embedding))) AS pos
+         |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+         |), cent AS (
+         |  SELECT label, pos,
+         |         CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+         |           / 1e6 / CAST(count(*) AS DOUBLE) AS c
+         |  FROM ex GROUP BY 1, 2
+         |), cent_arr AS (
+         |  SELECT label, list(c ORDER BY pos ASC) AS cent FROM cent GROUP BY 1
+         |)
+         |SELECT e.vec_id, e.label,
+         |       floor(${dkDot("e.embedding", "a.cent")}
+         |         / (sqrt(${dkDot("e.embedding", "e.embedding")})
+         |            * sqrt(${dkDot("a.cent", "a.cent")})) * 1e6 + 0.5) / 1e6 AS cos
+         |FROM embeddings e JOIN cent_arr a ON e.label = a.label
+         |WHERE e.embedding IS NOT NULL
+         |  AND ${dkDot("e.embedding", "e.embedding")} > 0
+         |  AND ${dkDot("a.cent", "a.cent")} > 0
+         |ORDER BY cos ASC, vec_id ASC LIMIT 20""".stripMargin,
     "sim_topk" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -2860,6 +2919,7 @@ object DataOps {
     "kmeans_cells"      -> (kmeansCells _),
     "sim_topk_ivf_kmeans" -> (simTopKIvfKmeans _),
     "sim_topk"          -> (simTopK _),
+    "embed_outliers"    -> (embedOutliers _),
     "sim_topk_lsh"      -> (simTopKLsh _),
     "sim_topk_ivf"      -> (simTopKIvf _),
     "ann_recall"        -> (annRecall _),
