@@ -219,6 +219,29 @@ object DataOps {
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 
+  /** Cross-source duplication matrix: near-dup pair counts by
+    * (source_a, source_b) — the provenance question behind every
+    * corpus merge ("which feeds mirror each other?"), answered from
+    * the same persisted pair graph as the other graph queries. The
+    * pair endpoints join to the (doc_id, source) projection
+    * (equi-joins AQE can size; the pair list is the small side by
+    * construction) and the unordered source pair is canonicalized
+    * (least/greatest) so A↔B and B↔A count as one cell. */
+  def dupSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = TextDedup.pairGraph(Tables.documents(spark, dir),
+        n = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), Seq("doc_b"))
+      .select(least(col("src_a"), col("src_b")).as("source_lo"),
+        greatest(col("src_a"), col("src_b")).as("source_hi"))
+      .groupBy(col("source_lo"), col("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_lo").asc, col("source_hi").asc)
+  }
+
   /** Duplicate-graph centrality: PageRank over the MinHash-LSH pair
     * graph surfaces template/boilerplate hubs (documents whose
     * near-dup neighborhoods are large and well-connected) — the
@@ -2081,6 +2104,17 @@ object DataOps {
          |SELECT comp AS group_id, count(*) AS n_docs, max(id) AS max_doc
          |FROM comps GROUP BY comp
          |ORDER BY group_id ASC""".stripMargin,
+    "dup_source_matrix" ->
+      s"""WITH $dkPairGraphCtes,
+         |sp AS (SELECT doc_id, source FROM documents)
+         |SELECT least(sa.source, sb.source) AS source_lo,
+         |       greatest(sa.source, sb.source) AS source_hi,
+         |       count(*) AS n_pairs
+         |FROM pairs p
+         |JOIN sp sa ON p.doc_a = sa.doc_id
+         |JOIN sp sb ON p.doc_b = sb.doc_id
+         |GROUP BY 1, 2
+         |ORDER BY source_lo ASC, source_hi ASC""".stripMargin,
     "split_leakage_pairs" ->
       s"""WITH $dkPairGraphCtes,
          |sp AS (
@@ -2904,6 +2938,7 @@ object DataOps {
     "range_views_before_purchase" -> (rangeViewsBeforePurchase _),
     "dedup_groups"      -> (dedupGroups _),
     "split_leakage_pairs" -> (splitLeakagePairs _),
+    "dup_source_matrix" -> (dupSourceMatrix _),
     "pagerank_hubs"     -> (pagerankHubs _),
     "kcore_docs"        -> (kcoreDocs _),
     "dedup_keep"        -> (dedupKeep _),
