@@ -1239,6 +1239,80 @@ object DataOps {
     out
   }
 
+  /** Third end-to-end streaming gate: WATERMARKED WINDOWED AGGREGATION
+    * through a file-source stream into a MERGE-by-window sink, settled
+    * table hash-compared against the batch oracle. Three micro-batches
+    * split BY TIME (first half-month, second half, then a REPLAY of
+    * the first): time-ordering means batch 2's rows are never late,
+    * while every replayed row arrives behind the advanced watermark
+    * and is dropped by the late-data rule — the replay collapses via
+    * watermark discipline rather than key state, the semantics a
+    * windowed production pipeline actually relies on. Per-window sums
+    * are decimal-exact (order-independent across batch boundaries);
+    * update-mode emission + MERGE on the hour key makes re-emitted
+    * windows idempotent. Same width-pinning rationale as
+    * [[streamMergeEvents]]. */
+  def streamHourlyRollup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.events(spark, dir)
+      .filter(pmod(col("event_id"), lit(5)) === 1 && col("ts").isNotNull)
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+    val mid = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_hourly")
+    val inDir = s"$work/in"; val target = s"$work/target"; val ckpt = s"$work/ckpt"
+    // the file source batches oldest-modification-first; back-to-back
+    // writes can land inside one mtime tick, which would let the
+    // replay file slip ahead of the true second half and its tail rows
+    // beat the watermark — stamp strictly increasing mtimes so the
+    // batch order IS the intended timeline.
+    // The SPACER batch (one single, already-late row) sits between the
+    // fresh second half and the replay because the late-record filter
+    // evaluates against the watermark as of the PREVIOUS batch's
+    // completion (one batch of lag, verified empirically): without it
+    // the replay would still be filtered by the first half's watermark
+    // and its tail rows would double-count the boundary windows.
+    val chunk0 = ev.filter(col("ts") < mid)
+    val chunk1 = ev.filter(col("ts") >= mid)
+    val spacer = chunk0.orderBy(col("ts").asc, col("event_id").asc).limit(1)
+    val seen = scala.collection.mutable.Set[java.nio.file.Path]()
+    Seq(chunk0, chunk1, spacer, chunk0).zipWithIndex.foreach { case (df, i) =>
+      df.coalesce(1).write.mode("append").parquet(inDir)
+      val it = java.nio.file.Files.list(java.nio.file.Paths.get(inDir)).iterator()
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.toString.endsWith(".parquet") && !seen.contains(f)) {
+          java.nio.file.Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+          seen += f
+        }
+      }
+    }
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val agg = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(30,2)")).as("tv"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:00").as("hour"),
+          col("n_events"), col("tv"))
+      val q = graft.streaming.Streams.upsertSink(agg, target, ckpt, keys = Seq("hour"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val settledDf = spark.read.parquet(target)
+      .select(col("hour"), col("n_events"),
+        Cols.r(col("tv").cast("double"), 2).as("total_value"))
+      .orderBy(col("hour").asc)
+    val settled = settledDf.collect().toSeq
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(settled, 1), settledDf.schema)
+    graft.sources.LocalFs.deleteRecursively(work)
+    out
+  }
+
   /** Count-Min Sketch frequency estimates for the top-10 corpus tokens
     * next to their exact counts and the realized overcount — the
     * heavy-hitter screen a 100 TB token stream runs when a
@@ -2867,6 +2941,14 @@ object DataOps {
         |WHERE event_id % 5 = 0
         |GROUP BY event_type
         |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+    "stream_hourly_rollup" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+        |       count(*) AS n_events,
+        |       floor(CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS total_value
+        |FROM events
+        |WHERE event_id % 5 = 1 AND ts IS NOT NULL
+        |GROUP BY 1
+        |ORDER BY hour ASC""".stripMargin,
     "hll_distinct_events" ->
       s"""WITH src AS (SELECT CAST(event_id AS VARCHAR) AS s FROM events WHERE event_id IS NOT NULL),
          |${dkHll("src", Seq.empty, 64, "g")},
@@ -2986,6 +3068,7 @@ object DataOps {
     "cms_token_counts"  -> (cmsTokenCounts _),
     "cms_join_size"     -> (cmsJoinSizeOrdersEvents _),
     "stream_merge_events" -> (streamMergeEvents _),
+    "stream_hourly_rollup" -> (streamHourlyRollup _),
     "stream_dedup_docs" -> (streamDedupDocs _),
     "bucketed_join"     -> (bucketedJoin _),
     "skew_salted_rollup" -> (skewSaltedRollup _),
