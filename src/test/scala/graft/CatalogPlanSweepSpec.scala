@@ -1,0 +1,101 @@
+package graft
+
+/** Catalog-WIDE plan hygiene: every query in `SparkEntry.queries` is
+  * planned at sf0.001 and screened for the patterns that die at 100×
+  * scale, regardless of how fast they run at bench SF:
+  *
+  *  - `CartesianProduct` — O(n·m) pairs; never acceptable here (every
+  *    candidate generator is banded/bucketed by design).
+  *  - `BroadcastNestedLoopJoin` — O(n·m) compares; acceptable ONLY for
+  *    the survey's J2 pattern (crossJoin with a broadcast scalar/stat
+  *    frame whose cardinality is O(1) by construction — a grand
+  *    aggregate, a quantile-cut row, a τ threshold). Those sites are
+  *    allowlisted BY NAME below with the frame that makes them O(1).
+  *  - exact `percentile` — its single merged buffer is O(distinct
+  *    values) on one task; the repo policy is bounded-state grid
+  *    histograms (HistQuantiles), so no plan may carry a percentile
+  *    aggregate of either flavor.
+  *
+  * The targeted PlanSpec tests pin the *intended* shape of individual
+  * operators (broadcast side, kernel presence, exchange counts); this
+  * sweep is the safety net that a NEW catalog entry cannot quietly
+  * reintroduce a banned pattern without tripping a red test.
+  */
+class CatalogPlanSweepSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Streaming gates execute a real multi-batch stream inside the
+    * builder and return a settled-parquet rollup — the returned plan is
+    * a plain scan+agg with no operator content, and the execution cost
+    * belongs in their own gates, not a plan screen. */
+  private val streamingGates =
+    Set("stream_merge_events", "stream_dedup_docs", "stream_hourly_rollup")
+
+  /** J2 scalar-broadcast sites: each crossJoins a broadcast frame that
+    * is O(1) rows by construction (the comment names the frame). A BNLJ
+    * against a 1-row build side is a map-side append of constants, not
+    * an O(n·m) join. */
+  private val scalarBroadcast: Map[String, String] = Map(
+    // -- 1-row grand-aggregate / model-stat frames (J2 pattern) --
+    "q3_zscore_outliers" -> "1-row mean/stddev frame",
+    "u2_activity_shocks" -> "1-row mean/stddev frame",
+    "u4_result_summary" -> "1-row averages frame",
+    "cusum_value_shift" -> "1-row running-sum max frame",
+    "mi_flag_status" -> "1-row joint-total frame",
+    "bigram_lift" -> "1-row token-total frame",
+    "psi_value_drift" -> "1-row per-side totals frame",
+    "psi_drift_total" -> "1-row per-side totals frame",
+    "mix_temperature" -> "1-row stratum-weight-sum frame",
+    "bootstrap_mean_ci" -> "1-row CI bounds frame",
+    "vocab_coverage" -> "1-row vocab-size frame",
+    "lm_surprisal" -> "1-row vocab/total count frames",
+    "lm_backoff" -> "1-row vocab/total count frames",
+    "bm25_probe" -> "1-row corpus avgdl/N frame",
+    "hybrid_rrf" -> "1-row corpus stats frame (BM25 leg)",
+    "feat_lang_profile" -> "1-row en-profile L2-norm frame",
+    "kmv_distinct_events" -> "1-row KMV estimator frame",
+    "kmv_user_overlap" -> "1-row per-sketch estimator frames",
+    "kmv_rolling_users" -> "1-row exact-union gauge frame",
+    "hll_distinct_events" -> "1-row register-rollup estimate frame",
+    "cms_join_size" -> "d-row sketch-counter frames (d, w fixed)",
+    "sample_priority" -> "tau frame: the (k+1)-th priority, <= 1 row",
+    // -- O(buckets) histogram-cut frames (bounded by the fixed grid) --
+    "deciles_orders" -> "O(cuts) grid-quantile frame",
+    "mad_outliers" -> "1-row median + 1-row MAD grid-cut frames",
+    "winsor_stats" -> "1-row [p01,p99] grid-cut frame",
+    "cdf_events_value" -> "O(buckets) histogram lookup frame",
+    "rolling_median_value" -> "1-row shared-grid stats frame",
+    "profile_events" -> "1-row grid-median frame per column",
+    // -- bounded fixed query/sample side vs corpus: the exact/baseline
+    //    compare is O(corpus * |fixed set|) BY DESIGN, |fixed set| const --
+    "sim_topk" -> "fixed query set (brute-force baseline)",
+    "sim_topk_ivf" -> "fixed query set (cell-probe search)",
+    "sim_topk_q8" -> "fixed query set (quantized search)",
+    "ann_recall" -> "fixed query set + exact-baseline frames",
+    "rp_distortion" -> "fixed 600-pair sample frame"
+  )
+
+  test("no cartesian product, no unbounded nested-loop join, no exact percentile — anywhere") {
+    val violations = scala.collection.mutable.ArrayBuffer.empty[String]
+    val entries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => streamingGates(name) }
+    for ((name, fn) <- entries) {
+      val plan =
+        try fn(spark, dir).queryExecution.executedPlan.toString
+        catch {
+          case e: Throwable =>
+            violations += s"$name: query construction failed: ${e.getMessage}"
+            ""
+        }
+      if (plan.contains("CartesianProduct"))
+        violations += s"$name: CartesianProduct in plan"
+      if (plan.contains("BroadcastNestedLoopJoin") && !scalarBroadcast.contains(name))
+        violations += s"$name: BroadcastNestedLoopJoin without a documented O(1) build side"
+      if (plan.toLowerCase.contains("percentile"))
+        violations += s"$name: percentile aggregate (unbounded merge buffer)"
+    }
+    assert(violations.isEmpty,
+      s"\n${violations.size} plan-hygiene violations:\n${violations.mkString("\n")}")
+  }
+}
