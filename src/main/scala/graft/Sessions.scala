@@ -22,6 +22,10 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", n)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // harness parquet writes isAdjustedToUTC=false µs timestamps;
+      // read them as plain TIMESTAMP (UTC session) rather than NTZ so
+      // unix_micros / interval arithmetic / window frames all resolve
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // saveAsTable (bucketed layouts) must not litter the launch dir
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
