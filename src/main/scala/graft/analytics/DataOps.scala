@@ -75,6 +75,14 @@ object DataOps {
     TextDedup.jaccardPairsIndex(Tables.documents(spark, dir), n = 3, threshold = 0.5)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
 
+  /** Asymmetric containment screen (subset/quote detection) — the
+    * direction-aware complement of dedup_jaccard on the same shared
+    * shingle index; C = |∩| / min(|A|,|B|). */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.containmentPairs(Tables.documents(spark, dir), n = 3, threshold = 0.8)
+      .withColumn("n_sub", col("n_sub").cast("long"))
+      .orderBy(col("doc_sub").asc, col("doc_sup").asc)
+
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     TextDedup.pairGraph(Tables.documents(spark, dir),
         n = 3, numHashes = 16, bands = 8, threshold = 0.5)
@@ -2020,6 +2028,27 @@ object DataOps {
          |SELECT doc_a, doc_b, jaccard FROM jac
          |WHERE jraw >= 0.5
          |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH $dkSizes,
+         |cinter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_ab
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), cpair AS (
+         |  SELECT doc_a, doc_b, n_ab, sa.n_sh AS n_a, sb.n_sh AS n_b,
+         |         CAST(n_ab AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) AS craw,
+         |         CAST(n_ab AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_ab AS DOUBLE) AS jraw
+         |  FROM cinter
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |)
+         |SELECT CASE WHEN n_a <= n_b THEN doc_a ELSE doc_b END AS doc_sub,
+         |       CASE WHEN n_a <= n_b THEN doc_b ELSE doc_a END AS doc_sup,
+         |       CAST(least(n_a, n_b) AS BIGINT) AS n_sub,
+         |       floor(craw * 1e4 + 0.5) / 1e4 AS containment,
+         |       floor(jraw * 1e4 + 0.5) / 1e4 AS jaccard
+         |FROM cpair WHERE craw >= 0.8
+         |ORDER BY doc_sub ASC, doc_sup ASC""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $dkSizes,
          |sigs AS (
@@ -3006,6 +3035,7 @@ object DataOps {
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"       -> (dedupExact _),
     "dedup_jaccard"     -> (dedupJaccard _),
+    "dedup_containment" -> (dedupContainment _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "cosine_verify_lsh" -> (cosineVerifyLsh _),
     "dedup_minhash_fast" -> (dedupMinhashFast _),

@@ -239,6 +239,55 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** ASYMMETRIC containment pairs: C = |S_A ∩ S_B| / min(|S_A|, |S_B|)
+    * ≥ `threshold`, reported as (doc_sub ⊆ doc_sup) with the smaller
+    * shingle set as the contained side (ties break to the lower id).
+    *
+    * The screen Jaccard structurally misses: a short document quoted
+    * verbatim inside a much longer one has J = |A|/|B| ≈ 0 however
+    * perfect the inclusion, but containment = 1.0. Curation pipelines
+    * run BOTH — symmetric near-dups via [[jaccardPairsIndex]]/LSH,
+    * subset/quote relationships via this form (cf. the containment
+    * variant of set-similarity joins used alongside ExactSubstr-style
+    * span dedup).
+    *
+    * Shape: identical to [[jaccardPairsIndex]] — thin inverted-index
+    * co-occurrence counts (ids + counts only in the shuffle), per-doc
+    * sizes joined back (AQE picks broadcast when small). At 100 TB the
+    * same df-cap note as jaccard applies; the threshold itself prunes
+    * nothing earlier because containment has no prefix-filter
+    * equivalent at min-size normalization (a subset's every shingle is
+    * shared). Both ratio and the symmetric Jaccard are emitted so the
+    * caller can separate "near-identical" from "quoted inside". */
+  def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+      fast: Boolean = false): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "containment threshold must lie in (0, 1]")
+    val idx = shingleIndex(docs, n, fast)
+    val sizes = shingleArrays(docs, n, fast).select(col("doc_id"), col("n_sh"))
+    val inter = idx.as("a")
+      .join(idx.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      // true-ratio threshold, rounded value output-only (verifyJaccard
+      // policy); both divisions written CAST-first so the oracle's
+      // double arithmetic is the identical IEEE expression
+      .withColumn("craw",
+        col("n_ab").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("craw") >= threshold)
+      .withColumn("jraw",
+        col("n_ab").cast("double") / (col("n_a") + col("n_b") - col("n_ab")).cast("double"))
+      .select(
+        when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b")).as("doc_sub"),
+        when(col("n_a") <= col("n_b"), col("doc_b")).otherwise(col("doc_a")).as("doc_sup"),
+        least(col("n_a"), col("n_b")).as("n_sub"),
+        (floor(col("craw") * 1e4 + lit(0.5)) / 1e4).as("containment"),
+        (floor(col("jraw") * 1e4 + lit(0.5)) / 1e4).as("jaccard"))
+  }
+
   /** MinHash signatures: sig[i] = min over shingle hashes of the i-th
     * permutation ((2i+1)·h + 999983·i) mod P. Map-side only. */
   def withMinHash(docs: DataFrame, n: Int = 3, numHashes: Int = 16,

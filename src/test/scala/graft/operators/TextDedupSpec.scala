@@ -63,6 +63,47 @@ class TextDedupSpec extends SparkSpec {
     } yield (ia, ib, j)).toSet
   }
 
+  test("containment catches a quoted subset that Jaccard misses, directed sub -> sup") {
+    // doc 2's text is doc 1's prefix: every one of its 3 shingles is
+    // shared, but J = 3/10 misses a 0.5 cut; containment = 1.0
+    val d = docs(
+      1L -> "a b c d e f g h i j k l", // 10 trigram shingles
+      2L -> "a b c d e",               // 3, all contained in doc 1
+      3L -> "q r s t u")               // disjoint
+    val cont = TextDedup.containmentPairs(d, n = 3, threshold = 0.8)
+      .as[(Long, Long, Int, Double, Double)].collect().toSeq
+    assert(cont == Seq((2L, 1L, 3, 1.0, 0.3)))
+    val jac = TextDedup.jaccardPairsIndex(d, n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(jac.isEmpty) // the symmetric screen does NOT see the quote
+  }
+
+  test("containmentPairs == brute force over shingle sets (threshold sweep)") {
+    val d = docs(
+      1L -> "w1 w2 w3 w4 w5 w6 w7 w8",
+      2L -> "w1 w2 w3 w4 w5",
+      3L -> "w4 w5 w6 w7 w8 w9",
+      4L -> "z1 z2 z3 z4",
+      5L -> "z1 z2 z3 z4") // identical to 4: containment 1.0, tie -> lower id sub
+    val arrs = TextDedup.shingleArrays(d, 3)
+      .select($"doc_id", $"shingle_hashes").as[(Long, Seq[Long])].collect()
+    for (t <- Seq(0.5, 0.8, 1.0)) {
+      val brute = (for {
+        (ia, sa) <- arrs; (ib, sb) <- arrs if ia < ib
+        inter = sa.toSet.intersect(sb.toSet).size
+        craw = inter.toDouble / math.min(sa.size, sb.size)
+        if craw >= t
+      } yield {
+        val (sub, sup) = if (sa.size <= sb.size) (ia, ib) else (ib, ia)
+        (sub, sup, math.floor(craw * 1e4 + 0.5) / 1e4)
+      }).toSet
+      val got = TextDedup.containmentPairs(d, n = 3, threshold = t)
+        .select($"doc_sub", $"doc_sup", $"containment")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == brute, s"threshold $t")
+    }
+  }
+
   test("prefix filtering is loss-less: jaccardPairs == brute force on a varied corpus") {
     val words = Seq("the", "cat", "sat", "on", "mat", "dog", "ran", "far", "big", "red")
     val rng = new scala.util.Random(7)
