@@ -400,6 +400,66 @@ object StatsOps {
       .orderBy(col("day").asc)
   }
 
+  /** Theil–Sen robust trend on the daily mean of events.value — the
+    * SLOPE leg of the drift toolkit (PSI: the distribution moved;
+    * CUSUM: when; Welch t: significance; this: how fast, robustly).
+    * The estimator is the median of all pairwise slopes
+    * (avg_j − avg_i)/(day_j − day_i), i < j — up to ~29% contaminated
+    * days cannot drag it the way one wild day drags the OLS slope.
+    *
+    * Scale shape: the corpus aggregates ONCE into daily means
+    * (decimal-exact sums, one shuffle); everything after runs on the
+    * O(days) frame — the pairwise join is O(days²) BY CONSTRUCTION
+    * (time span bounds it at any SF; a month is ≤ 31 rows → ≤ 465
+    * pairs), and the median is an exact rank pick on that bounded
+    * frame (row_number with a total tiebreak order — no percentile
+    * state anywhere). The LOWER median (rank ⌊(m+1)/2⌋) keeps the
+    * pick an actual data point: no averaging, bit-portable.
+    *
+    * Intercept: median of per-day residuals avg_i − slope·x_i
+    * (x = days since the first day) — the standard Theil–Sen
+    * companion estimate, same bounded rank-pick machinery. */
+  def theilSenDailyTrend(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+    val daily = ev.groupBy(col("ts").cast("date").as("day"))
+      .agg(sum(col("value").cast("decimal(30,2)")).as("s"), count(lit(1)).as("n"))
+      .select(col("day"), (col("s").cast("double") / col("n")).as("day_avg"))
+    val slopes = daily.select(col("day").as("day_a"), col("day_avg").as("avg_a"))
+      .join(daily.select(col("day").as("day_b"), col("day_avg").as("avg_b")),
+        col("day_a") < col("day_b"))
+      .select(col("day_a"), col("day_b"),
+        ((col("avg_b") - col("avg_a"))
+          / datediff(col("day_b"), col("day_a")).cast("double")).as("slope"))
+    val mFrame = slopes.agg(count(lit(1)).as("m"))
+    // bounded frames from here on; pmod partition key states the
+    // one-partition intent without WindowExec's warning (vocabCoverage)
+    val wS = Window.partitionBy(pmod(datediff(col("day_b"), col("day_a")), lit(1)))
+      .orderBy(col("slope").asc, col("day_a").asc, col("day_b").asc)
+    val slopeMed = slopes.withColumn("rk", row_number().over(wS))
+      .crossJoin(broadcast(mFrame))
+      .agg(min(when(col("rk") ===
+          floor((col("m") + lit(1)).cast("double") / lit(2.0)).cast("long"), col("slope")))
+        .as("slope_med"), max(col("m")).as("m"))
+    val d0 = daily.agg(min(col("day")).as("day0"))
+    val ndFrame = daily.agg(count(lit(1)).as("n_days"))
+    val wI = Window.partitionBy(pmod(dayofmonth(col("day")), lit(1)))
+      .orderBy(col("icept").asc, col("day").asc)
+    val iceptMed = daily.crossJoin(broadcast(d0)).crossJoin(broadcast(slopeMed))
+      .select(col("day"),
+        (col("day_avg") - col("slope_med")
+          * datediff(col("day"), col("day0")).cast("double")).as("icept"))
+      .withColumn("rk", row_number().over(wI))
+      .crossJoin(broadcast(ndFrame))
+      .agg(min(when(col("rk") ===
+          floor((col("n_days") + lit(1)).cast("double") / lit(2.0)).cast("long"), col("icept")))
+        .as("icept_med"))
+    ndFrame.crossJoin(broadcast(slopeMed)).crossJoin(broadcast(iceptMed))
+      .select(col("n_days"), col("m").as("n_pairs"),
+        floor(col("slope_med") * lit(1e6) + lit(0.5)).cast("long").as("slope_micro"),
+        floor(col("icept_med") * lit(1e6) + lit(0.5)).cast("long").as("intercept_micro"))
+  }
+
   /** Exact-sufficient-statistics Pearson correlation
     * ([[Association.pearson]]) between line-item price and quantity —
     * deliberately NOT Spark's `corr` (partition-order-dependent
@@ -540,7 +600,8 @@ object StatsOps {
     "mi_flag_status"    -> (miFlagStatus _),
     "benford_totalprice" -> (benfordTotalprice _),
     "ttest_value_halves" -> (ttestValueHalves _),
-    "bootstrap_mean_ci" -> (bootstrapMeanCi _)
+    "bootstrap_mean_ci" -> (bootstrapMeanCi _),
+    "trend_theil_sen"   -> (theilSenDailyTrend _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -983,6 +1044,44 @@ object StatsOps {
          |       CAST(floor(lo * 1e6 + 0.5) AS BIGINT) AS lo_micro,
          |       CAST(floor(hi * 1e6 + 0.5) AS BIGINT) AS hi_micro
          |FROM s CROSS JOIN bnd""".stripMargin
-    }
+    },
+    "trend_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / count(*) AS day_avg
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1
+        |), slopes AS (
+        |  SELECT a.day AS day_a, b.day AS day_b,
+        |         (b.day_avg - a.day_avg)
+        |           / CAST(date_diff('day', a.day, b.day) AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b ON a.day < b.day
+        |), sm AS (SELECT count(*) AS m FROM slopes),
+        |sr AS (
+        |  SELECT slope,
+        |         row_number() OVER (ORDER BY slope ASC, day_a ASC, day_b ASC) AS rk
+        |  FROM slopes
+        |), smed AS (
+        |  SELECT min(CASE WHEN rk = CAST(floor(CAST(m + 1 AS DOUBLE) / 2.0) AS BIGINT)
+        |                  THEN slope END) AS slope_med,
+        |         max(m) AS m
+        |  FROM sr, sm
+        |), d0 AS (SELECT min(day) AS day0 FROM daily),
+        |nd AS (SELECT count(*) AS n_days FROM daily),
+        |res AS (
+        |  SELECT day,
+        |         day_avg - slope_med * CAST(date_diff('day', day0, day) AS DOUBLE) AS icept
+        |  FROM daily, d0, smed
+        |), rr AS (
+        |  SELECT icept, row_number() OVER (ORDER BY icept ASC, day ASC) AS rk FROM res
+        |), imed AS (
+        |  SELECT min(CASE WHEN rk = CAST(floor(CAST(n_days + 1 AS DOUBLE) / 2.0) AS BIGINT)
+        |                  THEN icept END) AS icept_med
+        |  FROM rr, nd
+        |)
+        |SELECT n_days, m AS n_pairs,
+        |       CAST(floor(slope_med * 1e6 + 0.5) AS BIGINT) AS slope_micro,
+        |       CAST(floor(icept_med * 1e6 + 0.5) AS BIGINT) AS intercept_micro
+        |FROM nd, smed, imed""".stripMargin
   )
 }
