@@ -34,4 +34,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 48g on the 128 GiB harness box: at 24g the full 118-query bench
   // spends ~30% of wall-clock in GC/evictions (115 s -> 80 s measured)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // ~600 Janino classes per catalog sweep + their C2 compilations:
+  // the 240m default JIT code cache flushes hot code under that
+  // churn, producing random multi-second per-query stalls
+  "-XX:ReservedCodeCacheSize=512m",
 )

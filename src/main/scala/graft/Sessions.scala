@@ -26,6 +26,11 @@ object Sessions {
       // read them as plain TIMESTAMP (UTC session) rather than NTZ so
       // unix_micros / interval arithmetic / window frames all resolve
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // the generated-class cache defaults to 100 entries; the catalog
+      // compiles ~600 codegen units per sweep, so at 100 every pass
+      // recompiles everything it evicted (Janino, ~50-200 ms each) —
+      // the dominant source of run-to-run jitter on small-SF benches
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       // saveAsTable (bucketed layouts) must not litter the launch dir
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
