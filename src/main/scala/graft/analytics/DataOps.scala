@@ -1057,6 +1057,21 @@ object DataOps {
       .orderBy(col("l_returnflag").asc)
   }
 
+  /** Per-group top-k through the bounded-state [[TopK]] aggregator —
+    * top-3 events per type by (value DESC, event_id ASC). The window
+    * form would shuffle + sort the whole events table; this plan
+    * partial-aggregates O(k) heaps per group map-side (plan-asserted
+    * in TopKSpec: two ObjectHashAggregates, no WindowExec), so the
+    * exchange carries ≤ partitions × groups × k tuples at any scale.
+    * The oracle replays it as the row_number form — identical output,
+    * opposite scale posture. */
+  def topkValueByType(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TopK.topKByKey(Tables.events(spark, dir),
+        col("event_type"), col("value"), col("event_id"), k = 3)
+      .select(col("g").as("event_type"), col("rank"),
+        col("id").as("event_id"), col("score").as("value"))
+      .orderBy(col("event_type").asc, col("rank").asc)
+
   /** Per-day distinct-user estimates via the typed KMV [[Aggregator]]
     * (k = 32, one pass, O(k) state per group — the per-group sketch
     * form a warehouse materializes daily) next to the exact per-day
@@ -2049,6 +2064,16 @@ object DataOps {
          |       floor(jraw * 1e4 + 0.5) / 1e4 AS jaccard
          |FROM cpair WHERE craw >= 0.8
          |ORDER BY doc_sub ASC, doc_sup ASC""".stripMargin,
+    "topk_value_by_type" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id, value,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value DESC, event_id ASC) AS rank
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND event_id IS NOT NULL AND value IS NOT NULL
+        |)
+        |SELECT event_type, rank, event_id, value FROM r WHERE rank <= 3
+        |ORDER BY event_type ASC, rank ASC""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $dkSizes,
          |sigs AS (
@@ -3036,6 +3061,7 @@ object DataOps {
     "dedup_exact"       -> (dedupExact _),
     "dedup_jaccard"     -> (dedupJaccard _),
     "dedup_containment" -> (dedupContainment _),
+    "topk_value_by_type" -> (topkValueByType _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "cosine_verify_lsh" -> (cosineVerifyLsh _),
     "dedup_minhash_fast" -> (dedupMinhashFast _),
