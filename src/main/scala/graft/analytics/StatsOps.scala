@@ -460,6 +460,20 @@ object StatsOps {
         floor(col("icept_med") * lit(1e6) + lit(0.5)).cast("long").as("intercept_micro"))
   }
 
+  /** EXACT p50/p90 of order totals through
+    * [[HistQuantiles.exactCut]] — iterated O(buckets)-state grid
+    * refinement instead of exact `percentile`'s O(distinct) single
+    * buffer. The oracle is DuckDB's own exact `quantile_disc` (no
+    * replay: both sides claim the same order statistic, which is the
+    * strongest possible gate for a quantile operator). */
+  def exactQuantilesTotalprice(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val p50 = HistQuantiles.exactCut(ord, col("o_totalprice"), 0.5, as = "p50_exact")
+    val p90 = HistQuantiles.exactCut(ord, col("o_totalprice"), 0.9, as = "p90_exact")
+    p50.crossJoin(broadcast(p90.select(col("p90_exact"))))
+      .select(col("n"), col("p50_exact"), col("p90_exact"))
+  }
+
   /** Exact-sufficient-statistics Pearson correlation
     * ([[Association.pearson]]) between line-item price and quantity —
     * deliberately NOT Spark's `corr` (partition-order-dependent
@@ -601,7 +615,8 @@ object StatsOps {
     "benford_totalprice" -> (benfordTotalprice _),
     "ttest_value_halves" -> (ttestValueHalves _),
     "bootstrap_mean_ci" -> (bootstrapMeanCi _),
-    "trend_theil_sen"   -> (theilSenDailyTrend _)
+    "trend_theil_sen"   -> (theilSenDailyTrend _),
+    "exact_quantiles_totalprice" -> (exactQuantilesTotalprice _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1082,6 +1097,11 @@ object StatsOps {
         |SELECT n_days, m AS n_pairs,
         |       CAST(floor(slope_med * 1e6 + 0.5) AS BIGINT) AS slope_micro,
         |       CAST(floor(icept_med * 1e6 + 0.5) AS BIGINT) AS intercept_micro
-        |FROM nd, smed, imed""".stripMargin
+        |FROM nd, smed, imed""".stripMargin,
+    "exact_quantiles_totalprice" ->
+      """SELECT count(o_totalprice) AS n,
+        |       CAST(quantile_disc(o_totalprice, 0.5) AS DOUBLE) AS p50_exact,
+        |       CAST(quantile_disc(o_totalprice, 0.9) AS DOUBLE) AS p90_exact
+        |FROM orders WHERE o_totalprice IS NOT NULL""".stripMargin
   )
 }

@@ -163,6 +163,85 @@ object HistQuantiles {
       .drop("_b", "b", "cum", "n", "lo", "hi")
   }
 
+  /** EXACT order-statistic quantile with O(B) aggregation state — the
+    * iterated refinement of [[cuts]] for when grid resolution isn't
+    * enough and exact `percentile`'s O(distinct) single buffer is
+    * banned ([[cuts]] scaladoc).
+    *
+    * Each round runs ONE map-side-combinable aggregate over the
+    * current value range: `groupBy(bucket) → (count, min, max)` with
+    * O(B) state; the driver picks the bucket containing the target
+    * rank (a ≤ B-row parameter fetch, the k-means-centroid policy)
+    * and the bucket's TRUE data min/max become the next round's
+    * range — so the range filter is exact (no FP edge cases from
+    * derived bucket bounds) and each round either finishes
+    * (min == max) or shrinks the range by ~B×. Doubles have 64 bits,
+    * so B = 4096 converges in ≤ ~7 rounds; a final ≤ B-distinct
+    * cumulative pick shortcuts the tail. The range predicate reaches
+    * the parquet scan, so later rounds prune row groups by min/max
+    * stats — at 100 TB each refinement round READS less, not just
+    * aggregates less.
+    *
+    * Rank rule: the value at 1-based ascending rank
+    * ⌊p·(n−1)⌋ + 1 — DuckDB's `quantile_disc(x, p)` exactly, so the
+    * oracle is a plain aggregate call, no replay needed (exactness is
+    * the whole point). NULLs excluded; empty input → NULL value. */
+  def exactCut(df: DataFrame, c: Column, p: Double, nBuckets: Int = 4096,
+      as: String = "q", maxRounds: Int = 16): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= (1 << 20), "nBuckets must be in [2, 2^20]")
+    require(p > 0.0 && p < 1.0, "probability must lie strictly inside (0, 1)")
+    val spark = df.sparkSession
+    val vals = df.filter(c.isNotNull).select(c.cast("double").as("x"))
+    val s0 = vals.agg(count(lit(1)).as("n"), min(col("x")).as("lo"),
+      max(col("x")).as("hi")).head()
+    val n = s0.getLong(0)
+    def result(v: java.lang.Double): DataFrame = {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+      spark.createDataFrame(
+        java.util.Collections.singletonList(Row(v, n)),
+        StructType(Seq(StructField(as, DoubleType, nullable = true),
+          StructField("n", LongType, nullable = false))))
+    }
+    if (n == 0L) return result(null)
+    var lo = s0.getDouble(1); var hi = s0.getDouble(2)
+    var r = math.floor(p * (n - 1)).toLong + 1
+    var rounds = 0
+    while (lo < hi && rounds < maxRounds) {
+      rounds += 1
+      val b = least(floor((col("x") - lit(lo)) / (lit(hi) - lit(lo)) * lit(nBuckets)),
+        lit((nBuckets - 1).toLong)).cast("int")
+      val hist = vals.filter(col("x") >= lo && col("x") <= hi)
+        .groupBy(b.as("b"))
+        .agg(count(lit(1)).as("cnt"), min(col("x")).as("blo"), max(col("x")).as("bhi"))
+        .orderBy(col("b").asc)
+        .collect()
+      var cum = 0L; var i = 0; var found = false
+      while (!found && i < hist.length) {
+        val row = hist(i); val cnt = row.getLong(1)
+        if (cum + cnt >= r) {
+          r -= cum; lo = row.getDouble(2); hi = row.getDouble(3); found = true
+        } else { cum += cnt; i += 1 }
+      }
+      assert(found, s"rank $r not reachable — inconsistent histogram (concurrent input change?)")
+    }
+    if (lo < hi) {
+      // rounds exhausted (adversarially concentrated data): exact pick
+      // over the remaining range's DISTINCT values — bounded by what
+      // ~B^maxRounds refinement left, partial-aggregable either way
+      val grp = vals.filter(col("x") >= lo && col("x") <= hi)
+        .groupBy(col("x")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("x").asc).collect()
+      var cum = 0L; var i = 0; var v = hi
+      var found = false
+      while (!found && i < grp.length) {
+        cum += grp(i).getLong(1)
+        if (cum >= r) { v = grp(i).getDouble(0); found = true } else i += 1
+      }
+      result(v)
+    } else result(lo)
+  }
+
   // ------------------------------------------------------------ oracle
 
   /** DuckDB CTE chain replaying [[cuts]] exactly for one probability:

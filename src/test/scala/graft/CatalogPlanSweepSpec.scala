@@ -73,7 +73,13 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "sim_topk_ivf" -> "fixed query set (cell-probe search)",
     "sim_topk_q8" -> "fixed query set (quantized search)",
     "ann_recall" -> "fixed query set + exact-baseline frames",
-    "rp_distortion" -> "fixed 600-pair sample frame"
+    "rp_distortion" -> "fixed 600-pair sample frame",
+    // -- bounded-frame non-equi self-join: the corpus aggregates to an
+    //    O(days) frame FIRST; the day<day pair join is span-bounded
+    //    (a month is <= 31 rows -> <= 465 pairs) at any corpus SF --
+    "trend_theil_sen" -> "O(days) daily-mean frame self-join (span-bounded pairs)",
+    // -- two 1-row exact-quantile frames crossJoined --
+    "exact_quantiles_totalprice" -> "1-row exact-cut frames (p50, p90)"
   )
 
   test("no cartesian product, no unbounded nested-loop join, no exact percentile — anywhere") {

@@ -171,6 +171,41 @@ class HistQuantilesSpec extends SparkSpec {
     }
   }
 
+  test("exactCut returns the EXACT quantile_disc order statistic (rank floor(p(n-1))+1)") {
+    val rng = new scala.util.Random(42)
+    // duplicates, negatives, magnitudes spanning 9 decades
+    val xs = Seq.fill(2000)(rng.nextInt(40) match {
+      case k if k < 10 => rng.nextInt(5).toDouble          // heavy dup mass
+      case k if k < 20 => -rng.nextDouble() * 1e6
+      case k if k < 30 => rng.nextDouble()
+      case _           => rng.nextDouble() * 1e3
+    })
+    val df = xs.toDF("x").repartition(7)
+    val sorted = xs.sorted
+    for (p <- Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val expect = sorted(math.floor(p * (xs.size - 1)).toInt)
+      val got = HistQuantiles.exactCut(df, col("x"), p, nBuckets = 16)
+        .head()
+      assert(got.getDouble(0) == expect, s"p=$p")
+      assert(got.getLong(1) == xs.size)
+    }
+  }
+
+  test("exactCut degenerate inputs: constant column, single row, empty, 1-ulp range") {
+    val const = Seq.fill(50)(7.25).toDF("x")
+    assert(HistQuantiles.exactCut(const, col("x"), 0.5).head().getDouble(0) == 7.25)
+    val one = Seq(3.5).toDF("x")
+    assert(HistQuantiles.exactCut(one, col("x"), 0.9).head().getDouble(0) == 3.5)
+    val empty = Seq.empty[Double].toDF("x")
+    val r = HistQuantiles.exactCut(empty, col("x"), 0.5).head()
+    assert(r.isNullAt(0) && r.getLong(1) == 0L)
+    // two values one ulp apart: refinement must terminate and pick exactly
+    val lo = 1.0; val hi = java.lang.Math.nextUp(lo)
+    val tight = (Seq.fill(30)(lo) ++ Seq.fill(10)(hi)).toDF("x")
+    assert(HistQuantiles.exactCut(tight, col("x"), 0.5).head().getDouble(0) == lo)
+    assert(HistQuantiles.exactCut(tight, col("x"), 0.9).head().getDouble(0) == hi)
+  }
+
   test("rolling 7-day median lands within one bucket width of the exact per-window median") {
     val got = graft.analytics.StatsOps.rollingMedianValue(spark, dir)
       .select(col("day"), col("med7"), col("n_window"))
