@@ -28,7 +28,8 @@ class SqlFrontEndSpec extends SparkSpec {
     "sample_strata", "stream_merge_events", "u3_kpi_summary", "cusum_value_shift",
     "corr_price_qty", "benford_totalprice", "ttest_value_halves",
     "u4_result_summary", "zorder_cells", "zorder_read", "fuzzy_pairs_customers",
-    "anti_lapsed_custs", "window_rank_family", "split_train_val_test")
+    "anti_lapsed_custs", "window_rank_family", "split_train_val_test",
+    "topk_value_by_type")
 
   test("ANSI oracle SQL runs verbatim via spark.sql with DataFrame-identical results") {
     Views.register(spark, dir)
