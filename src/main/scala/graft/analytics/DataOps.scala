@@ -1358,6 +1358,22 @@ object DataOps {
       .orderBy(col("n_true").desc, col("token").asc)
   }
 
+  /** Certified corpus heavy hitters through the Misra–Gries summary
+    * ([[graft.operators.HeavyHitters]]): tokens strictly above
+    * 1/(k+1) of the corpus, found with an O(k)-state aggregate plus a
+    * broadcast-candidate exact recount — the full-vocabulary shuffle
+    * never happens, yet the output equals the plain
+    * GROUP BY … HAVING answer, which is literally what the oracle
+    * runs (determinism comes from the recount, not the summary). */
+  def heavyHitterTokens(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("token"))
+    graft.operators.HeavyHitters.certified(tok, col("token"), k = 64)
+      .withColumnRenamed("item", "token")
+      .orderBy(col("n_exact").desc, col("token").asc)
+  }
+
   /** Join-size estimation from CMS sketches ([[Sketches.cmsJoinSize]]
     * — the Cormode–Muthukrishnan inner-product estimator): predict
     * |orders ⋈ events| on the user key from two d×w counter tables,
@@ -2921,6 +2937,16 @@ object DataOps {
          |JOIN isz sb ON sb.doc_id = i.doc_b
          |WHERE CAST(n_ab AS DOUBLE) / (sa.n_sh + sb.n_sh - n_ab) >= 0.5
          |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
+    "heavy_hitter_tokens" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE text IS NOT NULL
+        |), tot AS (SELECT count(*) AS n_total FROM tok)
+        |SELECT token, count(*) AS n_exact, max(n_total) AS n_total
+        |FROM tok, tot
+        |GROUP BY token
+        |HAVING count(*) * 65 > max(n_total)
+        |ORDER BY n_exact DESC, token ASC""".stripMargin,
     "cms_token_counts" ->
       s"""WITH ctok AS (
          |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
@@ -3121,6 +3147,7 @@ object DataOps {
     "kmv_rolling_users" -> (kmvRollingUsers _),
     "hll_distinct_events" -> (hllDistinctEvents _),
     "hll_daily_users"   -> (hllDailyUsers _),
+    "heavy_hitter_tokens" -> (heavyHitterTokens _),
     "cms_token_counts"  -> (cmsTokenCounts _),
     "cms_join_size"     -> (cmsJoinSizeOrdersEvents _),
     "stream_merge_events" -> (streamMergeEvents _),

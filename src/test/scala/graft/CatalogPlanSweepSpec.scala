@@ -60,6 +60,7 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "hll_distinct_events" -> "1-row register-rollup estimate frame",
     "cms_join_size" -> "d-row sketch-counter frames (d, w fixed)",
     "sample_priority" -> "tau frame: the (k+1)-th priority, <= 1 row",
+    "heavy_hitter_tokens" -> "1-row corpus-total frame (threshold filter)",
     // -- O(buckets) histogram-cut frames (bounded by the fixed grid) --
     "deciles_orders" -> "O(cuts) grid-quantile frame",
     "mad_outliers" -> "1-row median + 1-row MAD grid-cut frames",
