@@ -474,6 +474,17 @@ object StatsOps {
       .select(col("n"), col("p50_exact"), col("p90_exact"))
   }
 
+  /** EXACT per-type median of events.value through
+    * [[HistQuantiles.groupedExactCut]] — the grouped companion of
+    * [[exactQuantilesTotalprice]]: three relational refinement rounds
+    * (O(groups·buckets) state) + one exact pick, oracle = DuckDB's
+    * per-group `quantile_disc`. */
+  def exactMedianByType(spark: SparkSession, dir: String): DataFrame =
+    HistQuantiles.groupedExactCut(Tables.events(spark, dir),
+        col("event_type"), col("value"), p = 0.5, as = "p50_exact")
+      .select(col("k").as("event_type"), col("p50_exact"), col("n"))
+      .orderBy(col("event_type").asc)
+
   /** Exact-sufficient-statistics Pearson correlation
     * ([[Association.pearson]]) between line-item price and quantity —
     * deliberately NOT Spark's `corr` (partition-order-dependent
@@ -616,7 +627,8 @@ object StatsOps {
     "ttest_value_halves" -> (ttestValueHalves _),
     "bootstrap_mean_ci" -> (bootstrapMeanCi _),
     "trend_theil_sen"   -> (theilSenDailyTrend _),
-    "exact_quantiles_totalprice" -> (exactQuantilesTotalprice _)
+    "exact_quantiles_totalprice" -> (exactQuantilesTotalprice _),
+    "exact_median_by_type" -> (exactMedianByType _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1102,6 +1114,13 @@ object StatsOps {
       """SELECT count(o_totalprice) AS n,
         |       CAST(quantile_disc(o_totalprice, 0.5) AS DOUBLE) AS p50_exact,
         |       CAST(quantile_disc(o_totalprice, 0.9) AS DOUBLE) AS p90_exact
-        |FROM orders WHERE o_totalprice IS NOT NULL""".stripMargin
+        |FROM orders WHERE o_totalprice IS NOT NULL""".stripMargin,
+    "exact_median_by_type" ->
+      """SELECT event_type,
+        |       CAST(quantile_disc(value, 0.5) AS DOUBLE) AS p50_exact,
+        |       count(value) AS n
+        |FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |GROUP BY event_type
+        |ORDER BY event_type ASC""".stripMargin
   )
 }

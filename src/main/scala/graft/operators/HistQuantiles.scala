@@ -242,6 +242,72 @@ object HistQuantiles {
     } else result(lo)
   }
 
+  /** PER-GROUP exact order-statistic quantile — [[exactCut]]'s grouped
+    * form with NO driver loop: `rounds` refinement passes run
+    * relationally for every group AT ONCE, then one exact pick
+    * resolves each group's remaining range.
+    *
+    * Per round: join values to the per-group (lo, hi, r) state frame
+    * (broadcast — O(groups)), bucket on each group's own range,
+    * `groupBy(k, bucket) → (count, min, max)` with O(groups·buckets)
+    * total state, a PER-GROUP window over ≤ B rows picks the bucket
+    * holding rank r, and the bucket's true data min/max become the
+    * group's next range. Each pass shrinks every group's range ~B×,
+    * so `rounds` = 3 at B = 1024 gives ~30 bits of refinement; the
+    * final pick (`groupBy(k, x)` restricted to each group's last
+    * range + a per-group cumulative) is exact over whatever distinct
+    * values remain — for real-world value distributions a handful,
+    * degenerating gracefully (partial-aggregable, keyed windows,
+    * spills not OOMs) if a group concentrates its mass at sub-range
+    * scale. Rank rule = `quantile_disc` per group, so the oracle is
+    * one grouped aggregate. NULL keys/values excluded. */
+  def groupedExactCut(df: DataFrame, key: Column, c: Column, p: Double,
+      nBuckets: Int = 1024, rounds: Int = 3, as: String = "q"): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= (1 << 20), "nBuckets must be in [2, 2^20]")
+    require(p > 0.0 && p < 1.0, "probability must lie strictly inside (0, 1)")
+    require(rounds >= 1 && rounds <= 8, "rounds must be in [1, 8]")
+    val vals = df.filter(c.isNotNull && key.isNotNull)
+      .select(key.as("k"), c.cast("double").as("x"))
+    var state = vals.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .select(col("k"), col("n"),
+        (floor(lit(p) * (col("n") - 1).cast("double")).cast("long") + 1).as("r"),
+        col("lo"), col("hi"))
+    for (_ <- 1 to rounds) {
+      val b = when(col("hi") === col("lo"), lit(0L)).otherwise(
+        least(floor((col("x") - col("lo")) / (col("hi") - col("lo")) * lit(nBuckets)),
+          lit((nBuckets - 1).toLong))).cast("int")
+      val hist = vals.join(broadcast(state), Seq("k"))
+        .filter(col("x") >= col("lo") && col("x") <= col("hi"))
+        .groupBy(col("k"), b.as("b"))
+        .agg(count(lit(1)).as("cnt"), min(col("x")).as("blo"), max(col("x")).as("bhi"))
+      val w = Window.partitionBy(col("k")).orderBy(col("b").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+        .join(broadcast(state.select(col("k"), col("n"), col("r"))), Seq("k"))
+      // first (lowest) bucket whose cumulative reaches the rank; its
+      // in-bucket residual rank and true data bounds seed the next round
+      state = cum.filter(col("cum") >= col("r"))
+        .groupBy(col("k"))
+        .agg(max(col("n")).as("n"),
+          min_by(struct((col("r") - (col("cum") - col("cnt"))).as("r2"),
+            col("blo"), col("bhi")), col("b")).as("pick"))
+        .select(col("k"), col("n"), col("pick.r2").as("r"),
+          col("pick.blo").as("lo"), col("pick.bhi").as("hi"))
+    }
+    // exact pick over each group's final range
+    val wv = Window.partitionBy(col("k")).orderBy(col("x").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vals.join(broadcast(state), Seq("k"))
+      .filter(col("x") >= col("lo") && col("x") <= col("hi"))
+      .groupBy(col("k"), col("x")).agg(count(lit(1)).as("cnt"),
+        max(col("r")).as("r"), max(col("n")).as("n"))
+      .withColumn("cum", sum(col("cnt")).over(wv))
+      .filter(col("cum") >= col("r"))
+      .groupBy(col("k"))
+      .agg(min(col("x")).as(as), max(col("n")).as("n"))
+  }
+
   // ------------------------------------------------------------ oracle
 
   /** DuckDB CTE chain replaying [[cuts]] exactly for one probability:

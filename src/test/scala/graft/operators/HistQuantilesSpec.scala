@@ -206,6 +206,42 @@ class HistQuantilesSpec extends SparkSpec {
     assert(HistQuantiles.exactCut(tight, col("x"), 0.9).head().getDouble(0) == hi)
   }
 
+  test("groupedExactCut == per-group quantile_disc brute force") {
+    val rng = new scala.util.Random(13)
+    val rows = Seq.tabulate(3000) { i =>
+      val g = s"g${i % 6}"
+      val x = g match {
+        case "g0" => 42.0                              // constant group
+        case "g1" => rng.nextInt(3).toDouble           // 3 distinct values
+        case _    => rng.nextDouble() * 1e4 - 5e3
+      }
+      (g, x)
+    } :+ (("solo", 9.5))                               // single-row group
+    val df = rows.toDF("g", "x").repartition(7)
+    for (p <- Seq(0.25, 0.5, 0.9)) {
+      val expect = rows.groupBy(_._1).map { case (g, rs) =>
+        val xs = rs.map(_._2).sorted
+        (g, xs(math.floor(p * (xs.size - 1)).toInt), xs.size.toLong)
+      }.toSet
+      val got = HistQuantiles.groupedExactCut(df, col("g"), col("x"), p,
+          nBuckets = 8, rounds = 3)
+        .as[(String, Double, Long)].collect().toSet
+      assert(got == expect, s"p=$p")
+    }
+  }
+
+  test("groupedExactCut agrees with exactCut run per group on the harness events table") {
+    val ev = graft.Tables.events(spark, dir)
+    val grouped = HistQuantiles.groupedExactCut(ev, col("event_type"), col("value"), 0.5)
+      .as[(String, Double, Long)].collect()
+      .map { case (g, q, n) => g -> ((q, n)) }.toMap
+    grouped.keys.foreach { g =>
+      val solo = HistQuantiles.exactCut(ev.filter(col("event_type") === g),
+        col("value"), 0.5).head()
+      assert(grouped(g) == ((solo.getDouble(0), solo.getLong(1))), g)
+    }
+  }
+
   test("rolling 7-day median lands within one bucket width of the exact per-window median") {
     val got = graft.analytics.StatsOps.rollingMedianValue(spark, dir)
       .select(col("day"), col("med7"), col("n_window"))
