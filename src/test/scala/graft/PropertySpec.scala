@@ -182,6 +182,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("exactCut equals the sorted order statistic for arbitrary doubles and probabilities") {
+    val xs = Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.choose(-1e9, 1e9),
+      Gen.choose(-1.0, 1.0),
+      Gen.choose(0, 9).map(_.toDouble))) // heavy duplicate mass
+    val p = Gen.choose(0.05, 0.95)
+    forAll(Gen.zip(xs, p), 15) { case (vals, prob) =>
+      val got = graft.operators.HistQuantiles
+        .exactCut(vals.toDF("x"), $"x", prob, nBuckets = 8).head()
+      val expect = vals.sorted.apply(math.floor(prob * (vals.size - 1)).toInt)
+      assert(got.getDouble(0) == expect && got.getLong(1) == vals.size,
+        s"p=$prob n=${vals.size}")
+    }
+  }
+
+  test("MG summary merge is partition-shape independent in its guarantee and error bound") {
+    val items = Gen.listOfN(400, Gen.choose(0, 30).map {
+      case k if k < 3 => "hot" + k          // three heavy items
+      case k          => "cold" + k
+    })
+    forAll(Gen.zip(items, Gen.choose(1, 10)), 10) { case (vals, parts) =>
+      val k = 8
+      val n = vals.size.toLong
+      val truth = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val mg = udaf(graft.operators.HeavyHitters.mgAgg(k))
+      val summary = vals.toDF("item").repartition(parts)
+        .agg(mg($"item")).head().getMap[String, Long](0)
+      assert(summary.size <= k)
+      truth.filter { case (_, c) => c * (k + 1) > n }.keys.foreach { hh =>
+        assert(summary.contains(hh), s"parts=$parts lost $hh")
+      }
+      summary.foreach { case (item, c) =>
+        assert(c <= truth(item) && truth(item) - c <= n / (k + 1) + 1, item)
+      }
+    }
+  }
+
   test("int8 quantization error is within half a quantization step, per element") {
     val rng = new scala.util.Random(23)
     val df = (1L to 150L).map(i => (i, Seq.fill(24)(rng.nextFloat() * 1000 - 500)))
