@@ -1477,6 +1477,15 @@ object DataOps {
   def mmPayloadStats(spark: SparkSession, dir: String): DataFrame =
     Multimodal.payloadStats(Tables.documents(spark, dir))
 
+  /** Image perceptual hashes through the REAL binary path — see
+    * [[Multimodal.embeddingDHash]]: vector → PNG bytes → ImageIO
+    * decode → raster dHash, while the oracle computes the identical
+    * 56 bits straight from the floats. A hash gate over every vector
+    * certifies the encoder/decoder round trip sample-exactly. */
+  def mmImageDhash(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.embeddingDHash(Tables.embeddings(spark, dir))
+      .orderBy(col("vec_id").asc)
+
   // ---- oracles ---------------------------------------------------------
 
   /** Winnowing fingerprint CTEs (n = 3, w = 4) — mirrors
@@ -3073,6 +3082,18 @@ object DataOps {
          |FROM predk
          |GROUP BY lang
          |ORDER BY lang ASC""".stripMargin,
+    "mm_image_dhash" ->
+      """WITH px AS (
+        |  SELECT vec_id, list_transform(embedding, v ->
+        |    CAST(least(greatest(floor((CAST(v AS DOUBLE) + 1.0) * 127.5), 0), 255) AS BIGINT)) AS p
+        |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) = 64
+        |)
+        |SELECT vec_id,
+        |  CAST(list_sum(list_transform(generate_series(0, 55), i ->
+        |    CASE WHEN p[CAST(i // 7 AS INT) * 8 + CAST(i % 7 AS INT) + 2]
+        |            > p[CAST(i // 7 AS INT) * 8 + CAST(i % 7 AS INT) + 1]
+        |         THEN CAST(1 AS BIGINT) << CAST(i AS INT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS dhash
+        |FROM px ORDER BY vec_id ASC""".stripMargin,
     "mm_payload_stats" ->
       """SELECT coalesce(lang, 'und') AS kind,
         |       count(*) AS n_media,
@@ -3140,6 +3161,7 @@ object DataOps {
     "text_winnow"       -> (textWinnow _),
     "winnow_overlap"    -> (winnowOverlap _),
     "mm_payload_stats"  -> (mmPayloadStats _),
+    "mm_image_dhash"    -> (mmImageDhash _),
     "kmv_distinct_events" -> (kmvDistinctEvents _),
     "feat_lang_profile" -> (featLangProfile _),
     "kmv_user_overlap"  -> (kmvUserOverlap _),

@@ -417,4 +417,49 @@ class MultimodalSpec extends SparkSpec {
     assert(spans(1) == ((good1.length + corrupt.length,
       good1.length + corrupt.length + good2.length)))
   }
+
+  test("dHash round trip: encode -> PNG -> ImageIO decode returns the exact gray samples") {
+    val rng = new scala.util.Random(5)
+    val levels = Array.fill(64)(rng.nextInt(256))
+    val png = encodeGrayPng(levels, 8, 8)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val back = for (y <- 0 until 8; x <- 0 until 8)
+      yield img.getRaster.getSample(x, y, 0)
+    assert(back.toArray.sameElements(levels))
+  }
+
+  test("dHash finds perturbed near-duplicate images and is invariant to uniform brightness") {
+    def hash(levels: Array[Int]): Long =
+      imageDHash(encodeGrayPng(levels, 8, 8)).get
+    val rng = new scala.util.Random(9)
+    // base image with CLEAR gradients (neighbor gaps >> noise) so the
+    // perceptual claim is about structure, not knife-edge ties
+    val base = Array.tabulate(64)(i => (i % 8) * 30 + (i / 8) % 2 * 3)
+    val h0 = hash(base)
+    // small additive noise (< half the gradient step): hash unchanged
+    val noisy = base.map(v => math.min(255, math.max(0, v + rng.nextInt(11) - 5)))
+    assert(java.lang.Long.bitCount(h0 ^ hash(noisy)) <= 6, "small noise must stay near")
+    // uniform brightness shift: EXACTLY invariant (gradient signs keep)
+    val brighter = base.map(v => math.min(255, v + 40))
+    assert(hash(brighter) == h0)
+    // structurally different image: far in Hamming distance
+    val other = Array.tabulate(64)(i => ((i / 8) % 2) * 200)
+    assert(java.lang.Long.bitCount(h0 ^ hash(other)) > 14)
+  }
+
+  test("embeddingDHash == direct arithmetic from the floats, for every harness vector") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = embeddingDHash(emb).as[(Long, Long)].collect().toMap
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    assert(got.size == vecs.length)
+    vecs.foreach { case (id, vec) =>
+      val p = vec.map(v => grayLevel(v.toDouble))
+      var bits = 0L
+      for (i <- 0 until 56) {
+        val r = i / 7; val c = i % 7
+        if (p(r * 8 + c + 1) > p(r * 8 + c)) bits |= 1L << i
+      }
+      assert(got(id) == bits, s"vec $id")
+    }
+  }
 }
