@@ -1477,6 +1477,15 @@ object DataOps {
   def mmPayloadStats(spark: SparkSession, dir: String): DataFrame =
     Multimodal.payloadStats(Tables.documents(spark, dir))
 
+  /** Audio frame signatures through the REAL demux path — see
+    * [[Multimodal.embeddingAudioSignature]]: vector → 16-bit PCM WAV
+    * bytes → RIFF parse + frame slicing → integer-exact energy and
+    * zero-crossing counts, replayed by the oracle from the floats.
+    * Zero FP tolerance: both features are Long arithmetic. */
+  def mmAudioSignature(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.embeddingAudioSignature(Tables.embeddings(spark, dir))
+      .orderBy(col("vec_id").asc, col("frame_idx").asc)
+
   /** Image perceptual hashes through the REAL binary path — see
     * [[Multimodal.embeddingDHash]]: vector → PNG bytes → ImageIO
     * decode → raster dHash, while the oracle computes the identical
@@ -3082,6 +3091,18 @@ object DataOps {
          |FROM predk
          |GROUP BY lang
          |ORDER BY lang ASC""".stripMargin,
+    "mm_audio_signature" ->
+      """WITH pcm AS (
+        |  SELECT vec_id, list_transform(embedding, v ->
+        |    CAST(least(greatest(floor(CAST(v AS DOUBLE) * 32767.0 + 0.5), -32768), 32767) AS BIGINT)) AS s
+        |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) = 64
+        |)
+        |SELECT vec_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(list_sum(list_transform(list_slice(s, f * 16 + 1, f * 16 + 16), x -> x * x)) AS BIGINT) AS energy,
+        |  CAST(list_sum(list_transform(generate_series(1, 15), i ->
+        |    CASE WHEN (s[f * 16 + i] < 0) != (s[f * 16 + i + 1] < 0) THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings
+        |FROM pcm, (SELECT unnest([0, 1, 2, 3]) AS f)
+        |ORDER BY vec_id ASC, frame_idx ASC""".stripMargin,
     "mm_image_dhash" ->
       """WITH px AS (
         |  SELECT vec_id, list_transform(embedding, v ->
@@ -3162,6 +3183,7 @@ object DataOps {
     "winnow_overlap"    -> (winnowOverlap _),
     "mm_payload_stats"  -> (mmPayloadStats _),
     "mm_image_dhash"    -> (mmImageDhash _),
+    "mm_audio_signature" -> (mmAudioSignature _),
     "kmv_distinct_events" -> (kmvDistinctEvents _),
     "feat_lang_profile" -> (featLangProfile _),
     "kmv_user_overlap"  -> (kmvUserOverlap _),

@@ -527,6 +527,69 @@ object Multimodal {
     }
   }
 
+  /** Quantize a unit-scale value to signed 16-bit PCM —
+    * ⌊v·32767 + 0.5⌋ clamped to [−32768, 32767]; IEEE floor, so a SQL
+    * oracle replays it exactly. */
+  def pcm16Level(v: Double): Int =
+    math.min(32767, math.max(-32768, math.floor(v * 32767.0 + 0.5).toInt))
+
+  /** Deterministic mono 16-bit PCM RIFF/WAVE: the canonical 44-byte
+    * header + little-endian samples. Byte-stable by construction (no
+    * encoder library, no optional chunks). */
+  def encodePcm16Wav(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+    require(sampleRate > 0, "sampleRate must be positive")
+    val dataBytes = samples.length * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(s: String): Unit = s.foreach(c => b.put(c.toByte))
+    tag("RIFF"); b.putInt(36 + dataBytes); tag("WAVE")
+    tag("fmt "); b.putInt(16); b.putShort(1); b.putShort(1) // PCM, mono
+    b.putInt(sampleRate); b.putInt(sampleRate * 2)          // byte rate
+    b.putShort(2); b.putShort(16)                           // block align, bits
+    tag("data"); b.putInt(dataBytes)
+    samples.foreach(s => b.putShort(s.toShort))
+    b.array()
+  }
+
+  /** Per-frame audio signature through the REAL demux path — the
+    * audio twin of [[embeddingDHash]]: embedding → PCM quantization →
+    * WAV bytes → [[wavInfo]] RIFF parse + [[sampleFrames]] frame
+    * slicing → integer-exact per-frame features:
+    *
+    *  - `energy` = Σ s² over the frame's samples (exact in Long — no
+    *    FP anywhere, so the gate has zero tolerance);
+    *  - `zero_crossings` = sign flips between consecutive samples
+    *    (the classic cheap voicing/noisiness discriminator).
+    *
+    * The oracle computes both from the floats directly; a hash match
+    * over every (vector, frame) certifies the header layout, data
+    * offset, frame windowing, and little-endian sample decode of the
+    * real WAV path. Defaults: 8 kHz mono 16-bit, 2 ms frames → 16
+    * samples/frame, 4 frames per 64-dim vector. */
+  def embeddingAudioSignature(embeddings: DataFrame, sampleRate: Int = 8000,
+      frameMs: Long = 2L): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    val media = embeddings
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull
+        && size(col("embedding")) === 64)
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .map { case (id, vec) =>
+        MediaRow(id, "wav",
+          encodePcm16Wav(vec.map(v => pcm16Level(v.toDouble)), sampleRate))
+      }
+    sampleFrames(media, sampleEvery = 1, frameMs = frameMs)
+      .map { f =>
+        val bb = java.nio.ByteBuffer.wrap(f.frame)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val s = Array.fill(f.frame.length / 2)(bb.getShort.toInt)
+        val energy = s.foldLeft(0L)((a, x) => a + x.toLong * x)
+        val zc = (1 until s.length).count(i => (s(i - 1) < 0) != (s(i) < 0)).toLong
+        (f.media_id, f.frame_idx, energy, zc)
+      }
+      .toDF("vec_id", "frame_idx", "energy", "zero_crossings")
+  }
+
   /** Per-vector perceptual hash through the REAL image path:
     * embedding → gray levels → PNG bytes (ImageIO encoder) → decode
     * (ImageIO reader) → raster dHash. The long way around is the

@@ -447,6 +447,34 @@ class MultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(h0 ^ hash(other)) > 14)
   }
 
+  test("PCM WAV round trip: encodePcm16Wav emits what wavInfo + sample decode read back") {
+    val samples = Array(0, 1, -1, 32767, -32768, 12345, -12345, 100)
+    val wav = encodePcm16Wav(samples, 8000)
+    val info = wavInfo(wav).get
+    assert(info == WavInfo(8000, 1, 16, 44, 16))
+    val bb = java.nio.ByteBuffer.wrap(wav, 44, 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val back = Array.fill(8)(bb.getShort.toInt)
+    assert(back.sameElements(samples))
+  }
+
+  test("embeddingAudioSignature == integer arithmetic from the floats, for every frame") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = embeddingAudioSignature(emb).as[(Long, Int, Long, Long)].collect()
+      .map { case (id, f, e, z) => (id, f) -> ((e, z)) }.toMap
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    assert(got.size == vecs.length * 4)
+    vecs.foreach { case (id, vec) =>
+      val s = vec.map(v => pcm16Level(v.toDouble))
+      for (f <- 0 until 4) {
+        val fr = s.slice(f * 16, f * 16 + 16)
+        val energy = fr.foldLeft(0L)((a, x) => a + x.toLong * x)
+        val zc = (1 until fr.length).count(i => (fr(i - 1) < 0) != (fr(i) < 0)).toLong
+        assert(got((id, f)) == ((energy, zc)), s"vec $id frame $f")
+      }
+    }
+  }
+
   test("embeddingDHash == direct arithmetic from the floats, for every harness vector") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val got = embeddingDHash(emb).as[(Long, Long)].collect().toMap
