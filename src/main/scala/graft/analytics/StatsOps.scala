@@ -485,6 +485,16 @@ object StatsOps {
       .select(col("k").as("event_type"), col("p50_exact"), col("n"))
       .orderBy(col("event_type").asc)
 
+  /** Quantity-weighted EXACT median of line-item price
+    * ([[HistQuantiles.weightedCut]]): the price point at which half
+    * the shipped QUANTITY sits below — the volume-weighted statistic
+    * a revenue dashboard wants where the unweighted median
+    * over-represents small orders. Decimal-exact threshold test, so
+    * the pick is bit-identical to the oracle's grouped cumulative. */
+  def weightedMedianPrice(spark: SparkSession, dir: String): DataFrame =
+    HistQuantiles.weightedCut(Tables.lineitem(spark, dir),
+      col("l_extendedprice"), col("l_quantity"), as = "w_median")
+
   /** Exact-sufficient-statistics Pearson correlation
     * ([[Association.pearson]]) between line-item price and quantity —
     * deliberately NOT Spark's `corr` (partition-order-dependent
@@ -628,7 +638,8 @@ object StatsOps {
     "bootstrap_mean_ci" -> (bootstrapMeanCi _),
     "trend_theil_sen"   -> (theilSenDailyTrend _),
     "exact_quantiles_totalprice" -> (exactQuantilesTotalprice _),
-    "exact_median_by_type" -> (exactMedianByType _)
+    "exact_median_by_type" -> (exactMedianByType _),
+    "weighted_median_price" -> (weightedMedianPrice _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1121,6 +1132,18 @@ object StatsOps {
         |       count(value) AS n
         |FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
         |GROUP BY event_type
-        |ORDER BY event_type ASC""".stripMargin
+        |ORDER BY event_type ASC""".stripMargin,
+    "weighted_median_price" ->
+      """WITH v AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+        |         CAST(l_quantity AS DECIMAL(30,2)) AS w
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL AND l_quantity > 0
+        |), tot AS (SELECT sum(w) AS tw, count(*) AS n FROM v),
+        |g AS (SELECT x, sum(w) AS wx FROM v GROUP BY x),
+        |c AS (SELECT x, sum(wx) OVER (ORDER BY x ASC ROWS UNBOUNDED PRECEDING) AS cw FROM g)
+        |SELECT CAST(min(c.x) AS DOUBLE) AS w_median, max(tot.n) AS n,
+        |       CAST(max(tot.tw) AS DOUBLE) AS total_w
+        |FROM c, tot WHERE c.cw * 2 >= tot.tw""".stripMargin
   )
 }

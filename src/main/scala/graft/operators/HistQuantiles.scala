@@ -308,6 +308,86 @@ object HistQuantiles {
       .agg(min(col("x")).as(as), max(col("n")).as("n"))
   }
 
+  /** WEIGHTED exact quantile with bounded state — [[exactCut]] where
+    * each row carries a weight (revenue-weighted median price, token-
+    * weighted median quality score): the smallest x whose cumulative
+    * weight reaches `pNum/pDen` of the total.
+    *
+    * The FP trap this form avoids: cumulative DOUBLE weight sums are
+    * partition-order-dependent, so "cum ≥ p·W" can flip at the
+    * boundary between engines or cluster sizes. Here weights are
+    * decimal-quantized (exact, order-independent sums — the repo's
+    * money policy) and the threshold test is pure integer/decimal
+    * arithmetic: pDen·cum ≥ pNum·W — no division, no doubles, so the
+    * pick is bit-identical on any engine and the oracle replays it
+    * with a grouped cumulative. With unit weights this reduces to
+    * [[exactCut]]'s `quantile_disc` rank rule (spec-pinned).
+    *
+    * Same refinement skeleton as [[exactCut]]: per round one
+    * O(buckets) aggregate (weight sums replace counts), the chosen
+    * bucket's true data min/max narrow the range, the range predicate
+    * prunes row groups. Driver state is one BigDecimal accumulator.
+    * Rows with NULL or non-positive weights are excluded. */
+  def weightedCut(df: DataFrame, c: Column, w: Column, pNum: Long = 1, pDen: Long = 2,
+      nBuckets: Int = 4096, as: String = "q", maxRounds: Int = 16): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= (1 << 20), "nBuckets must be in [2, 2^20]")
+    require(pNum > 0 && pNum < pDen, "need 0 < pNum/pDen < 1")
+    val spark = df.sparkSession
+    import java.math.BigDecimal
+    val vals = df.filter(c.isNotNull && w.isNotNull && w > 0)
+      .select(c.cast("double").as("x"), w.cast("decimal(30,2)").as("w"))
+    val s0 = vals.agg(sum(col("w")).as("tw"), count(lit(1)).as("n"),
+      min(col("x")).as("lo"), max(col("x")).as("hi")).head()
+    val n = s0.getLong(1)
+    def result(v: java.lang.Double, tw: java.lang.Double): DataFrame = {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+      spark.createDataFrame(
+        java.util.Collections.singletonList(Row(v, n, tw)),
+        StructType(Seq(StructField(as, DoubleType, nullable = true),
+          StructField("n", LongType, nullable = false),
+          StructField("total_w", DoubleType, nullable = true))))
+    }
+    if (n == 0L) return result(null, null)
+    val totalW = s0.getDecimal(0)
+    // exact threshold: pick smallest x with pDen·cum(x) >= pNum·W
+    val target = totalW.multiply(BigDecimal.valueOf(pNum))
+    val den = BigDecimal.valueOf(pDen)
+    var cumBefore = BigDecimal.ZERO
+    var lo = s0.getDouble(2); var hi = s0.getDouble(3)
+    var rounds = 0
+    def reaches(cum: BigDecimal): Boolean = cum.multiply(den).compareTo(target) >= 0
+    while (lo < hi && rounds < maxRounds) {
+      rounds += 1
+      val b = least(floor((col("x") - lit(lo)) / (lit(hi) - lit(lo)) * lit(nBuckets)),
+        lit((nBuckets - 1).toLong)).cast("int")
+      val hist = vals.filter(col("x") >= lo && col("x") <= hi)
+        .groupBy(b.as("b"))
+        .agg(sum(col("w")).as("ws"), min(col("x")).as("blo"), max(col("x")).as("bhi"))
+        .orderBy(col("b").asc)
+        .collect()
+      var i = 0; var found = false
+      while (!found && i < hist.length) {
+        val row = hist(i); val ws = row.getDecimal(1)
+        if (reaches(cumBefore.add(ws))) {
+          lo = row.getDouble(2); hi = row.getDouble(3); found = true
+        } else { cumBefore = cumBefore.add(ws); i += 1 }
+      }
+      assert(found, "weight target not reachable — inconsistent histogram")
+    }
+    if (lo < hi) {
+      val grp = vals.filter(col("x") >= lo && col("x") <= hi)
+        .groupBy(col("x")).agg(sum(col("w")).as("ws"))
+        .orderBy(col("x").asc).collect()
+      var i = 0; var v = hi; var found = false
+      while (!found && i < grp.length) {
+        cumBefore = cumBefore.add(grp(i).getDecimal(1))
+        if (reaches(cumBefore)) { v = grp(i).getDouble(0); found = true } else i += 1
+      }
+      result(v, totalW.doubleValue())
+    } else result(lo, totalW.doubleValue())
+  }
+
   // ------------------------------------------------------------ oracle
 
   /** DuckDB CTE chain replaying [[cuts]] exactly for one probability:

@@ -206,6 +206,51 @@ class HistQuantilesSpec extends SparkSpec {
     assert(HistQuantiles.exactCut(tight, col("x"), 0.9).head().getDouble(0) == hi)
   }
 
+  test("weightedCut == brute-force weighted quantile, with ties and duplicate weights") {
+    val rng = new scala.util.Random(21)
+    val rows = Seq.fill(800)((rng.nextInt(40).toDouble, (rng.nextInt(50) + 1) * 0.5)) ++
+      Seq((7.0, 300.0)) // one dominating weight
+    val df = rows.toDF("x", "w").repartition(5)
+    for ((num, den) <- Seq((1L, 2L), (1L, 4L), (9L, 10L))) {
+      val total = BigDecimal(rows.map(r => BigDecimal(r._2)).sum.toString)
+      val sorted = rows.groupBy(_._1).view.mapValues(_.map(r => BigDecimal(r._2)).sum)
+        .toSeq.sortBy(_._1)
+      var cum = BigDecimal(0); var expect = sorted.last._1; var found = false
+      sorted.foreach { case (x, wx) =>
+        cum += wx
+        if (!found && cum * BigDecimal(den) >= total * BigDecimal(num)) {
+          expect = x; found = true
+        }
+      }
+      val got = HistQuantiles.weightedCut(df, col("x"), col("w"), num, den, nBuckets = 8)
+        .head()
+      assert(got.getDouble(0) == expect, s"p=$num/$den")
+      assert(got.getLong(1) == rows.size)
+    }
+  }
+
+  test("weightedCut with unit weights reduces to the quantile_disc rank rule") {
+    val rng = new scala.util.Random(31)
+    for (n <- Seq(4, 5, 101)) {
+      val xs = Seq.fill(n)(rng.nextDouble() * 100)
+      val df = xs.map((_, 1.0)).toDF("x", "w")
+      val wm = HistQuantiles.weightedCut(df, col("x"), col("w"), 1, 2, nBuckets = 8)
+        .head().getDouble(0)
+      val disc = xs.sorted.apply(math.floor(0.5 * (n - 1)).toInt)
+      assert(wm == disc, s"n=$n")
+    }
+  }
+
+  test("weightedCut degenerate inputs: empty, non-positive weights excluded, constant column") {
+    val empty = Seq.empty[(Double, Double)].toDF("x", "w")
+    assert(HistQuantiles.weightedCut(empty, col("x"), col("w")).head().isNullAt(0))
+    val negOnly = Seq((1.0, -2.0), (2.0, 0.0)).toDF("x", "w")
+    assert(HistQuantiles.weightedCut(negOnly, col("x"), col("w")).head().isNullAt(0))
+    val const = Seq((5.5, 1.0), (5.5, 9.0)).toDF("x", "w")
+    val r = HistQuantiles.weightedCut(const, col("x"), col("w")).head()
+    assert(r.getDouble(0) == 5.5 && r.getLong(1) == 2 && r.getDouble(2) == 10.0)
+  }
+
   test("groupedExactCut == per-group quantile_disc brute force") {
     val rng = new scala.util.Random(13)
     val rows = Seq.tabulate(3000) { i =>
