@@ -481,7 +481,7 @@ object StatsOps {
     * per-group `quantile_disc`. */
   def exactMedianByType(spark: SparkSession, dir: String): DataFrame =
     HistQuantiles.groupedExactCut(Tables.events(spark, dir),
-        col("event_type"), col("value"), p = 0.5, as = "p50_exact")
+        col("event_type"), col("value"), p = 0.5, rounds = 2, as = "p50_exact")
       .select(col("k").as("event_type"), col("p50_exact"), col("n"))
       .orderBy(col("event_type").asc)
 
