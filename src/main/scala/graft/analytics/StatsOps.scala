@@ -495,6 +495,17 @@ object StatsOps {
     HistQuantiles.weightedCut(Tables.lineitem(spark, dir),
       col("l_extendedprice"), col("l_quantity"), as = "w_median")
 
+  /** Per-return-flag quantity-weighted EXACT median price
+    * ([[HistQuantiles.groupedWeightedCut]]) — the grouped companion
+    * of [[weightedMedianPrice]], fully relational (even the
+    * cumulative-before accumulator is a decimal column). */
+  def weightedMedianByFlag(spark: SparkSession, dir: String): DataFrame =
+    HistQuantiles.groupedWeightedCut(Tables.lineitem(spark, dir),
+        col("l_returnflag"), col("l_extendedprice"), col("l_quantity"),
+        as = "w_median")
+      .select(col("k").as("return_flag"), col("w_median"), col("n"), col("total_w"))
+      .orderBy(col("return_flag").asc)
+
   /** Exact-sufficient-statistics Pearson correlation
     * ([[Association.pearson]]) between line-item price and quantity —
     * deliberately NOT Spark's `corr` (partition-order-dependent
@@ -639,7 +650,8 @@ object StatsOps {
     "trend_theil_sen"   -> (theilSenDailyTrend _),
     "exact_quantiles_totalprice" -> (exactQuantilesTotalprice _),
     "exact_median_by_type" -> (exactMedianByType _),
-    "weighted_median_price" -> (weightedMedianPrice _)
+    "weighted_median_price" -> (weightedMedianPrice _),
+    "weighted_median_by_flag" -> (weightedMedianByFlag _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1144,6 +1156,24 @@ object StatsOps {
         |c AS (SELECT x, sum(wx) OVER (ORDER BY x ASC ROWS UNBOUNDED PRECEDING) AS cw FROM g)
         |SELECT CAST(min(c.x) AS DOUBLE) AS w_median, max(tot.n) AS n,
         |       CAST(max(tot.tw) AS DOUBLE) AS total_w
-        |FROM c, tot WHERE c.cw * 2 >= tot.tw""".stripMargin
+        |FROM c, tot WHERE c.cw * 2 >= tot.tw""".stripMargin,
+    "weighted_median_by_flag" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS k, CAST(l_extendedprice AS DOUBLE) AS x,
+        |         CAST(l_quantity AS DECIMAL(30,2)) AS w
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_quantity IS NOT NULL AND l_quantity > 0
+        |), tot AS (SELECT k, sum(w) AS tw, count(*) AS n FROM v GROUP BY k),
+        |g AS (SELECT k, x, sum(w) AS wx FROM v GROUP BY k, x),
+        |c AS (SELECT k, x,
+        |        sum(wx) OVER (PARTITION BY k ORDER BY x ASC ROWS UNBOUNDED PRECEDING) AS cw
+        |      FROM g)
+        |SELECT c.k AS return_flag, CAST(min(c.x) AS DOUBLE) AS w_median,
+        |       max(tot.n) AS n, CAST(max(tot.tw) AS DOUBLE) AS total_w
+        |FROM c JOIN tot ON c.k = tot.k
+        |WHERE c.cw * 2 >= tot.tw
+        |GROUP BY c.k
+        |ORDER BY return_flag ASC""".stripMargin
   )
 }

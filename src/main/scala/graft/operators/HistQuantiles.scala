@@ -388,6 +388,67 @@ object HistQuantiles {
     } else result(lo, totalW.doubleValue())
   }
 
+  /** PER-GROUP weighted exact quantile — [[weightedCut]]'s grouped
+    * form, fully relational like [[groupedExactCut]] (no driver
+    * state at all: even the cumulative-weight-before-range
+    * accumulator is a decimal COLUMN in the state frame). The
+    * threshold test stays pure decimal arithmetic —
+    * pDen·(cumBefore + cum) ≥ pNum·W — evaluated identically by the
+    * oracle's grouped cumulative, so picks cannot flip at FP
+    * boundaries. Decimal sums ride Spark's decimal(38,2) cap;
+    * overflow there would need a single group's weight mass above
+    * 10^36, at which point the weight column itself is mis-modeled.
+    * Rows with NULL keys/values or non-positive weights are
+    * excluded. */
+  def groupedWeightedCut(df: DataFrame, key: Column, c: Column, w: Column,
+      pNum: Long = 1, pDen: Long = 2, nBuckets: Int = 1024, rounds: Int = 2,
+      as: String = "q"): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= (1 << 20), "nBuckets must be in [2, 2^20]")
+    require(pNum > 0 && pNum < pDen, "need 0 < pNum/pDen < 1")
+    require(rounds >= 1 && rounds <= 8, "rounds must be in [1, 8]")
+    val vals = df.filter(c.isNotNull && key.isNotNull && w.isNotNull && w > 0)
+      .select(key.as("k"), c.cast("double").as("x"), w.cast("decimal(30,2)").as("wt"))
+    val reaches = (cumBefore: Column, cum: Column, tw: Column) =>
+      (cumBefore + cum) * lit(pDen) >= tw * lit(pNum)
+    var state = vals.groupBy(col("k"))
+      .agg(sum(col("wt")).as("tw"), count(lit(1)).as("n"),
+        min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .withColumn("cb", (col("tw") - col("tw")).cast("decimal(38,2)")) // typed zero
+    for (_ <- 1 to rounds) {
+      val b = when(col("hi") === col("lo"), lit(0L)).otherwise(
+        least(floor((col("x") - col("lo")) / (col("hi") - col("lo")) * lit(nBuckets)),
+          lit((nBuckets - 1).toLong))).cast("int")
+      val hist = vals.join(broadcast(state), Seq("k"))
+        .filter(col("x") >= col("lo") && col("x") <= col("hi"))
+        .groupBy(col("k"), b.as("b"))
+        .agg(sum(col("wt")).as("ws"), min(col("x")).as("blo"), max(col("x")).as("bhi"))
+      val wd = Window.partitionBy(col("k")).orderBy(col("b").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum(col("ws")).over(wd))
+        .join(broadcast(state.select(col("k"), col("tw"), col("n"), col("cb"))), Seq("k"))
+      state = cum.filter(reaches(col("cb"), col("cum"), col("tw")))
+        .groupBy(col("k"))
+        .agg(max(col("tw")).as("tw"), max(col("n")).as("n"),
+          min_by(struct((col("cb") + col("cum") - col("ws")).as("cb2"),
+            col("blo"), col("bhi")), col("b")).as("pick"))
+        .select(col("k"), col("tw"), col("n"),
+          col("pick.blo").as("lo"), col("pick.bhi").as("hi"),
+          col("pick.cb2").cast("decimal(38,2)").as("cb"))
+    }
+    val wx = Window.partitionBy(col("k")).orderBy(col("x").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vals.join(broadcast(state), Seq("k"))
+      .filter(col("x") >= col("lo") && col("x") <= col("hi"))
+      .groupBy(col("k"), col("x"))
+      .agg(sum(col("wt")).as("ws"), max(col("tw")).as("tw"),
+        max(col("n")).as("n"), max(col("cb")).as("cb"))
+      .withColumn("cum", sum(col("ws")).over(wx))
+      .filter(reaches(col("cb"), col("cum"), col("tw")))
+      .groupBy(col("k"))
+      .agg(min(col("x")).as(as), max(col("n")).as("n"),
+        max(col("tw")).cast("double").as("total_w"))
+  }
+
   // ------------------------------------------------------------ oracle
 
   /** DuckDB CTE chain replaying [[cuts]] exactly for one probability:

@@ -29,7 +29,7 @@ class SqlFrontEndSpec extends SparkSpec {
     "corr_price_qty", "benford_totalprice", "ttest_value_halves",
     "u4_result_summary", "zorder_cells", "zorder_read", "fuzzy_pairs_customers",
     "anti_lapsed_custs", "window_rank_family", "split_train_val_test",
-    "topk_value_by_type")
+    "topk_value_by_type", "weighted_median_price", "weighted_median_by_flag")
 
   test("ANSI oracle SQL runs verbatim via spark.sql with DataFrame-identical results") {
     Views.register(spark, dir)

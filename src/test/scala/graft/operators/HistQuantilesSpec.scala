@@ -251,6 +251,35 @@ class HistQuantilesSpec extends SparkSpec {
     assert(r.getDouble(0) == 5.5 && r.getLong(1) == 2 && r.getDouble(2) == 10.0)
   }
 
+  test("groupedWeightedCut == per-group weighted brute force; agrees with global weightedCut") {
+    val rng = new scala.util.Random(17)
+    val rows = Seq.fill(1200) {
+      val g = s"g${rng.nextInt(4)}"
+      (g, rng.nextInt(30).toDouble, (rng.nextInt(20) + 1) * 0.25)
+    } ++ Seq(("g0", 3.0, 500.0), ("solo", 1.5, 2.0)) // dominating weight + 1-row group
+    val df = rows.toDF("g", "x", "w").repartition(6)
+    val got = HistQuantiles.groupedWeightedCut(df, col("g"), col("x"), col("w"),
+        nBuckets = 8, rounds = 2)
+      .as[(String, Double, Long, Double)].collect()
+      .map { case (g, q, n, tw) => g -> ((q, n, tw)) }.toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val total = rs.map(r => BigDecimal(r._3)).sum
+      val sorted = rs.groupBy(_._2).view.mapValues(_.map(r => BigDecimal(r._3)).sum)
+        .toSeq.sortBy(_._1)
+      var cum = BigDecimal(0); var expect = sorted.last._1; var found = false
+      sorted.foreach { case (x, wx) =>
+        cum += wx
+        if (!found && cum * 2 >= total) { expect = x; found = true }
+      }
+      assert(got(g)._1 == expect, s"group $g")
+      assert(got(g)._2 == rs.size, s"group $g n")
+      // per-group result equals the GLOBAL operator run on the slice
+      val solo = HistQuantiles.weightedCut(
+        df.filter(col("g") === g), col("x"), col("w"), nBuckets = 8).head()
+      assert(got(g)._1 == solo.getDouble(0), s"group $g vs global")
+    }
+  }
+
   test("groupedExactCut == per-group quantile_disc brute force") {
     val rng = new scala.util.Random(13)
     val rows = Seq.tabulate(3000) { i =>
