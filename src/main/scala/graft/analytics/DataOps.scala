@@ -929,9 +929,12 @@ object DataOps {
   def profileEvents(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     def nNulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
-    val medId = graft.operators.HistQuantiles.cut(ev, col("event_id"), 0.5, ProfileBuckets, "id_med")
-    val medU  = graft.operators.HistQuantiles.cut(ev, col("user_id"),  0.5, ProfileBuckets, "u_med")
-    val medV  = graft.operators.HistQuantiles.cut(ev, col("value"),    0.5, ProfileBuckets, "v_med")
+    // one shared two-scan pass for all three medians (multiCut) instead
+    // of three independent cut calls — same per-column arithmetic, same
+    // dkCuts oracle chains
+    val meds = graft.operators.HistQuantiles.multiCut(ev,
+      Seq(col("event_id") -> "id_med", col("user_id") -> "u_med", col("value") -> "v_med"),
+      0.5, ProfileBuckets)
     val agg = ev.agg(
       count(lit(1)).as("n_rows"),
       nNulls("event_id").as("id_nulls"), countDistinct(col("event_id")).as("id_distinct"),
@@ -940,7 +943,7 @@ object DataOps {
       min(col("user_id")).cast("double").as("u_min"), max(col("user_id")).cast("double").as("u_max"),
       nNulls("value").as("v_nulls"), countDistinct(col("value")).as("v_distinct"),
       Cols.r(min(col("value")), 4).as("v_min"), Cols.r(max(col("value")), 4).as("v_max"))
-      .crossJoin(broadcast(medId)).crossJoin(broadcast(medU)).crossJoin(broadcast(medV))
+      .crossJoin(broadcast(meds))
       .withColumn("id_median", Cols.r(col("id_med"), 4))
       .withColumn("u_median", Cols.r(col("u_med"), 4))
       .withColumn("v_median", Cols.r(col("v_med"), 4))
@@ -1221,7 +1224,7 @@ object DataOps {
     val ev = Tables.events(spark, dir)
       .filter(pmod(col("event_id"), lit(5)) === 0)
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_merge")
+    val work = graft.sources.LocalFs.scratchDir("graft_stream_merge")
     val inDir = s"$work/in"; val target = s"$work/target"; val ckpt = s"$work/ckpt"
     // 2 deterministic hash chunks, one file each, plus a replay of
     // chunk 0 — three micro-batches, one of them a pure duplicate.
@@ -1281,7 +1284,7 @@ object DataOps {
       .filter(pmod(col("event_id"), lit(5)) === 1 && col("ts").isNotNull)
       .select(col("event_id"), col("event_type"), col("ts"), col("value"))
     val mid = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_hourly")
+    val work = graft.sources.LocalFs.scratchDir("graft_stream_hourly")
     val inDir = s"$work/in"; val target = s"$work/target"; val ckpt = s"$work/ckpt"
     // the file source batches oldest-modification-first; back-to-back
     // writes can land inside one mtime tick, which would let the
@@ -1412,7 +1415,7 @@ object DataOps {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("text"))
       .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
+    val work = graft.sources.LocalFs.scratchDir("graft_stream_dedup")
     val inDir = s"$work/in"; val target = s"$work/target"; val ckpt = s"$work/ckpt"
     // 2 chunks + a replay of chunk 1 — three micro-batches prove the
     // cross-batch dedup state and the replay collapse; more batches

@@ -461,15 +461,16 @@ object StatsOps {
   }
 
   /** EXACT p50/p90 of order totals through
-    * [[HistQuantiles.exactCut]] — iterated O(buckets)-state grid
-    * refinement instead of exact `percentile`'s O(distinct) single
+    * [[HistQuantiles.exactCutFixed]] — FIXED-ROUNDS relational grid
+    * refinement (no per-round driver collect, predictable pass count
+    * at any scale) instead of exact `percentile`'s O(distinct) single
     * buffer. The oracle is DuckDB's own exact `quantile_disc` (no
     * replay: both sides claim the same order statistic, which is the
     * strongest possible gate for a quantile operator). */
   def exactQuantilesTotalprice(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(spark, dir)
-    val p50 = HistQuantiles.exactCut(ord, col("o_totalprice"), 0.5, as = "p50_exact")
-    val p90 = HistQuantiles.exactCut(ord, col("o_totalprice"), 0.9, as = "p90_exact")
+    val p50 = HistQuantiles.exactCutFixed(ord, col("o_totalprice"), 0.5, as = "p50_exact")
+    val p90 = HistQuantiles.exactCutFixed(ord, col("o_totalprice"), 0.9, as = "p90_exact")
     p50.crossJoin(broadcast(p90.select(col("p90_exact"))))
       .select(col("n"), col("p50_exact"), col("p90_exact"))
   }
@@ -486,13 +487,14 @@ object StatsOps {
       .orderBy(col("event_type").asc)
 
   /** Quantity-weighted EXACT median of line-item price
-    * ([[HistQuantiles.weightedCut]]): the price point at which half
-    * the shipped QUANTITY sits below — the volume-weighted statistic
-    * a revenue dashboard wants where the unweighted median
-    * over-represents small orders. Decimal-exact threshold test, so
-    * the pick is bit-identical to the oracle's grouped cumulative. */
+    * ([[HistQuantiles.weightedCutFixed]], fixed-rounds relational
+    * form): the price point at which half the shipped QUANTITY sits
+    * below — the volume-weighted statistic a revenue dashboard wants
+    * where the unweighted median over-represents small orders.
+    * Decimal-exact threshold test, so the pick is bit-identical to
+    * the oracle's grouped cumulative. */
   def weightedMedianPrice(spark: SparkSession, dir: String): DataFrame =
-    HistQuantiles.weightedCut(Tables.lineitem(spark, dir),
+    HistQuantiles.weightedCutFixed(Tables.lineitem(spark, dir),
       col("l_extendedprice"), col("l_quantity"), as = "w_median")
 
   /** Per-return-flag quantity-weighted EXACT median price

@@ -33,8 +33,38 @@ import org.apache.spark.sql.functions._
   * DuckDB oracle (see [[dkCuts]]). The price is grid resolution: the
   * cut lands within (hi−lo)/B of the exact order statistic
   * (property-tested in HistQuantilesSpec).
+  *
+  * NaN policy (every form here): NaN is an absent measurement and is
+  * excluded exactly like NULL. Without the filter, `max(x)` returns
+  * NaN, the refinement range never closes, and grouped forms silently
+  * drop whole groups — so exclusion is enforced in the value filter,
+  * not assumed of the caller. The oracle mirrors carry the identical
+  * `NOT isnan(...)` predicate.
   */
 object HistQuantiles {
+
+  /** Value filter shared by every form: NULL and NaN both mean
+    * "no measurement". */
+  private def finite(c: Column): Column = c.isNotNull && !isnan(c.cast("double"))
+
+  /** Overflow-proof bucket index on [lo, hi] (column form). The naive
+    * `(x−lo)/(hi−lo)` overflows to ±Inf when the data spans close to
+    * ±1.7e308 (hi−lo > DoubleMax ⇒ every bucket collapses to 0/NaN and
+    * refinement stops shrinking). Halving first keeps every
+    * intermediate finite: x/2, lo/2, hi/2 ≤ DoubleMax/2, so
+    * hi/2 − lo/2 ≤ DoubleMax. Halving is monotone (IEEE rounding is
+    * monotone), so the mapping still partitions the range in value
+    * order — which is all the exact forms need: they use the chosen
+    * bucket's TRUE data min/max, never arithmetic bucket edges. The
+    * one residual degeneracy (hi > lo but hi/2 == lo/2, subnormal
+    * collapse) falls back to a two-way split at lo. */
+  private def safeBucket(x: Column, lo: Column, hi: Column, nBuckets: Int): Column = {
+    val span2 = hi / 2 - lo / 2
+    when(hi === lo, lit(0L))
+      .when(span2 === 0.0, when(x <= lo, lit(0L)).otherwise(lit((nBuckets - 1).toLong)))
+      .otherwise(least(floor((x / 2 - lo / 2) / span2 * lit(nBuckets)),
+        lit((nBuckets - 1).toLong)))
+  }
 
   /** Grid-quantile cuts of `c` at probabilities `ps`: a 1-row frame
     * (qs array<double>, n, lo, hi). NULLs are excluded. Degenerate
@@ -45,7 +75,7 @@ object HistQuantiles {
       "nBuckets must be in [2, 2^20]")
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p < 1.0),
       "probabilities must lie strictly inside (0, 1)")
-    val vals = df.filter(c.isNotNull).select(c.cast("double").as("x"))
+    val vals = df.filter(finite(c)).select(c.cast("double").as("x"))
     val stats = vals.agg(count(lit(1)).as("n"),
       min(col("x")).as("lo"), max(col("x")).as("hi"))
     // bucket: same expression, same association order as the oracle
@@ -84,6 +114,61 @@ object HistQuantiles {
   def cut(df: DataFrame, c: Column, p: Double, nBuckets: Int, as: String): DataFrame =
     cuts(df, c, Seq(p), nBuckets).select(element_at(col("qs"), 1).as(as))
 
+  /** MULTI-COLUMN grid quantile in ONE shared pass pair — the profiling
+    * form: the same cut [[cut]] computes per column, but all columns
+    * ride two scans total (one (n, lo, hi) aggregate, one bucket-count
+    * aggregate over column-index-tagged pairs) instead of 2·k scans
+    * for k separate calls. Per-column arithmetic — NULL/NaN exclusion,
+    * bucket expression, rank target, bucket-edge read-off — is
+    * IDENTICAL to [[cut]], so a per-column [[dkCuts]] oracle chain
+    * replays each output unchanged. Output: a 1-row frame with one
+    * double column per requested name. State is O(k·B) counts; the
+    * exploded pair stream is k rows per input row but carries two ints
+    * each and partial-aggregates map-side, so the shuffle stays ≤ k·B
+    * rows. */
+  def multiCut(df: DataFrame, cs: Seq[(Column, String)], p: Double, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= (1 << 20), "nBuckets must be in [2, 2^20]")
+    require(p > 0.0 && p < 1.0, "probability must lie strictly inside (0, 1)")
+    require(cs.nonEmpty && cs.size <= 64, "multiCut takes 1..64 columns")
+    val k = cs.size
+    val vals = df.select(cs.zipWithIndex.map { case ((c, _), i) =>
+      when(finite(c), c.cast("double")).as(s"x$i") }: _*)
+    val statCols = cs.indices.flatMap { i =>
+      Seq(count(col(s"x$i")).as(s"n$i"),
+        min(col(s"x$i")).as(s"lo$i"), max(col(s"x$i")).as(s"hi$i"))
+    }
+    val stats = vals.agg(statCols.head, statCols.tail: _*)
+    // (column index, bucket) pairs; the per-column bucket uses the
+    // column's own grid — same expression as [[cuts]]
+    val selectPairs = vals.crossJoin(broadcast(stats)).select(
+      posexplode(array(cs.indices.map { i =>
+        val x = col(s"x$i"); val lo = col(s"lo$i"); val hi = col(s"hi$i")
+        when(x.isNull, lit(null).cast("int")).otherwise(
+          when(hi === lo, lit(0L)).otherwise(
+            least(floor((x - lo) / (hi - lo) * lit(nBuckets)), lit((nBuckets - 1).toLong)))
+            .cast("int"))
+      }: _*)).as(Seq("ci", "b")))
+      .filter(col("b").isNotNull)
+    val counts = selectPairs.groupBy(col("ci"), col("b")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("ci")).orderBy(col("b").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(stats))
+    val nOf = element_at(array(cs.indices.map(i => col(s"n$i")): _*), col("ci") + 1)
+    val picks = cum
+      .withColumn("hit", when(col("cum") >= ceil(lit(p) * nOf), col("b")))
+      .groupBy(col("ci")).agg(min(col("hit")).as("bq"))
+    val pickRow = picks.agg(
+      cs.indices.map(i => min(when(col("ci") === i, col("bq"))).as(s"bq$i")).head,
+      cs.indices.tail.map(i => min(when(col("ci") === i, col("bq"))).as(s"bq$i")): _*)
+    pickRow.crossJoin(broadcast(stats)).select(cs.zipWithIndex.map { case ((_, name), i) =>
+      val lo = col(s"lo$i"); val hi = col(s"hi$i")
+      when(hi === lo, lo)
+        .otherwise(lo + (hi - lo) * (col(s"bq$i") + lit(1)).cast("double") / lit(nBuckets))
+        .as(name)
+    }: _*)
+  }
+
   /** PER-GROUP grid quantile — the grouped form of [[cut]]: one row
     * per group key with the group's cut value and row count. Total
     * aggregation state is O(groups × buckets) integer counts (vs
@@ -101,7 +186,7 @@ object HistQuantiles {
       as: String, broadcastStats: Boolean = true): DataFrame = {
     require(nBuckets >= 2 && nBuckets <= (1 << 20), "nBuckets must be in [2, 2^20]")
     require(p > 0.0 && p < 1.0, "probability must lie strictly inside (0, 1)")
-    val vals = df.filter(c.isNotNull && key.isNotNull)
+    val vals = df.filter(finite(c) && key.isNotNull)
       .select(key.as("k"), c.cast("double").as("x"))
     val stats = vals.groupBy(col("k"))
       .agg(count(lit(1)).as("n"), min(col("x")).as("lo"), max(col("x")).as("hi"))
@@ -139,7 +224,7 @@ object HistQuantiles {
     * shuffles. NULL values get a NULL rank. */
   def cdf(df: DataFrame, c: Column, nBuckets: Int, as: String): DataFrame = {
     require(nBuckets >= 2 && nBuckets <= (1 << 20), "nBuckets must be in [2, 2^20]")
-    val vals = df.filter(c.isNotNull).select(c.cast("double").as("x"))
+    val vals = df.filter(finite(c)).select(c.cast("double").as("x"))
     val stats = vals.agg(count(lit(1)).as("n"),
       min(col("x")).as("lo"), max(col("x")).as("hi"))
     def bucketOf(x: Column): Column =
@@ -153,11 +238,11 @@ object HistQuantiles {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = counts.withColumn("cum", sum(col("cnt")).over(w)).select(col("b"), col("cum"))
     df.crossJoin(broadcast(stats))
-      .withColumn("_b", when(c.isNull, lit(null)).otherwise(
+      .withColumn("_b", when(!finite(c), lit(null)).otherwise(
         bucketOf(c.cast("double")).cast("int")))
       .join(broadcast(cum), col("_b") === cum("b"), "left")
       .withColumn(as,
-        when(c.isNull, lit(null))
+        when(!finite(c), lit(null))
           .otherwise(floor(col("cum").cast("double") / col("n").cast("double") * lit(1e6)
             + lit(0.5)) / lit(1e6)))
       .drop("_b", "b", "cum", "n", "lo", "hi")
@@ -191,7 +276,7 @@ object HistQuantiles {
     require(nBuckets >= 2 && nBuckets <= (1 << 20), "nBuckets must be in [2, 2^20]")
     require(p > 0.0 && p < 1.0, "probability must lie strictly inside (0, 1)")
     val spark = df.sparkSession
-    val vals = df.filter(c.isNotNull).select(c.cast("double").as("x"))
+    val vals = df.filter(finite(c)).select(c.cast("double").as("x"))
     val s0 = vals.agg(count(lit(1)).as("n"), min(col("x")).as("lo"),
       max(col("x")).as("hi")).head()
     val n = s0.getLong(0)
@@ -209,8 +294,7 @@ object HistQuantiles {
     var rounds = 0
     while (lo < hi && rounds < maxRounds) {
       rounds += 1
-      val b = least(floor((col("x") - lit(lo)) / (lit(hi) - lit(lo)) * lit(nBuckets)),
-        lit((nBuckets - 1).toLong)).cast("int")
+      val b = safeBucket(col("x"), lit(lo), lit(hi), nBuckets).cast("int")
       val hist = vals.filter(col("x") >= lo && col("x") <= hi)
         .groupBy(b.as("b"))
         .agg(count(lit(1)).as("cnt"), min(col("x")).as("blo"), max(col("x")).as("bhi"))
@@ -266,7 +350,7 @@ object HistQuantiles {
     require(nBuckets >= 2 && nBuckets <= (1 << 20), "nBuckets must be in [2, 2^20]")
     require(p > 0.0 && p < 1.0, "probability must lie strictly inside (0, 1)")
     require(rounds >= 1 && rounds <= 8, "rounds must be in [1, 8]")
-    val vals = df.filter(c.isNotNull && key.isNotNull)
+    val vals = df.filter(finite(c) && key.isNotNull)
       .select(key.as("k"), c.cast("double").as("x"))
     var state = vals.groupBy(col("k"))
       .agg(count(lit(1)).as("n"), min(col("x")).as("lo"), max(col("x")).as("hi"))
@@ -274,14 +358,22 @@ object HistQuantiles {
         (floor(lit(p) * (col("n") - 1).cast("double")).cast("long") + 1).as("r"),
         col("lo"), col("hi"))
     for (_ <- 1 to rounds) {
-      val b = when(col("hi") === col("lo"), lit(0L)).otherwise(
-        least(floor((col("x") - col("lo")) / (col("hi") - col("lo")) * lit(nBuckets)),
-          lit((nBuckets - 1).toLong))).cast("int")
+      // state is rebuilt by LINEAGE otherwise: it is referenced twice
+      // per round (hist join + rank join), so an unmaterialized plan
+      // re-executes all prior rounds ~2× per round — 2^rounds re-scans
+      // of the input at rounds=8. State is O(groups); pinning it each
+      // round costs one tiny job and caps the whole operator at
+      // `rounds` scans of the input.
+      state = state.localCheckpoint()
+      val b = safeBucket(col("x"), col("lo"), col("hi"), nBuckets).cast("int")
       val hist = vals.join(broadcast(state), Seq("k"))
         .filter(col("x") >= col("lo") && col("x") <= col("hi"))
         .groupBy(col("k"), b.as("b"))
         .agg(count(lit(1)).as("cnt"), min(col("x")).as("blo"), max(col("x")).as("bhi"))
-      val w = Window.partitionBy(col("k")).orderBy(col("b").asc)
+      // pmod(b, 1) = 0 always but is non-foldable: with a CONSTANT key
+      // (the exactCutFixed path) a bare partitionBy(k) folds away and
+      // WindowExec warns per stage — same trick as [[cuts]]
+      val w = Window.partitionBy(col("k"), pmod(col("b"), lit(1))).orderBy(col("b").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
         .join(broadcast(state.select(col("k"), col("n"), col("r"))), Seq("k"))
@@ -295,8 +387,8 @@ object HistQuantiles {
         .select(col("k"), col("n"), col("pick.r2").as("r"),
           col("pick.blo").as("lo"), col("pick.bhi").as("hi"))
     }
-    // exact pick over each group's final range
-    val wv = Window.partitionBy(col("k")).orderBy(col("x").asc)
+    // exact pick over each group's final range (pmod: see round window)
+    val wv = Window.partitionBy(col("k"), pmod(col("cnt"), lit(1))).orderBy(col("x").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     vals.join(broadcast(state), Seq("k"))
       .filter(col("x") >= col("lo") && col("x") <= col("hi"))
@@ -307,6 +399,35 @@ object HistQuantiles {
       .groupBy(col("k"))
       .agg(min(col("x")).as(as), max(col("n")).as("n"))
   }
+
+  /** Fixed-rounds, fully relational GLOBAL exact quantile —
+    * [[exactCut]]'s result with [[groupedExactCut]]'s execution shape:
+    * a constant key feeds the grouped form and is dropped, so the
+    * whole computation is one declarative plan with exactly `rounds`
+    * refinement passes plus one exact pick. Unlike [[exactCut]]'s
+    * driver loop (up to `maxRounds` SEQUENTIAL jobs, each collecting a
+    * ≤ B-row histogram), the pass count here is fixed and data-
+    * independent — the predictable-latency profile a 100 TB scan
+    * schedule needs. The trade: [[exactCut]] iterates to range
+    * closure, while this form's final pick degrades gracefully
+    * (partial-aggregable groupBy over whatever distinct values remain
+    * after rounds·log2(B) bits of refinement — spills, not OOMs, on
+    * adversarially concentrated data). Empty input yields an empty
+    * frame (the grouped form has no group to report), not a 1-row
+    * NULL. */
+  def exactCutFixed(df: DataFrame, c: Column, p: Double, nBuckets: Int = 4096,
+      rounds: Int = 2, as: String = "q"): DataFrame =
+    groupedExactCut(df, lit(0), c, p, nBuckets, rounds, as)
+      .select(col(as), col("n"))
+
+  /** Fixed-rounds, fully relational GLOBAL weighted exact quantile —
+    * [[weightedCut]]'s result via [[groupedWeightedCut]] on a constant
+    * key; see [[exactCutFixed]] for the shape rationale. Empty input
+    * yields an empty frame. */
+  def weightedCutFixed(df: DataFrame, c: Column, w: Column, pNum: Long = 1,
+      pDen: Long = 2, nBuckets: Int = 4096, rounds: Int = 2, as: String = "q"): DataFrame =
+    groupedWeightedCut(df, lit(0), c, w, pNum, pDen, nBuckets, rounds, as)
+      .select(col(as), col("n"), col("total_w"))
 
   /** WEIGHTED exact quantile with bounded state — [[exactCut]] where
     * each row carries a weight (revenue-weighted median price, token-
@@ -334,7 +455,7 @@ object HistQuantiles {
     require(pNum > 0 && pNum < pDen, "need 0 < pNum/pDen < 1")
     val spark = df.sparkSession
     import java.math.BigDecimal
-    val vals = df.filter(c.isNotNull && w.isNotNull && w > 0)
+    val vals = df.filter(finite(c) && w.isNotNull && w > 0)
       .select(c.cast("double").as("x"), w.cast("decimal(30,2)").as("w"))
     val s0 = vals.agg(sum(col("w")).as("tw"), count(lit(1)).as("n"),
       min(col("x")).as("lo"), max(col("x")).as("hi")).head()
@@ -359,8 +480,7 @@ object HistQuantiles {
     def reaches(cum: BigDecimal): Boolean = cum.multiply(den).compareTo(target) >= 0
     while (lo < hi && rounds < maxRounds) {
       rounds += 1
-      val b = least(floor((col("x") - lit(lo)) / (lit(hi) - lit(lo)) * lit(nBuckets)),
-        lit((nBuckets - 1).toLong)).cast("int")
+      val b = safeBucket(col("x"), lit(lo), lit(hi), nBuckets).cast("int")
       val hist = vals.filter(col("x") >= lo && col("x") <= hi)
         .groupBy(b.as("b"))
         .agg(sum(col("w")).as("ws"), min(col("x")).as("blo"), max(col("x")).as("bhi"))
@@ -406,7 +526,7 @@ object HistQuantiles {
     require(nBuckets >= 2 && nBuckets <= (1 << 20), "nBuckets must be in [2, 2^20]")
     require(pNum > 0 && pNum < pDen, "need 0 < pNum/pDen < 1")
     require(rounds >= 1 && rounds <= 8, "rounds must be in [1, 8]")
-    val vals = df.filter(c.isNotNull && key.isNotNull && w.isNotNull && w > 0)
+    val vals = df.filter(finite(c) && key.isNotNull && w.isNotNull && w > 0)
       .select(key.as("k"), c.cast("double").as("x"), w.cast("decimal(30,2)").as("wt"))
     val reaches = (cumBefore: Column, cum: Column, tw: Column) =>
       (cumBefore + cum) * lit(pDen) >= tw * lit(pNum)
@@ -415,14 +535,15 @@ object HistQuantiles {
         min(col("x")).as("lo"), max(col("x")).as("hi"))
       .withColumn("cb", (col("tw") - col("tw")).cast("decimal(38,2)")) // typed zero
     for (_ <- 1 to rounds) {
-      val b = when(col("hi") === col("lo"), lit(0L)).otherwise(
-        least(floor((col("x") - col("lo")) / (col("hi") - col("lo")) * lit(nBuckets)),
-          lit((nBuckets - 1).toLong))).cast("int")
+      // materialized per round for the same lineage reason as
+      // [[groupedExactCut]] — O(groups) rows, referenced twice below
+      state = state.localCheckpoint()
+      val b = safeBucket(col("x"), col("lo"), col("hi"), nBuckets).cast("int")
       val hist = vals.join(broadcast(state), Seq("k"))
         .filter(col("x") >= col("lo") && col("x") <= col("hi"))
         .groupBy(col("k"), b.as("b"))
         .agg(sum(col("wt")).as("ws"), min(col("x")).as("blo"), max(col("x")).as("bhi"))
-      val wd = Window.partitionBy(col("k")).orderBy(col("b").asc)
+      val wd = Window.partitionBy(col("k"), pmod(col("b"), lit(1))).orderBy(col("b").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = hist.withColumn("cum", sum(col("ws")).over(wd))
         .join(broadcast(state.select(col("k"), col("tw"), col("n"), col("cb"))), Seq("k"))
@@ -435,7 +556,7 @@ object HistQuantiles {
           col("pick.blo").as("lo"), col("pick.bhi").as("hi"),
           col("pick.cb2").cast("decimal(38,2)").as("cb"))
     }
-    val wx = Window.partitionBy(col("k")).orderBy(col("x").asc)
+    val wx = Window.partitionBy(col("k"), pmod(col("n"), lit(1))).orderBy(col("x").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     vals.join(broadcast(state), Seq("k"))
       .filter(col("x") >= col("lo") && col("x") <= col("hi"))
@@ -462,12 +583,12 @@ object HistQuantiles {
     val bMax = nBuckets - 1
     s"""${tag}_s AS (
        |  SELECT count(*) AS n, CAST(min($x) AS DOUBLE) AS lo, CAST(max($x) AS DOUBLE) AS hi
-       |  FROM $src WHERE $x IS NOT NULL
+       |  FROM $src WHERE $x IS NOT NULL AND NOT isnan(CAST($x AS DOUBLE))
        |), ${tag}_c AS (
        |  SELECT b, count(*) AS cnt FROM (
        |    SELECT CASE WHEN hi = lo THEN 0
        |           ELSE CAST(least(floor((CAST($x AS DOUBLE) - lo) / (hi - lo) * $nBuckets), $bMax) AS INT) END AS b
-       |    FROM $src, ${tag}_s WHERE $x IS NOT NULL)
+       |    FROM $src, ${tag}_s WHERE $x IS NOT NULL AND NOT isnan(CAST($x AS DOUBLE)))
        |  GROUP BY 1
        |), ${tag}_u AS (
        |  SELECT b, sum(cnt) OVER (ORDER BY b ASC ROWS UNBOUNDED PRECEDING) AS cum FROM ${tag}_c
@@ -492,12 +613,12 @@ object HistQuantiles {
     val bMax = nBuckets - 1
     s"""${tag}_s AS (
        |  SELECT $k AS k, count(*) AS n, CAST(min($x) AS DOUBLE) AS lo, CAST(max($x) AS DOUBLE) AS hi
-       |  FROM $src WHERE $x IS NOT NULL AND $k IS NOT NULL GROUP BY 1
+       |  FROM $src WHERE $x IS NOT NULL AND NOT isnan(CAST($x AS DOUBLE)) AND $k IS NOT NULL GROUP BY 1
        |), ${tag}_c AS (
        |  SELECT k, b, count(*) AS cnt FROM (
        |    SELECT s.k, CASE WHEN s.hi = s.lo THEN 0
        |           ELSE CAST(least(floor((CAST(v.$x AS DOUBLE) - s.lo) / (s.hi - s.lo) * $nBuckets), $bMax) AS INT) END AS b
-       |    FROM $src v JOIN ${tag}_s s ON v.$k = s.k WHERE v.$x IS NOT NULL)
+       |    FROM $src v JOIN ${tag}_s s ON v.$k = s.k WHERE v.$x IS NOT NULL AND NOT isnan(CAST(v.$x AS DOUBLE)))
        |  GROUP BY 1, 2
        |), ${tag}_u AS (
        |  SELECT k, b, sum(cnt) OVER (PARTITION BY k ORDER BY b ASC ROWS UNBOUNDED PRECEDING) AS cum

@@ -61,10 +61,14 @@ object TopK {
 
   /** Per-group top-k frame: one row per kept (group, rank) —
     * (g, rank, id, score), rank 1-based in (score DESC, id ASC)
-    * order. NULL keys/ids/scores are excluded (NULL never ranks). */
+    * order. NULL keys/ids/scores are excluded (NULL never ranks), and
+    * so are NaN scores: NaN breaks the buffer's total order (every
+    * comparison is false), which would silently drop or mis-sort rows
+    * depending on arrival order — the documented non-NaN precondition
+    * is enforced here, not assumed. */
   def topKByKey(df: DataFrame, g: Column, score: Column, id: Column, k: Int): DataFrame = {
     val agg = udaf(topKAgg(k))
-    df.filter(g.isNotNull && score.isNotNull && id.isNotNull)
+    df.filter(g.isNotNull && score.isNotNull && !isnan(score.cast("double")) && id.isNotNull)
       .groupBy(g.as("g"))
       .agg(agg(score.cast("double"), id.cast("long")).as("top"))
       .select(col("g"), posexplode(col("top")).as(Seq("pos", "t")))

@@ -80,7 +80,12 @@ class CatalogPlanSweepSpec extends SparkSpec {
     //    (a month is <= 31 rows -> <= 465 pairs) at any corpus SF --
     "trend_theil_sen" -> "O(days) daily-mean frame self-join (span-bounded pairs)",
     // -- two 1-row exact-quantile frames crossJoined --
-    "exact_quantiles_totalprice" -> "1-row exact-cut frames (p50, p90)"
+    "exact_quantiles_totalprice" -> "1-row exact-cut frames (p50, p90)",
+    // -- fixed-rounds global exact forms: the constant-key state join
+    //    folds `k = k` away, degenerating the broadcast hash join into
+    //    a BNLJ whose build side is the ONE-GROUP state frame (O(1)
+    //    rows by construction — the global form has exactly one key) --
+    "weighted_median_price" -> "1-row constant-key weighted-cut state frame"
   )
 
   test("no cartesian product, no unbounded nested-loop join, no exact percentile — anywhere") {

@@ -316,6 +316,141 @@ class HistQuantilesSpec extends SparkSpec {
     }
   }
 
+  test("NaN values are excluded like NULL in every form — no silent min-for-any-p, no vanished groups") {
+    // Without the filter: max(x) = NaN makes exactCut's range never
+    // close (returns min for ANY p); in grouped forms the range
+    // predicate x <= NaN drops every row of a NaN-containing group.
+    val clean = (1 to 100).map(_.toDouble)
+    val dirty = (clean.map(Some(_)) ++ Seq.fill(7)(Some(Double.NaN)) ++ Seq(None)).toDF("x")
+    val expectMedian = clean.sorted.apply(math.floor(0.5 * (clean.size - 1)).toInt)
+    val ex = HistQuantiles.exactCut(dirty, col("x"), 0.5).head()
+    assert(ex.getDouble(0) == expectMedian && ex.getLong(1) == clean.size)
+    assert(ex.getDouble(0) != clean.min) // the failure mode ADVICE described
+    val g = (clean.map(x => ("a", x)) ++ Seq(("a", Double.NaN), ("b", Double.NaN), ("b", 5.0)))
+      .toDF("g", "x")
+    val ge = HistQuantiles.groupedExactCut(g, col("g"), col("x"), 0.5, nBuckets = 8, rounds = 2)
+      .as[(String, Double, Long)].collect().map { case (k, q, n) => (k, (q, n)) }.toMap
+    assert(ge.keySet == Set("a", "b"), "NaN-containing groups must not vanish")
+    assert(ge("a") == ((expectMedian, clean.size.toLong)) && ge("b") == ((5.0, 1L)))
+    val grid = HistQuantiles.cut(dirty, col("x"), 0.5, 1024, "m").head().getDouble(0)
+    assert(grid >= 49.0 && grid <= 52.0, s"grid median with NaN present: $grid")
+    val wc = HistQuantiles.weightedCut(
+      (clean.map((_, 1.0)) :+ ((Double.NaN, 50.0))).toDF("x", "w"), col("x"), col("w")).head()
+    assert(wc.getDouble(0) == expectMedian && wc.getLong(1) == clean.size)
+  }
+
+  test("full-double-span range (hi - lo overflows to Inf) still refines and returns the exact pick") {
+    // (x - lo)/(hi - lo) on this data is (finite)/Inf = 0 for every
+    // row: with the naive bucket every round is a no-op and the
+    // fallback collects O(distinct) rows. The halved form keeps every
+    // intermediate finite, so refinement actually shrinks.
+    val extremes = Seq(-1.7e308, -8.5e307, -42.0, 0.0, 1.0, 7.5, 9.9e307, 1.7e308)
+    val xs = extremes ++ (1 to 500).map(i => i * 11.5 - 3000.0)
+    val df = xs.toDF("x").repartition(5)
+    val sorted = xs.sorted
+    for (p <- Seq(0.01, 0.5, 0.99)) {
+      val expect = sorted(math.floor(p * (xs.size - 1)).toInt)
+      assert(HistQuantiles.exactCut(df, col("x"), p, nBuckets = 16).head().getDouble(0)
+        == expect, s"p=$p")
+    }
+    // grouped form, one group spanning the full double range
+    val g = xs.map(("w", _)).toDF("g", "x")
+    val got = HistQuantiles.groupedExactCut(g, col("g"), col("x"), 0.5,
+      nBuckets = 8, rounds = 3).head()
+    assert(got.getDouble(1) == sorted(math.floor(0.5 * (xs.size - 1)).toInt))
+    // weighted form over the same span: equal weights reduce to the
+    // smallest x whose cumulative count reaches half of n
+    val wdf = xs.map((_, 2.0)).toDF("x", "w")
+    val wm = HistQuantiles.weightedCut(wdf, col("x"), col("w"), 1, 2, nBuckets = 16).head()
+    val wExpect = sorted(math.ceil(xs.size / 2.0).toInt - 1)
+    assert(wm.getDouble(0) == wExpect)
+  }
+
+  test("grouped refinement at rounds=8 stays exact (state materialized per round, no lineage blowup)") {
+    val rng = new scala.util.Random(99)
+    val rows = Seq.tabulate(2000)(i => (s"g${i % 3}", rng.nextDouble() * 1e6))
+    val df = rows.toDF("g", "x").repartition(4)
+    val got = HistQuantiles.groupedExactCut(df, col("g"), col("x"), 0.5,
+        nBuckets = 4, rounds = 8)
+      .as[(String, Double, Long)].collect().map { case (k, q, _) => (k, q) }.toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val xs = rs.map(_._2).sorted
+      assert(got(g) == xs(math.floor(0.5 * (xs.size - 1)).toInt), g)
+    }
+  }
+
+  test("multiCut == per-column cut on the events table (shared pass changes cost, not values)") {
+    val ev = graft.Tables.events(spark, dir)
+    val cols = Seq(col("event_id") -> "id_med", col("user_id") -> "u_med", col("value") -> "v_med")
+    val b = 8192
+    val multi = HistQuantiles.multiCut(ev, cols, 0.5, b).head()
+    cols.zipWithIndex.foreach { case ((c, name), i) =>
+      val solo = HistQuantiles.cut(ev, c, 0.5, b, name).head().getDouble(0)
+      assert(multi.getDouble(i) == solo, name)
+    }
+    // per-column NULL handling: a column that is entirely NULL yields a
+    // NULL median without disturbing its neighbors
+    import spark.implicits._
+    val mixed = Seq((1.0, Option.empty[Double]), (3.0, None), (5.0, None))
+      .toDF("a", "borked")
+    val r = HistQuantiles.multiCut(mixed, Seq(col("a") -> "am", col("borked") -> "bm"), 0.5, 64)
+      .head()
+    val aSolo = HistQuantiles.cut(mixed, col("a"), 0.5, 64, "am").head().getDouble(0)
+    assert(r.getDouble(0) == aSolo && r.isNullAt(1))
+  }
+
+  test("exactCutFixed/weightedCutFixed == driver-loop forms, with a fixed data-independent job count") {
+    val rng = new scala.util.Random(7)
+    val xs = Seq.fill(1500)(rng.nextInt(200).toDouble + rng.nextDouble())
+    val df = xs.toDF("x").repartition(6)
+    for (p <- Seq(0.25, 0.5, 0.95)) {
+      val loop = HistQuantiles.exactCut(df, col("x"), p).head()
+      val fixed = HistQuantiles.exactCutFixed(df, col("x"), p, rounds = 2).head()
+      assert(fixed.getDouble(0) == loop.getDouble(0) && fixed.getLong(1) == loop.getLong(1), s"p=$p")
+    }
+    val wdf = xs.map(x => (x, (x % 7) + 1.0)).toDF("x", "w")
+    val wLoop = HistQuantiles.weightedCut(wdf, col("x"), col("w")).head()
+    val wFixed = HistQuantiles.weightedCutFixed(wdf, col("x"), col("w")).head()
+    assert(wFixed.getDouble(0) == wLoop.getDouble(0) && wFixed.getLong(1) == wLoop.getLong(1))
+    // the fixed form's pass count must not depend on the data: count
+    // Spark jobs for an adversarially tight value cluster (which makes
+    // the driver loop iterate) — build + execute stays under a small
+    // constant bound tied to rounds, not to value distribution
+    // job-count DATA-INDEPENDENCE: the fixed form runs the same number
+    // of jobs whether the values are benign or adversarially clustered
+    // (the driver-loop form's pass count varies with the data — that is
+    // exactly what this form removes). Counters are scoped to a job
+    // group because the suite shares one session.
+    val tight = (1 to 400).map(i => 1.0 + i * 1e-13).toDF("x")
+    val benign = (1 to 400).map(i => i * 10.0).toDF("x")
+    val counts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val counter = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = Option(j.properties).map(_.getProperty("spark.jobGroup.id")).orNull
+        if (g != null && g.startsWith("hq-probe-"))
+          counts.merge(g, 1, (a, b) => a + b)
+      }
+    }
+    spark.sparkContext.addSparkListener(counter)
+    try {
+      def probe(tag: String, df: org.apache.spark.sql.DataFrame): Double = {
+        spark.sparkContext.setJobGroup(s"hq-probe-$tag", tag)
+        try HistQuantiles.exactCutFixed(df, col("x"), 0.5, nBuckets = 16, rounds = 2)
+          .head().getDouble(0)
+        finally spark.sparkContext.clearJobGroup()
+      }
+      val vBenign = probe("benign", benign)
+      val vTight = probe("tight", tight)
+      Thread.sleep(1000) // let queued listener events drain
+      assert(vTight == (1.0 + 200 * 1e-13))
+      assert(vBenign == benign.as[Double].collect().sorted.apply(199))
+      val (jb, jt) = (counts.get("hq-probe-benign"), counts.get("hq-probe-tight"))
+      assert(jb != null && jt != null && math.abs(jb - jt) <= 2,
+        s"benign=$jb tight=$jt — fixed form's job count must not depend on the data")
+      assert(jt <= 30, s"jobs=$jt — even with AQE stage jobs this should stay small")
+    } finally spark.sparkContext.removeSparkListener(counter)
+  }
+
   test("rolling 7-day median lands within one bucket width of the exact per-window median") {
     val got = graft.analytics.StatsOps.rollingMedianValue(spark, dir)
       .select(col("day"), col("med7"), col("n_window"))

@@ -65,4 +65,17 @@ class TopKSpec extends SparkSpec {
   test("topKAgg validates k at construction") {
     intercept[IllegalArgumentException](TopK.topKAgg(0))
   }
+
+  test("NaN scores are excluded like NULL — never silently mis-sorted into the buffer") {
+    // NaN breaks the (score DESC, id ASC) total order: with it in the
+    // buffer, which rows survive depends on arrival order. The filter
+    // must drop it deterministically instead.
+    val df = Seq(
+      ("a", Double.NaN, 1L), ("a", 3.0, 2L), ("a", 2.0, 3L),
+      ("b", Double.NaN, 4L)) // group with ONLY a NaN score vanishes
+      .toDF("g", "score", "id")
+    val got = TopK.topKByKey(df, $"g", $"score", $"id", 2)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got == Set(("a", 1L, 2L, 3.0), ("a", 2L, 3L, 2.0)))
+  }
 }
