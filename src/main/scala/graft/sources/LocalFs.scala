@@ -16,4 +16,20 @@ object LocalFs {
       try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
       finally s.close()
     }
+
+  /** Scratch directory for gate-local streaming state, preferring a
+    * RAM-backed filesystem (`/dev/shm`) over the disk-backed tmpdir.
+    * A streaming micro-batch commit is a burst of small-file creates +
+    * fsyncs (offset log, state-store delta, commit log, sink
+    * metadata); on disk those fsyncs ARE the gates' fixed overhead —
+    * the data volume is tiny by design. The scratch state is deleted
+    * before the query returns, so durability is irrelevant here; a
+    * production stream points its checkpoint at durable storage and
+    * pays that cost deliberately. */
+  def scratchDir(prefix: String): Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (Files.isDirectory(shm) && Files.isWritable(shm))
+      Files.createTempDirectory(shm, prefix)
+    else Files.createTempDirectory(prefix)
+  }
 }

@@ -201,4 +201,96 @@ class StreamsSpec extends SparkSpec {
       closed.head.session_end == ts("2024-01-01 10:00:00") &&
       closed.head.n_events == 1)
   }
+
+  // ---- crash recovery: the failure mode production streams actually
+  // face. The gates replay FILES through a live query; these two kill
+  // the query between/inside batches and restart from the checkpoint.
+
+  private def writeChunk(df: org.apache.spark.sql.DataFrame, inDir: String,
+      mtime: Long, seen: scala.collection.mutable.Set[java.nio.file.Path]): Unit = {
+    df.coalesce(1).write.mode("append").parquet(inDir)
+    val it = java.nio.file.Files.list(java.nio.file.Paths.get(inDir)).iterator()
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.toString.endsWith(".parquet") && !seen.contains(f)) {
+        java.nio.file.Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+        seen += f
+      }
+    }
+  }
+
+  test("restart from checkpoint: file sink stays exactly-once across a stop/restart boundary") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val work = graft.sources.LocalFs.scratchDir("stream-restart")
+    val inDir = s"$work/in"; val target = s"$work/target"; val ckpt = s"$work/ckpt"
+    val seen = scala.collection.mutable.Set[java.nio.file.Path]()
+    val a = events((1L, 1L, "view", "2024-01-01 10:00:00", 1.0),
+      (2L, 1L, "view", "2024-01-01 10:05:00", 2.0)).toDF()
+    val b = events((3L, 2L, "buy", "2024-01-01 11:00:00", 5.0)).toDF()
+    def run(): Unit = {
+      val q = spark.readStream.schema(a.schema).option("maxFilesPerTrigger", 1).parquet(inDir)
+        .writeStream.format("parquet").option("path", target)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    try {
+      writeChunk(a, inDir, 1700000000000L, seen)
+      run() // phase 1: only chunk A, then the query STOPS
+      writeChunk(b, inDir, 1700000060000L, seen)
+      run() // phase 2: restart from the same checkpoint picks up only B
+      run() // phase 3: restart with nothing new must be a no-op
+      val out = spark.read.parquet(target).select("event_id")
+        .as[Long].collect().toSeq.sorted
+      // each row exactly once: no loss across the stop, no replay of A
+      assert(out == Seq(1L, 2L, 3L), s"got $out")
+    } finally graft.sources.LocalFs.deleteRecursively(work)
+  }
+
+  test("crash inside a micro-batch: restart replays the uncommitted batch and the MERGE sink converges") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val work = graft.sources.LocalFs.scratchDir("stream-crash")
+    val inDir = s"$work/in"; val target = s"$work/target"; val ckpt = s"$work/ckpt"
+    val seen = scala.collection.mutable.Set[java.nio.file.Path]()
+    val a = events((1L, 1L, "view", "2024-01-01 10:00:00", 1.0),
+      (2L, 1L, "view", "2024-01-01 10:05:00", 2.0)).toDF()
+    // chunk B updates key 2 and adds key 3 — the batch the crash hits
+    val b = events((2L, 1L, "view", "2024-01-01 10:05:00", 99.0),
+      (3L, 2L, "buy", "2024-01-01 11:00:00", 5.0)).toDF()
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def run(): Unit = {
+      val q = spark.readStream.schema(a.schema).option("maxFilesPerTrigger", 1).parquet(inDir)
+        .writeStream.outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          // injected fault: die BEFORE committing the second batch, once
+          if (bid == 1 && !crashed.getAndSet(true))
+            throw new RuntimeException("injected crash before batch-1 commit")
+          graft.operators.Upsert.mergeIntoPath(batch.sparkSession, target, batch,
+            Seq("event_id"))
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    try {
+      writeChunk(a, inDir, 1700000000000L, seen)
+      writeChunk(b, inDir, 1700000060000L, seen)
+      val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException](run())
+      assert(boom.getMessage.contains("injected crash") ||
+        Option(boom.getCause).exists(_.getMessage.contains("injected crash")))
+      // batch 0 committed, batch 1 did not: the target must hold chunk
+      // A intact and NOTHING from chunk B (no half-applied merge)
+      val mid = spark.read.parquet(target).selectExpr("event_id", "value")
+        .as[(Long, Double)].collect().toSet
+      assert(mid == Set((1L, 1.0), (2L, 2.0)), s"got $mid")
+      run() // restart from the checkpoint: batch 1 replays, MERGE converges
+      val out = spark.read.parquet(target).selectExpr("event_id", "value")
+        .as[(Long, Double)].collect().toSet
+      assert(out == Set((1L, 1.0), (2L, 99.0), (3L, 5.0)), s"got $out")
+    } finally graft.sources.LocalFs.deleteRecursively(work)
+  }
 }
