@@ -78,6 +78,21 @@ object SkewJoin {
   def joinSkewSafe(large: DataFrame, small: DataFrame, keys: Seq[String],
       factor: Int = 16, sampleFraction: Double = 0.01,
       hotShare: Double = 0.2): DataFrame = {
+    val skewed = detectSkew(large, keys, sampleFraction, hotShare)
+    log.info(s"joinSkewSafe keys=${keys.mkString(",")} -> " +
+      (if (skewed) s"SALTED x$factor" else "plain"))
+    if (skewed) saltedJoin(large, small, keys, factor)
+    else large.join(small, keys)
+  }
+
+  /** The dispatch decision itself, exposed so the branch choice is
+    * testable (SkewJoinSpec pins both branches on crafted inputs, not
+    * just the branches' result equivalence): seeded-sample the key
+    * frequencies and report whether one key holds ≥ `hotShare` of the
+    * sampled rows. Bounded parameter job — a column-pruned sampled
+    * scan, two-level aggregate, one 2-value driver fetch. */
+  def detectSkew(large: DataFrame, keys: Seq[String],
+      sampleFraction: Double = 0.01, hotShare: Double = 0.2): Boolean = {
     require(sampleFraction > 0 && sampleFraction <= 1, "sampleFraction in (0, 1]")
     require(hotShare > 0 && hotShare <= 1, "hotShare in (0, 1]")
     val sampled = large.select(keys.map(col): _*).sample(sampleFraction, 42L)
@@ -85,11 +100,6 @@ object SkewJoin {
       .agg(max(col("n")).as("mx"), sum(col("n")).as("tot")).head()
     val (mx, tot) =
       if (stats.isNullAt(0)) (0L, 0L) else (stats.getLong(0), stats.getLong(1))
-    val skewed = tot > 0 && mx.toDouble / tot >= hotShare
-    log.info(s"joinSkewSafe keys=${keys.mkString(",")} sampledRows=$tot " +
-      s"hottestShare=${if (tot > 0) mx.toDouble / tot else 0.0} -> " +
-      (if (skewed) s"SALTED x$factor" else "plain"))
-    if (skewed) saltedJoin(large, small, keys, factor)
-    else large.join(small, keys)
+    tot > 0 && mx.toDouble / tot >= hotShare
   }
 }

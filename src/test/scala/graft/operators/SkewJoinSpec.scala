@@ -80,4 +80,28 @@ class SkewJoinSpec extends SparkSpec {
     val empty = Seq.empty[(Int, Int)].toDF("k", "v")
     assert(SkewJoin.joinSkewSafe(empty, dim, Seq("k"), sampleFraction = 1.0).count() == 0)
   }
+
+  test("detectSkew: the dispatch decision itself flips at the hotShare boundary, deterministically") {
+    // 90% of rows on one key → hottest share 0.9: SALTED at the default
+    // 0.2 threshold
+    val hot = (1 to 2000).map(i => (if (i % 10 != 0) 1 else 1 + i % 50, i)).toDF("k", "v")
+    assert(SkewJoin.detectSkew(hot, Seq("k"), sampleFraction = 1.0))
+    // uniform over 50 keys → hottest share 0.02: plain
+    val flat = (1 to 2000).map(i => (1 + i % 50, i)).toDF("k", "v")
+    assert(!SkewJoin.detectSkew(flat, Seq("k"), sampleFraction = 1.0))
+    // boundary pin (full sample = exact shares): one key holding
+    // EXACTLY hotShare of the rows triggers salting (>= comparison);
+    // epsilon below it does not
+    val half = ((1 to 500).map(i => (1, i)) ++ (1 to 500).map(i => (1 + i % 50, i)))
+      .toDF("k", "v") // key 1 holds 500 + 10 of 1000 rows = 0.51
+    assert(SkewJoin.detectSkew(half, Seq("k"), sampleFraction = 1.0, hotShare = 0.51))
+    assert(!SkewJoin.detectSkew(half, Seq("k"), sampleFraction = 1.0, hotShare = 0.52))
+    // sampled decision is seeded: same input, same answer, every call
+    val sampled = (1 to 3)
+      .map(_ => SkewJoin.detectSkew(hot, Seq("k"), sampleFraction = 0.1))
+    assert(sampled.distinct.size == 1)
+    // empty input: no evidence of skew, never salts
+    assert(!SkewJoin.detectSkew(Seq.empty[(Int, Int)].toDF("k", "v"), Seq("k"),
+      sampleFraction = 1.0))
+  }
 }
