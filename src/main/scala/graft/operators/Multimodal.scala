@@ -377,6 +377,159 @@ object Multimodal {
     }
   }
 
+  /** One sample (frame/packet) of an ISO BMFF (MP4) track: its byte
+    * span inside the payload and its stream timestamp. */
+  case class Mp4Sample(offset: Long, size: Long, tMs: Long)
+
+  /** Parsed MP4 sample table for one track: the media timescale and
+    * every sample's true byte span + timestamp. */
+  case class Mp4Info(timescale: Long, samples: IndexedSeq[Mp4Sample])
+
+  /** REAL STRUCTURAL MP4 (ISO BMFF / ISO 14496-12) demux — the same
+    * discipline as [[wavInfo]]'s RIFF parse: pure big-endian byte
+    * logic over the container's OWN index, no codec anywhere. The box
+    * tree (`moov → trak → mdia → {mdhd, minf → stbl}`) carries a
+    * complete sample index:
+    *
+    *  - `stsz` — per-sample byte sizes (or one uniform size),
+    *  - `stco`/`co64` — absolute file offset of each chunk,
+    *  - `stsc` — how many samples each chunk run holds,
+    *  - `stts` — per-sample time deltas in `mdhd`'s timescale.
+    *
+    * Walking chunk runs and accumulating sizes yields every sample's
+    * exact byte span; accumulating deltas yields its timestamp — real
+    * frame boundaries and times WITHOUT decoding a single codec byte,
+    * which is precisely what a distributed pipeline needs to shard,
+    * sample, and route video payloads. The first trak with a complete
+    * table wins (fixture files carry one track; an A/V selector would
+    * dispatch on `hdlr`). Samples overrunning the payload are dropped
+    * (truncated download ≡ shorter clip, the WAV clamping rule);
+    * 64-bit box sizes and `co64` offsets are honored; anything
+    * malformed returns None and falls through to the next demuxer. */
+  def mp4Info(p: Array[Byte]): Option[Mp4Info] = {
+    def u8(i: Int) = (p(i) & 0xff).toLong
+    def be32(i: Int): Long = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def fourcc(i: Int): String = new String(p, i, 4, "ISO-8859-1")
+    // (boxStart, payloadStart, boxEnd) triples of the children of [from, to)
+    def children(from: Long, to: Long): IndexedSeq[(Long, Long, Long)] = {
+      val out = IndexedSeq.newBuilder[(Long, Long, Long)]
+      var off = from
+      var ok = true
+      while (ok && off + 8 <= to) {
+        val sz32 = be32(off.toInt)
+        val (size, hdr) =
+          if (sz32 == 1L && off + 16 <= to) (be64(off.toInt + 8), 16L)
+          else if (sz32 == 0L) (to - off, 8L) // box extends to container end
+          else (sz32, 8L)
+        if (size < hdr || off + size > to) ok = false
+        else { out += ((off, off + hdr, off + size)); off += size }
+      }
+      out.result()
+    }
+    def find(from: Long, to: Long, name: String): Option[(Long, Long)] =
+      children(from, to).collectFirst {
+        case (s, ps, e) if fourcc(s.toInt + 4) == name => (ps, e)
+      }
+    if (p.length < 16) return None
+    // sanity: the top level must parse as boxes and carry a moov
+    val top = children(0L, p.length.toLong)
+    if (top.isEmpty) return None
+    val moov = top.collectFirst {
+      case (s, ps, e) if fourcc(s.toInt + 4) == "moov" => (ps, e) }
+    moov.flatMap { case (moovStart, moovEnd) =>
+      // first trak whose stbl carries the full table set
+      children(moovStart, moovEnd).iterator
+        .filter { case (s, _, _) => fourcc(s.toInt + 4) == "trak" }
+        .flatMap { case (_, trakStart, trakEnd) =>
+          for {
+            (mdiaS, mdiaE) <- find(trakStart, trakEnd, "mdia")
+            (mdhdS, _) <- find(mdiaS, mdiaE, "mdhd")
+            timescale <- {
+              val v = u8(mdhdS.toInt) // version byte of the full box
+              val ts = if (v == 1L) be32(mdhdS.toInt + 20) else be32(mdhdS.toInt + 12)
+              if (ts > 0) Some(ts) else None
+            }
+            (minfS, minfE) <- find(mdiaS, mdiaE, "minf")
+            (stblS, stblE) <- find(minfS, minfE, "stbl")
+            (stszS, _) <- find(stblS, stblE, "stsz")
+            (sttsS, _) <- find(stblS, stblE, "stts")
+            (stscS, _) <- find(stblS, stblE, "stsc")
+            chunkOffsets <- find(stblS, stblE, "stco")
+              .map { case (s, _) =>
+                val n = be32(s.toInt + 4).toInt
+                IndexedSeq.tabulate(n)(i => be32(s.toInt + 8 + 4 * i)) }
+              .orElse(find(stblS, stblE, "co64").map { case (s, _) =>
+                val n = be32(s.toInt + 4).toInt
+                IndexedSeq.tabulate(n)(i => be64(s.toInt + 8 + 8 * i)) })
+            samples <- {
+              val uniform = be32(stszS.toInt + 4)
+              val nSamples = be32(stszS.toInt + 8).toInt
+              val sizes =
+                if (uniform != 0L) IndexedSeq.fill(nSamples)(uniform)
+                else IndexedSeq.tabulate(nSamples)(i => be32(stszS.toInt + 12 + 4 * i))
+              // stsc runs: (firstChunk 1-based, samplesPerChunk)
+              val nRuns = be32(stscS.toInt + 4).toInt
+              val runs = IndexedSeq.tabulate(nRuns)(i =>
+                (be32(stscS.toInt + 8 + 12 * i), be32(stscS.toInt + 12 + 12 * i)))
+              // stts runs: (count, delta) → cumulative start times
+              val nTts = be32(sttsS.toInt + 4).toInt
+              val deltas = IndexedSeq.tabulate(nTts)(i =>
+                (be32(sttsS.toInt + 8 + 8 * i), be32(sttsS.toInt + 12 + 8 * i)))
+              val times = {
+                val b = IndexedSeq.newBuilder[Long]
+                var t = 0L
+                deltas.foreach { case (cnt, d) =>
+                  var k = 0L
+                  while (k < cnt) { b += t; t += d; k += 1 }
+                }
+                b.result()
+              }
+              if (runs.isEmpty || chunkOffsets.isEmpty || nSamples == 0) None
+              else {
+                // walk chunks in order; each chunk's sample count comes
+                // from the stsc run active at that chunk index
+                val out = IndexedSeq.newBuilder[Mp4Sample]
+                var sample = 0
+                var chunk = 1
+                var run = 0
+                while (sample < nSamples && chunk <= chunkOffsets.length) {
+                  while (run + 1 < runs.length && runs(run + 1)._1 <= chunk) run += 1
+                  val perChunk = runs(run)._2
+                  var off = chunkOffsets(chunk - 1)
+                  var k = 0L
+                  while (k < perChunk && sample < nSamples) {
+                    val sz = sizes(sample)
+                    val t = if (sample < times.length) times(sample) else 0L
+                    if (off + sz <= p.length) // truncated-payload clamp
+                      out += Mp4Sample(off, sz, t * 1000L / timescale)
+                    off += sz; sample += 1; k += 1
+                  }
+                  chunk += 1
+                }
+                val res = out.result()
+                if (res.nonEmpty) Some(res) else None
+              }
+            }
+          } yield Mp4Info(timescale, samples)
+        }.nextOption()
+    }
+  }
+
+  /** [[mp4Info]] as a frame iterator for [[sampleFrames]]: one row per
+    * sampled MP4 sample with its TRUE byte span and container
+    * timestamp. The bytes are codec payload (decoding them is the
+    * external-codec splice point); the spans and times are real. */
+  private def mp4Frames(mediaId: Long, p: Array[Byte],
+      sampleEvery: Int): Option[Iterator[FrameRow]] =
+    mp4Info(p).map { info =>
+      Iterator.range(0, info.samples.length, sampleEvery).map { i =>
+        val s = info.samples(i)
+        FrameRow(mediaId, i, s.tMs,
+          java.util.Arrays.copyOfRange(p, s.offset.toInt, (s.offset + s.size).toInt))
+      }
+    }
+
   /** Frame sampling — the video/audio analogue of [[decodeAll]]:
     * every `sampleEvery`-th frame of each payload is emitted as its
     * own row, so downstream per-frame ops (decode, embed, dedup)
@@ -395,8 +548,13 @@ object Multimodal {
     * GCE delays. Y4M streams demux for real ([[y4mFrames]]): FRAME
     * markers walked at the header's exact plane size, luma planes
     * re-encoded as grayscale PNGs, t_ms from the header's F rate.
-    * Remaining containers
-    * (interleaved A/V, exotic codecs) keep the documented STUB:
+    * MP4 payloads demux STRUCTURALLY for real ([[mp4Info]]): the
+    * `stbl` sample tables give every sample's true byte span and
+    * container timestamp with no codec — frame BYTES remain codec
+    * payload (decoding them is the external-codec splice point), but
+    * boundaries and times are the container's own. Remaining
+    * containers (exotic codecs, raw elementary streams) keep the
+    * documented STUB:
     * contiguous `frameBytes`-sized slices (an ffmpeg-style demuxer
     * splices into the same marked seek point). All paths drop a
     * trailing partial frame, as a real demuxer drops a truncated last
@@ -421,7 +579,8 @@ object Multimodal {
               FrameRow(r.media_id, i, i * frameMs,
                 java.util.Arrays.copyOfRange(r.payload, start.toInt, (start + bpf).toInt))
             }
-          case _ => y4mFrames(r.media_id, r.payload, sampleEvery)
+          case _ => mp4Frames(r.media_id, r.payload, sampleEvery)
+              .orElse(y4mFrames(r.media_id, r.payload, sampleEvery))
               .orElse(gifFrames(r.media_id, r.payload, sampleEvery)) match {
             case Some(frames) => frames
             case None =>

@@ -475,6 +475,100 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  // ---- structural MP4 demux ------------------------------------------
+
+  /** Minimal ISO BMFF builders — big-endian, 8-byte headers. */
+  private def be32(v: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).putInt(v).array()
+  private def be64(v: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8).putLong(v).array()
+  private def mbox(name: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatMap(_.toSeq).toArray
+    be32(8 + body.length) ++ name.getBytes("ISO-8859-1") ++ body
+  }
+  private val vf0 = Array[Byte](0, 0, 0, 0) // version 0, flags 0
+
+  /** A real (if tiny) MP4: ftyp + mdat with 3 known samples in 2
+    * chunks + a complete moov/trak/mdia/{mdhd,minf/stbl} index.
+    * Chunk 1 holds samples "AAAA","BBBBBB"; chunk 2 holds "CCCCC";
+    * timescale 1000, per-sample delta 40 → t = 0, 40, 80 ms. */
+  private def fixtureMp4(useCo64: Boolean = false, uniformSize: Boolean = false): Array[Byte] = {
+    val data = "AAAABBBBBBCCCCC".getBytes("ISO-8859-1")
+    val ftyp = mbox("ftyp", "isom".getBytes, be32(0), "isom".getBytes)
+    val mdat = mbox("mdat", data)
+    val c1 = ftyp.length + 8           // chunk 1 = mdat payload start
+    val c2 = c1 + 10                   // chunk 2 = after samples 0, 1
+    val stsz =
+      if (uniformSize) mbox("stsz", vf0, be32(5), be32(3)) // 3 x 5 bytes
+      else mbox("stsz", vf0, be32(0), be32(3), be32(4), be32(6), be32(5))
+    val stts = mbox("stts", vf0, be32(1), be32(3), be32(40))
+    val stsc = mbox("stsc", vf0, be32(2),
+      be32(1), be32(2), be32(1),  // chunks >= 1: 2 samples per chunk
+      be32(2), be32(1), be32(1))  // chunks >= 2: 1 sample per chunk
+    val stco =
+      if (useCo64) mbox("co64", vf0, be32(2), be64(c1.toLong), be64(c2.toLong))
+      else mbox("stco", vf0, be32(2), be32(c1), be32(c2))
+    val mdhd = mbox("mdhd", vf0, be32(0), be32(0), be32(1000), be32(120),
+      Array[Byte](0x55, 0xC4.toByte, 0, 0))
+    val stbl = mbox("stbl", stsz, stts, stsc, stco)
+    val moov = mbox("moov", mbox("trak", mbox("mdia", mdhd, mbox("minf", stbl))))
+    ftyp ++ mdat ++ moov
+  }
+
+  test("MP4 structural demux: stbl sample tables yield TRUE byte spans and container timestamps") {
+    val p = fixtureMp4()
+    val info = mp4Info(p).getOrElse(fail("fixture MP4 did not parse"))
+    assert(info.timescale == 1000L)
+    val got = info.samples.map(s =>
+      (new String(p, s.offset.toInt, s.size.toInt, "ISO-8859-1"), s.tMs))
+    assert(got == IndexedSeq(("AAAA", 0L), ("BBBBBB", 40L), ("CCCCC", 80L)))
+    // through the Dataset path: sampleFrames emits the same spans/times
+    val frames = sampleFrames(Seq(MediaRow(9L, "mp4", p)).toDS(), sampleEvery = 1)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(f => (new String(f.frame, "ISO-8859-1"), f.t_ms)).toSeq
+      == Seq(("AAAA", 0L), ("BBBBBB", 40L), ("CCCCC", 80L)))
+    // sampling stride applies per container sample
+    val every2 = sampleFrames(Seq(MediaRow(9L, "mp4", p)).toDS(), sampleEvery = 2)
+      .collect().map(_.frame_idx).sorted.toSeq
+    assert(every2 == Seq(0, 2))
+  }
+
+  test("MP4 demux: co64 64-bit offsets and uniform stsz sizes parse identically") {
+    val p64 = fixtureMp4(useCo64 = true)
+    val i64 = mp4Info(p64).getOrElse(fail("co64 fixture did not parse"))
+    assert(i64.samples.map(_.size) == IndexedSeq(4L, 6L, 5L))
+    val pu = fixtureMp4(uniformSize = true)
+    val iu = mp4Info(pu).getOrElse(fail("uniform-stsz fixture did not parse"))
+    assert(iu.samples.map(_.size) == IndexedSeq(5L, 5L, 5L))
+    assert(iu.samples.map(_.tMs) == IndexedSeq(0L, 40L, 80L))
+  }
+
+  test("MP4 demux: truncated payload drops overrunning samples; junk falls through to the stub") {
+    val p = fixtureMp4()
+    // moov lives AFTER mdat here, so cut inside the last sample via a
+    // doctored stco pointing past the end instead: reuse the fixture
+    // but truncate the final sample's bytes out of mdat is impossible
+    // without breaking the box walk — so point chunk 2 past the file
+    val doctored = {
+      val q = p.clone()
+      // find the stco box and overwrite chunk-2 offset with p.length - 2
+      val idx = new String(q, "ISO-8859-1").indexOf("stco")
+      val off = idx + 4 /*name*/ + 4 /*vf*/ + 4 /*count*/ + 4 /*chunk1*/
+      val nb = be32(q.length - 2)
+      System.arraycopy(nb, 0, q, off, 4)
+      q
+    }
+    val info = mp4Info(doctored).getOrElse(fail("doctored MP4 did not parse"))
+    // sample 3 (5 bytes at length-2) overruns → dropped, first two kept
+    assert(info.samples.map(_.size) == IndexedSeq(4L, 6L))
+    // non-MP4 payloads fall through to the byte-slice stub unchanged
+    val junk = "just some text payload, definitely not a container".getBytes
+    val frames = sampleFrames(Seq(MediaRow(1L, "txt", junk)).toDS(),
+      frameBytes = 16, sampleEvery = 1).collect()
+    assert(frames.nonEmpty &&
+      frames.forall(f => f.frame.length == 16))
+  }
+
   test("embeddingDHash == direct arithmetic from the floats, for every harness vector") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val got = embeddingDHash(emb).as[(Long, Long)].collect().toMap
