@@ -142,7 +142,7 @@ object AppOps {
     "u1_filter_topk" ->
       """SELECT o_orderkey, o_custkey, c_name,
         |       floor((o_totalprice) * 1e2 + 0.5) / 1e2 AS o_totalprice,
-        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |       substr(CAST(o_orderdate AS VARCHAR(30)), 1, 10) AS order_date
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
         |  AND o_orderstatus = 'O'
@@ -151,7 +151,7 @@ object AppOps {
         |LIMIT 20""".stripMargin,
     "u2_activity_shocks" ->
       """WITH daily AS (
-        |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events
+        |  SELECT user_id, substr(CAST(ts AS VARCHAR(30)), 1, 10) AS day, count(*) AS n_events
         |  FROM events GROUP BY 1, 2
         |), stats AS (
         |  SELECT CAST(sum(n_events) AS DOUBLE) / count(*) AS mean_n,
@@ -210,7 +210,7 @@ object AppOps {
         |              '; top event ', top_event_id) AS summary
         |FROM agg CROSS JOIN top""".stripMargin,
     "e_hourly_rollup" ->
-      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+      """SELECT substr(CAST(ts AS VARCHAR(30)), 1, 13) || ':00' AS hour,
         |       count(*) AS n_events,
         |       floor((CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS total_value
         |FROM events

@@ -228,7 +228,7 @@ object Queries {
         |ORDER BY revenue DESC, p_brand ASC
         |LIMIT 10""".stripMargin,
     "q2_daily_trend" ->
-      """SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+      """SELECT substr(CAST(l_shipdate AS VARCHAR(30)), 1, 10) AS ship_date,
         |       floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / count(l_extendedprice)) * 1e4 + 0.5) / 1e4 AS avg_price,
         |       floor((avg(l_quantity)) * 1e4 + 0.5) / 1e4 AS avg_qty,
         |       count(DISTINCT l_orderkey) AS n_orders
@@ -316,7 +316,7 @@ object Queries {
         |FROM j WHERE rnk <= 5
         |ORDER BY nation ASC, rnk ASC, o_orderkey ASC""".stripMargin,
     "pivot_daily_types" ->
-      """SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+      """SELECT substr(CAST(ts AS VARCHAR(30)), 1, 10) AS event_date,
         |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
         |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
         |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,

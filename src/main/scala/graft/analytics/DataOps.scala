@@ -1889,7 +1889,7 @@ object DataOps {
          |WHERE rank <= 3
          |ORDER BY query_id ASC, rank ASC""".stripMargin,
     "incr_load_events" ->
-      """SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+      """SELECT substr(CAST(ts AS VARCHAR(30)), 1, 10) AS event_date,
         |       count(*) AS n_events,
         |       count(DISTINCT event_id) AS n_distinct_ids,
         |       CAST(0 AS BIGINT) AS replay_appended
@@ -1920,7 +1920,7 @@ object DataOps {
         |         epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
         |  FROM seqs GROUP BY 1, 2
         |)
-        |SELECT strftime(session_start, '%Y-%m-%d') AS session_date,
+        |SELECT substr(CAST(session_start AS VARCHAR(30)), 1, 10) AS session_date,
         |       count(*) AS n_sessions,
         |       CAST(sum(n_events) AS BIGINT) AS total_events,
         |       floor(CAST(sum(n_events) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS avg_session_events,
@@ -1950,7 +1950,7 @@ object DataOps {
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
         |  FROM j
         |)
-        |SELECT event_type, bucket, strftime(d, '%Y-%m-%d') AS day, v AS v_carried
+        |SELECT event_type, bucket, substr(CAST(d AS VARCHAR(30)), 1, 10) AS day, v AS v_carried
         |FROM f WHERE NOT obs
         |ORDER BY event_type ASC, bucket ASC, day ASC""".stripMargin,
     "fuzzy_pairs_customers" ->
@@ -2239,7 +2239,7 @@ object DataOps {
         |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
         |  GROUP BY user_id, ts
         |)
-        |SELECT strftime(c.ts, '%Y-%m-%d') AS click_date,
+        |SELECT substr(CAST(c.ts AS VARCHAR(30)), 1, 10) AS click_date,
         |       count(*) AS n_clicks,
         |       count(p.purchase_value) AS n_attributed,
         |       floor((CAST(sum(CAST(p.purchase_value AS DECIMAL(30,2))) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS attributed_value
@@ -2255,7 +2255,7 @@ object DataOps {
         |  SELECT user_id, ts AS vts
         |  FROM events WHERE event_type = 'view' AND ts IS NOT NULL
         |)
-        |SELECT strftime(p.ts, '%Y-%m-%d') AS purchase_date,
+        |SELECT substr(CAST(p.ts AS VARCHAR(30)), 1, 10) AS purchase_date,
         |       count(*) AS n_view_purchase_pairs,
         |       count(DISTINCT p.pid) AS n_purchases_with_view
         |FROM purchases p JOIN views v
@@ -2843,7 +2843,7 @@ object DataOps {
         |ORDER BY l_returnflag ASC""".stripMargin,
     "skew_salted_rollup" ->
       """WITH ev AS (
-        |  SELECT event_type, value, strftime(ts, '%Y-%m-%d') AS event_date
+        |  SELECT event_type, value, substr(CAST(ts AS VARCHAR(30)), 1, 10) AS event_date
         |  FROM events WHERE ts IS NOT NULL
         |), dates AS (
         |  -- Spark dayofweek: 1 = Sunday .. 7; DuckDB dayofweek: 0 = Sunday
@@ -2858,7 +2858,7 @@ object DataOps {
         |ORDER BY event_type ASC, dow ASC""".stripMargin,
     "kmv_daily_users" ->
       s"""WITH dsrc AS (
-         |  SELECT strftime(ts, '%Y-%m-%d') AS event_date, CAST(user_id AS VARCHAR) AS s
+         |  SELECT substr(CAST(ts AS VARCHAR(30)), 1, 10) AS event_date, CAST(user_id AS VARCHAR) AS s
          |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
          |), dhs AS (
          |  SELECT DISTINCT event_date, (${dkWordHash("s")} * 2654435761) % $P AS h FROM dsrc
@@ -2903,7 +2903,7 @@ object DataOps {
          |  FROM rdays t JOIN rsrc u ON u.d BETWEEN t.d - 6 AND t.d
          |  GROUP BY 1
          |)
-         |SELECT strftime(day, '%Y-%m-%d') AS day, n_exact, n_est,
+         |SELECT substr(CAST(day AS VARCHAR(30)), 1, 10) AS day, n_exact, n_est,
          |       floor(abs(n_est - n_exact) / CAST(n_exact AS DOUBLE) * 1e4 + 0.5) / 1e4 AS rel_err
          |FROM rag JOIN rex USING (day)
          |ORDER BY day ASC""".stripMargin,
@@ -3043,7 +3043,7 @@ object DataOps {
         |GROUP BY event_type
         |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
     "stream_hourly_rollup" ->
-      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+      """SELECT substr(CAST(ts AS VARCHAR(30)), 1, 13) || ':00' AS hour,
         |       count(*) AS n_events,
         |       floor(CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS total_value
         |FROM events
@@ -3059,7 +3059,7 @@ object DataOps {
          |FROM gx CROSS JOIN ex""".stripMargin,
     "hll_daily_users" ->
       s"""WITH src AS (
-         |  SELECT strftime(ts, '%Y-%m-%d') AS event_date, CAST(user_id AS VARCHAR) AS s
+         |  SELECT substr(CAST(ts AS VARCHAR(30)), 1, 10) AS event_date, CAST(user_id AS VARCHAR) AS s
          |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
          |),
          |${dkHll("src", Seq("event_date"), 64, "d")},

@@ -209,23 +209,23 @@ object PipelineOps {
 
   val oracles: Map[String, String] = Map(
     "s13_fact_prune" ->
-      """SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
+      """SELECT substr(CAST(ts AS VARCHAR(30)), 1, 10) AS event_date, event_type,
         |       count(*) AS n_events,
         |       floor((CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS total_value,
         |       count(DISTINCT user_id) AS n_users
         |FROM events
-        |WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-16'
+        |WHERE substr(CAST(ts AS VARCHAR(30)), 1, 10) BETWEEN '2024-01-10' AND '2024-01-16'
         |GROUP BY 1, 2
         |ORDER BY event_date ASC, event_type ASC""".stripMargin,
     "m1_stg_events" ->
       """WITH stg AS (
         |  SELECT event_id, user_id, event_type,
-        |         strftime(ts, '%Y-%m-%d') AS event_date,
+        |         substr(CAST(ts AS VARCHAR(30)), 1, 10) AS event_date,
         |         sha256(CAST(user_id AS VARCHAR)) AS entity_sk,
         |         sha256(concat_ws('|', CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR))) AS observation_sk,
         |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |         floor((value) * 1e4 + 0.5) / 1e4 AS value,
-        |         row_number() OVER (PARTITION BY user_id, event_type, strftime(ts, '%Y-%m-%d')
+        |         row_number() OVER (PARTITION BY user_id, event_type, substr(CAST(ts AS VARCHAR(30)), 1, 10)
         |                            ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events
         |)
@@ -289,7 +289,7 @@ object PipelineOps {
         |), fst AS (
         |  SELECT user_id, min(d) AS cohort_d FROM ev GROUP BY 1
         |)
-        |SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort_day,
+        |SELECT substr(CAST(cohort_d AS VARCHAR(30)), 1, 10) AS cohort_day,
         |       CAST(date_diff('day', cohort_d, d) AS BIGINT) AS day_offset,
         |       count(DISTINCT a.user_id) AS n_users
         |FROM act a JOIN fst f USING (user_id)

@@ -835,7 +835,7 @@ object StatsOps {
          |  FROM cum c JOIN tot t ON c.day = t.day
          |  GROUP BY 1
          |)
-         |SELECT strftime(p.day, '%Y-%m-%d') AS day,
+         |SELECT substr(CAST(p.day AS VARCHAR(30)), 1, 10) AS day,
          |       floor((CASE WHEN s.hi = s.lo THEN s.lo
          |              ELSE s.lo + (s.hi - s.lo) * CAST(p.bq + 1 AS DOUBLE) / $MadBuckets END)
          |             * 1e6 + 0.5) / 1e6 AS med7,

@@ -10,26 +10,43 @@ class SqlFrontEndSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  /** Oracle entries restricted to the ANSI dialect both engines parse
-    * (no strftime / list literals & functions / DuckDB-only routine
-    * names) — every catalog oracle verified to both PARSE and produce
-    * DataFrame-identical results through spark.sql. Includes the
-    * bounded-state histogram quantiles (mad_outliers, profile_events),
-    * the layout queries (zorder_cells/read), and the streaming-gate
-    * rollup. */
+  /** Oracle entries restricted to the shared dialect both engines
+    * parse — every catalog oracle verified to both PARSE and produce
+    * DataFrame-identical results through spark.sql. Three dialect
+    * bridges got the set past 50 (r5 advice #9): date strings render
+    * as `substr(CAST(ts AS VARCHAR(30)), 1, 10)` (identical canonical
+    * timestamp rendering on both engines — strftime is DuckDB-only,
+    * date_format is Spark-only); `Views.registerCompat` provides
+    * analyzer-inlined Spark spellings of DuckDB's sha256 / epoch_us /
+    * json_extract_string; and VARCHAR always carries a length (bare
+    * VARCHAR is DuckDB-only). Still excluded: DuckDB list functions
+    * (unnest / list_* / string_split), quantile_disc (deliberately:
+    * those oracles gate EXACTNESS against DuckDB's own aggregate),
+    * generate_series, and the %f microsecond strftime format. */
   private val ansiPortable = Seq(
-    "a5_dup_audit", "agg_rollup_totals", "bloom_join_urgent",
-    "cube_flag_status", "event_transitions", "f20_bins_acctbal",
-    "funnel_stages", "grid_median_events", "kpi_unpivot", "mad_outliers",
-    "mad_outliers_by_type", "mix_temperature", "sample_priority",
-    "profile_events", "q1_top_brands", "q3_zscore_outliers", "recon_orders_events",
-    "q4_geo_rollup", "q5_risk_watchlist", "sample_per_lang",
-    "sample_priority_lang",
-    "sample_strata", "stream_merge_events", "u3_kpi_summary", "cusum_value_shift",
-    "corr_price_qty", "benford_totalprice", "ttest_value_halves",
-    "u4_result_summary", "zorder_cells", "zorder_read", "fuzzy_pairs_customers",
-    "anti_lapsed_custs", "window_rank_family", "split_train_val_test",
-    "topk_value_by_type", "weighted_median_price", "weighted_median_by_flag")
+    "a5_dup_audit", "agg_rollup_totals", "anti_lapsed_custs",
+    "benford_totalprice", "bloom_join_urgent", "bucketed_join",
+    "cdf_events_value", "corr_price_qty", "cube_flag_status",
+    "cusum_value_shift", "e_hourly_rollup", "e_json_rollup",
+    "event_transitions", "f20_bins_acctbal", "funnel_stages",
+    "fuzzy_pairs_customers", "grid_median_events", "incr_load_events",
+    "kpi_unpivot", "mad_outliers", "mad_outliers_by_type",
+    "mix_temperature", "pivot_daily_types", "profile_events",
+    "q1_top_brands", "q2_daily_trend", "q3_zscore_outliers",
+    "q4_geo_rollup", "q5_risk_watchlist", "qa_counts_events",
+    "range_views_before_purchase", "recon_orders_events",
+    "s13_fact_prune", "sample_per_lang", "sample_priority",
+    "sample_priority_lang", "sample_strata", "sessionize_daily",
+    "split_train_val_test", "stream_merge_events", "topk_value_by_type",
+    "ttest_value_halves", "u1_filter_topk", "u2_activity_shocks",
+    "u3_kpi_summary", "u4_result_summary", "weighted_median_by_flag",
+    "weighted_median_price", "window_rank_family", "winsor_stats",
+    "zorder_cells", "zorder_read")
+
+  test("the verbatim-portable set holds at least 50 entries (r5 advice #9)") {
+    assert(ansiPortable.size >= 50, s"got ${ansiPortable.size}")
+    assert(ansiPortable.distinct.size == ansiPortable.size)
+  }
 
   test("ANSI oracle SQL runs verbatim via spark.sql with DataFrame-identical results") {
     Views.register(spark, dir)
