@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.functions.{call_function, lit, typedLit}
-import graft.functions.{DotProduct, HyperplaneKeys, Q8Quantize, TextHashExprs}
+import graft.functions.{DotProduct, HyperplaneKeys, Q8Quantize, TextHashExprs, TopCells}
 
 /** Session extension registering graft's native Catalyst functions —
   * enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_q8"), Q8Quantize.info, Q8Quantize.builder))
     ext.injectFunction((FunctionIdentifier("graft_gram_hashes"),
       TextHashExprs.gramInfo, TextHashExprs.gramBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_winnow"),
+      TextHashExprs.winnowInfo, TextHashExprs.winnowBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_top_cells"),
+      TopCells.info, TopCells.builder))
   }
 }
 
@@ -47,7 +51,7 @@ object GraftFunctions {
     * build) self-heals instead of skipping the additions. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier("graft_gram_hashes"))) {
+    if (!reg.functionExists(FunctionIdentifier("graft_top_cells"))) {
       reg.createOrReplaceTempFunction("graft_dot", DotProduct.builder, "built-in")
       reg.createOrReplaceTempFunction("graft_token_hashes", TextHashExprs.tokenBuilder, "built-in")
       reg.createOrReplaceTempFunction("graft_shingle_hashes", TextHashExprs.shingleBuilder, "built-in")
@@ -57,6 +61,8 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction("graft_token_hashes_fast", TextHashExprs.tokenFastBuilder, "built-in")
       reg.createOrReplaceTempFunction("graft_q8", Q8Quantize.builder, "built-in")
       reg.createOrReplaceTempFunction("graft_gram_hashes", TextHashExprs.gramBuilder, "built-in")
+      reg.createOrReplaceTempFunction("graft_winnow", TextHashExprs.winnowBuilder, "built-in")
+      reg.createOrReplaceTempFunction("graft_top_cells", TopCells.builder, "built-in")
     }
     // the HOF-dot rewrite for sessions built without the extensions
     // config; experimental.extraOptimizations runs in the same
@@ -79,6 +85,16 @@ object GraftFunctions {
 
   def gramHashes(hashes: Column, n: Int): Column =
     call_function("graft_gram_hashes", hashes, lit(n))
+
+  /** Winnowing fingerprints (see [[graft.functions.WinnowFingerprints]]). */
+  def winnow(hashes: Column, n: Int, w: Int): Column =
+    call_function("graft_winnow", hashes, lit(n), lit(w))
+
+  /** Top-nProbe IVF cell ids against ONE literal centroid matrix (see
+    * [[graft.functions.TopCells]]). */
+  def topCells(vec: Column, centroids: Seq[(Int, Array[Double])], nProbe: Int): Column =
+    call_function("graft_top_cells", vec,
+      typedLit(centroids.map(_._1)), typedLit(centroids.map(_._2.toSeq)), lit(nProbe))
 
   /** Fused int8 quantization: struct(q8, qscale) (see
     * [[graft.functions.Q8Quantize]]). */

@@ -192,6 +192,24 @@ object DataOps {
       embPairGraph(spark, dir).select(col("vec_a"), col("vec_b")),
       aCol = "vec_a", bCol = "vec_b")
 
+  /** Embedding near-dup pairs via the TRAINED-IVF candidate path —
+    * the permissive-threshold scale twin of `dedup_embedding`. The
+    * banded entry keeps the compat parameterization (32 bands × 4
+    * planes) whose candidate set at cos ≥ 0.4 is ~all pairs (a random
+    * pair co-buckets somewhere with p ≈ 0.87 — measured in
+    * NearDupScaleSpec); this entry clusters once (k = 64 first-seed
+    * centroids, 2 Lloyd iterations — the `kmeans_cells` trainer) and
+    * pairs only within shared top-2 probed cells, so candidate volume
+    * is Σ occupancy² ≈ nProbe²·N²/(2k) and k scales with the corpus.
+    * The oracle replays the WHOLE loop: unrolled Lloyd iterations,
+    * top-2 probe ranking, pair join, exact cosine verify. */
+  def dedupEmbeddingIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = KMeans.fit(emb, k = 64, nIter = 2)
+    Similarity.nearDupPairsIVF(emb, threshold = 0.4, cents, nProbe = 2)
+      .orderBy(col("vec_a").asc, col("vec_b").asc)
+  }
+
   /** Pairs → duplicate clusters: MinHash-LSH pair graph, transitive
     * closure via distributed min-label propagation, one row per
     * cluster with its keeper (min doc id). The oracle replays the
@@ -2496,6 +2514,27 @@ object DataOps {
          |SELECT comp AS group_id, count(*) AS n_docs, max(id) AS max_doc
          |FROM ecomps GROUP BY comp
          |ORDER BY group_id ASC""".stripMargin,
+    "dedup_embedding_ivf" ->
+      s"""WITH c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, embedding AS c
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 64)
+         |), ${dkKmeansIter(1)}, ${dkKmeansIter(2)},
+         |iprobe AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${dkCosRaw("e.embedding", "c.c")} DESC, c.cell ASC) AS rn
+         |    FROM embeddings e CROSS JOIN c2 c) WHERE rn <= 2
+         |), icands AS (
+         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM iprobe x JOIN iprobe y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |)
+         |SELECT c.vec_a, c.vec_b, ${dkCos("a.embedding", "b.embedding")} AS cos
+         |FROM icands c
+         |JOIN embeddings a ON a.vec_id = c.vec_a
+         |JOIN embeddings b ON b.vec_id = c.vec_b
+         |WHERE ${dkCos("a.embedding", "b.embedding")} >= 0.4
+         |ORDER BY vec_a ASC, vec_b ASC""".stripMargin,
     "embed_outliers" ->
       s"""WITH ex AS (
          |  SELECT label, unnest(embedding) AS v,
@@ -3143,6 +3182,7 @@ object DataOps {
     "span_dup_excise"   -> (spanDupExcise _),
     "dedup_embedding"   -> (dedupEmbedding _),
     "dedup_embedding_groups" -> (dedupEmbeddingGroups _),
+    "dedup_embedding_ivf" -> (dedupEmbeddingIvf _),
     "asof_attribution"  -> (asofAttribution _),
     "range_views_before_purchase" -> (rangeViewsBeforePurchase _),
     "dedup_groups"      -> (dedupGroups _),

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -282,6 +282,89 @@ case class MinHashSig(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** (array<bigint>, n, w) → array<bigint>: winnowing fingerprints (the
+  * MOSS scheme) — ordered n-gram hashes, minimum of each length-`w`
+  * sliding window over them, first-occurrence distinct. Bit-identical
+  * to the documented HOF form
+  * `array_distinct(if(size < n, array(), transform(sequence(1, greatest(size-(n+w-2),1)), i -> array_min(transform(sequence(i, least(i+w-1, size-(n-1))), j -> aggregate(slice(th,j,n), 0L, (a,h) -> (a*131+h)%P))))))`
+  * that the oracles replay — same gram fold/modulus/null propagation
+  * as [[GramHashes]], array_min's skip-nulls (null fp only when every
+  * gram in the window is null), single global window when there are
+  * fewer than `w` grams. The HOF form is O(tokens·w·n) interpreted
+  * lambda frames per document (CollapseProject re-inlines it per
+  * reference); this loop is O(tokens) via a monotonic deque. */
+case class WinnowFingerprints(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(LongType, _), IntegerType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"graft_winnow expects (array<bigint>, int, int), got ${a.sql}, ${b.sql}, ${c.sql}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_winnow"
+
+  override def nullSafeEval(hashes: Any, nAny: Any, wAny: Any): Any = {
+    val arr = hashes.asInstanceOf[ArrayData]
+    val n = nAny.asInstanceOf[Int]
+    val w = wAny.asInstanceOf[Int]
+    require(n > 0 && w > 0, s"graft_winnow needs n > 0 and w > 0, got n=$n w=$w")
+    val len = arr.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val g = len - n + 1
+    val grams = new Array[java.lang.Long](g)
+    var i = 0
+    while (i <= len - n) {
+      var acc: java.lang.Long = 0L
+      var j = 0
+      while (j < n && acc != null) {
+        if (arr.isNullAt(i + j)) acc = null
+        else acc = (acc * 131 + arr.getLong(i + j)) % TextHashes.P
+        j += 1
+      }
+      grams(i) = acc
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[Any]()
+    if (g < w) {
+      // fewer grams than one full window → one global min
+      var min: java.lang.Long = null
+      var k = 0
+      while (k < g) {
+        val v = grams(k)
+        if (v != null && (min == null || v < min)) min = v
+        k += 1
+      }
+      seen.add(min)
+    } else {
+      // monotonic deque of gram indices with ascending values; null
+      // grams never enter, so an empty deque after eviction means the
+      // window was all-null (array_min → null)
+      val dq = new java.util.ArrayDeque[Int]()
+      var e = 0
+      while (e < g) {
+        val v = grams(e)
+        if (v != null) {
+          while (!dq.isEmpty && grams(dq.peekLast()) >= v) dq.pollLast()
+          dq.addLast(e)
+        }
+        if (e >= w - 1) {
+          val start = e - w + 1
+          while (!dq.isEmpty && dq.peekFirst() < start) dq.pollFirst()
+          seen.add(if (dq.isEmpty) null else grams(dq.peekFirst()))
+        }
+        e += 1
+      }
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object TextHashExprs {
   val tokenInfo = new ExpressionInfo(classOf[TokenHashes].getCanonicalName, null,
     "graft_token_hashes", "graft_token_hashes(arr) - portable char-fold hash per token", "")
@@ -295,6 +378,8 @@ object TextHashExprs {
     "graft_token_hashes_fast", "graft_token_hashes_fast(arr) - xxHash64-mod-P hash per token", "")
   val gramInfo = new ExpressionInfo(classOf[GramHashes].getCanonicalName, null,
     "graft_gram_hashes", "graft_gram_hashes(hashes, n) - ordered positional n-gram hashes", "")
+  val winnowInfo = new ExpressionInfo(classOf[WinnowFingerprints].getCanonicalName, null,
+    "graft_winnow", "graft_winnow(hashes, n, w) - distinct winnowing fingerprints (MOSS)", "")
 
   val tokenBuilder: Seq[Expression] => Expression =
     { case Seq(a) => TokenHashes(a); case a => argErr("graft_token_hashes", 1, a.length) }
@@ -308,6 +393,9 @@ object TextHashExprs {
     { case Seq(a) => TokenHashesFast(a); case a => argErr("graft_token_hashes_fast", 1, a.length) }
   val gramBuilder: Seq[Expression] => Expression =
     { case Seq(a, b) => GramHashes(a, b); case a => argErr("graft_gram_hashes", 2, a.length) }
+  val winnowBuilder: Seq[Expression] => Expression =
+    { case Seq(a, b, c) => WinnowFingerprints(a, b, c)
+      case a => argErr("graft_winnow", 3, a.length) }
 
   private def argErr(name: String, want: Int, got: Int): Nothing =
     throw new IllegalArgumentException(s"$name expects $want arguments, got $got")

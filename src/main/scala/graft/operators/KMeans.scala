@@ -79,6 +79,18 @@ object KMeans {
     }
   }
 
+  /** The fit-loop assign: cell only, via the fused
+    * `graft_top_cells(v, cells, matrix, 1)` kernel — the SAME
+    * assignment as [[assignCells]] (TopCellsSpec pins the parity) but
+    * with one literal centroid matrix instead of k array-literal plan
+    * nodes, so re-planning every Lloyd iteration stays O(1) in k. */
+  private def assignCellsLean(df: DataFrame, centroids: Seq[(Int, Array[Double])],
+      vecCol: String): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.select(col(vecCol),
+      element_at(GraftFunctions.topCells(col(vecCol), centroids, 1), 1).as("cell"))
+  }
+
   /** `nIter` Lloyd iterations from the deterministic seed; returns the
     * final (cellId, coords) centroids. The corpus projection is cached
     * across iterations and released on exit. */
@@ -90,7 +102,7 @@ object KMeans {
       var cents = initCentroids(cached, k, idCol, vecCol)
       var i = 0
       while (i < nIter) {
-        cents = meanUpdate(assignCells(cached, cents, idCol, vecCol), vecCol)
+        cents = meanUpdate(assignCellsLean(cached, cents, vecCol), vecCol)
         i += 1
       }
       cents

@@ -371,18 +371,83 @@ object Similarity {
     // whole bands (the kernel ignores a trailing partial band, and the
     // oracle mirrors that); a corpus smaller than one band yields no
     // candidates — use nearDupPairsExact for corpora that tiny
-    val r = planesPerBand
+    cosineVerify(corpus,
+      bandedCandidates(corpus, planes, planesPerBand, idCol, vecCol),
+      threshold, idCol, vecCol)
+  }
+
+  /** The banded candidate frame of [[nearDupPairs]]: distinct
+    * (vec_a < vec_b) pairs colliding in ≥ 1 band. Exposed so tests
+    * can MEASURE candidate volume — the quantity that decides whether
+    * a near-dup parameterization survives scale (see
+    * [[nearDupPairsIVF]] for the volume analysis). */
+  def bandedCandidates(corpus: DataFrame, planes: Seq[Array[Float]],
+      planesPerBand: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
     val sigs = corpus.select(col(idCol).as("vid"),
-        posexplode(GraftFunctions.hyperplaneKeys(col(vecCol), planes, r)))
+        posexplode(GraftFunctions.hyperplaneKeys(col(vecCol), planes, planesPerBand)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "key")
-    val cands = sigs.as("x").join(sigs.as("y"),
+    sigs.as("x").join(sigs.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.vid") < col("y.vid"))
       .select(col("x.vid").as("vec_a"), col("y.vid").as("vec_b"))
       .distinct()
-    cosineVerify(corpus, cands, threshold, idCol, vecCol)
   }
+
+  /** IVF candidate frame: each vector map-side-assigns to its
+    * `nProbe` nearest trained centroids (same sorted array-of-structs
+    * slice as [[ivfTopKTrained]] — no join, no window, no shuffle);
+    * a pair is a candidate iff the two vectors share ≥ 1 probed cell.
+    * Distinct (vec_a < vec_b) output. */
+  def ivfCandidates(corpus: DataFrame, centroids: Seq[(Int, Array[Double])],
+      nProbe: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    require(centroids.nonEmpty && nProbe > 0,
+      "ivfCandidates needs centroids and nProbe > 0")
+    // ONE literal centroid matrix via the fused kernel — bit-identical
+    // to the per-centroid sort_array(struct(cos, -cell)) form (the
+    // order the oracle replays) without k array-literal plan nodes
+    val probed = corpus.select(col(idCol).as("vid"),
+        explode(GraftFunctions.topCells(col(vecCol), centroids, nProbe)).as("cell"))
+    probed.as("x").join(probed.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vid") < col("y.vid"))
+      .select(col("x.vid").as("vec_a"), col("y.vid").as("vec_b"))
+      .distinct()
+  }
+
+  /** Embedding near-duplicate pairs via a TRAINED IVF grid — the
+    * permissive-threshold scale path. [[nearDupPairs]]' banded LSH is
+    * the right tool at real near-dup thresholds (cos ≥ 0.9: narrow
+    * bands, tiny buckets, ~zero noise collisions), but at permissive
+    * thresholds the geometry turns against it: separating cos ≈ 0.4
+    * pairs from random ones needs bands so cheap (few planes) that a
+    * RANDOM pair collides somewhere with probability ≈
+    * 1−(1−2^−r)^B — at the 32×4 compat parameterization that is
+    * ≈ 0.87, i.e. the candidate set is ~all pairs and the verify
+    * stage is O(n²) regardless of how clean the equi-join plan looks.
+    * (Measured, not argued: see NearDupScaleSpec and SCALE.md.)
+    *
+    * This path instead clusters the corpus once ([[KMeans.fit]] — k
+    * centroids, driver state k·dim, a parameter fetch) and generates
+    * candidates only within shared probed cells. Candidate volume is
+    * Σ_cells occupancy² ≈ nProbe²·N²/(2k): pick k ∝ N (e.g.
+    * k = N/targetCellSize) and the volume is nProbe²·targetCellSize·N/2
+    * — LINEAR in the corpus, and the per-cell self-join is an
+    * equi-join that AQE splits on skewed cells. Recall is the IVF
+    * trade: a pair is found iff the two vectors co-probe a cell;
+    * near-identical vectors (the actual near-dup signal) rank the
+    * same cell first with probability → 1, while moderate-cosine
+    * pairs may split across cell boundaries — raise `nProbe` to
+    * trade compute for recall without re-indexing. */
+  def nearDupPairsIVF(corpus: DataFrame, threshold: Double,
+      centroids: Seq[(Int, Array[Double])], nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    cosineVerify(corpus,
+      ivfCandidates(corpus, centroids, nProbe, idCol, vecCol),
+      threshold, idCol, vecCol)
 
   /** Exact near-duplicate pairs: cosine ≥ threshold over ALL pairs
     * (vec_a < vec_b) — a broadcast nested loop, O(n²) in corpus size.

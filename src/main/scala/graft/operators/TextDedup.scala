@@ -90,13 +90,22 @@ object TextDedup {
     * at least w + n − 1 tokens yields ≥1 shared fingerprint.
     * Shapes: < n tokens → empty; < w windows → single global min. */
   def withWinnowFingerprints(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame =
-    withTokenHashes(docs).withColumn("winnow_fps", expr(
-      s"""array_distinct(
-         |  if(size(token_hashes) < $n, array(),
-         |    transform(
-         |      sequence(1, greatest(size(token_hashes) - ${n + w - 2}, 1)),
-         |      i -> array_min(transform(sequence(i, least(i + ${w - 1}, size(token_hashes) - ${n - 1})),
-         |             j -> aggregate(slice(token_hashes, j, $n), 0L, (acc, h) -> (acc * 131 + h) % ${P}L))))))""".stripMargin))
+    withTokenHashes(docs).withColumn("winnow_fps",
+      GraftFunctions.winnow(col("token_hashes"), n, w))
+
+  /** The documented HOF form of the winnow kernel — kept as the
+    * executable semantics spec (the DuckDB oracles replay THIS form;
+    * TextDedupSpec asserts kernel == HOF bit-identically, including
+    * null-element and short-doc edges). O(tokens·w·n) interpreted
+    * lambda frames per doc vs the kernel's O(tokens) deque — never on
+    * the hot path. */
+  def winnowFpsHof(n: Int = 3, w: Int = 4): org.apache.spark.sql.Column = expr(
+    s"""array_distinct(
+       |  if(size(token_hashes) < $n, array(),
+       |    transform(
+       |      sequence(1, greatest(size(token_hashes) - ${n + w - 2}, 1)),
+       |      i -> array_min(transform(sequence(i, least(i + ${w - 1}, size(token_hashes) - ${n - 1})),
+       |             j -> aggregate(slice(token_hashes, j, $n), 0L, (acc, h) -> (acc * 131 + h) % ${P}L))))))""".stripMargin)
 
   /** Passage-overlap pairs via winnowing: docs sharing ≥ `minShared`
     * fingerprints. Equi-join on fingerprint — near-linear, like the

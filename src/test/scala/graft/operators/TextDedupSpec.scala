@@ -185,6 +185,51 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("graft_winnow kernel == documented HOF form, bit-identically (corpus + adversarial edges)") {
+    import graft.GraftFunctions
+    GraftFunctions.register(spark)
+    // real corpus: every doc at sf0.001, several (n, w) shapes
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    for ((n, w) <- Seq((3, 4), (2, 2), (4, 7), (1, 1))) {
+      val th = TextDedup.withTokenHashes(corpus).select($"doc_id", $"token_hashes")
+      val both = th.select($"doc_id",
+          GraftFunctions.winnow($"token_hashes", n, w).as("kernel"),
+          TextDedup.winnowFpsHof(n, w).as("hof"))
+        .filter(not($"kernel" <=> $"hof"))
+      assert(both.count() == 0, s"(n=$n, w=$w) kernel diverged from HOF")
+    }
+    // adversarial: null elements (null gram -> skipped by array_min;
+    // all-null window -> null fp), short arrays, constant values,
+    // exactly-one-window shapes, null array
+    val edges = Seq(
+      Seq[java.lang.Long](1L, 2L, 3L, 4L, 5L, 6L, 7L),
+      Seq[java.lang.Long](1L, null, 3L, 4L, 5L, 6L),
+      Seq[java.lang.Long](null, null, null, null, null),
+      Seq[java.lang.Long](9L, 9L, 9L, 9L, 9L, 9L),
+      Seq[java.lang.Long](5L, 4L, 3L, 2L, 1L),
+      Seq[java.lang.Long](1L, 2L),
+      Seq[java.lang.Long](7L),
+      Seq[java.lang.Long]()).zipWithIndex.map { case (a, i) => (i.toLong, a) }
+      .toDF("doc_id", "token_hashes")
+    for ((n, w) <- Seq((3, 4), (2, 3), (1, 2), (2, 1))) {
+      val diff = edges.select($"doc_id",
+          GraftFunctions.winnow($"token_hashes", n, w).as("kernel"),
+          TextDedup.winnowFpsHof(n, w).as("hof"))
+        .filter(not($"kernel" <=> $"hof"))
+      assert(diff.count() == 0, s"adversarial (n=$n, w=$w) kernel diverged from HOF")
+    }
+    // the ONE documented divergence: a NULL token array. The HOF form
+    // under legacy sizeOfNull (size(NULL) = -1 < n) yields []; the
+    // kernel keeps the standard expression contract null-in → null-out.
+    // No caller feeds null arrays (graft_token_hashes is null only for
+    // null text, which the harness corpus excludes), and both shapes
+    // vanish identically at the explode() every consumer applies.
+    val nullRow = Seq((0L, null.asInstanceOf[Seq[java.lang.Long]]))
+      .toDF("doc_id", "token_hashes")
+      .select(GraftFunctions.winnow($"token_hashes", 3, 4).as("kernel"))
+    assert(nullRow.head.isNullAt(0))
+  }
+
   test("simhash separates lexically distinct docs and repeats weigh in (multiset)") {
     val d = docs(
       1L -> "apple apple apple banana",
