@@ -530,6 +530,130 @@ object Multimodal {
       }
     }
 
+  case class WebmSample(offset: Long, size: Long, tMs: Long)
+  /** Parsed Matroska/WebM structure: timestamp scale (ns per tick)
+    * and every un-laced (Simple)Block frame span. */
+  case class WebmInfo(timescaleNs: Long, samples: IndexedSeq[WebmSample])
+
+  /** Structural Matroska/WebM demux — the EBML twin of [[mp4Info]],
+    * JDK-only byte logic, no codec. Walks Segment →
+    * Info.TimestampScale and Segment → Cluster⁺ →
+    * Timestamp/SimpleBlock/BlockGroup.Block per the public Matroska
+    * spec (RFC 8794 EBML framing + the matroska.org element
+    * registry): an element is ID vint (marker bits kept) + size vint
+    * (marker stripped; all-ones = unknown size → element extends to
+    * its parent's end, the shape live-muxed Segments/Clusters use) +
+    * payload; a (Simple)Block's payload is track vint, big-endian
+    * s16 timestamp relative to the cluster, flags byte, frame data.
+    * Frame spans and absolute times
+    * ((cluster + relative) · TimestampScale) are the container's
+    * own; the bytes stay codec payload — same external-codec splice
+    * contract as MP4. LACED blocks (flags & 0x06 ≠ 0) are skipped
+    * (video tracks from common encoders are un-laced; lacing packs
+    * tiny audio packets), and any truncated/inconsistent structure
+    * parses to None so the caller falls through to the stub instead
+    * of emitting garbage spans. */
+  def webmInfo(p: Array[Byte]): Option[WebmInfo] = {
+    def u8(i: Long) = (p(i.toInt) & 0xff).toLong
+    // (value, width); IDs keep the marker bit, sizes strip it
+    def vint(i: Long, keepMarker: Boolean): Option[(Long, Int)] = {
+      if (i >= p.length) return None
+      val b0 = u8(i)
+      if (b0 == 0L) return None // width > 8: invalid
+      var width = 1
+      var mask = 0x80L
+      while ((b0 & mask) == 0) { width += 1; mask >>= 1 }
+      if (i + width > p.length) return None
+      var v = if (keepMarker) b0 else b0 & (mask - 1L)
+      var k = 1
+      while (k < width) { v = (v << 8) | u8(i + k); k += 1 }
+      Some((v, width))
+    }
+    def unknownSize(v: Long, width: Int): Boolean = v == (1L << (7 * width)) - 1
+    // (id, payloadStart, payloadEnd) triples of the children of [from, to)
+    def children(from: Long, to: Long): IndexedSeq[(Long, Long, Long)] = {
+      val out = IndexedSeq.newBuilder[(Long, Long, Long)]
+      var off = from
+      var ok = true
+      while (ok && off < to) {
+        val parsed = for {
+          (id, idW) <- vint(off, keepMarker = true)
+          (sz, szW) <- vint(off + idW, keepMarker = false)
+        } yield {
+          val ps = off + idW + szW
+          val pe = if (unknownSize(sz, szW)) to else ps + sz
+          (id, ps, pe)
+        }
+        parsed match {
+          case Some((id, ps, pe)) if ps <= pe && pe <= to =>
+            out += ((id, ps, pe)); off = pe
+          case _ => ok = false
+        }
+      }
+      out.result()
+    }
+    def uintBE(from: Long, to: Long): Long = {
+      var v = 0L
+      var i = from
+      while (i < to) { v = (v << 8) | u8(i); i += 1 }
+      v
+    }
+    if (p.length < 8) return None
+    val top = children(0L, p.length.toLong)
+    if (!top.exists(_._1 == 0x1A45DFA3L)) return None // EBML header gate
+    top.collectFirst { case (0x18538067L, ps, pe) => (ps, pe) }.flatMap {
+      case (segS, segE) =>
+        val seg = children(segS, segE)
+        val timescaleNs = (for {
+          (infoS, infoE) <- seg.collectFirst { case (0x1549A966L, s, e) => (s, e) }
+          (tsS, tsE) <- children(infoS, infoE).collectFirst { case (0x2AD7B1L, s, e) => (s, e) }
+        } yield uintBE(tsS, tsE)).filter(_ > 0).getOrElse(1000000L)
+        val samples = IndexedSeq.newBuilder[WebmSample]
+        seg.foreach {
+          case (0x1F43B675L, clS, clE) => // Cluster
+            val kids = children(clS, clE)
+            val clusterTs = kids.collectFirst { case (0xE7L, s, e) => uintBE(s, e) }.getOrElse(0L)
+            def block(ps: Long, pe: Long): Unit =
+              for ((_, trackW) <- vint(ps, keepMarker = false)) {
+                val tOff = ps + trackW
+                if (tOff + 3 <= pe) {
+                  val rel = (((u8(tOff) << 8) | u8(tOff + 1)).toShort).toLong
+                  val flags = u8(tOff + 2)
+                  val dataS = tOff + 3
+                  if ((flags & 0x06L) == 0L && dataS < pe) // un-laced only
+                    samples += WebmSample(dataS, pe - dataS,
+                      (clusterTs + rel) * timescaleNs / 1000000L)
+                }
+              }
+            kids.foreach {
+              case (0xA3L, ps, pe) => block(ps, pe) // SimpleBlock
+              case (0xA0L, gs, ge) => // BlockGroup → Block
+                children(gs, ge).foreach {
+                  case (0xA1L, ps, pe) => block(ps, pe)
+                  case _ => ()
+                }
+              case _ => ()
+            }
+          case _ => ()
+        }
+        val res = samples.result()
+        if (res.nonEmpty) Some(WebmInfo(timescaleNs, res)) else None
+    }
+  }
+
+  /** [[webmInfo]] as a frame iterator for [[sampleFrames]] — same
+    * contract as [[mp4Frames]]: true byte spans, container times,
+    * codec-payload bytes. */
+  private def webmFrames(mediaId: Long, p: Array[Byte],
+      sampleEvery: Int): Option[Iterator[FrameRow]] =
+    webmInfo(p).map { info =>
+      Iterator.range(0, info.samples.length, sampleEvery).map { i =>
+        val s = info.samples(i)
+        FrameRow(mediaId, i, s.tMs,
+          java.util.Arrays.copyOfRange(p, s.offset.toInt, (s.offset + s.size).toInt))
+      }
+    }
+
   /** Frame sampling — the video/audio analogue of [[decodeAll]]:
     * every `sampleEvery`-th frame of each payload is emitted as its
     * own row, so downstream per-frame ops (decode, embed, dedup)
@@ -552,7 +676,11 @@ object Multimodal {
     * `stbl` sample tables give every sample's true byte span and
     * container timestamp with no codec — frame BYTES remain codec
     * payload (decoding them is the external-codec splice point), but
-    * boundaries and times are the container's own. Remaining
+    * boundaries and times are the container's own. WebM/Matroska
+    * payloads demux structurally too ([[webmInfo]]): the EBML
+    * cluster walk yields each un-laced (Simple)Block's frame span
+    * and (cluster + relative) · TimestampScale time, same splice
+    * contract. Remaining
     * containers (exotic codecs, raw elementary streams) keep the
     * documented STUB:
     * contiguous `frameBytes`-sized slices (an ffmpeg-style demuxer
@@ -580,6 +708,7 @@ object Multimodal {
                 java.util.Arrays.copyOfRange(r.payload, start.toInt, (start + bpf).toInt))
             }
           case _ => mp4Frames(r.media_id, r.payload, sampleEvery)
+              .orElse(webmFrames(r.media_id, r.payload, sampleEvery))
               .orElse(y4mFrames(r.media_id, r.payload, sampleEvery))
               .orElse(gifFrames(r.media_id, r.payload, sampleEvery)) match {
             case Some(frames) => frames

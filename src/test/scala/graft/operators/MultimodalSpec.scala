@@ -584,4 +584,72 @@ class MultimodalSpec extends SparkSpec {
       assert(got(id) == bits, s"vec $id")
     }
   }
+
+  // ---- WebM/Matroska structural demux ------------------------------
+
+  /** One EBML element: class id bytes (marker kept) + 1-byte size
+    * vint + payload. Payloads here are all < 127 bytes. */
+  private def eb(id: Array[Int], payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    require(body.length < 127, "fixture helper handles 1-byte sizes only")
+    id.map(_.toByte) ++ Array((0x80 | body.length).toByte) ++ body
+  }
+  private val ebmlHdr = eb(Array(0x1A, 0x45, 0xDF, 0xA3))
+  private def simpleBlock(rel: Int, flags: Int, data: String): Array[Byte] =
+    eb(Array(0xA3), Array(0x81.toByte, (rel >> 8).toByte, rel.toByte, flags.toByte),
+      data.getBytes("ISO-8859-1"))
+
+  /** A tiny WebM: EBML header, Segment(Info.TimestampScale,
+    * Cluster(ts 0: blocks at rel 0 and 40 + one LACED block),
+    * Cluster(ts 80: BlockGroup.Block)). */
+  private def fixtureWebm(timescaleNs: Int = 1000000,
+      unknownSegSize: Boolean = false): Array[Byte] = {
+    val info = eb(Array(0x15, 0x49, 0xA9, 0x66),
+      eb(Array(0x2A, 0xD7, 0xB1), Array[Byte](
+        (timescaleNs >> 16).toByte, (timescaleNs >> 8).toByte, timescaleNs.toByte)))
+    val cluster1 = eb(Array(0x1F, 0x43, 0xB6, 0x75),
+      eb(Array(0xE7), Array[Byte](0)),
+      simpleBlock(0, 0x80, "AAAAAAAA"),
+      simpleBlock(40, 0x00, "BBBBBBBB"),
+      simpleBlock(60, 0x02, "XXlacedXX")) // Xiph lacing -> skipped
+    val cluster2 = eb(Array(0x1F, 0x43, 0xB6, 0x75),
+      eb(Array(0xE7), Array[Byte](80)),
+      eb(Array(0xA0), // BlockGroup
+        eb(Array(0xA1), Array[Byte](0x81.toByte, 0, 0, 0), "CCCCCCCC".getBytes("ISO-8859-1"))))
+    val segBody = info ++ cluster1 ++ cluster2
+    val seg =
+      if (unknownSegSize)
+        Array(0x18, 0x53, 0x80, 0x67).map(_.toByte) ++
+          Array(0x01, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF).map(_.toByte) ++ segBody
+      else Array(0x18, 0x53, 0x80, 0x67).map(_.toByte) ++
+        Array((0x80 | segBody.length).toByte) ++ segBody
+    ebmlHdr ++ seg
+  }
+
+  test("WebM structural demux: EBML cluster walk yields true spans, times, and skips laced blocks") {
+    val p = fixtureWebm()
+    val info = webmInfo(p).getOrElse(fail("fixture WebM did not parse"))
+    assert(info.timescaleNs == 1000000L)
+    val got = info.samples.map(s =>
+      (new String(p, s.offset.toInt, s.size.toInt, "ISO-8859-1"), s.tMs))
+    assert(got == IndexedSeq(("AAAAAAAA", 0L), ("BBBBBBBB", 40L), ("CCCCCCCC", 80L)))
+    // through the Dataset path
+    val frames = sampleFrames(Seq(MediaRow(11L, "webm", p)).toDS(), sampleEvery = 1)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(f => (new String(f.frame, "ISO-8859-1"), f.t_ms)).toSeq
+      == Seq(("AAAAAAAA", 0L), ("BBBBBBBB", 40L), ("CCCCCCCC", 80L)))
+  }
+
+  test("WebM demux: unknown-size Segment, non-default TimestampScale, junk fallthrough") {
+    val pu = fixtureWebm(unknownSegSize = true)
+    val iu = webmInfo(pu).getOrElse(fail("unknown-size Segment did not parse"))
+    assert(iu.samples.map(_.tMs) == IndexedSeq(0L, 40L, 80L))
+    // 2 ms per tick doubles every timestamp
+    val p2 = fixtureWebm(timescaleNs = 2000000)
+    val i2 = webmInfo(p2).getOrElse(fail("2ms-scale fixture did not parse"))
+    assert(i2.samples.map(_.tMs) == IndexedSeq(0L, 80L, 160L))
+    // junk and truncation parse to None, never garbage spans
+    assert(webmInfo("plain text payload, definitely not EBML".getBytes).isEmpty)
+    assert(webmInfo(fixtureWebm().take(20)).isEmpty)
+  }
 }
