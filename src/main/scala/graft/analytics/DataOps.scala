@@ -200,12 +200,18 @@ object DataOps {
     * NearDupScaleSpec); this entry clusters once (k = 64 first-seed
     * centroids, 2 Lloyd iterations — the `kmeans_cells` trainer) and
     * pairs only within shared top-2 probed cells, so candidate volume
-    * is Σ occupancy² ≈ nProbe²·N²/(2k) and k scales with the corpus.
-    * The oracle replays the WHOLE loop: unrolled Lloyd iterations,
-    * top-2 probe ranking, pair join, exact cosine verify. */
+    * is Σ occupancy² ≈ nProbe²·N²/(2k). k SELF-SCALES as
+    * max(8, ⌈√N⌉) — the canonical IVF regime balancing the O(N·k)
+    * assignment against the O(N²/k) in-cell verify, both ~N^1.5 —
+    * so the same entry stays sane from sf0.001 to sf1 and beyond
+    * (the count is a 1-row parameter fetch; the oracle computes the
+    * identical k with a LIMIT subquery). The oracle replays the
+    * WHOLE loop: unrolled Lloyd iterations, top-2 probe ranking,
+    * pair join, exact cosine verify. */
   def dedupEmbeddingIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val cents = KMeans.fit(emb, k = 64, nIter = 2)
+    val k = math.max(8, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+    val cents = KMeans.fit(emb, k = k, nIter = 2)
     Similarity.nearDupPairsIVF(emb, threshold = 0.4, cents, nProbe = 2)
       .orderBy(col("vec_a").asc, col("vec_b").asc)
   }
@@ -2517,7 +2523,8 @@ object DataOps {
     "dedup_embedding_ivf" ->
       s"""WITH c0 AS (
          |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, embedding AS c
-         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 64)
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC
+         |        LIMIT (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings))
          |), ${dkKmeansIter(1)}, ${dkKmeansIter(2)},
          |iprobe AS (
          |  SELECT vec_id, cell FROM (
