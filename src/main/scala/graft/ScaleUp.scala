@@ -6,7 +6,10 @@ import org.apache.spark.sql.functions._
 /** Scale-rehearsal data generator: synthesizes sf(0.1 × copies) from
   * the sf0.1 harness tables, preserving the properties the catalog's
   * cost profile actually depends on, so the bench can be rehearsed one
-  * decade up (`BENCH_sf1.json`) without driver-side sfN data.
+  * decade up (`BENCH_sf1.json`, copies = 10) or two (`BENCH_sf10.json`,
+  * copies = 100) without driver-side sfN data. Every mutation rule is
+  * collision-free across the full [0, 100) copy range — no pair of
+  * copies shares a name prefix, token suffix, or embedding transform.
   *
   * Scaling rules (TPC-H discipline — facts scale, dims hold):
   *
@@ -37,6 +40,34 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
+  /** Name prefix for copy `c`: doubled-digit form — any two copies
+    * differ in the tens or the units digit, each appearing twice, so
+    * cross-copy edit distance stays >= 2 for every pair up to
+    * copies = 100 (a `c % 10` prefix collides at c ≡ c' mod 10, which
+    * would inflate fuzzy-linkage pair volume quadratically at sf10).
+    * ScaleUpSpec asserts the pairwise distance over the full range. */
+  def namePrefix(c: Int): String =
+    if (c == 0) "" else s"x${c % 10}${c % 10}y${c / 10}${c / 10}"
+
+  /** Embedding transform for copy `c`: circular shift by a
+    * copy-specific lag (same norms, noise-level cross-copy cosine).
+    * With only 63 distinct nonzero lags on a 64-dim vector, copies
+    * beyond 63 also negate the odd coordinates, so no two copies in
+    * [0, 100) share a transform (a `(c*7) % 64` lag rule collides at
+    * c ≡ c' mod 64, which would double near-dup volume for 36 copy
+    * pairs at sf10). ScaleUpSpec asserts pairwise-distinct images. */
+  def embedMutation(c: Int, e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    if (c == 0) e
+    else {
+      val lag = (c % 63) + 1
+      val rotated = concat(slice(e, lag + 1, 64 - lag), slice(e, 1, lag))
+      val signed =
+        if (c <= 63) rotated
+        else zip_with(rotated, sequence(lit(0), lit(63)),
+          (v, i) => when(i % 2 === 1, -v).otherwise(v))
+      signed.cast("array<float>")
+    }
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "bench-data/sf1"
@@ -59,8 +90,11 @@ object ScaleUp {
         mutate(c).foldLeft(df) { case (d, (name, expr)) => d.withColumn(name, expr) }
       }.reduce(_ unionAll _)
 
+    // Partition counts below are tuned for copies = 10; hold per-file
+    // size roughly constant as copies grows another decade.
+    val pScale = math.max(1, copies / 10)
     def write(df: DataFrame, name: String, parts: Int): Unit =
-      df.repartition(parts).write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      df.repartition(parts * pScale).write.mode("overwrite").parquet(s"$dst/$name.parquet")
 
     val cust = Tables.customer(spark, src)
     val ord = Tables.orders(spark, src)
@@ -85,9 +119,8 @@ object ScaleUp {
 
     write(replicate(cust, c => Seq(
       "c_custkey" -> (col("c_custkey") + lit(c * cStr)),
-      // 2-substitution prefix keeps cross-copy edit distance >= 2
       "c_name" -> (if (c == 0) col("c_name")
-        else concat(lit(s"x${c % 10}y${c % 10}"), col("c_name"))))),
+        else concat(lit(namePrefix(c)), col("c_name"))))),
       "customer", 4)
 
     write(replicate(supp, c => Seq(
@@ -121,13 +154,6 @@ object ScaleUp {
 
     write(replicate(emb, c => Seq(
       "vec_id" -> (col("vec_id") + lit(c * vStr)),
-      // circular shift by a copy-specific lag: same norms, noise-level
-      // cross-copy cosine
-      "embedding" -> (if (c == 0) col("embedding")
-        else {
-          val lag = (c * 7) % 64 match { case 0 => 5; case k => k }
-          concat(slice(col("embedding"), lag + 1, 64 - lag),
-            slice(col("embedding"), 1, lag)).cast("array<float>")
-        }))), "embeddings", 2)
+      "embedding" -> embedMutation(c, col("embedding")))), "embeddings", 2)
   }
 }
