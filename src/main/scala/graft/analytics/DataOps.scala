@@ -216,6 +216,35 @@ object DataOps {
       .orderBy(col("vec_a").asc, col("vec_b").asc)
   }
 
+  /** SemDeDup-style semantic prune (Abbas et al. 2023, arXiv
+    * 2303.09540): cluster the corpus once (the self-scaled trained-IVF
+    * index above), find semantic duplicates only WITHIN probed cells
+    * (cos ≥ 0.4), close the pair graph transitively, and keep one
+    * representative per duplicate cluster (min vec_id — the paper
+    * keeps one point per intra-cluster ε-group; min-id is its
+    * deterministic stand-in). Output is the DROP LIST — (pruned
+    * vector, its keeper) — the artifact a curation pipeline actually
+    * feeds downstream, bounded by dup volume, not corpus size. Every
+    * stage is shared machinery: the centroid memo, the IVF candidate
+    * path ([[Similarity.nearDupPairsIVF]]), and the adaptive
+    * connected-components closure ([[Components.connectedComponents]]).
+    * The oracle replays the WHOLE loop — unrolled Lloyd iterations,
+    * top-2 probe, in-cell pairs, cosine verify, recursive-CTE closure,
+    * keeper selection. At 100 TB: training is a bounded parameter
+    * fetch, candidates are Σ occupancy² not N², the closure state is
+    * one label per paired vector (dup volume ≪ corpus). */
+  def semdedupPrune(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val k = math.max(8, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+    val cents = trainedCentroids(emb, dir, k, nIter = 2)
+    val pairs = Similarity.nearDupPairsIVF(emb, threshold = 0.4, cents, nProbe = 2)
+      .select(col("vec_a"), col("vec_b"))
+    Components.connectedComponents(pairs, "vec_a", "vec_b")
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("vec_id"), col("comp").as("keeper_id"))
+      .orderBy(col("vec_id").asc)
+  }
+
   /** Trained-centroid memo, keyed by (corpus dir, k, nIter). The IVF
     * index's training is once-per-corpus state — a real deployment
     * stores the centroid table next to the data and every reader
@@ -1553,6 +1582,34 @@ object DataOps {
        |  FROM tok
        |)""".stripMargin
 
+  /** Verified trained-IVF near-dup pair CTEs — the self-scaled
+    * k-means training (first-seed centroids, 2 unrolled Lloyd
+    * iterations), top-2 cell probe, in-cell pair join, and exact
+    * cosine verify that `dedup_embedding_ivf` and `semdedup_prune`
+    * both replay. Emits `ipairs` (vec_a < vec_b, cos >= 0.4). */
+  private lazy val dkIvfPairCtes =
+    s"""c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, embedding AS c
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC
+       |        LIMIT (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings))
+       |), ${dkKmeansIter(1)}, ${dkKmeansIter(2)},
+       |iprobe AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${dkCosRaw("e.embedding", "c.c")} DESC, c.cell ASC) AS rn
+       |    FROM embeddings e CROSS JOIN c2 c) WHERE rn <= 2
+       |), icands AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM iprobe x JOIN iprobe y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |), ipairs AS (
+       |  SELECT c.vec_a, c.vec_b, ${dkCos("a.embedding", "b.embedding")} AS cos
+       |  FROM icands c
+       |  JOIN embeddings a ON a.vec_id = c.vec_a
+       |  JOIN embeddings b ON b.vec_id = c.vec_b
+       |  WHERE ${dkCos("a.embedding", "b.embedding")} >= 0.4
+       |)""".stripMargin
+
   /** Verified embedding near-dup pair CTEs — the seeded hyperplane
     * LSH banding + exact cosine verify the `dedup_embedding` family
     * replays (32 bands × 4 planes, cos ≥ 0.4). Emits `epairs`
@@ -2535,27 +2592,24 @@ object DataOps {
          |FROM ecomps GROUP BY comp
          |ORDER BY group_id ASC""".stripMargin,
     "dedup_embedding_ivf" ->
-      s"""WITH c0 AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, embedding AS c
-         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC
-         |        LIMIT (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings))
-         |), ${dkKmeansIter(1)}, ${dkKmeansIter(2)},
-         |iprobe AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT e.vec_id, c.cell,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${dkCosRaw("e.embedding", "c.c")} DESC, c.cell ASC) AS rn
-         |    FROM embeddings e CROSS JOIN c2 c) WHERE rn <= 2
-         |), icands AS (
-         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-         |  FROM iprobe x JOIN iprobe y ON x.cell = y.cell AND x.vec_id < y.vec_id
-         |)
-         |SELECT c.vec_a, c.vec_b, ${dkCos("a.embedding", "b.embedding")} AS cos
-         |FROM icands c
-         |JOIN embeddings a ON a.vec_id = c.vec_a
-         |JOIN embeddings b ON b.vec_id = c.vec_b
-         |WHERE ${dkCos("a.embedding", "b.embedding")} >= 0.4
+      s"""WITH $dkIvfPairCtes
+         |SELECT vec_a, vec_b, cos FROM ipairs
          |ORDER BY vec_a ASC, vec_b ASC""".stripMargin,
+    "semdedup_prune" ->
+      s"""WITH RECURSIVE $dkIvfPairCtes,
+         |sedges AS (
+         |  SELECT vec_a AS a, vec_b AS b FROM ipairs
+         |  UNION ALL SELECT vec_b, vec_a FROM ipairs
+         |), sreach(id, r) AS (
+         |  SELECT a, a FROM sedges
+         |  UNION
+         |  SELECT e.a, sreach.r FROM sedges e JOIN sreach ON sreach.id = e.b
+         |), scomps AS (
+         |  SELECT id, min(r) AS comp FROM sreach GROUP BY id
+         |)
+         |SELECT id AS vec_id, comp AS keeper_id FROM scomps
+         |WHERE id <> comp
+         |ORDER BY vec_id ASC""".stripMargin,
     "embed_outliers" ->
       s"""WITH ex AS (
          |  SELECT label, unnest(embedding) AS v,
@@ -3204,6 +3258,7 @@ object DataOps {
     "dedup_embedding"   -> (dedupEmbedding _),
     "dedup_embedding_groups" -> (dedupEmbeddingGroups _),
     "dedup_embedding_ivf" -> (dedupEmbeddingIvf _),
+    "semdedup_prune"    -> (semdedupPrune _),
     "asof_attribution"  -> (asofAttribution _),
     "range_views_before_purchase" -> (rangeViewsBeforePurchase _),
     "dedup_groups"      -> (dedupGroups _),
