@@ -52,7 +52,7 @@ object CorpusOps {
     }
 
   private val shardPlanSql: String = {
-    val okey = s"md5(concat_ws(':', '$ShardSeed', CAST(doc_id AS VARCHAR)))"
+    val okey = s"md5(concat_ws(':', '$ShardSeed', CAST(doc_id AS VARCHAR(30))))"
     s"""WITH keyed AS (
        |  SELECT doc_id, n_chars, $okey AS okey FROM documents
        |), sharded AS (
@@ -331,7 +331,7 @@ object CorpusOps {
       "doc_id", size(split(col("text"), " ")), NShards, ShardSeed, SeqLen)
 
   private val packPlanSql: String = {
-    val okey = s"md5(concat_ws(':', '$ShardSeed', CAST(doc_id AS VARCHAR)))"
+    val okey = s"md5(concat_ws(':', '$ShardSeed', CAST(doc_id AS VARCHAR(30))))"
     s"""WITH keyed AS (
        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
        |         $okey AS okey

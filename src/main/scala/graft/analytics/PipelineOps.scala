@@ -21,7 +21,10 @@ import graft.sources.LayerWriter
   */
 object PipelineOps {
 
-  private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  // Timestamps render through CAST-to-string: both engines trim
+  // trailing fractional zeros identically ('…03.45', '…03', '…03.456789'),
+  // so the same text is VERBATIM-portable (strftime's %f is DuckDB-only
+  // and date_format is Spark-only — SqlFrontEndSpec).
 
   /** M1 analogue — staging model: typed projection, JSON payload
     * extraction, sha256 surrogate keys over '|'-joined natural keys
@@ -62,7 +65,7 @@ object PipelineOps {
       .select(
         col("user_id"),
         col("event_type").as("last_event_type"),
-        date_format(col("ts"), tsFmt).as("last_seen_ts"),
+        col("ts").cast("string").as("last_seen_ts"),
         Cols.r(col("value"), 4).as("last_value"))
       .orderBy(col("user_id").asc)
   }
@@ -89,7 +92,7 @@ object PipelineOps {
       .unionByName(source)
       .select(
         col("user_id"), col("batch"),
-        date_format(col("ts"), tsFmt).as("ts_str"),
+        col("ts").cast("string").as("ts_str"),
         Cols.r(col("value"), 4).as("value"))
       .orderBy(col("user_id").asc)
   }
@@ -240,7 +243,7 @@ object PipelineOps {
         |  FROM events
         |)
         |SELECT user_id, event_type AS last_event_type,
-        |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_seen_ts,
+        |       CAST(ts AS VARCHAR(30)) AS last_seen_ts,
         |       floor((value) * 1e4 + 0.5) / 1e4 AS last_value
         |FROM ranked WHERE rn = 1
         |ORDER BY user_id ASC""".stripMargin,
@@ -260,7 +263,7 @@ object PipelineOps {
         |  SELECT * FROM src WHERE rn = 1
         |)
         |SELECT user_id, batch,
-        |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        |       CAST(ts AS VARCHAR(30)) AS ts_str,
         |       floor((value) * 1e4 + 0.5) / 1e4 AS value
         |FROM merged
         |ORDER BY user_id ASC""".stripMargin,
