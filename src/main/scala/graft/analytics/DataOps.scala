@@ -45,8 +45,8 @@ object DataOps {
     * ([[Similarity.gaussianPlanes]]) — one constant so the engine
     * queries and the oracle literals below can never drift. TESTDATA
     * embeddings are 64-dim at every scale factor. */
-  private val lshSeed = 42L
-  private val embDim = 64
+  private[analytics] val lshSeed = 42L
+  private[analytics] val embDim = 64
 
   /** The seeded plane matrix as a DuckDB CTE body: integer-grid
     * literals divided by 1024 — every coordinate m/1024 is exactly
@@ -171,11 +171,40 @@ object DataOps {
     * (the pair dump, the iterative component closure) reads the
     * cached thin frame — without this the label-propagation loop
     * re-runs the whole candidate pipeline EVERY round. */
+  /** Vector-count budget for the banded 32×4 hyperplane family at the
+    * permissive cos ≥ 0.4 threshold. A random pair co-buckets in SOME
+    * band with p ≈ 0.87 (measured, NearDupScaleSpec), so banded
+    * candidate volume is ~0.87·N²/2 — quadratic no matter the box. The
+    * sf10 rehearsal measured the cliff: at N = 200k the pair join's
+    * shuffle spill filled a 77 GB disk and the stage died. Under the
+    * budget (every oracle SF, and sf1's 20k vectors) the banded path
+    * runs — it is the compat parameterization the oracle replays;
+    * above it the pair graph comes from the trained-IVF candidate
+    * path (same 0.4 verify threshold, Σ occupancy² ≈ nProbe²·N²/2k
+    * candidates with k ∝ √N), the same adaptive-dispatch pattern as
+    * [[Components.connectedComponents]]'s union-find/distributed
+    * switch: pick the strategy from a measured statistic. */
+  private val BandedVectorLimit = 50000L
+
   private def embPairGraph(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Persisted.index(
-      Similarity.nearDupPairs(Tables.embeddings(spark, dir), threshold = 0.4,
-          bands = 32, planesPerBand = 4,
-          planesOpt = Some(Similarity.gaussianPlanes(lshSeed, 128, embDim))))
+    embPairGraphAdaptive(Tables.embeddings(spark, dir), dir)
+
+  /** Dispatch core, bandedLimit injectable so DataOpsDispatchSpec can
+    * force each branch on small data and pin the decision. */
+  private[analytics] def embPairGraphAdaptive(emb: DataFrame, dir: String,
+      bandedLimit: Long = BandedVectorLimit): DataFrame = {
+    if (emb.count() <= bandedLimit)
+      graft.operators.Persisted.index(
+        Similarity.nearDupPairs(emb, threshold = 0.4,
+            bands = 32, planesPerBand = 4,
+            planesOpt = Some(Similarity.gaussianPlanes(lshSeed, 128, embDim))))
+    else {
+      val k = math.max(8, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+      graft.operators.Persisted.index(
+        Similarity.nearDupPairsIVF(emb, threshold = 0.4,
+          trainedCentroids(emb, dir, k, nIter = 2), nProbe = 2))
+    }
+  }
 
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     embPairGraph(spark, dir)

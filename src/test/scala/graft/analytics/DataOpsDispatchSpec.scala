@@ -1,0 +1,41 @@
+package graft.analytics
+
+import graft.{SparkSpec, Tables}
+import graft.operators.{KMeans, Similarity}
+import org.apache.spark.sql.DataFrame
+
+/** Pins the embedding-pair-graph dispatch decision (the sf10-measured
+  * fix): under the banded vector budget the pair graph is the 32×4
+  * seeded hyperplane family, above it the trained-IVF candidate path.
+  * The limit is injected so both branches run on the same small corpus
+  * and each is asserted equal to its path's direct output — a broken
+  * dispatch (always-banded, always-IVF, inverted comparison) fails one
+  * of the two equalities. */
+class DataOpsDispatchSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("N <= limit dispatches to the banded 32x4 family") {
+    val emb = Tables.embeddings(spark, dir)
+    val got = DataOps.embPairGraphAdaptive(emb, dir) // 500 vectors, default budget 50k
+    val banded = Similarity.nearDupPairs(emb, threshold = 0.4,
+      bands = 32, planesPerBand = 4,
+      planesOpt = Some(Similarity.gaussianPlanes(DataOps.lshSeed, 128, DataOps.embDim)))
+    assert(pairSet(got) == pairSet(banded))
+    assert(pairSet(got).nonEmpty)
+  }
+
+  test("N > limit dispatches to the trained-IVF candidate path") {
+    val emb = Tables.embeddings(spark, dir)
+    val got = DataOps.embPairGraphAdaptive(emb, dir, bandedLimit = 10)
+    val k = math.max(8, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+    val ivf = Similarity.nearDupPairsIVF(emb, threshold = 0.4,
+      KMeans.fit(emb, k, nIter = 2), nProbe = 2)
+    assert(pairSet(got) == pairSet(ivf))
+    assert(pairSet(got).nonEmpty)
+  }
+}
