@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.functions.{call_function, lit, typedLit}
-import graft.functions.{DotProduct, HyperplaneKeys, Q8Quantize, TextHashExprs, TopCells}
+import graft.functions.{BloomTest, DotProduct, HyperplaneKeys, Q8Quantize, TextHashExprs, TopCells}
 
 /** Session extension registering graft's native Catalyst functions —
   * enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
@@ -35,6 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       TextHashExprs.winnowInfo, TextHashExprs.winnowBuilder))
     ext.injectFunction((FunctionIdentifier("graft_top_cells"),
       TopCells.info, TopCells.builder))
+    ext.injectFunction((FunctionIdentifier("graft_bloom_test"),
+      BloomTest.info, BloomTest.builder))
   }
 }
 
@@ -51,7 +53,7 @@ object GraftFunctions {
     * build) self-heals instead of skipping the additions. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier("graft_top_cells"))) {
+    if (!reg.functionExists(FunctionIdentifier("graft_bloom_test"))) {
       reg.createOrReplaceTempFunction("graft_dot", DotProduct.builder, "built-in")
       reg.createOrReplaceTempFunction("graft_token_hashes", TextHashExprs.tokenBuilder, "built-in")
       reg.createOrReplaceTempFunction("graft_shingle_hashes", TextHashExprs.shingleBuilder, "built-in")
@@ -63,6 +65,7 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction("graft_gram_hashes", TextHashExprs.gramBuilder, "built-in")
       reg.createOrReplaceTempFunction("graft_winnow", TextHashExprs.winnowBuilder, "built-in")
       reg.createOrReplaceTempFunction("graft_top_cells", TopCells.builder, "built-in")
+      reg.createOrReplaceTempFunction("graft_bloom_test", BloomTest.builder, "built-in")
     }
     // the HOF-dot rewrite for sessions built without the extensions
     // config; experimental.extraOptimizations runs in the same
