@@ -89,12 +89,13 @@ object DataOps {
       .orderBy(col("doc_a").asc, col("doc_b").asc)
 
   /** PRODUCTION-HASH MinHash-LSH path (xxHash64-mod-P token family —
-    * the family a real 100 TB run would use, engine-private): DuckDB
-    * cannot replay xxHash64, so this entry has NO oracle SQL (driver
-    * records the weaker rows-only check) — its correctness gate is
-    * TextDedupSpec's pair-set-equality assertions vs the portable
-    * family (fixture + sf0.01), and its purpose here is a measured
-    * sf0.1 bench number for the production path. */
+    * the family a real 100 TB run would use). Hard-oracle-gated like
+    * every other entry: the DuckDB mirror replays full xxHash64 in
+    * HUGEINT arithmetic ([[dkFastTokCtes]] — 64-bit wraparound via
+    * split multiplies, signed-view mod P), so the driver's
+    * rows/schema/hash compare covers the production family too, on
+    * top of TextDedupSpec's pair-set-equality gate vs the portable
+    * family. */
   def dedupMinhashFast(spark: SparkSession, dir: String): DataFrame =
     TextDedup.minhashLshPairs(Tables.documents(spark, dir),
         n = 3, numHashes = 16, bands = 8, threshold = 0.5, fast = true)
@@ -1785,6 +1786,77 @@ object DataOps {
        |  JOIN sizes sb ON sb.doc_id = doc_b
        |)""".stripMargin
 
+  /** DuckDB mirror of the PRODUCTION token-hash family
+    * ([[graft.functions.TokenHashesFast]]): full xxHash64 (seed 42,
+    * little-endian byte reads, the < 32-byte input path) over each
+    * token's UTF-8 bytes, then Java's `((h % P) + P) % P` applied to
+    * the SIGNED 64-bit view of the digest — bit-for-bit the engine
+    * expression. 64-bit wraparound lives in HUGEINT arithmetic:
+    * every multiply splits its left operand into 32-bit halves so no
+    * intermediate exceeds 2^96 (< 2^127), rotations are
+    * shift-mod-2^64 plus logical right shift (`//` on non-negative
+    * values), and the avalanche xors run on HUGEINTs. Byte access
+    * parses hex(encode(w)) pairwise — strpos over '123456789ABCDEF'
+    * maps '0' to 0 via not-found, 'F' to 15. Inputs >= 32 bytes
+    * would need xxHash64's four-accumulator stripe phase, which this
+    * mirror deliberately omits: the `n` CTE fails LOUDLY (string →
+    * HUGEINT cast) on such a token instead of hashing it wrong.
+    * Chain ends in `tok` (doc_id, th) — the exact shape dkSizes'
+    * `tok` has for the portable family, so every downstream shingle/
+    * minhash/band/Jaccard CTE is shared verbatim. */
+  private lazy val dkFastTokCtes: String = {
+    val M64 = "18446744073709551616" // 2^64
+    val p1 = "11400714785074694791"  // xxHash64 PRIME64_1
+    val p2 = "14029467366897019727"  // PRIME64_2
+    val p3 = "1609587929392839161"   // PRIME64_3
+    val p4 = "9650029242287828579"   // PRIME64_4
+    val p5 = "2870177450012600261"   // PRIME64_5
+    def mul64(a: String, b: String) = // (a*b) mod 2^64, a,b in [0, 2^64)
+      s"((($a) % 4294967296) * ($b) + (((($a) // 4294967296) * (($b) % 4294967296)) % 4294967296) * 4294967296) % $M64"
+    def rotl(x: String, r: Int) =
+      s"((($x) * ${1L << r}) % $M64 + ($x) // ${java.math.BigInteger.ONE.shiftLeft(64 - r)})"
+    def xxor(a: String, b: String) = s"xor(CAST($a AS HUGEINT), CAST($b AS HUGEINT))"
+    def le(p: String, nb: Int) = // little-endian read of nb bytes at 1-indexed pos p
+      (0 until nb).map(j => s"b[CAST(($p)+$j AS BIGINT)] * ${1L << (8 * j)}").mkString("(", " + ", ")")
+    val byts = "list_transform(generate_series(1, CAST(octet_length(encode(w)) AS BIGINT)), " +
+      "i -> CAST(strpos('123456789ABCDEF', substr(hex(encode(w)), 2*i-1, 1)) AS HUGEINT) * 16 " +
+      "+ strpos('123456789ABCDEF', substr(hex(encode(w)), 2*i, 1)))"
+    val h0 = s"CAST((42 + $p5 + n) AS HUGEINT)" // seed + PRIME64_5, then + len
+    val kr = mul64(s"(${rotl(s"(${mul64(le("s", 8), p2)})", 31)})", p1)
+    val h8 = s"(${mul64(rotl(s"(${xxor("acc", kr)})", 27), p1)} + $p4) % $M64"
+    val fold8 = s"list_reduce(list_prepend($h0, list_transform(generate_series(1, CAST(n // 8 AS BIGINT)), " +
+      s"c -> CAST(8*(c-1)+1 AS HUGEINT))), (acc, s) -> $h8)"
+    val h4x = xxor("h1", mul64(le("(8*(n//8))+1", 4), p1))
+    val h4 = s"(${mul64(rotl(s"($h4x)", 23), p2)} + $p3) % $M64"
+    val hb = mul64(rotl(s"(${xxor("acc", mul64("b[CAST(p AS BIGINT)]", p5))})", 11), p1)
+    val foldb = s"list_reduce(list_prepend(CAST(h2 AS HUGEINT), " +
+      s"list_transform(generate_series(CAST(8*(n//8) + CASE WHEN n % 8 >= 4 THEN 4 ELSE 0 END + 1 AS BIGINT), CAST(n AS BIGINT)), " +
+      s"p -> CAST(p AS HUGEINT))), (acc, p) -> $hb)"
+    val av1 = mul64(xxor("h3", "h3 // 8589934592"), p2)   // h ^= h >> 33; h *= P2
+    val av2 = mul64(xxor("a1", "a1 // 536870912"), p3)    // h ^= h >> 29; h *= P3
+    val av3 = xxor("a2", "a2 // 4294967296")              // h ^= h >> 32
+    val jl = s"CASE WHEN u < 9223372036854775808 THEN u ELSE u - $M64 END"
+    val fin = s"CAST(((($jl) % $P + $P) % $P) AS BIGINT)"
+    s"""xw AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(ws))) AS ord, ws
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+       |), xtok AS (SELECT doc_id, ord, ws[ord] AS w FROM xw),
+       |xb AS (
+       |  SELECT doc_id, ord, $byts AS b,
+       |         CASE WHEN octet_length(encode(w)) >= 32
+       |              THEN CAST('xxh64 mirror requires tokens < 32 bytes' AS HUGEINT)
+       |              ELSE CAST(octet_length(encode(w)) AS HUGEINT) END AS n
+       |  FROM xtok
+       |), xh1 AS (SELECT doc_id, ord, b, n, $fold8 AS h1 FROM xb),
+       |xh2 AS (SELECT doc_id, ord, b, n, CASE WHEN n % 8 >= 4 THEN $h4 ELSE h1 END AS h2 FROM xh1),
+       |xh3 AS (SELECT doc_id, ord, n, $foldb AS h3 FROM xh2),
+       |xa1 AS (SELECT doc_id, ord, $av1 AS a1 FROM xh3),
+       |xa2 AS (SELECT doc_id, ord, $av2 AS a2 FROM xa1),
+       |xu AS (SELECT doc_id, ord, $av3 AS u FROM xa2),
+       |xf AS (SELECT doc_id, ord, $fin AS hv FROM xu),
+       |tok AS (SELECT doc_id, list(hv ORDER BY ord ASC) AS th FROM xf GROUP BY doc_id)""".stripMargin
+  }
+
   /** Shared passage CTEs (w = 4, non-overlapping windows, trailing
     * partial dropped) — mirrors Passages.withPassages exactly.
     * DuckDB's generate_series(1, 0) is empty (no descending surprise),
@@ -2237,6 +2309,31 @@ object DataOps {
         |ORDER BY event_type ASC, rank ASC""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $dkSizes,
+         |sigs AS (
+         |  SELECT doc_id,
+         |         list_transform(generate_series(0, 15),
+         |           i -> list_min(list_transform($dkShingles,
+         |                  h -> (CAST(2*i+1 AS BIGINT) * h + 999983 * CAST(i AS BIGINT)) % $P))) AS minhash
+         |  FROM tok
+         |), bandsx AS (
+         |  SELECT doc_id, b.b AS band, list_slice(minhash, b.b * 2 + 1, b.b * 2 + 2) AS key
+         |  FROM sigs CROSS JOIN generate_series(0, 7) AS b(b)
+         |), cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bandsx a JOIN bandsx b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |), $dkJaccardPairs
+         |SELECT j.doc_a, j.doc_b, j.jaccard
+         |FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+         |WHERE j.jraw >= 0.5
+         |ORDER BY j.doc_a ASC, j.doc_b ASC""".stripMargin,
+    // The PRODUCTION-hash entry, hard-gated at last: identical pipeline to
+    // dedup_minhash_lsh, with `tok` swapped for the full xxHash64 replay
+    // (dkFastTokCtes). Every CTE below the token hashes is shared verbatim.
+    "dedup_minhash_fast" ->
+      s"""WITH $dkFastTokCtes,
+         |sh AS (SELECT doc_id, unnest($dkShingles) AS sh FROM tok),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
          |sigs AS (
          |  SELECT doc_id,
          |         list_transform(generate_series(0, 15),
