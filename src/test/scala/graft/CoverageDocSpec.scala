@@ -14,7 +14,9 @@ class CoverageDocSpec extends AnyFunSuite {
       java.nio.file.Paths.get("COVERAGE.md")), java.nio.charset.StandardCharsets.UTF_8)
 
   test("COVERAGE.md headline count == SparkEntry.queries.size") {
-    val m = """Current catalog: (\d+) entries — (\d+) oracle-gated""".r
+    // tolerate the "ALL N oracle-gated" phrasing (since r6 every entry
+    // has an oracle) as well as the older "M oracle-gated" form
+    val m = """Current catalog: (\d+) entries — (?:ALL )?(\d+) oracle-gated""".r
       .findFirstMatchIn(coverage)
       .getOrElse(fail("COVERAGE.md lost its 'Current catalog: N entries' line"))
     assert(m.group(1).toInt == SparkEntry.queries.size,
@@ -23,12 +25,25 @@ class CoverageDocSpec extends AnyFunSuite {
       s"doc says ${m.group(2)} oracle-gated but oracleSql has ${SparkEntry.oracleSql.size}")
   }
 
-  test("every oracle key is also a query; only dedup_minhash_fast lacks an oracle") {
+  test("oracle keys and query keys are identical — every entry is oracle-gated") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
-    assert(q -- o == Set("dedup_minhash_fast"),
-      s"queries without an oracle: ${(q -- o).toSeq.sorted}")
+    assert((q -- o).isEmpty, s"queries without an oracle: ${(q -- o).toSeq.sorted}")
+  }
+
+  test("COVERAGE.md's verbatim two-engine count == SqlFrontEndSpec.ansiPortable.size") {
+    val m = """verbatim two-engine SQL set at (\d+) entries""".r
+      .findFirstMatchIn(coverage)
+      .getOrElse(fail("COVERAGE.md lost its 'verbatim two-engine SQL set at N entries' line"))
+    assert(m.group(1).toInt == SqlFrontEndSpec.ansiPortable.size,
+      s"doc says ${m.group(1)} verbatim entries but ansiPortable has ${SqlFrontEndSpec.ansiPortable.size}")
+    // the prose count in the SQL-front-end section must agree too
+    val p = """ANSI subset of the oracle catalog \((\d+) queries""".r
+      .findFirstMatchIn(coverage)
+      .getOrElse(fail("COVERAGE.md lost its 'ANSI subset of the oracle catalog (N queries' line"))
+    assert(p.group(1).toInt == SqlFrontEndSpec.ansiPortable.size,
+      s"doc prose says ${p.group(1)} ANSI queries but ansiPortable has ${SqlFrontEndSpec.ansiPortable.size}")
   }
 
   test("every catalog entry name appears in COVERAGE.md") {

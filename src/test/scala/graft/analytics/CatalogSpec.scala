@@ -17,13 +17,9 @@ class CatalogSpec extends SparkSpec {
   }
 
   test("every query has an oracle, every oracle has a query") {
-    // entries whose algorithm the oracle CANNOT replay (engine-private
-    // hash families) — each must name its replacement gate here
-    val noOracleByDesign = Set(
-      "dedup_minhash_fast" // xxHash64-mod-P; gate = TextDedupSpec pair-set equality vs portable family
-    )
-    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet -- noOracleByDesign)
-    assert(noOracleByDesign.subsetOf(SparkEntry.queries.keySet))
+    // since r6 (xxHash64 replayed in DuckDB HUGEINT SQL) every entry —
+    // including dedup_minhash_fast — carries a full hash-gated oracle
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
   }
 
   test("q1 returns exactly 10 brands ordered by revenue desc") {
