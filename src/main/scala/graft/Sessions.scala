@@ -31,9 +31,12 @@ object Sessions {
       // recompiles everything it evicted (Janino, ~50-200 ms each) —
       // the dominant source of run-to-run jitter on small-SF benches
       .config("spark.sql.codegen.cache.maxEntries", "2000")
-      // saveAsTable (bucketed layouts) must not litter the launch dir
+      // saveAsTable (bucketed layouts) must not litter the launch dir;
+      // RAM-backed when available — warehouse tables written by the
+      // catalog are query-local scratch, so disk fsyncs are overhead
+      // (a production deployment points this at durable storage)
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+        graft.sources.LocalFs.scratchDir("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

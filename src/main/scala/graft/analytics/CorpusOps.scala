@@ -456,7 +456,11 @@ object CorpusOps {
         pmod(col("user_id"), lit(256L)).as("x"),
         dayofmonth(col("ts")).cast("long").as("y"),
         col("event_id"), col("value"))
-    val work = java.nio.file.Files.createTempDirectory("graft_zorder_read")
+    // RAM-backed scratch (same rationale as the streaming gates): the
+    // 16-file layout lives only for this query, so disk fsyncs are
+    // pure overhead — the r6 bench's zorder_read ×2 drift was tmpdir
+    // write latency, not plan cost
+    val work = graft.sources.LocalFs.scratchDir("graft_zorder_read")
     ZOrder.writeZOrdered(ev, "x", "y", bits = ZBits, targetFiles = 16, work.toString)
     val rollup = spark.read.parquet(work.toString)
       .filter(col("x").between(32, 47) && col("y").between(10, 19))

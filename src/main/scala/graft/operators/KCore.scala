@@ -25,15 +25,38 @@ import org.apache.spark.storage.StorageLevel
   */
 object KCore {
 
+  /** Edge budget for the exact driver path — the same bound class as
+    * [[Components.DriverEdgeLimit]] / [[PageRank.DriverEdgeLimit]]. */
+  val DriverEdgeLimit: Long = 1L << 21
+
   /** Nodes of the k-core of the undirected graph in `edges`, with
     * their in-core degree: (id, core_deg), core_deg ≥ k. Empty when
     * no k-core exists. Self-loops are dropped and edge direction is
     * ignored ([[Components.symmetrize]] — the same graph semantics as
-    * every other graph operator here). */
+    * every other graph operator here).
+    *
+    * Adaptive execution (the [[Components.connectedComponents]]
+    * pattern): at or under `driverEdgeLimit` edges (one bounded
+    * limit-probe) the peel runs exactly on the driver
+    * ([[kCoreLocal]] — Matula–Beck with a cascade queue, zero
+    * per-round job latency); above it the distributed round loop
+    * runs. The fixpoint is unique, so both paths return the identical
+    * (id, core_deg) set (pinned in KCoreSpec with
+    * `driverEdgeLimit = 0`). */
   def kCore(edges: DataFrame, src: String = "src", dst: String = "dst",
-      k: Int = 2, maxIter: Int = 50): DataFrame = {
+      k: Int = 2, maxIter: Int = 50,
+      driverEdgeLimit: Long = DriverEdgeLimit): DataFrame = {
     require(k >= 1, "kCore needs k >= 1")
-    var e = Components.symmetrize(edges, src, dst)
+    val spark = edges.sparkSession
+    val norm = edges.select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst") && col("src").isNotNull && col("dst").isNotNull)
+    if (driverEdgeLimit > 0 && norm.limit((driverEdgeLimit + 1).toInt).count() <= driverEdgeLimit) {
+      import spark.implicits._
+      return spark.createDataset(
+          kCoreLocal(norm.as[(Long, Long)].collect(), k).toSeq)
+        .toDF("id", "core_deg")
+    }
+    var e = Components.symmetrize(norm, "src", "dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
     var nNodes = e.select(col("src")).distinct().count()
     var iter = 0
@@ -59,5 +82,44 @@ object KCore {
     // lazily-returned core — dropping them here would orphan it, and
     // the lineage is truncated so it could not recompute)
     e.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** Exact driver-side peel — semantics-for-semantics the distributed
+    * loop's twin: symmetrize + dedup, then cascade-remove nodes whose
+    * live degree drops below k (each removal decrements its
+    * neighbors' sets, enqueueing any neighbor that just crossed the
+    * threshold). Survivor degrees count only surviving neighbors —
+    * exactly the distributed loop's final per-src edge count. The
+    * k-core fixpoint is unique regardless of peel order, so the two
+    * paths agree exactly. */
+  private[operators] def kCoreLocal(rawEdges: Array[(Long, Long)], k: Int): Array[(Long, Long)] = {
+    import scala.collection.mutable
+    val nbrs = mutable.HashMap.empty[Long, mutable.HashSet[Long]]
+    rawEdges.foreach { case (a, b) =>
+      if (a != b) {
+        nbrs.getOrElseUpdate(a, mutable.HashSet.empty) += b
+        nbrs.getOrElseUpdate(b, mutable.HashSet.empty) += a
+      }
+    }
+    val removed = mutable.HashSet.empty[Long]
+    val queue = mutable.ArrayDeque.empty[Long]
+    nbrs.foreach { case (u, s) => if (s.size < k) queue += u }
+    while (queue.nonEmpty) {
+      val u = queue.removeHead()
+      if (!removed.contains(u)) {
+        removed += u
+        nbrs(u).foreach { v =>
+          if (!removed.contains(v)) {
+            val s = nbrs(v)
+            s -= u
+            if (s.size == k - 1) queue += v // just crossed below k
+          }
+        }
+      }
+    }
+    nbrs.iterator
+      .filter { case (u, s) => !removed.contains(u) && s.size >= k }
+      .map { case (u, s) => (u, s.size.toLong) }
+      .toArray
   }
 }

@@ -26,6 +26,20 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** ImageIO defaults to DISK-backed stream caches: every
+    * `ImageIO.read`/`write`/`createImageInputStream` call creates and
+    * deletes a temp file, so per-row PNG work pays a filesystem round
+    * trip per image — measured ~4× slower single-threaded (250 ms vs
+    * 66 ms for 500 8×8 encode+decode round trips) and worse under 32
+    * concurrent tasks contending on the temp directory (the r6
+    * mm_image_dhash ×6 bench regression: 2000 vectors × ~0.5 ms of
+    * temp-file churn per pass). Our payloads are small in-memory
+    * byte arrays; memory-backed caches are strictly better. JVM-global
+    * and idempotent — each executor JVM flips it once on first touch
+    * of any ImageIO entry point via this lazy. */
+  private lazy val imageIOMemCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** An opaque media row: payload + the metadata a real pipeline
     * carries alongside (dimensions unknown until decode). */
   case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
@@ -120,6 +134,7 @@ object Multimodal {
     * to [[decodeStub]]; video/audio remain the documented stub splice
     * point (no demuxer in the JDK). */
   def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+    imageIOMemCache
     val img =
       if (imageDims(payload).isEmpty) None
       else try Option(javax.imageio.ImageIO.read(
@@ -293,6 +308,7 @@ object Multimodal {
     * to the next demuxer). */
   private def gifFrames(mediaId: Long, p: Array[Byte], sampleEvery: Int): Option[Iterator[FrameRow]] = {
     if (p.length < 6 || p(0) != 'G' || p(1) != 'I' || p(2) != 'F' || p(3) != '8') return None
+    imageIOMemCache
     val in = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(p))
     val readers = javax.imageio.ImageIO.getImageReaders(in)
     if (!readers.hasNext) { in.close(); return None }
@@ -774,6 +790,7 @@ object Multimodal {
     * exact samples — byte-level encoder details (chunking, filters)
     * never matter downstream. */
   def encodeGrayPng(levels: Array[Int], w: Int, h: Int): Array[Byte] = {
+    imageIOMemCache
     require(levels.length == w * h, s"need $w*$h levels, got ${levels.length}")
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -794,6 +811,7 @@ object Multimodal {
     * raster that is 56 bits in a Long. Returns None when the payload
     * is not a decodable raster. */
   def imageDHash(payload: Array[Byte]): Option[Long] = {
+    imageIOMemCache
     val img = try Option(javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(payload)))
     catch { case _: Exception => None }

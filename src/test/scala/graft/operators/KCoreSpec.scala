@@ -56,6 +56,18 @@ class KCoreSpec extends SparkSpec {
     assert(c == adj.map { case (n, ns) => n -> ns.size.toLong })
   }
 
+  test("driver and distributed paths agree exactly (adaptive dispatch is invisible)") {
+    val rng = new scala.util.Random(73)
+    val edges = Seq.fill(150)((rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    Seq(1, 2, 3).foreach { k =>
+      val viaDriver = KCore.kCore(g(edges: _*), k = k).as[(Long, Long)].collect().toMap
+      val viaCluster = KCore.kCore(g(edges: _*), k = k, driverEdgeLimit = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(viaDriver == viaCluster, s"k=$k")
+    }
+  }
+
   test("empty input yields an empty core, not a crash") {
     assert(core(g(), k = 2).isEmpty)
   }

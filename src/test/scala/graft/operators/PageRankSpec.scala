@@ -32,6 +32,16 @@ class PageRankSpec extends SparkSpec {
     assert(a == b) // exact double equality, not approximate
   }
 
+  test("driver and distributed paths are BIT-equal (adaptive dispatch is invisible)") {
+    val rng = new scala.util.Random(91)
+    val edges = Seq.fill(300)((rng.nextInt(80).toLong, rng.nextInt(80).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val viaDriver = PageRank.ranks(edges, nIter = 4).as[(Long, Double)].collect().toMap
+    val viaCluster = PageRank.ranks(edges, nIter = 4, driverEdgeLimit = 0)
+      .as[(Long, Double)].collect().toMap
+    assert(viaDriver == viaCluster) // exact double equality — the 1e-12 grid makes sums order-free
+  }
+
   test("empty edge set yields an empty ranking; self-loops are ignored") {
     assert(PageRank.ranks(Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
     val r = PageRank.ranks(Seq((1L, 1L), (1L, 2L)).toDF("src", "dst"), nIter = 2)
