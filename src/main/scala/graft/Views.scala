@@ -54,5 +54,96 @@ object Views {
     // DuckDB json_extract_string(json, path) ≡ Spark get_json_object
     spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION json_extract_string(j STRING, p STRING) " +
       "RETURNS STRING RETURN get_json_object(j, p)")
+    // NOTE on date_diff: not bridgeable. Spark's PARSER special-cases
+    // `date_diff` with keyword units before any function resolution,
+    // so DuckDB's quoted-unit spelling is a ParseException no registry
+    // entry can intercept (measured: INVALID_PARAMETER_VALUE
+    // .DATETIME_UNIT). Day differences in the shared dialect go
+    // through epoch arithmetic instead —
+    // floor((epoch_us(CAST(b AS TIMESTAMP)) − epoch_us(CAST(a AS
+    // TIMESTAMP))) / 86400000000.0) — exact for DATE operands (both
+    // epochs are integer multiples of a day in µs, and the magnitudes
+    // are far below 2^53, so the double division is exact).
+    registerDuckAliases(spark)
+  }
+
+  /** DuckDB-name ALIASES for Spark-native functions, registered as
+    * expression builders that return an `UnresolvedFunction` on the
+    * Spark spelling — the analyzer's fixpoint loop resolves that to
+    * the normal builtin on the next pass, so every alias inherits the
+    * native implementation (and codegen) wholesale. A SQL `CREATE
+    * FUNCTION` cannot express these (generators and lambdas aren't
+    * SQL-UDF-able, and `encode` would hit
+    * CANNOT_REPLACE_NON_SQL_UDF); the registry route can. Bridged
+    * only where the semantic contract matches exactly:
+    *
+    *  - `unnest(arr)` ≡ `explode(arr)` (one row per element in the
+    *    select list, zero rows for NULL/empty — both engines);
+    *  - `string_split(s, sep)` ≡ `split(s, quote(sep), -1)` — DuckDB
+    *    splits on a LITERAL separator, Spark on a regex, so the
+    *    separator must be a literal and is regex-quoted (trailing
+    *    empty fields kept by both);
+    *  - 1-arg `encode(s)` ≡ `encode(s, 'UTF-8')` (UTF-8 bytes — the
+    *    DuckDB contract); 2-arg calls pass through to the builtin;
+    *  - `list_transform/list_filter` ≡ `transform/filter` (the
+    *    `x -> expr` lambda syntax parses identically);
+    *  - `list_min/list_max/list_distinct` ≡
+    *    `array_min/array_max/array_distinct` (NULLs skipped by both
+    *    min/max);
+    *  - `len(arr)` ≡ `size(arr)` — bridged for LISTS only (the only
+    *    use the shared dialect needs); string `len` resolves to a
+    *    loud analysis error rather than a silent count difference;
+    *  - scalar `generate_series(a, b[, step])` ≡ `sequence` (both
+    *    ends inclusive on both engines). The table-function form
+    *    (`FROM generate_series(...)`) stays unbridgeable and fails
+    *    loudly at parse.
+    *
+    * NOT bridged, deliberately: `list_sum` (DuckDB widens to
+    * HUGEINT; Spark `aggregate` needs an element-typed zero — a
+    * wrong-type zero would be a silent semantics change) and list
+    * SUBSCRIPTS (DuckDB `l[i]` is 1-based, Spark 0-based — any oracle
+    * using subscripts must stay excluded; the SqlFrontEndSpec
+    * result-equality gate catches an accidental inclusion). */
+  private def registerDuckAliases(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.catalyst.expressions.{Encode, Expression, Literal}
+    import org.apache.spark.sql.types.StringType
+    val reg = spark.sessionState.functionRegistry
+    def fn(name: String, args: Seq[Expression]): Expression =
+      UnresolvedFunction(Seq(name), args, isDistinct = false)
+    def alias(duck: String, sparkName: String): Unit =
+      reg.createOrReplaceTempFunction(duck, args => fn(sparkName, args), "built-in")
+    alias("unnest", "explode")
+    alias("list_transform", "transform")
+    alias("list_filter", "filter")
+    alias("list_min", "array_min")
+    alias("list_max", "array_max")
+    alias("list_distinct", "array_distinct")
+    alias("len", "size")
+    alias("generate_series", "sequence")
+    reg.createOrReplaceTempFunction("string_split", {
+      case Seq(s, Literal(sep, StringType)) if sep != null =>
+        fn("split", Seq(s, Literal(java.util.regex.Pattern.quote(sep.toString)), Literal(-1)))
+      case other => throw new IllegalArgumentException(
+        "string_split bridge needs (expr, literal separator), got " + other.mkString(", "))
+    }, "built-in")
+    // NOT bridged: dayofweek. DuckDB's is 0 = Sunday .. 6, Spark's
+    // SAME-NAMED builtin is 1 = Sunday .. 7 — and in Spark 4 the
+    // DataFrame API's functions.dayofweek ALSO resolves by name
+    // through this session registry (measured: a temp override shifted
+    // a DataFrame-API catalog query's output), so shadowing the name
+    // would silently change engine semantics wherever the compat pack
+    // is loaded, not just in replayed SQL text. A same-name
+    // different-contract builtin is therefore unbridgeable; day-of-week
+    // oracles stay excluded from the verbatim set.
+    // direct Encode construction on BOTH arities: an UnresolvedFunction
+    // named "encode" would resolve right back into this temp entry and
+    // loop the analyzer
+    reg.createOrReplaceTempFunction("encode", {
+      case Seq(s) => Encode(s, Literal("UTF-8"))
+      case Seq(s, c) => Encode(s, c)
+      case other => throw new IllegalArgumentException(
+        s"encode takes 1 (DuckDB) or 2 (Spark) arguments, got ${other.size}")
+    }, "built-in")
   }
 }

@@ -101,6 +101,24 @@ object DataOps {
         n = 3, numHashes = 16, bands = 8, threshold = 0.5, fast = true)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
 
+  /** Oracle-applicability precheck for `dedup_minhash_fast`: the
+    * xxHash64 SQL mirror implements the ≤31-byte single-stripe path
+    * and aborts LOUDLY (HUGEINT cast error) on any longer token, so
+    * this companion counts oversized tokens per corpus — a driver
+    * hitting that error reads "oracle inapplicable: N oversized
+    * tokens" from this entry instead of diagnosing a raw cast
+    * failure. Single-row aggregate over the same whitespace
+    * tokenization the fast family hashes; the engine kernel itself
+    * handles all lengths. */
+  def minhashFastPrecheck(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        coalesce(sum(when(octet_length(col("tok")) >= 32, 1L).otherwise(0L)), lit(0L))
+          .as("n_oversized"),
+        coalesce(max(octet_length(col("tok"))), lit(0)).cast("long").as("max_token_bytes"))
+
   /** INCREMENTAL dedup: the `src1` slice plays the role of today's new
     * batch, LSH-matched against the rest of the corpus as the existing
     * signature index ([[TextDedup.crossCorpusLshPairs]]) — the daily
@@ -1609,6 +1627,17 @@ object DataOps {
     Multimodal.embeddingDHash(Tables.embeddings(spark, dir))
       .orderBy(col("vec_id").asc)
 
+  /** Per-frame hashes through the REAL video demux chain — see
+    * [[Multimodal.embeddingVideoFrameHash]]: vector → mono Y4M bytes
+    * → header parse + FRAME-marker walk ([[Multimodal.y4mFrames]]) →
+    * per-frame PNG re-encode → ImageIO decode → raster dHash, while
+    * the oracle computes the identical bits and container timestamps
+    * straight from the floats. A hash gate over every (vector, frame)
+    * certifies frame boundaries, timestamps, and per-frame decode. */
+  def mmVideoFramehash(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.embeddingVideoFrameHash(Tables.embeddings(spark, dir))
+      .orderBy(col("vec_id").asc, col("frame_idx").asc)
+
   // ---- oracles ---------------------------------------------------------
 
   /** Winnowing fingerprint CTEs (n = 3, w = 4) — mirrors
@@ -1800,6 +1829,38 @@ object DataOps {
        |  JOIN sizes sb ON sb.doc_id = doc_b
        |)""".stripMargin
 
+  /** Shared minhash→band→candidate block (16 hashes, 8 bands × 2
+    * rows) over an upstream `tok(doc_id, th)` CTE — used verbatim by
+    * dedup_minhash_lsh, dedup_minhash_fast, and cosine_verify_lsh. */
+  private lazy val dkMinhashCandCtes: String =
+    s"""sigs AS (
+       |  SELECT doc_id,
+       |         list_transform(generate_series(0, 15),
+       |           i -> list_min(list_transform($dkShingles,
+       |                  h -> (CAST(2*i+1 AS BIGINT) * h + 999983 * CAST(i AS BIGINT)) % $P))) AS minhash
+       |  FROM tok
+       |), bandsx AS (
+       |  SELECT doc_id, b.b AS band, list_slice(minhash, b.b * 2 + 1, b.b * 2 + 2) AS key
+       |  FROM sigs CROSS JOIN generate_series(0, 7) AS b(b)
+       |), cands AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bandsx a JOIN bandsx b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |)""".stripMargin
+
+  /** Candidate block + exact-Jaccard verify + final projection — the
+    * ENTIRE post-tokenization pipeline of the minhash-LSH dedup
+    * oracles, shared by reference (per the r6 advice) between the
+    * portable-family entry (dedup_minhash_lsh) and the
+    * production-hash entry (dedup_minhash_fast) so the two cannot
+    * silently drift apart: they differ ONLY in how `tok` is built. */
+  private lazy val dkMinhashLshTail: String =
+    s"""$dkMinhashCandCtes, $dkJaccardPairs
+       |SELECT j.doc_a, j.doc_b, j.jaccard
+       |FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+       |WHERE j.jraw >= 0.5
+       |ORDER BY j.doc_a ASC, j.doc_b ASC""".stripMargin
+
   /** DuckDB mirror of the PRODUCTION token-hash family
     * ([[graft.functions.TokenHashesFast]]): full xxHash64 (seed 42,
     * little-endian byte reads, the < 32-byte input path) over each
@@ -1814,10 +1875,17 @@ object DataOps {
     * maps '0' to 0 via not-found, 'F' to 15. Inputs >= 32 bytes
     * would need xxHash64's four-accumulator stripe phase, which this
     * mirror deliberately omits: the `n` CTE fails LOUDLY (string →
-    * HUGEINT cast) on such a token instead of hashing it wrong.
-    * Chain ends in `tok` (doc_id, th) — the exact shape dkSizes'
-    * `tok` has for the portable family, so every downstream shingle/
-    * minhash/band/Jaccard CTE is shared verbatim. */
+    * HUGEINT cast) on such a token instead of hashing it wrong (the
+    * catalog's `minhash_fast_precheck` entry gives a driver hitting
+    * that error the oversized-token count as a one-query diagnosis).
+    * Chain ends in `tok` (doc_id, th) — the same SHAPE dkSizes' `tok`
+    * has for the portable family (every downstream shingle/minhash/
+    * band/Jaccard CTE is shared by reference via dkMinhashLshTail),
+    * with one intermediate divergence that cannot reach the output: a
+    * NULL-text document is DROPPED here (unnest over a NULL
+    * string_split yields no rows) where dkSizes' tok keeps it with
+    * th = NULL. Such a doc has no shingles on either path, so it can
+    * never appear in a pair; only the intermediate row sets differ. */
   private lazy val dkFastTokCtes: String = {
     val M64 = "18446744073709551616" // 2^64
     val p1 = "11400714785074694791"  // xxHash64 PRIME64_1
@@ -2323,65 +2391,32 @@ object DataOps {
         |ORDER BY event_type ASC, rank ASC""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $dkSizes,
-         |sigs AS (
-         |  SELECT doc_id,
-         |         list_transform(generate_series(0, 15),
-         |           i -> list_min(list_transform($dkShingles,
-         |                  h -> (CAST(2*i+1 AS BIGINT) * h + 999983 * CAST(i AS BIGINT)) % $P))) AS minhash
-         |  FROM tok
-         |), bandsx AS (
-         |  SELECT doc_id, b.b AS band, list_slice(minhash, b.b * 2 + 1, b.b * 2 + 2) AS key
-         |  FROM sigs CROSS JOIN generate_series(0, 7) AS b(b)
-         |), cands AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bandsx a JOIN bandsx b
-         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-         |), $dkJaccardPairs
-         |SELECT j.doc_a, j.doc_b, j.jaccard
-         |FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
-         |WHERE j.jraw >= 0.5
-         |ORDER BY j.doc_a ASC, j.doc_b ASC""".stripMargin,
-    // The PRODUCTION-hash entry, hard-gated at last: identical pipeline to
-    // dedup_minhash_lsh, with `tok` swapped for the full xxHash64 replay
-    // (dkFastTokCtes). Every CTE below the token hashes is shared verbatim.
+         |$dkMinhashLshTail""".stripMargin,
+    // The PRODUCTION-hash entry: identical pipeline to dedup_minhash_lsh
+    // with `tok` swapped for the full xxHash64 replay (dkFastTokCtes) —
+    // everything below the token hashes IS the same string
+    // (dkMinhashLshTail), shared by reference, not by copy.
     "dedup_minhash_fast" ->
       s"""WITH $dkFastTokCtes,
          |sh AS (SELECT doc_id, unnest($dkShingles) AS sh FROM tok),
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-         |sigs AS (
-         |  SELECT doc_id,
-         |         list_transform(generate_series(0, 15),
-         |           i -> list_min(list_transform($dkShingles,
-         |                  h -> (CAST(2*i+1 AS BIGINT) * h + 999983 * CAST(i AS BIGINT)) % $P))) AS minhash
-         |  FROM tok
-         |), bandsx AS (
-         |  SELECT doc_id, b.b AS band, list_slice(minhash, b.b * 2 + 1, b.b * 2 + 2) AS key
-         |  FROM sigs CROSS JOIN generate_series(0, 7) AS b(b)
-         |), cands AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bandsx a JOIN bandsx b
-         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-         |), $dkJaccardPairs
-         |SELECT j.doc_a, j.doc_b, j.jaccard
-         |FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
-         |WHERE j.jraw >= 0.5
-         |ORDER BY j.doc_a ASC, j.doc_b ASC""".stripMargin,
+         |$dkMinhashLshTail""".stripMargin,
+    // Companion diagnostic for dedup_minhash_fast's documented oracle
+    // bound (the xxHash64 SQL mirror fails LOUD on ≥32-byte tokens):
+    // counts oversized tokens per corpus so a driver hitting that
+    // HUGEINT conversion error can report "oracle inapplicable: N
+    // oversized tokens" instead of a raw cast failure. One row always.
+    "minhash_fast_precheck" ->
+      """WITH tokx AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        |)
+        |SELECT count(*) AS n_tokens,
+        |       CAST(coalesce(sum(CASE WHEN octet_length(encode(tok)) >= 32 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_oversized,
+        |       CAST(coalesce(max(octet_length(encode(tok))), 0) AS BIGINT) AS max_token_bytes
+        |FROM tokx""".stripMargin,
     "cosine_verify_lsh" ->
       s"""WITH $dkSizes,
-         |sigs AS (
-         |  SELECT doc_id,
-         |         list_transform(generate_series(0, 15),
-         |           i -> list_min(list_transform($dkShingles,
-         |                  h -> (CAST(2*i+1 AS BIGINT) * h + 999983 * CAST(i AS BIGINT)) % $P))) AS minhash
-         |  FROM tok
-         |), bandsx AS (
-         |  SELECT doc_id, b.b AS band, list_slice(minhash, b.b * 2 + 1, b.b * 2 + 2) AS key
-         |  FROM sigs CROSS JOIN generate_series(0, 7) AS b(b)
-         |), cands AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bandsx a JOIN bandsx b
-         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-         |), tfx AS (
+         |$dkMinhashCandCtes, tfx AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
          |), tfc AS (
          |  SELECT doc_id, t, count(*) AS tf FROM tfx GROUP BY 1, 2
@@ -3372,6 +3407,19 @@ object DataOps {
         |            > p[CAST(i // 7 AS INT) * 8 + CAST(i % 7 AS INT) + 1]
         |         THEN CAST(1 AS BIGINT) << CAST(i AS INT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS dhash
         |FROM px ORDER BY vec_id ASC""".stripMargin,
+    "mm_video_framehash" ->
+      """WITH px AS (
+        |  SELECT vec_id, list_transform(embedding, v ->
+        |    CAST(least(greatest(floor((CAST(v AS DOUBLE) + 1.0) * 127.5), 0), 255) AS BIGINT)) AS p
+        |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) = 64
+        |)
+        |SELECT vec_id, CAST(f AS INT) AS frame_idx, CAST(f * 40 AS BIGINT) AS t_ms,
+        |  CAST(list_sum(list_transform(generate_series(0, 11), i ->
+        |    CASE WHEN p[f * 16 + CAST(i // 3 AS INT) * 4 + CAST(i % 3 AS INT) + 2]
+        |            > p[f * 16 + CAST(i // 3 AS INT) * 4 + CAST(i % 3 AS INT) + 1]
+        |         THEN CAST(1 AS BIGINT) << CAST(i AS INT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS framehash
+        |FROM px, (SELECT unnest([0, 1, 2, 3]) AS f)
+        |ORDER BY vec_id ASC, frame_idx ASC""".stripMargin,
     "mm_payload_stats" ->
       """SELECT coalesce(lang, 'und') AS kind,
         |       count(*) AS n_media,
@@ -3390,6 +3438,7 @@ object DataOps {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "cosine_verify_lsh" -> (cosineVerifyLsh _),
     "dedup_minhash_fast" -> (dedupMinhashFast _),
+    "minhash_fast_precheck" -> (minhashFastPrecheck _),
     "dedup_incremental" -> (dedupIncrementalBatch _),
     "dedup_simhash"     -> (dedupSimhash _),
     "span_dup_spans"    -> (spanDupSpans _),
@@ -3442,6 +3491,7 @@ object DataOps {
     "winnow_overlap"    -> (winnowOverlap _),
     "mm_payload_stats"  -> (mmPayloadStats _),
     "mm_image_dhash"    -> (mmImageDhash _),
+    "mm_video_framehash" -> (mmVideoFramehash _),
     "mm_audio_signature" -> (mmAudioSignature _),
     "kmv_distinct_events" -> (kmvDistinctEvents _),
     "feat_lang_profile" -> (featLangProfile _),

@@ -293,10 +293,10 @@ object PipelineOps {
         |  SELECT user_id, min(d) AS cohort_d FROM ev GROUP BY 1
         |)
         |SELECT substr(CAST(cohort_d AS VARCHAR(30)), 1, 10) AS cohort_day,
-        |       CAST(date_diff('day', cohort_d, d) AS BIGINT) AS day_offset,
+        |       CAST(floor((epoch_us(CAST(d AS TIMESTAMP)) - epoch_us(CAST(cohort_d AS TIMESTAMP))) / 86400000000.0) AS BIGINT) AS day_offset,
         |       count(DISTINCT a.user_id) AS n_users
         |FROM act a JOIN fst f USING (user_id)
-        |WHERE date_diff('day', cohort_d, d) <= 14
+        |WHERE epoch_us(CAST(d AS TIMESTAMP)) - epoch_us(CAST(cohort_d AS TIMESTAMP)) <= 14 * 86400000000
         |GROUP BY 1, 2
         |ORDER BY cohort_day ASC, day_offset ASC""".stripMargin,
     "recon_orders_events" ->

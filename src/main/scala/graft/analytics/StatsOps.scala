@@ -1106,7 +1106,7 @@ object StatsOps {
         |), slopes AS (
         |  SELECT a.day AS day_a, b.day AS day_b,
         |         (b.day_avg - a.day_avg)
-        |           / CAST(date_diff('day', a.day, b.day) AS DOUBLE) AS slope
+        |           / floor((epoch_us(CAST(b.day AS TIMESTAMP)) - epoch_us(CAST(a.day AS TIMESTAMP))) / 86400000000.0) AS slope
         |  FROM daily a JOIN daily b ON a.day < b.day
         |), sm AS (SELECT count(*) AS m FROM slopes),
         |sr AS (
@@ -1122,7 +1122,7 @@ object StatsOps {
         |nd AS (SELECT count(*) AS n_days FROM daily),
         |res AS (
         |  SELECT day,
-        |         day_avg - slope_med * CAST(date_diff('day', day0, day) AS DOUBLE) AS icept
+        |         day_avg - slope_med * floor((epoch_us(CAST(day AS TIMESTAMP)) - epoch_us(CAST(day0 AS TIMESTAMP))) / 86400000000.0) AS icept
         |  FROM daily, d0, smed
         |), rr AS (
         |  SELECT icept, row_number() OVER (ORDER BY icept ASC, day ASC) AS rk FROM res

@@ -416,9 +416,11 @@ object Multimodal {
     * exact byte span; accumulating deltas yields its timestamp — real
     * frame boundaries and times WITHOUT decoding a single codec byte,
     * which is precisely what a distributed pipeline needs to shard,
-    * sample, and route video payloads. The first trak with a complete
-    * table wins (fixture files carry one track; an A/V selector would
-    * dispatch on `hdlr`). Samples overrunning the payload are dropped
+    * sample, and route video payloads. Track selection dispatches on
+    * each trak's `hdlr` handler type: `vide` wins over `soun` wins
+    * over untyped (the frame-sampling consumer wants the video sample
+    * table of an A/V movie); ties fall to the first complete trak in
+    * file order. Samples overrunning the payload are dropped
     * (truncated download ≡ shorter clip, the WAV clamping rule);
     * 64-bit box sizes and `co64` offsets are honored; anything
     * malformed returns None and falls through to the next demuxer. */
@@ -454,8 +456,9 @@ object Multimodal {
     val moov = top.collectFirst {
       case (s, ps, e) if fourcc(s.toInt + 4) == "moov" => (ps, e) }
     moov.flatMap { case (moovStart, moovEnd) =>
-      // first trak whose stbl carries the full table set
-      children(moovStart, moovEnd).iterator
+      // every trak whose stbl carries the full table set, tagged with
+      // its hdlr handler_type; selection below prefers video
+      val traks = children(moovStart, moovEnd).iterator
         .filter { case (s, _, _) => fourcc(s.toInt + 4) == "trak" }
         .flatMap { case (_, trakStart, trakEnd) =>
           for {
@@ -527,8 +530,22 @@ object Multimodal {
                 if (res.nonEmpty) Some(res) else None
               }
             }
-          } yield Mp4Info(timescale, samples)
-        }.nextOption()
+            // hdlr (FullBox: 4B version/flags, 4B pre_defined, then
+            // handler_type fourcc) tags the trak's media kind; absent
+            // hdlr → empty tag, still selectable as a fallback
+            handler = find(mdiaS, mdiaE, "hdlr")
+              .collect { case (s, e) if s + 12 <= e => fourcc(s.toInt + 8) }
+              .getOrElse("")
+          } yield (handler, Mp4Info(timescale, samples))
+        }.toIndexedSeq
+      // A/V dispatch on hdlr: a movie with audio+video traks yields
+      // the VIDEO sample table (the frame-sampling consumer's
+      // contract), audio-only files their sound track, and legacy
+      // files with no/unknown handler the first complete trak —
+      // never first-complete-wins over a typed track.
+      traks.collectFirst { case ("vide", i) => i }
+        .orElse(traks.collectFirst { case ("soun", i) => i })
+        .orElse(traks.headOption.map(_._2))
     }
   }
 
@@ -548,7 +565,8 @@ object Multimodal {
 
   case class WebmSample(offset: Long, size: Long, tMs: Long)
   /** Parsed Matroska/WebM structure: timestamp scale (ns per tick)
-    * and every un-laced (Simple)Block frame span. */
+    * and every (Simple)Block frame span — laced blocks contribute one
+    * span per laced frame. */
   case class WebmInfo(timescaleNs: Long, samples: IndexedSeq[WebmSample])
 
   /** Structural Matroska/WebM demux — the EBML twin of [[mp4Info]],
@@ -564,11 +582,15 @@ object Multimodal {
     * Frame spans and absolute times
     * ((cluster + relative) · TimestampScale) are the container's
     * own; the bytes stay codec payload — same external-codec splice
-    * contract as MP4. LACED blocks (flags & 0x06 ≠ 0) are skipped
-    * (video tracks from common encoders are un-laced; lacing packs
-    * tiny audio packets), and any truncated/inconsistent structure
-    * parses to None so the caller falls through to the stub instead
-    * of emitting garbage spans. */
+    * contract as MP4. LACED blocks (flags & 0x06 ≠ 0 — how Matroska
+    * packs tiny audio packets) are unpacked into per-frame spans via
+    * their size table (Xiph 255-runs, fixed equal split, or EBML
+    * vint + signed-vint deltas; the last frame is the leftover to
+    * block end), each span carrying the block's own timestamp (lacing
+    * encodes no per-frame times). Any truncated/inconsistent
+    * structure — including a malformed lace table — parses to None or
+    * drops that block, so the caller falls through to the stub
+    * instead of emitting garbage spans. */
   def webmInfo(p: Array[Byte]): Option[WebmInfo] = {
     def u8(i: Long) = (p(i.toInt) & 0xff).toLong
     // (value, width); IDs keep the marker bit, sizes strip it
@@ -636,9 +658,76 @@ object Multimodal {
                   val rel = (((u8(tOff) << 8) | u8(tOff + 1)).toShort).toLong
                   val flags = u8(tOff + 2)
                   val dataS = tOff + 3
-                  if ((flags & 0x06L) == 0L && dataS < pe) // un-laced only
-                    samples += WebmSample(dataS, pe - dataS,
-                      (clusterTs + rel) * timescaleNs / 1000000L)
+                  val tMs = (clusterTs + rel) * timescaleNs / 1000000L
+                  if ((flags & 0x06L) == 0L) {
+                    if (dataS < pe) samples += WebmSample(dataS, pe - dataS, tMs)
+                  } else if (dataS < pe) {
+                    // LACED block (RFC 9559 §10.3): u8 frame-count−1,
+                    // then a per-mode size table for the first n−1
+                    // frames — Xiph (255-run + terminator bytes), fixed
+                    // (equal split of the remainder), or EBML (first
+                    // size as an unsigned vint, the rest as
+                    // range-shifted SIGNED vint deltas); the LAST
+                    // frame's size is always the leftover to block end.
+                    // Lacing carries no per-frame times — every frame
+                    // keeps the block's own container timestamp. Any
+                    // inconsistent table (overrun, non-dividing fixed
+                    // split, negative size) drops the block rather
+                    // than emitting garbage spans.
+                    val nFrames = (u8(dataS) + 1).toInt
+                    var cur = dataS + 1
+                    val sizes: Option[Array[Long]] =
+                      if (nFrames == 1) Some(Array(pe - cur))
+                      else (flags & 0x06L) match {
+                        case 0x02L => // Xiph
+                          val szs = new Array[Long](nFrames)
+                          var okL = true
+                          var i = 0
+                          while (okL && i < nFrames - 1) {
+                            var s = 0L
+                            var b = 255L
+                            while (okL && b == 255L) {
+                              if (cur >= pe) okL = false
+                              else { b = u8(cur); cur += 1; s += b }
+                            }
+                            szs(i) = s; i += 1
+                          }
+                          if (okL) { szs(nFrames - 1) = pe - cur - szs.view.take(nFrames - 1).sum; Some(szs) }
+                          else None
+                        case 0x04L => // fixed-size
+                          val total = pe - cur
+                          if (total >= 0 && total % nFrames == 0)
+                            Some(Array.fill(nFrames)(total / nFrames))
+                          else None
+                        case _ => // 0x06 EBML
+                          val szs = new Array[Long](nFrames)
+                          vint(cur, keepMarker = false) match {
+                            case Some((first, w)) if cur + w <= pe =>
+                              cur += w; szs(0) = first
+                              var okL = true
+                              var i = 1
+                              while (okL && i < nFrames - 1) {
+                                vint(cur, keepMarker = false) match {
+                                  case Some((raw, w2)) if cur + w2 <= pe =>
+                                    cur += w2
+                                    // signed vint: stored value minus (2^(7w−1) − 1)
+                                    szs(i) = szs(i - 1) + (raw - ((1L << (7 * w2 - 1)) - 1))
+                                    i += 1
+                                  case _ => okL = false
+                                }
+                              }
+                              if (okL) { szs(nFrames - 1) = pe - cur - szs.view.take(nFrames - 1).sum; Some(szs) }
+                              else None
+                            case _ => None
+                          }
+                      }
+                    sizes.foreach { szs =>
+                      if (szs.forall(_ >= 0) && cur + szs.sum <= pe) {
+                        var off = cur
+                        szs.foreach { s => samples += WebmSample(off, s, tMs); off += s }
+                      }
+                    }
+                  }
                 }
               }
             kids.foreach {
@@ -694,8 +783,9 @@ object Multimodal {
     * payload (decoding them is the external-codec splice point), but
     * boundaries and times are the container's own. WebM/Matroska
     * payloads demux structurally too ([[webmInfo]]): the EBML
-    * cluster walk yields each un-laced (Simple)Block's frame span
-    * and (cluster + relative) · TimestampScale time, same splice
+    * cluster walk yields each (Simple)Block's frame spans — laced
+    * audio blocks unpacked per their size table — at the
+    * (cluster + relative) · TimestampScale time, same splice
     * contract. Remaining
     * containers (exotic codecs, raw elementary streams) keep the
     * documented STUB:
@@ -922,5 +1012,65 @@ object Multimodal {
         }
       }
       .toDF("vec_id", "dhash")
+  }
+
+  /** Deterministic mono Y4M (YUV4MPEG2) from row-major gray levels:
+    * the canonical space-separated header (`W`/`H`/`F`/`Cmono`)
+    * followed by `FRAME\n`-delimited raw Y planes — `nFrames` frames
+    * of `w×h` samples each. Byte-stable by construction (no encoder
+    * library, no optional parameters), and `Cmono` keeps every frame
+    * a pure luma plane, so the decoded rasters return these exact
+    * samples. */
+  def encodeGrayY4m(levels: Array[Int], w: Int, h: Int,
+      fpsNum: Int = 25, fpsDen: Int = 1): Array[Byte] = {
+    require(w > 0 && h > 0 && levels.length % (w * h) == 0,
+      s"levels (${levels.length}) must be whole $w*$h frames")
+    require(fpsNum > 0 && fpsDen > 0, "frame rate must be positive")
+    val nFrames = levels.length / (w * h)
+    val header = s"YUV4MPEG2 W$w H$h F$fpsNum:$fpsDen Cmono\n".getBytes("ISO-8859-1")
+    val marker = "FRAME\n".getBytes("ISO-8859-1")
+    val out = new java.io.ByteArrayOutputStream(
+      header.length + nFrames * (marker.length + w * h))
+    out.write(header)
+    var f = 0
+    while (f < nFrames) {
+      out.write(marker)
+      var i = 0
+      while (i < w * h) { out.write(levels(f * w * h + i) & 0xff); i += 1 }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Per-frame perceptual hash through the REAL video demux path —
+    * the video twin of [[embeddingDHash]] (and of
+    * [[embeddingAudioSignature]]'s WAV round trip): embedding → gray
+    * levels → mono Y4M bytes ([[encodeGrayY4m]]) → [[sampleFrames]]
+    * (which routes through [[y4mFrames]]'s header parse + FRAME-marker
+    * walk and re-encodes each raw Y plane as PNG) → ImageIO decode →
+    * per-frame raster dHash. The oracle computes the same bits and
+    * container timestamps straight from the embedding floats, so a
+    * hash gate over every (vector, frame) certifies the Y4M header
+    * arithmetic, frame boundaries, the 1000·fd/fn timestamp rule, and
+    * the per-frame decode — end-to-end under the DuckDB gate. A
+    * 64-dim vector yields 4 frames of 4×4 luma at F25:1 → t_ms = 40·f
+    * and a 12-bit dHash per frame. */
+  def embeddingVideoFrameHash(embeddings: DataFrame, w: Int = 4, h: Int = 4): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    val media = embeddings
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull
+        && size(col("embedding")) % (w * h) === 0 && size(col("embedding")) > 0)
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .map { case (id, vec) =>
+        MediaRow(id, "y4m", encodeGrayY4m(vec.map(v => grayLevel(v.toDouble)), w, h))
+      }
+    sampleFrames(media, sampleEvery = 1)
+      .map { f =>
+        val hash = imageDHash(f.frame).getOrElse(throw new IllegalStateException(
+          s"vec ${f.media_id} frame ${f.frame_idx}: demuxed PNG failed to decode"))
+        (f.media_id, f.frame_idx, f.t_ms, hash)
+      }
+      .toDF("vec_id", "frame_idx", "t_ms", "framehash")
   }
 }

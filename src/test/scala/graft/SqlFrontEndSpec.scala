@@ -11,8 +11,8 @@ class SqlFrontEndSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("the verbatim-portable set holds at least 55 entries") {
-    assert(ansiPortable.size >= 55, s"got ${ansiPortable.size}")
+  test("the verbatim-portable set holds at least 65 entries") {
+    assert(ansiPortable.size >= 65, s"got ${ansiPortable.size}")
     assert(ansiPortable.distinct.size == ansiPortable.size)
   }
 
@@ -50,43 +50,60 @@ class SqlFrontEndSpec extends SparkSpec {
 object SqlFrontEndSpec {
   /** Oracle entries restricted to the shared dialect both engines
     * parse — every catalog oracle verified to both PARSE and produce
-    * DataFrame-identical results through spark.sql. Four dialect
-    * bridges built the set: date strings render as
+    * DataFrame-identical results through spark.sql. The dialect
+    * bridges that built the set: date strings render as
     * `substr(CAST(ts AS VARCHAR(30)), 1, 10)` and full timestamps as
     * `CAST(ts AS VARCHAR(30))` (identical canonical rendering on both
     * engines, trailing fractional zeros trimmed — strftime is
     * DuckDB-only, date_format is Spark-only); `Views.registerCompat`
     * provides analyzer-inlined Spark spellings of DuckDB's sha256 /
-    * epoch_us / json_extract_string; and VARCHAR always carries a
-    * length (bare VARCHAR is DuckDB-only). Still excluded: DuckDB
-    * list functions (unnest / list_* / string_split / len), the
-    * quantile family (deliberately: those oracles gate EXACTNESS
-    * against DuckDB's own rank rule), generate_series, regexp flags
-    * ('g' — Spark replaces globally by default, so the 4th arg parses
-    * as position), ASOF JOIN syntax, date_diff (unit is a string in
-    * DuckDB, a keyword in Spark), and day-of-week fields (no shared
-    * spelling: Spark dow=1-7/dow_iso, DuckDB dow=0-6/isodow).
-    * Exposed on the companion so CoverageDocSpec can pin COVERAGE.md's
-    * published count to this list's size. */
+    * epoch_us / json_extract_string plus the r7 alias pack (unnest /
+    * string_split / list_transform / list_filter / list_min /
+    * list_max / list_distinct / len / scalar generate_series / 1-arg
+    * encode — each an expression builder resolving to the Spark
+    * native, so DuckDB's list vocabulary runs unmodified); VARCHAR
+    * always carries a length (bare VARCHAR is DuckDB-only); and day
+    * differences spell as floor(epoch_us(CAST(b AS TIMESTAMP)) −
+    * epoch_us(...)) / 86400000000.0 (date_diff's quoted unit is a
+    * Spark ParseException no registry can intercept). Still excluded:
+    * list SUBSCRIPTS (DuckDB l[i] is 1-based, Spark 0-based — silent
+    * off-by-one, so any subscripting oracle stays out), list_sum
+    * (DuckDB widens to HUGEINT; no typed zero for Spark aggregate),
+    * the quantile family (deliberately: those oracles gate EXACTNESS
+    * against DuckDB's own rank rule), table-function generate_series,
+    * regexp flags ('g' — Spark replaces globally by default, so the
+    * 4th arg parses as position), ASOF JOIN syntax, and day-of-week
+    * (same NAME, different contract: Spark dow=1-7, DuckDB 0-6 — and
+    * Spark 4's DataFrame functions resolve by name through the
+    * session registry, so shadowing would leak into engine queries;
+    * measured, see Views.registerDuckAliases). Exposed on the
+    * companion so CoverageDocSpec can pin COVERAGE.md's published
+    * count to this list's size. */
   val ansiPortable = Seq(
     "a5_dup_audit", "agg_rollup_totals", "anti_lapsed_custs",
-    "benford_totalprice", "bloom_join_urgent", "bucketed_join",
-    "cdf_events_value", "corr_price_qty", "cube_flag_status",
+    "benford_totalprice", "bloom_join_urgent", "bm25_probe",
+    "bootstrap_mean_ci", "bucketed_join",
+    "cdf_events_value", "cohort_retention", "corr_price_qty",
+    "cube_flag_status",
     "cusum_value_shift", "e_hourly_rollup", "e_json_rollup",
     "event_transitions", "f20_bins_acctbal", "funnel_stages",
-    "fuzzy_pairs_customers", "grid_median_events", "incr_load_events",
+    "fuzzy_pairs_customers", "grid_median_events",
+    "heavy_hitter_tokens", "incr_load_events",
     "j3_upsert_users", "kpi_unpivot", "m2_dim_users", "mad_outliers",
-    "mad_outliers_by_type",
-    "mix_temperature", "pivot_daily_types", "profile_events",
+    "mad_outliers_by_type", "minhash_fast_precheck",
+    "mix_temperature", "mm_payload_stats", "pack_plan",
+    "pivot_daily_types", "profile_events",
     "q1_top_brands", "q2_daily_trend", "q3_zscore_outliers",
     "q4_geo_rollup", "q5_risk_watchlist", "qa_counts_events",
     "range_views_before_purchase", "recon_orders_events",
+    "rolling_median_value",
     "s13_fact_prune", "sample_per_lang", "sample_priority",
     "sample_priority_lang", "sample_strata", "sessionize_daily",
     "shard_plan", "split_train_val_test", "stream_hourly_rollup",
-    "stream_merge_events", "topk_value_by_type",
+    "stream_merge_events", "topk_value_by_type", "trend_theil_sen",
     "ttest_value_halves", "u1_filter_topk", "u2_activity_shocks",
-    "u3_kpi_summary", "u4_result_summary", "weighted_median_by_flag",
+    "u3_kpi_summary", "u4_result_summary", "vocab_coverage",
+    "weighted_median_by_flag",
     "weighted_median_price", "window_rank_family", "winsor_stats",
     "zorder_cells", "zorder_read")
 }

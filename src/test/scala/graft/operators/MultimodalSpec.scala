@@ -585,6 +585,39 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("embeddingVideoFrameHash == direct arithmetic from the floats, through the Y4M demux") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = embeddingVideoFrameHash(emb).as[(Long, Int, Long, Long)].collect()
+      .map { case (id, f, t, h) => (id, f) -> (t, h) }.toMap
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    assert(got.size == vecs.length * 4) // 64-dim → 4 frames of 4×4
+    vecs.foreach { case (id, vec) =>
+      val p = vec.map(v => grayLevel(v.toDouble))
+      for (f <- 0 until 4) {
+        var bits = 0L
+        for (i <- 0 until 12) {
+          val r = i / 3; val c = i % 3
+          if (p(f * 16 + r * 4 + c + 1) > p(f * 16 + r * 4 + c)) bits |= 1L << i
+        }
+        // t_ms from the container's own F25:1 rate, hash from the
+        // demuxed frame's decoded raster — both must equal the floats
+        assert(got((id, f)) == (f.toLong * 40L, bits), s"vec $id frame $f")
+      }
+    }
+  }
+
+  test("encodeGrayY4m round-trips through y4mFrames: boundaries, rate, and exact samples") {
+    val levels = Array.tabulate(32)(i => (i * 8) % 256) // 2 frames of 4×4
+    val y4m = encodeGrayY4m(levels, 4, 4, fpsNum = 10, fpsDen = 1)
+    val frames = y4mFrames(7L, y4m, sampleEvery = 1).get.toIndexedSeq
+    assert(frames.map(f => (f.frame_idx, f.t_ms)) == IndexedSeq((0, 0L), (1, 100L)))
+    frames.zipWithIndex.foreach { case (f, fi) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.frame))
+      val back = for (y <- 0 until 4; x <- 0 until 4) yield img.getRaster.getSample(x, y, 0)
+      assert(back == (0 until 16).map(i => levels(fi * 16 + i)), s"frame $fi")
+    }
+  }
+
   // ---- WebM/Matroska structural demux ------------------------------
 
   /** One EBML element: class id bytes (marker kept) + 1-byte size
@@ -611,7 +644,7 @@ class MultimodalSpec extends SparkSpec {
       eb(Array(0xE7), Array[Byte](0)),
       simpleBlock(0, 0x80, "AAAAAAAA"),
       simpleBlock(40, 0x00, "BBBBBBBB"),
-      simpleBlock(60, 0x02, "XXlacedXX")) // Xiph lacing -> skipped
+      simpleBlock(60, 0x02, "XXlacedXX")) // malformed Xiph lace table -> dropped
     val cluster2 = eb(Array(0x1F, 0x43, 0xB6, 0x75),
       eb(Array(0xE7), Array[Byte](80)),
       eb(Array(0xA0), // BlockGroup
@@ -626,7 +659,7 @@ class MultimodalSpec extends SparkSpec {
     ebmlHdr ++ seg
   }
 
-  test("WebM structural demux: EBML cluster walk yields true spans, times, and skips laced blocks") {
+  test("WebM structural demux: EBML cluster walk yields true spans and times; malformed lace tables drop") {
     val p = fixtureWebm()
     val info = webmInfo(p).getOrElse(fail("fixture WebM did not parse"))
     assert(info.timescaleNs == 1000000L)
@@ -651,5 +684,83 @@ class MultimodalSpec extends SparkSpec {
     // junk and truncation parse to None, never garbage spans
     assert(webmInfo("plain text payload, definitely not EBML".getBytes).isEmpty)
     assert(webmInfo(fixtureWebm().take(20)).isEmpty)
+  }
+
+  test("WebM lacing: Xiph, EBML, and fixed-size tables unpack to per-frame spans") {
+    def lacedBlock(rel: Int, flags: Int, body: Array[Byte]) =
+      eb(Array(0xA3), Array(0x81.toByte, (rel >> 8).toByte, rel.toByte, flags.toByte), body)
+    // Xiph: count=2, size table {2, 3}, frames "aa" "bbb" "cccc" (last = leftover)
+    val xiph = lacedBlock(10, 0x02,
+      Array[Byte](2, 2, 3) ++ "aabbbcccc".getBytes("ISO-8859-1"))
+    // EBML: count=2, first size vint 0x82 (=2), delta vint 0xC0 (=64 → +1 after
+    // the 1-byte signed-range shift of 63), frames "AA" "BBB" "CCCC"
+    val ebml = lacedBlock(20, 0x06,
+      Array[Byte](2, 0x82.toByte, 0xC0.toByte) ++ "AABBBCCCC".getBytes("ISO-8859-1"))
+    // fixed: count=2, remainder 9 splits 3-way, frames "ddd" "eee" "fff"
+    val fixed = lacedBlock(30, 0x04, Array[Byte](2) ++ "dddeeefff".getBytes("ISO-8859-1"))
+    // malformed Xiph (size table overruns the block) must drop, not garble
+    val broken = lacedBlock(40, 0x02, Array[Byte](9, 5))
+    val cluster = eb(Array(0x1F, 0x43, 0xB6, 0x75),
+      eb(Array(0xE7), Array[Byte](0)), xiph, ebml, fixed, broken)
+    val segBody = eb(Array(0x15, 0x49, 0xA9, 0x66),
+      eb(Array(0x2A, 0xD7, 0xB1), Array[Byte](0x0F, 0x42, 0x40))) ++ cluster
+    val p = ebmlHdr ++ Array(0x18, 0x53, 0x80, 0x67).map(_.toByte) ++
+      Array((0x80 | segBody.length).toByte) ++ segBody
+    val info = webmInfo(p).getOrElse(fail("laced fixture did not parse"))
+    val got = info.samples.map(s =>
+      (new String(p, s.offset.toInt, s.size.toInt, "ISO-8859-1"), s.tMs))
+    assert(got == IndexedSeq(
+      ("aa", 10L), ("bbb", 10L), ("cccc", 10L),
+      ("AA", 20L), ("BBB", 20L), ("CCCC", 20L),
+      ("ddd", 30L), ("eee", 30L), ("fff", 30L)))
+  }
+
+  test("MP4 hdlr dispatch: the video trak wins over audio regardless of file order") {
+    def twoTrack(videoFirst: Boolean): Array[Byte] = {
+      val data = "aaaaVVVVVVVV".getBytes("ISO-8859-1") // audio 2×2B, video 2×4B
+      val ftyp = mbox("ftyp", "isom".getBytes, be32(0), "isom".getBytes)
+      val mdat = mbox("mdat", data)
+      val base = ftyp.length + 8
+      def trak(handler: String, off: Int, n: Int, sz: Int, delta: Int) = {
+        val stsz = mbox("stsz", vf0, be32(sz), be32(n))
+        val stts = mbox("stts", vf0, be32(1), be32(n), be32(delta))
+        val stsc = mbox("stsc", vf0, be32(1), be32(1), be32(n), be32(1))
+        val stco = mbox("stco", vf0, be32(1), be32(off))
+        val mdhd = mbox("mdhd", vf0, be32(0), be32(0), be32(1000), be32(0),
+          Array[Byte](0x55, 0xC4.toByte, 0, 0))
+        val hdlr = mbox("hdlr", vf0, be32(0), handler.getBytes("ISO-8859-1"))
+        mbox("trak", mbox("mdia", mdhd, hdlr,
+          mbox("minf", mbox("stbl", stsz, stts, stsc, stco))))
+      }
+      val audio = trak("soun", base, 2, 2, 20)
+      val video = trak("vide", base + 4, 2, 4, 40)
+      val moov =
+        if (videoFirst) mbox("moov", video, audio) else mbox("moov", audio, video)
+      ftyp ++ mdat ++ moov
+    }
+    Seq(true, false).foreach { videoFirst =>
+      val p = twoTrack(videoFirst)
+      val info = mp4Info(p).getOrElse(fail(s"two-track fixture (videoFirst=$videoFirst)"))
+      val got = info.samples.map(s =>
+        (new String(p, s.offset.toInt, s.size.toInt, "ISO-8859-1"), s.tMs))
+      assert(got == IndexedSeq(("VVVV", 0L), ("VVVV", 40L)),
+        s"videoFirst=$videoFirst picked the wrong trak")
+    }
+    // the audio table itself is valid: strip the video trak (replace
+    // its hdlr tag so it no longer matches 'vide') and the soun
+    // fallback must yield the audio spans — proving the two-track
+    // assertion above tested DISPATCH, not a broken audio table
+    val p = twoTrack(false)
+    val soundOnly = {
+      val q = p.clone()
+      val s = new String(q, "ISO-8859-1")
+      val i = s.indexOf("vide")
+      q(i) = 'x'.toByte; q(i + 1) = 'x'.toByte; q(i + 2) = 'x'.toByte; q(i + 3) = 'x'.toByte
+      q
+    }
+    val ainfo = mp4Info(soundOnly).getOrElse(fail("audio-fallback fixture did not parse"))
+    assert(ainfo.samples.map(s =>
+      (new String(soundOnly, s.offset.toInt, s.size.toInt, "ISO-8859-1"), s.tMs))
+      == IndexedSeq(("aa", 0L), ("aa", 20L)))
   }
 }
