@@ -1344,6 +1344,37 @@ object DataOps {
     * The driver-side fetch is the final ≤|event types| rollup rows
     * (bounded parameter class), so the scratch dir can be deleted
     * before returning. */
+  /** One-JOB chunk layout for the file-source gates: every chunk lands
+    * as its own parquet file under `inDir/_b=<i>/` via a single
+    * partitionBy write (coalesce(1) ⇒ one task ⇒ one file per chunk),
+    * then per-file mtimes are stamped strictly increasing so the
+    * file-source's oldest-first ordering IS the intended batch
+    * timeline. Replaces N sequential write JOBS (~0.2–0.3 s of fixed
+    * job cost each on a loaded scheduler) with one; the `_b` column
+    * comes back as a partition column on read and is dropped before
+    * the pipeline. The explicit stamping also closes the
+    * same-mtime-tick race the sequential form had to handle. */
+  private def writeStreamChunks(inDir: String, chunks: Seq[DataFrame]): Unit = {
+    chunks.zipWithIndex.map { case (df, i) => df.withColumn("_b", lit(i)) }
+      .reduce(_ unionByName _)
+      .coalesce(1).write.partitionBy("_b").parquet(inDir)
+    chunks.indices.foreach { i =>
+      val d = java.nio.file.Paths.get(inDir, s"_b=$i")
+      val it = java.nio.file.Files.list(d).iterator()
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.toString.endsWith(".parquet"))
+          java.nio.file.Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+    }
+  }
+
+  /** readStream schema for a [[writeStreamChunks]] layout: the data
+    * schema plus the `_b` partition column. */
+  private def chunkSchema(data: DataFrame) =
+    data.schema.add("_b", org.apache.spark.sql.types.IntegerType)
+
   def streamMergeEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     // a deterministic 20% slice: the gate certifies the MACHINERY
@@ -1360,22 +1391,25 @@ object DataOps {
     // Three is the minimum that proves cross-batch MERGE state AND the
     // replay collapse; more batches only multiply the fixed per-batch
     // target rewrite the bench pays (same argument as the dedup gate)
-    (0 until 2) :+ 0 foreach { i =>
-      ev.filter(pmod(col("event_id"), lit(2)) === i)
-        .coalesce(1).write.mode("append").parquet(inDir)
-    }
+    writeStreamChunks(inDir, Seq(
+      ev.filter(pmod(col("event_id"), lit(2)) === 0),
+      ev.filter(pmod(col("event_id"), lit(2)) === 1),
+      ev.filter(pmod(col("event_id"), lit(2)) === 0)))
     // Stateful-stream shuffle width is pinned at FIRST query start (it
     // becomes the state-store partition count, recorded in the
     // checkpoint): the session's 32 would mean 32 state/sink partition
     // commits PER MICRO-BATCH for a bounded gate slice — pure fixed
-    // overhead. 4 is the gate's own width; a production stream sizes
-    // this to its key cardinality. Restored immediately (the mains run
-    // queries sequentially, so the scope is exact).
+    // overhead. 2 is the gate's own width (still plural, so the
+    // cross-batch state is genuinely partitioned across stores — and
+    // measured ~0.25 s/gate cheaper than 4); a production stream
+    // sizes this to its key cardinality. Restored immediately (the
+    // mains run queries sequentially, so the scope is exact).
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try {
       val q = graft.streaming.Streams.upsertSink(
-          spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(inDir),
+          spark.readStream.schema(chunkSchema(ev)).option("maxFilesPerTrigger", 1)
+            .parquet(inDir).drop("_b"),
           target, ckpt, keys = Seq("event_id"))
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -1398,15 +1432,15 @@ object DataOps {
     * through a file-source stream into a MERGE-by-window sink, settled
     * table hash-compared against the batch oracle. Three micro-batches
     * split BY TIME (first half-month, second half, then a REPLAY of
-    * the first): time-ordering means batch 2's rows are never late,
-    * while every replayed row arrives behind the advanced watermark
-    * and is dropped by the late-data rule — the replay collapses via
-    * watermark discipline rather than key state, the semantics a
-    * windowed production pipeline actually relies on. Per-window sums
-    * are decimal-exact (order-independent across batch boundaries);
-    * update-mode emission + MERGE on the hour key makes re-emitted
-    * windows idempotent. Same width-pinning rationale as
-    * [[streamMergeEvents]]. */
+    * the first half's FIRST DAY): time-ordering means batch 2's rows
+    * are never late, while every replayed row arrives far behind the
+    * advanced watermark and is dropped by the late-data rule — the
+    * replay collapses via watermark discipline rather than key state,
+    * the semantics a windowed production pipeline actually relies on.
+    * Per-window sums are decimal-exact (order-independent across
+    * batch boundaries); update-mode emission + MERGE on the hour key
+    * makes re-emitted windows idempotent. Same width-pinning rationale
+    * as [[streamMergeEvents]]. */
   def streamHourlyRollup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val ev = Tables.events(spark, dir)
@@ -1415,38 +1449,30 @@ object DataOps {
     val mid = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
     val work = graft.sources.LocalFs.scratchDir("graft_stream_hourly")
     val inDir = s"$work/in"; val target = s"$work/target"; val ckpt = s"$work/ckpt"
-    // the file source batches oldest-modification-first; back-to-back
-    // writes can land inside one mtime tick, which would let the
-    // replay file slip ahead of the true second half and its tail rows
-    // beat the watermark — stamp strictly increasing mtimes so the
-    // batch order IS the intended timeline.
-    // The SPACER batch (one single, already-late row) sits between the
-    // fresh second half and the replay because the late-record filter
-    // evaluates against the watermark as of the PREVIOUS batch's
-    // completion (one batch of lag, verified empirically): without it
-    // the replay would still be filtered by the first half's watermark
-    // and its tail rows would double-count the boundary windows.
+    // Three time-split batches via one write job ([[writeStreamChunks]]
+    // stamps strictly increasing mtimes, so batch order IS the
+    // timeline): first half-month, second half, then a replay of the
+    // FIRST DAY of the first half. The replay slice is deliberately
+    // the stream's oldest day: the late-record filter evaluates
+    // against the watermark as of the PREVIOUS batch's completion
+    // (one batch of lag, verified empirically), so for the replay
+    // that is AT LEAST the first half's fully-advanced watermark
+    // (max(chunk0.ts) − 2 h ≈ Jan 15 22:00) — Jan-1 rows sit two
+    // weeks behind it, and the whole replayed file is dropped by
+    // watermark discipline with margin. (The r6 form replayed ALL of
+    // chunk0, whose tail rows were only 2 h behind chunk0's watermark;
+    // that needed a fourth single-row SPACER batch to advance the
+    // lagged filter past them — one whole micro-batch of fixed cost
+    // spent compensating for the replay slice being too fresh.)
     val chunk0 = ev.filter(col("ts") < mid)
     val chunk1 = ev.filter(col("ts") >= mid)
-    val spacer = chunk0.orderBy(col("ts").asc, col("event_id").asc).limit(1)
-    val seen = scala.collection.mutable.Set[java.nio.file.Path]()
-    Seq(chunk0, chunk1, spacer, chunk0).zipWithIndex.foreach { case (df, i) =>
-      df.coalesce(1).write.mode("append").parquet(inDir)
-      val it = java.nio.file.Files.list(java.nio.file.Paths.get(inDir)).iterator()
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.toString.endsWith(".parquet") && !seen.contains(f)) {
-          java.nio.file.Files.setLastModifiedTime(f,
-            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
-          seen += f
-        }
-      }
-    }
+    val replay = chunk0.filter(col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+    writeStreamChunks(inDir, Seq(chunk0, chunk1, replay))
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try {
-      val agg = spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val agg = spark.readStream.schema(chunkSchema(ev))
+        .option("maxFilesPerTrigger", 1).parquet(inDir).drop("_b")
         .withWatermark("ts", "2 hours")
         .groupBy(window(col("ts"), "1 hour").as("w"))
         .agg(count(lit(1)).as("n_events"),
@@ -1549,17 +1575,18 @@ object DataOps {
     // 2 chunks + a replay of chunk 1 — three micro-batches prove the
     // cross-batch dedup state and the replay collapse; more batches
     // only multiply fixed per-batch state-store/sink overhead
-    (0 until 2) :+ 1 foreach { i =>
-      docs.filter(pmod(col("doc_id"), lit(2)) === i)
-        .coalesce(1).write.mode("append").parquet(inDir)
-    }
-    // same state-width scoping as streamMergeEvents: 4 state-store
+    writeStreamChunks(inDir, Seq(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1)))
+    // same state-width scoping as streamMergeEvents: 2 state-store
     // partitions for the gate instead of the session's 32
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try {
       val q = graft.streaming.Streams.dedupedByContent(
-          spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(inDir),
+          spark.readStream.schema(chunkSchema(docs)).option("maxFilesPerTrigger", 1)
+            .parquet(inDir).drop("_b"),
           delay = "1 hour")
         .writeStream
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())

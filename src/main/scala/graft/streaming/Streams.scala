@@ -112,7 +112,16 @@ object Streams {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Upsert.mergeIntoPath(batch.sparkSession, targetPath, batch, keys)
+        // MERGE of an empty update set is the identity — skip the
+        // read-modify-rewrite of the whole target for it. A replayed
+        // file fully behind the watermark produces exactly this shape
+        // (update mode emits nothing), so without the guard the
+        // at-least-once path pays a full target rewrite per no-op
+        // batch; the isEmpty probe is a limit-1 job. Exactly-once is
+        // unaffected: a crash before/after a no-op commits the same
+        // state either way (crash specs pin this).
+        if (!batch.isEmpty)
+          Upsert.mergeIntoPath(batch.sparkSession, targetPath, batch, keys)
         ()
       }
 
