@@ -67,12 +67,26 @@ object DataOps {
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     TextDedup.exactDedupSummary(Tables.documents(spark, dir))
 
-  /** Index (co-occurrence) strategy: the harness corpus has modest
-    * shingle df (max ~25), so thin-row co-occurrence counting beats
-    * the prefix+array-verify path (which wins on hot-shingle data —
-    * both are exact and property-tested equal). */
+  /** Exact all-pairs Jaccard via the MEASURED strategy dispatch
+    * ([[TextDedup.jaccardPairsAdaptive]]): Σ df² over the shingle
+    * index — exactly the candidate-row count the inverted-index
+    * self-join would shuffle — picks thin co-occurrence counting
+    * (modest-df corpora like the harness: max df ~25) or the
+    * loss-less prefix-filtered form (hot-shingle corpora where df²
+    * explodes). Both exact, identical pair sets; the prefix branch is
+    * separately oracle-gated as `dedup_jaccard_prefix`. */
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
-    TextDedup.jaccardPairsIndex(Tables.documents(spark, dir), n = 3, threshold = 0.5)
+    TextDedup.jaccardPairsAdaptive(Tables.documents(spark, dir), n = 3, threshold = 0.5)
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+
+  /** The prefix-filtered strategy under its own oracle gate: the
+    * hot-shingle branch of the adaptive dispatch above, hash-compared
+    * against the SAME oracle text as `dedup_jaccard` — the DuckDB
+    * gate certifies that the AllPairs/ppjoin prefix filter is
+    * loss-less for the threshold, not merely property-equal to the
+    * index form on fixtures. */
+  def dedupJaccardPrefix(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.jaccardPairs(Tables.documents(spark, dir), n = 3, threshold = 0.5)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
 
   /** Asymmetric containment screen (subset/quote detection) — the
@@ -1360,12 +1374,16 @@ object DataOps {
       .coalesce(1).write.partitionBy("_b").parquet(inDir)
     chunks.indices.foreach { i =>
       val d = java.nio.file.Paths.get(inDir, s"_b=$i")
-      val it = java.nio.file.Files.list(d).iterator()
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.toString.endsWith(".parquet"))
-          java.nio.file.Files.setLastModifiedTime(f,
-            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      // an empty chunk writes no partition dir — tolerate it (the
+      // stream simply runs one fewer micro-batch) rather than crash
+      if (java.nio.file.Files.isDirectory(d)) {
+        val it = java.nio.file.Files.list(d).iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.toString.endsWith(".parquet"))
+            java.nio.file.Files.setLastModifiedTime(f,
+              java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+        }
       }
     }
   }
@@ -2381,6 +2399,14 @@ object DataOps {
         |FROM (SELECT sha256(regexp_replace(lower(trim(text)), '[ \t\n\f\r]+', ' ', 'g')) AS fp
         |      FROM documents)""".stripMargin,
     "dedup_jaccard" ->
+      s"""WITH $dkSizes, $dkJaccardPairs
+         |SELECT doc_a, doc_b, jaccard FROM jac
+         |WHERE jraw >= 0.5
+         |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
+    // the prefix-filtered strategy must produce the IDENTICAL pair
+    // set — same oracle text, so the filter's loss-lessness is
+    // hash-gated, not just property-tested
+    "dedup_jaccard_prefix" ->
       s"""WITH $dkSizes, $dkJaccardPairs
          |SELECT doc_a, doc_b, jaccard FROM jac
          |WHERE jraw >= 0.5
@@ -3460,6 +3486,7 @@ object DataOps {
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"       -> (dedupExact _),
     "dedup_jaccard"     -> (dedupJaccard _),
+    "dedup_jaccard_prefix" -> (dedupJaccardPrefix _),
     "dedup_containment" -> (dedupContainment _),
     "topk_value_by_type" -> (topkValueByType _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),

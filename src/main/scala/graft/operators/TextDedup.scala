@@ -220,6 +220,36 @@ object TextDedup {
       fast: Boolean = false): DataFrame =
     verifyJaccard(prefixCandidates(docs, n, threshold, fast), docs, n, threshold, fast)
 
+  /** Fan-out budget for the inverted-index strategy: Σ df² candidate
+    * rows before the co-occurrence self-join is declared hot-shingle
+    * territory and the prefix-filtered path takes over. 2³¹ rows ≈
+    * tens of GB of thin shuffle — comfortably under a cluster's
+    * shuffle budget, far past anything a healthy corpus produces. */
+  val IndexFanoutBudget: Long = 2L << 30
+
+  /** Strategy dispatch for exact all-pairs Jaccard — the
+    * [[Components.connectedComponents]] pattern (pick from a MEASURED
+    * statistic, not a guess): the decision statistic is Σ df² over
+    * the shingle index, which is EXACTLY the number of candidate rows
+    * the inverted-index self-join will shuffle (one aggregate over
+    * the index — the cheap pre-pass a 100 TB run does anyway for df
+    * stats). Under the budget the thin co-occurrence form runs
+    * ([[jaccardPairsIndex]] — ids+counts in the shuffle); above it
+    * the hot-shingle corpus gets the prefix-filtered form
+    * ([[jaccardPairs]] — candidate volume bounded by the loss-less
+    * AllPairs/ppjoin prefix filter, not by df²). Both are exact and
+    * return the identical pair set (property-tested AND dispatch-
+    * pinned in TextDedupSpec with a forced budget). */
+  def jaccardPairsAdaptive(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      fast: Boolean = false, fanoutBudget: Long = IndexFanoutBudget): DataFrame = {
+    val row = shingleIndex(docs, n, fast)
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * col("df")).as("fanout")).head()
+    val fanout = if (row.isNullAt(0)) 0L else row.getLong(0)
+    if (fanout <= fanoutBudget) jaccardPairsIndex(docs, n, threshold, fast)
+    else jaccardPairs(docs, n, threshold, fast)
+  }
+
   /** Same result via inverted-index co-occurrence counting: self-join
     * the (doc, shingle) index, count shared shingles per pair, divide
     * by union size. Every shuffled row is THIN (ids + counts — no

@@ -123,6 +123,23 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("adaptive jaccard dispatch: both branches forced, both equal the brute-force set") {
+    val words = Seq("the", "cat", "sat", "on", "mat", "dog", "ran")
+    val rng = new scala.util.Random(21)
+    val corpus = (1L to 30L).map { i =>
+      i -> Seq.fill(8 + rng.nextInt(6))(words(rng.nextInt(words.size))).mkString(" ")
+    }
+    val d = docs(corpus: _*)
+    val expected = bruteJaccard(d, 3, 0.5)
+    // huge budget → index branch; zero budget → prefix branch
+    val viaIndex = TextDedup.jaccardPairsAdaptive(d, n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val viaPrefix = TextDedup.jaccardPairsAdaptive(d, n = 3, threshold = 0.5, fanoutBudget = 0L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaIndex == expected)
+    assert(viaPrefix == expected)
+  }
+
   test("minhashLshPairs is a subset of exact pairs and catches near-identical docs") {
     val d = docs(
       1L -> "the quick brown fox jumps over the lazy dog again and again",
