@@ -18,6 +18,8 @@ class EmptyInputSpec extends SparkSpec {
   test("text dedup operators yield empty results on an empty corpus") {
     assert(TextDedup.jaccardPairsIndex(emptyDocs).count() == 0)
     assert(TextDedup.jaccardPairs(emptyDocs).count() == 0)
+    // adaptive dispatch: empty index ⇒ NULL Σdf² ⇒ fanout 0 ⇒ index branch
+    assert(TextDedup.jaccardPairsAdaptive(emptyDocs).count() == 0)
     assert(TextDedup.minhashLshPairs(emptyDocs).count() == 0)
     assert(TextDedup.simhashPairs(emptyDocs).count() == 0)
     assert(TextDedup.winnowOverlapPairs(emptyDocs).count() == 0)
@@ -73,6 +75,17 @@ class EmptyInputSpec extends SparkSpec {
     assert(Multimodal.jpegFrameSpans(Array.emptyByteArray).isEmpty)
     assert(Multimodal.jpegFrameSpans(Array[Byte](0xFF.toByte, 0xD8.toByte)).isEmpty)
     assert(Multimodal.imageDims(Array.emptyByteArray).isEmpty)
+  }
+
+  test("video frame hash: empty corpus and wrong-width vectors yield empty, not a crash") {
+    assert(Multimodal.embeddingVideoFrameHash(emptyVecs).count() == 0)
+    // a 5-dim vector is not whole 4×4 frames — filtered out, not crashed on
+    val odd = Seq((1L, Seq.fill(5)(0.1f))).toDF("vec_id", "embedding")
+    assert(Multimodal.embeddingVideoFrameHash(odd).count() == 0)
+    // a 16-dim vector IS one whole frame: exactly one row, t_ms 0
+    val one = Seq((2L, Seq.fill(16)(0.5f))).toDF("vec_id", "embedding")
+    val rows = Multimodal.embeddingVideoFrameHash(one).collect()
+    assert(rows.length == 1 && rows.head.getInt(1) == 0 && rows.head.getLong(2) == 0L)
   }
 
   test("similarity: seeded-plane paths pass empties through; corpus-anchor paths fail fast") {
