@@ -75,9 +75,16 @@ object DataOps {
     * loss-less prefix-filtered form (hot-shingle corpora where df²
     * explodes). Both exact, identical pair sets; the prefix branch is
     * separately oracle-gated as `dedup_jaccard_prefix`. */
-  def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
-    TextDedup.jaccardPairsAdaptive(Tables.documents(spark, dir), n = 3, threshold = 0.5)
+  def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // dispatch statistic memoized per corpus (the embCount pattern):
+    // one Σ df² aggregate job total across repeat catalog calls
+    val fanout = jaccardFanoutMemo.getOrElseUpdate(dir, TextDedup.indexFanout(docs, n = 3))
+    TextDedup.jaccardPairsAdaptive(docs, n = 3, threshold = 0.5, fanoutOpt = Some(fanout))
       .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
+  private val jaccardFanoutMemo = new scala.collection.concurrent.TrieMap[String, Long]()
 
   /** The prefix-filtered strategy under its own oracle gate: the
     * hot-shingle branch of the adaptive dispatch above, hash-compared

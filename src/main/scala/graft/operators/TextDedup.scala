@@ -240,12 +240,21 @@ object TextDedup {
     * AllPairs/ppjoin prefix filter, not by df²). Both are exact and
     * return the identical pair set (property-tested AND dispatch-
     * pinned in TextDedupSpec with a forced budget). */
-  def jaccardPairsAdaptive(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
-      fast: Boolean = false, fanoutBudget: Long = IndexFanoutBudget): DataFrame = {
+  /** The dispatch statistic on its own: Σ df² over the shingle index
+    * (0 for an empty corpus). Public so callers holding a per-corpus
+    * memo (DataOps) can pay this ONE aggregate job per corpus instead
+    * of per call. */
+  def indexFanout(docs: DataFrame, n: Int = 3, fast: Boolean = false): Long = {
     val row = shingleIndex(docs, n, fast)
       .groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .agg(sum(col("df") * col("df")).as("fanout")).head()
-    val fanout = if (row.isNullAt(0)) 0L else row.getLong(0)
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
+
+  def jaccardPairsAdaptive(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      fast: Boolean = false, fanoutBudget: Long = IndexFanoutBudget,
+      fanoutOpt: Option[Long] = None): DataFrame = {
+    val fanout = fanoutOpt.getOrElse(indexFanout(docs, n, fast))
     if (fanout <= fanoutBudget) jaccardPairsIndex(docs, n, threshold, fast)
     else jaccardPairs(docs, n, threshold, fast)
   }
