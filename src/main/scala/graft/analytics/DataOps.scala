@@ -97,12 +97,18 @@ object DataOps {
       .orderBy(col("doc_a").asc, col("doc_b").asc)
 
   /** Asymmetric containment screen (subset/quote detection) — the
-    * direction-aware complement of dedup_jaccard on the same shared
-    * shingle index; C = |∩| / min(|A|,|B|). */
-  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
-    TextDedup.containmentPairs(Tables.documents(spark, dir), n = 3, threshold = 0.8)
+    * direction-aware complement of dedup_jaccard, behind the SAME
+    * measured Σ df² dispatch (shared per-corpus memo): thin
+    * co-occurrence on modest-df corpora, the loss-less rarest-prefix
+    * filter ([[TextDedup.containmentPairsPrefix]]) when df² explodes;
+    * C = |∩| / min(|A|,|B|). */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val fanout = jaccardFanoutMemo.getOrElseUpdate(dir, TextDedup.indexFanout(docs, n = 3))
+    TextDedup.containmentPairsAdaptive(docs, n = 3, threshold = 0.8, fanoutOpt = Some(fanout))
       .withColumn("n_sub", col("n_sub").cast("long"))
       .orderBy(col("doc_sub").asc, col("doc_sup").asc)
+  }
 
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     TextDedup.pairGraph(Tables.documents(spark, dir),

@@ -336,6 +336,85 @@ object TextDedup {
         (floor(col("jraw") * 1e4 + lit(0.5)) / 1e4).as("jaccard"))
   }
 
+  /** Loss-less PREFIX-FILTERED containment — the hot-shingle branch
+    * for the containment screen, mirroring [[jaccardPairs]] for
+    * Jaccard. The bound: the contained (smaller) side A needs
+    * |A∩B| ≥ ⌈t·|A|⌉ shared shingles; if NONE of A's
+    * (|A| − ⌈t·|A|⌉ + 1) globally-RAREST shingles were shared, every
+    * shared shingle would sit in A's remaining ⌈t·|A|⌉ − 1 positions —
+    * fewer than the required overlap. So joining each doc's
+    * df-ascending prefix (as the candidate SUB side) against the FULL
+    * index restricted to partners with n_sh ≥ its own finds every
+    * qualifying pair; candidate volume is Σ_prefix-element df — the
+    * rarest elements by construction — instead of the co-occurrence
+    * form's Σ df². Verification computes the identical craw/jraw
+    * doubles from the shingle arrays (O(candidates), array-intersect
+    * map-side), so output is value-identical to [[containmentPairs]]
+    * (property-tested in the brute-force sweep AND hash-gated: the
+    * adaptive catalog entry shares `dedup_containment`'s oracle). */
+  def containmentPairsPrefix(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+      fast: Boolean = false): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "containment threshold must lie in (0, 1]")
+    val idx = shingleIndex(docs, n, fast)
+    val sizes = shingleArrays(docs, n, fast).select(col("doc_id"), col("n_sh"))
+    val dfCounts = idx.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val pref = idx.join(dfCounts, "sh")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ordered"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(slice(ordered, 1, size(ordered) - cast(ceil($threshold * size(ordered)) as int) + 1), x -> x.sh)"))
+        .as("sh"))
+      .join(sizes, "doc_id")
+    val full = idx.join(sizes, "doc_id")
+    val cands = pref.as("a")
+      .join(full.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id")
+          && col("a.n_sh") <= col("b.n_sh"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    containmentVerify(cands, docs, n, threshold, fast)
+  }
+
+  /** Exact containment verification of a candidate pair set — the
+    * [[verifyJaccard]] shape (shingle arrays joined onto candidates,
+    * map-side array_intersect), emitting the IDENTICAL columns and
+    * IEEE double expressions [[containmentPairs]] emits. */
+  private def containmentVerify(cands: DataFrame, docs: DataFrame, n: Int,
+      threshold: Double, fast: Boolean): DataFrame = {
+    val arrs = shingleArrays(docs, n, fast)
+    cands
+      .join(arrs.select(col("doc_id").as("doc_a"),
+        col("shingle_hashes").as("sh_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"),
+        col("shingle_hashes").as("sh_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("n_ab", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("craw",
+        col("n_ab").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("craw") >= threshold)
+      .withColumn("jraw",
+        col("n_ab").cast("double") / (col("n_a") + col("n_b") - col("n_ab")).cast("double"))
+      .select(
+        when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b")).as("doc_sub"),
+        when(col("n_a") <= col("n_b"), col("doc_b")).otherwise(col("doc_a")).as("doc_sup"),
+        least(col("n_a"), col("n_b")).as("n_sub"),
+        (floor(col("craw") * 1e4 + lit(0.5)) / 1e4).as("containment"),
+        (floor(col("jraw") * 1e4 + lit(0.5)) / 1e4).as("jaccard"))
+  }
+
+  /** Strategy dispatch for the containment screen — same measured
+    * Σ df² statistic and budget as [[jaccardPairsAdaptive]] (the two
+    * share the failure mode AND the statistic, so a caller's memoized
+    * fanout serves both). */
+  def containmentPairsAdaptive(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+      fast: Boolean = false, fanoutBudget: Long = IndexFanoutBudget,
+      fanoutOpt: Option[Long] = None): DataFrame = {
+    val fanout = fanoutOpt.getOrElse(indexFanout(docs, n, fast))
+    if (fanout <= fanoutBudget) containmentPairs(docs, n, threshold, fast)
+    else containmentPairsPrefix(docs, n, threshold, fast)
+  }
+
   /** MinHash signatures: sig[i] = min over shingle hashes of the i-th
     * permutation ((2i+1)·h + 999983·i) mod P. Map-side only. */
   def withMinHash(docs: DataFrame, n: Int = 3, numHashes: Int = 16,

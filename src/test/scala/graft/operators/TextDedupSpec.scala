@@ -101,6 +101,32 @@ class TextDedupSpec extends SparkSpec {
         .select($"doc_sub", $"doc_sup", $"containment")
         .as[(Long, Long, Double)].collect().toSet
       assert(got == brute, s"threshold $t")
+      // the rarest-prefix branch must find the same pairs (loss-less)
+      val viaPrefix = TextDedup.containmentPairsPrefix(d, n = 3, threshold = t)
+        .select($"doc_sub", $"doc_sup", $"containment")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(viaPrefix == brute, s"prefix branch, threshold $t")
+    }
+  }
+
+  test("containment prefix filter is loss-less on a varied corpus; adaptive dispatch agrees") {
+    val words = Seq("the", "cat", "sat", "on", "mat", "dog", "ran", "red")
+    val rng = new scala.util.Random(33)
+    val corpus = (1L to 35L).map { i =>
+      i -> Seq.fill(6 + rng.nextInt(10))(words(rng.nextInt(words.size))).mkString(" ")
+    }
+    val d = docs(corpus: _*)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_sub", $"doc_sup", $"n_sub", $"containment", $"jaccard")
+        .as[(Long, Long, Int, Double, Double)].collect().toSet
+    for (t <- Seq(0.5, 0.8)) {
+      val viaIndex = pairs(TextDedup.containmentPairs(d, n = 3, threshold = t))
+      val viaPrefix = pairs(TextDedup.containmentPairsPrefix(d, n = 3, threshold = t))
+      assert(viaPrefix == viaIndex, s"threshold $t")
+      // forced budgets pin the dispatch to each branch
+      assert(pairs(TextDedup.containmentPairsAdaptive(d, n = 3, threshold = t)) == viaIndex)
+      assert(pairs(TextDedup.containmentPairsAdaptive(d, n = 3, threshold = t,
+        fanoutBudget = 0L)) == viaIndex)
     }
   }
 
