@@ -1525,6 +1525,70 @@ object DataOps {
     out
   }
 
+  /** FOURTH end-to-end streaming gate: WATERMARKED STREAM–STREAM
+    * INTERVAL JOIN ([[graft.streaming.Streams.viewPurchaseJoin]] —
+    * both sides carry 2-hour watermarks, the join condition bounds
+    * event-time distance to the hour before the purchase, so buffered
+    * state expires instead of growing with the stream). Each side is
+    * its own 2-batch file-source stream split BY TIME at mid-month:
+    * a second-half purchase matching a first-half view near the
+    * boundary can only come from JOIN STATE buffered across batches —
+    * the machinery this gate exists to certify (MemoryStream specs
+    * cover semantics; this covers source→state→append-sink wiring on
+    * real files). Inner stream-stream joins emit matches eagerly, so
+    * with time-ordered batches and delay (2 h) > join window (1 h)
+    * the settled append sink holds EXACTLY the batch range join's
+    * match set, which is what the oracle replays (a plain interval
+    * join + per-day rollup). The driver-side fetch is ≤ |days| rollup
+    * rows; scratch deleted before returning. */
+  def streamJoinViews(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    // full feed, unlike the sliced MERGE/dedup gates: the append sink
+    // has no per-batch rewrite to amplify, and the 1-hour interval is
+    // sparse enough at sf0.001 that a slice would leave the gate with
+    // zero matches to certify
+    val ev = Tables.events(spark, dir).filter(col("ts").isNotNull)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val mid = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+    val work = graft.sources.LocalFs.scratchDir("graft_stream_join")
+    val vDir = s"$work/views"; val pDir = s"$work/purchases"
+    val target = s"$work/target"; val ckpt = s"$work/ckpt"
+    writeStreamChunks(vDir,
+      Seq(views.filter(col("ts") < mid), views.filter(col("ts") >= mid)))
+    writeStreamChunks(pDir,
+      Seq(purchases.filter(col("ts") < mid), purchases.filter(col("ts") >= mid)))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      val vs = spark.readStream.schema(chunkSchema(views))
+        .option("maxFilesPerTrigger", 1).parquet(vDir).drop("_b")
+      val ps = spark.readStream.schema(chunkSchema(purchases))
+        .option("maxFilesPerTrigger", 1).parquet(pDir).drop("_b")
+      val q = graft.streaming.Streams.viewPurchaseJoin(vs, ps)
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", target)
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val settledDf = spark.read.parquet(target)
+      .groupBy(date_format(col("purchase_ts"), "yyyy-MM-dd").as("purchase_date"))
+      .agg(count(lit(1)).as("n_matches"),
+        countDistinct(col("purchase_id")).as("n_purchases"),
+        Cols.r(Cols.sumExact(col("value"), 2), 2).as("total_value"))
+      .orderBy(col("purchase_date").asc)
+    val settled = settledDf.collect().toSeq
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(settled, 1), settledDf.schema)
+    graft.sources.LocalFs.deleteRecursively(work)
+    out
+  }
+
   /** Count-Min Sketch frequency estimates for the top-10 corpus tokens
     * next to their exact counts and the realized overcount — the
     * heavy-hitter screen a 100 TB token stream runs when a
@@ -3397,6 +3461,29 @@ object DataOps {
         |WHERE event_id % 5 = 0
         |GROUP BY event_type
         |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+    // the stream-stream join gate's oracle: the plain batch interval
+    // join + rollup over the same slice — every match the stream
+    // buffers across batches must appear exactly once in the sink
+    "stream_join_views" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, ts, value
+        |  FROM events WHERE ts IS NOT NULL
+        |), v AS (
+        |  SELECT user_id, ts AS vts FROM ev WHERE event_type = 'view'
+        |), p AS (
+        |  SELECT user_id, event_id AS pid, ts AS pts, value
+        |  FROM ev WHERE event_type = 'purchase'
+        |)
+        |SELECT substr(CAST(p.pts AS VARCHAR(30)), 1, 10) AS purchase_date,
+        |       count(*) AS n_matches,
+        |       count(DISTINCT p.pid) AS n_purchases,
+        |       floor(CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS total_value
+        |FROM p JOIN v
+        |  ON p.user_id = v.user_id
+        | AND v.vts >= p.pts - INTERVAL 1 HOUR
+        | AND v.vts <= p.pts
+        |GROUP BY 1
+        |ORDER BY purchase_date ASC""".stripMargin,
     "stream_hourly_rollup" ->
       """SELECT substr(CAST(ts AS VARCHAR(30)), 1, 13) || ':00' AS hour,
         |       count(*) AS n_events,
@@ -3573,6 +3660,7 @@ object DataOps {
     "stream_merge_events" -> (streamMergeEvents _),
     "stream_hourly_rollup" -> (streamHourlyRollup _),
     "stream_dedup_docs" -> (streamDedupDocs _),
+    "stream_join_views" -> (streamJoinViews _),
     "bucketed_join"     -> (bucketedJoin _),
     "skew_salted_rollup" -> (skewSaltedRollup _),
     "bloom_join_urgent"  -> (bloomJoinUrgent _),
