@@ -20,6 +20,7 @@ object SparkEntry {
       analytics.AppOps.entries ++
       analytics.DataOps.entries ++
       analytics.CorpusOps.entries ++
+      analytics.CartographyOps.entries ++
       analytics.StatsOps.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -30,5 +31,6 @@ object SparkEntry {
       analytics.AppOps.oracles ++
       analytics.DataOps.oracles ++
       analytics.CorpusOps.oracles ++
+      analytics.CartographyOps.oracles ++
       analytics.StatsOps.oracles
 }

@@ -1,0 +1,145 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+import graft.operators.{Cartography, Relevance, TextDedup}
+
+/** Dataset-cartography catalog entries: TF-IDF retrieval (the
+  * classic lexical scorer beside bm25_probe), the per-source n-gram
+  * rarity histogram, and per-label embedding cohesion — corpus QA
+  * surfaces a training-data pipeline reads before deciding what to
+  * keep (SURVEY.md §7.4 north-star extensions; same oracle contract
+  * as [[DataOps]]/[[CorpusOps]]: every cross-engine sum is exact
+  * integer arithmetic, every transcendental is micro-quantized at
+  * the row it is produced).
+  */
+object CartographyOps {
+
+  private val P = TextDedup.P
+
+  // Same probe as bm25_probe, so the two scorers are directly
+  // comparable on the same query (rare + mid + common term).
+  private val TfidfTerms = Seq("dup", "vector", "hash")
+  private val TfidfK = 15
+
+  /** Top-15 docs for the mixed probe under log-tf·idf TF-IDF. */
+  def tfidfTopK(spark: SparkSession, dir: String): DataFrame =
+    Relevance.tfidfTopK(Tables.documents(spark, dir), TfidfTerms, TfidfK)
+
+  private val tfidfTopKSql: String = {
+    val terms = TfidfTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks
+       |  WHERE term IN ($terms) GROUP BY 1, 2
+       |), dfreq AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+       |), stats AS (
+       |  SELECT count(*) AS n_docs FROM documents
+       |), scored AS (
+       |  SELECT tf.doc_id,
+       |         CAST(floor((1.0 + ln(CAST(tf AS DOUBLE)))
+       |           * ln(CAST(n_docs AS DOUBLE) / df) * 1e6 + 0.5) AS BIGINT) AS tq
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+       |), tdoc AS (
+       |  SELECT doc_id, CAST(sum(tq) AS DOUBLE) / 1e6 AS score
+       |  FROM scored GROUP BY 1
+       |)
+       |SELECT doc_id, score FROM tdoc
+       |ORDER BY score DESC, doc_id ASC LIMIT $TfidfK""".stripMargin
+  }
+
+  /** Per-(source, decile) rarity histogram over 3-gram shingles. */
+  def rarityProfile(spark: SparkSession, dir: String): DataFrame =
+    Cartography.rarityProfile(Tables.documents(spark, dir), n = 3)
+
+  // The char-fold / shingle mirrors below replay TextDedup's portable
+  // hash family (same fragments as DataOps' dedup oracles).
+  private def dkWordHash(w: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length($w)), " +
+      s"i -> CAST(ascii(substr($w, i, 1)) AS BIGINT))), (acc, x) -> (acc * 31 + x) % $P)"
+
+  private val dkShingles3 =
+    s"""CASE WHEN len(th) < 3 THEN [] ELSE
+       |  list_distinct(list_transform(generate_series(1, len(th) - 2),
+       |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, i, i + 2)),
+       |         (acc, h) -> (acc * 131 + h) % $P))) END""".stripMargin
+
+  private val rarityProfileSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source,
+       |         list_transform(string_split(text, ' '), w -> ${dkWordHash("w")}) AS th
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, source, unnest($dkShingles3) AS sh FROM tok
+       |), dfr AS (
+       |  SELECT sh, count(*) AS df FROM sh GROUP BY 1
+       |), perdoc AS (
+       |  SELECT s.doc_id, s.source, count(*) AS n_sh,
+       |         CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+       |  FROM sh s JOIN dfr d USING (sh)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT source, CAST((n_unique * 1000 // n_sh) // 100 AS BIGINT) AS bucket,
+       |       count(*) AS n_docs,
+       |       CAST(sum(n_sh) AS BIGINT) AS sum_sh,
+       |       CAST(sum(n_unique) AS BIGINT) AS sum_unique
+       |FROM perdoc
+       |GROUP BY 1, 2
+       |ORDER BY source ASC, bucket ASC""".stripMargin
+
+  /** Per-label embedding centroid norm + cohesion. */
+  def embedLabelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Cartography.labelCentroids(Tables.embeddings(spark, dir))
+
+  private val embedLabelCentroidsSql: String =
+    """WITH ex AS (
+      |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+      |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS v
+      |  FROM embeddings
+      |  WHERE embedding IS NOT NULL AND len(embedding) > 0
+      |), cent AS (
+      |  SELECT label, pos, CAST(sum(v) AS BIGINT) AS s FROM ex GROUP BY 1, 2
+      |), labstats AS (
+      |  SELECT label, sum(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS n2s
+      |  FROM cent GROUP BY 1
+      |), rowdots AS (
+      |  SELECT e.vec_id, e.label,
+      |         sum(CAST(e.v AS HUGEINT) * CAST(c.s AS HUGEINT)) AS num,
+      |         CAST(sum(e.v * e.v) AS BIGINT) AS n2v
+      |  FROM ex e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+      |  GROUP BY 1, 2
+      |), mcs AS (
+      |  SELECT r.vec_id, r.label,
+      |         CAST(floor(CASE WHEN r.n2v > 0 AND l.n2s > 0
+      |           THEN CAST(r.num AS DOUBLE)
+      |                  / (sqrt(CAST(r.n2v AS DOUBLE)) * sqrt(CAST(l.n2s AS DOUBLE)))
+      |           ELSE 0.0 END * 1e6 + 0.5) AS BIGINT) AS mc
+      |  FROM rowdots r JOIN labstats l USING (label)
+      |), byl AS (
+      |  SELECT label, count(*) AS n_vecs, CAST(sum(mc) AS BIGINT) AS sum_mc
+      |  FROM mcs GROUP BY 1
+      |)
+      |SELECT b.label, b.n_vecs,
+      |       CAST(floor(sqrt(CAST(l.n2s AS DOUBLE)) / b.n_vecs + 0.5) AS BIGINT)
+      |         AS centroid_norm_micro,
+      |       CAST(floor(CAST(b.sum_mc AS DOUBLE) / b.n_vecs + 0.5) AS BIGINT)
+      |         AS cohesion_micro
+      |FROM byl b JOIN labstats l USING (label)
+      |ORDER BY label ASC""".stripMargin
+
+  // ---- catalog wiring -----------------------------------------------
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tfidf_topk" -> (tfidfTopK _),
+    "rarity_profile" -> (rarityProfile _),
+    "embed_label_centroids" -> (embedLabelCentroids _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "tfidf_topk" -> tfidfTopKSql,
+    "rarity_profile" -> rarityProfileSql,
+    "embed_label_centroids" -> embedLabelCentroidsSql
+  )
+}

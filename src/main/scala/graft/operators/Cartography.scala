@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dataset-cartography QA operators: corpus-level profiles that tell
+  * a curation pipeline WHERE its data is unusual before any filter
+  * fires — the complement of the keep/drop operators (Curation,
+  * TextDedup) which act on what these measure.
+  *
+  * Not part of the reference's surface (its QA layer is row-count
+  * validation, /root/reference/sql/02_load_data.sql:60-75) — these
+  * are SURVEY.md §7.4 north-star extensions over the harness
+  * `documents` / `embeddings` tables.
+  *
+  * Two profiles:
+  *  - [[rarityProfile]]: per-source histogram of document n-gram
+  *    rarity — the share of a doc's distinct shingles that appear in
+  *    NO other document (df = 1). High-rarity docs are novel (or
+  *    noise); zero-rarity docs are templated/boilerplate. The exact
+  *    opposite tail of Passages.boilerplateTopK, over the same
+  *    inverted index shape.
+  *  - [[labelCentroids]]: per-label embedding cohesion — each
+  *    label's centroid norm and the mean cosine of members to their
+  *    own centroid. Collapsed or incoherent label clusters surface
+  *    as outlier rows (SemDeDup/dataset-cartography style QA over
+  *    the vector column).
+  *
+  * Scale shape (both): every step is a partial-agg-friendly keyed
+  * shuffle — shingle df / (label, dim) sums combine map-side; the
+  * join back fans each exploded row exactly once; no driver-side
+  * state, no collect. Bounded output: O(sources × 11 buckets) and
+  * O(labels) rows.
+  *
+  * Oracle parity: all sums that cross engines are exact integer
+  * arithmetic — shingle counts are longs, embedding components are
+  * quantized to 1e-6 micro-ints BEFORE any aggregation (long / ≤26
+  * digit decimal sums, order-independent), and doubles appear only
+  * in final per-row cosine/ln steps that are micro-quantized
+  * immediately (the Relevance contract).
+  */
+object Cartography {
+
+  /** Per-(source, rarity-decile) rollup of document shingle rarity.
+    * A doc's rarity is `n_unique * 1000 div n_sh` per-mille, where
+    * n_unique counts its distinct word-`n`-gram shingles with global
+    * document frequency 1; bucket = rarity div 100 (0..10). Docs
+    * with fewer than `n` tokens have no shingles and are excluded
+    * (same rule as every shingle-family operator here).
+    * Output: (source, bucket, n_docs, sum_sh, sum_unique), ordered.
+    * The summed shingle counts (exact longs) make the hash gate pin
+    * the whole inverted index, not just the bucket census. */
+  def rarityProfile(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = TextDedup.withShingleHashes(docs, n)
+      .select(col("doc_id"), col("source"), explode(col("shingle_hashes")).as("sh"))
+    val df_ = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    sh.join(df_, "sh")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("df") === 1, lit(1L)).otherwise(lit(0L))).as("n_unique"))
+      .withColumn("bucket", expr("CAST((n_unique * 1000 DIV n_sh) DIV 100 AS BIGINT)"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_sh")).as("sum_sh"),
+        sum(col("n_unique")).as("sum_unique"))
+      .orderBy(col("source").asc, col("bucket").asc)
+  }
+
+  /** Per-label embedding centroid + cohesion. Components are
+    * quantized to micro-ints v = floor(x·1e6 + 0.5); the centroid is
+    * the per-(label, dim) micro-sum s (n cancels out of every cosine,
+    * so the division never happens in integer space). Per-member
+    * cosine to the own-label centroid is
+    * num / (√n2v · √n2s) with num = Σ v·s (≤26-digit decimal — s²
+    * sums overflow int64 past ~50k vectors/label, so the products
+    * are decimal(38,0) BY CONSTRUCTION, not by luck), n2v = Σ v²
+    * (long). Output per label: n_vecs, centroid_norm_micro
+    * (= √n2s / n, i.e. ‖centroid‖ in micro units) and cohesion_micro
+    * (mean member cosine in micro units, floor(Σmc/n + 0.5) computed
+    * in double so the negative-sum edge rounds identically on both
+    * engines). */
+  def labelCentroids(emb: DataFrame): DataFrame = {
+    val ex = emb.filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("v", floor(col("x").cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+    val cent = ex.groupBy(col("label"), col("pos")).agg(sum(col("v")).as("s"))
+    val labStats = cent.groupBy(col("label"))
+      .agg(sum(col("s").cast("decimal(38,0)") * col("s").cast("decimal(38,0)")).as("n2s"))
+    val rowdots = ex.join(cent, Seq("label", "pos"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("v").cast("decimal(38,0)") * col("s").cast("decimal(38,0)")).as("num"),
+        sum(col("v") * col("v")).as("n2v"))
+    val mcs = rowdots.join(labStats, "label")
+      .withColumn("cos",
+        when(col("n2v") > 0 && col("n2s") > 0,
+          col("num").cast("double") /
+            (sqrt(col("n2v").cast("double")) * sqrt(col("n2s").cast("double"))))
+          .otherwise(lit(0.0)))
+      .withColumn("mc", floor(col("cos") * lit(1e6) + lit(0.5)).cast("long"))
+    mcs.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("mc")).as("sum_mc"), max(col("n2s")).as("n2s"))
+      .select(col("label"), col("n_vecs"),
+        floor(sqrt(col("n2s").cast("double")) / col("n_vecs") + lit(0.5))
+          .cast("long").as("centroid_norm_micro"),
+        floor(col("sum_mc").cast("double") / col("n_vecs") + lit(0.5))
+          .cast("long").as("cohesion_micro"))
+      .orderBy(col("label").asc)
+  }
+}

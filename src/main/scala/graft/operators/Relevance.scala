@@ -72,4 +72,31 @@ object Relevance {
       .limit(k)
       .select(col("doc_id"), col("score"))
   }
+
+  /** Top-k docs for a bag-of-words query under classic log-tf·idf
+    * TF-IDF: score(d) = Σ_{t∈q∩d} (1 + ln tf) · ln(N / df) — the
+    * length-insensitive complement of [[bm25TopK]] (no dl/avgdl
+    * saturation; a doc repeating a rare term wins linearly in ln tf).
+    * Same scale shape and the same oracle-parity contract: per-term
+    * contributions are quantized to 1e-6 longs BEFORE the sum, the
+    * top-k cut orders by quantized score with an id tiebreak, and the
+    * corpus-N frame rides a 1-row broadcast (the J2 pattern). */
+  def tfidfTopK(docs: DataFrame, queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty && k > 0, "tfidfTopK needs query terms and k > 0")
+    val tf = termFreqs(docs, queryTerms)
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(df_), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("tscore",
+        (lit(1.0) + log(col("tf").cast("double"))) * log(col("n_docs") / col("df")))
+      .withColumn("tscore_q", floor(col("tscore") * 1e6 + 0.5).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg((sum(col("tscore_q")).cast("double") / 1e6).as("score"))
+    scored
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("score"))
+  }
 }

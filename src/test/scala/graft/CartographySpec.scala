@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.{Cartography, Relevance}
+
+/** Unit semantics for the dataset-cartography operators (the catalog
+  * twins tfidf_topk / rarity_profile / embed_label_centroids are
+  * hash-gated against DuckDB; these pin hand-computable cases and
+  * edges the harness corpus may not exercise). */
+class CartographySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- TF-IDF --------------------------------------------------------
+
+  private def docsOf(rows: (Long, String, String)*) =
+    rows.toSeq.toDF("doc_id", "text", "source")
+
+  test("tfidf: ubiquitous term contributes zero; rare term repetition grows log-tf") {
+    val docs = docsOf(
+      (1L, "common rare rare rare", "s"),
+      (2L, "common rare", "s"),
+      (3L, "common filler filler", "s"))
+    val out = Relevance.tfidfTopK(docs, Seq("common", "rare"), 3).collect()
+    // 'common' is in all 3 docs: ln(3/3) = 0 — only 'rare' scores.
+    // doc1: (1 + ln 3)·ln(3/2); doc2: (1 + ln 1)·ln(3/2); doc3: 0.
+    val idf = math.log(3.0 / 2.0)
+    def q(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0).getDouble(1) == q((1.0 + math.log(3.0)) * idf))
+    assert(out(1).getDouble(1) == q(idf))
+    assert(out(2).getDouble(1) == 0.0)
+  }
+
+  test("tfidf: top-k cut breaks score ties by doc_id ascending") {
+    val docs = docsOf(
+      (5L, "rare x", "s"), (2L, "rare y", "s"), (9L, "rare z", "s"),
+      (7L, "none here", "s"))
+    val out = Relevance.tfidfTopK(docs, Seq("rare"), 2).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 5L))
+  }
+
+  // ---- rarity profile ------------------------------------------------
+
+  test("rarityProfile: all-unique doc lands in bucket 10, fully-shared docs in bucket 0") {
+    val docs = docsOf(
+      (1L, "a b c d", "s1"),   // shingles {abc, bcd} — shared with doc 2
+      (2L, "a b c d", "s1"),   // identical → df 2 on both → rarity 0
+      (3L, "p q r s", "s2"))   // {pqr, qrs} unique → rarity 1000 → bucket 10
+    val out = Cartography.rarityProfile(docs, n = 3).collect()
+    val byKey = out.map(r => (r.getString(0), r.getLong(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(byKey(("s1", 0L)) == ((2L, 4L, 0L)))   // 2 docs, 2+2 shingles, 0 unique
+    assert(byKey(("s2", 10L)) == ((1L, 2L, 2L)))  // 1 doc, 2 shingles, both unique
+    assert(out.length == 2)
+  }
+
+  test("rarityProfile: docs shorter than n tokens are excluded; mixed doc buckets correctly") {
+    val docs = docsOf(
+      (1L, "a b", "s"),              // 2 tokens < 3 → no shingles → absent
+      (2L, "a b c x y z", "s"),      // {abc, bcx, cxy, xyz} — abc shared
+      (3L, "a b c", "s"))            // {abc} shared → rarity 0
+    val out = Cartography.rarityProfile(docs, n = 3).collect()
+    val byKey = out.map(r => (r.getString(0), r.getLong(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc2: 4 shingles, 3 unique → 750‰ → bucket 7; doc3: bucket 0
+    assert(byKey(("s", 7L)) == ((1L, 4L, 3L)))
+    assert(byKey(("s", 0L)) == ((1L, 1L, 0L)))
+    assert(out.map(_.getLong(2)).sum == 2L) // doc1 contributed nowhere
+  }
+
+  // ---- label centroids ----------------------------------------------
+
+  private def embOf(rows: (Long, Seq[Float], Int)*) =
+    rows.toSeq.toDF("vec_id", "embedding", "label")
+
+  test("labelCentroids: identical members give cohesion 1e6 and the member's norm") {
+    val emb = embOf(
+      (1L, Seq(0.6f, 0.8f), 1), (2L, Seq(0.6f, 0.8f), 1),
+      (3L, Seq(1.0f, 0.0f), 2))
+    val out = Cartography.labelCentroids(emb).collect()
+    val byLabel = out.map(r => r.getInt(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // label 1: centroid == member direction → cos = 1 exactly (micro 1e6);
+    // norm = 1.0 in micro units (0.6f/0.8f quantize to 600000/800000).
+    assert(byLabel(1) == ((2L, 1000000L, 1000000L)))
+    assert(byLabel(2) == ((1L, 1000000L, 1000000L)))
+  }
+
+  test("labelCentroids: opposite members cancel — zero centroid, zero cosines") {
+    val emb = embOf(
+      (1L, Seq(1.0f, 0.0f), 7), (2L, Seq(-1.0f, 0.0f), 7))
+    val Array(r) = Cartography.labelCentroids(emb).collect()
+    assert((r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((7, 2L, 0L, 0L)))
+  }
+
+  test("labelCentroids: null and empty embeddings are excluded from their label") {
+    val emb = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, Seq(0.0f, 1.0f), 3), Row(2L, null, 3), Row(3L, Seq.empty[Float], 3)),
+      embOf((1L, Seq(0f), 1)).schema)
+    val Array(r) = Cartography.labelCentroids(emb).collect()
+    assert(r.getLong(1) == 1L) // only the real vector counted
+    assert(r.getLong(3) == 1000000L)
+  }
+
+  test("labelCentroids: orthogonal pair — cohesion cos 45° toward the shared centroid") {
+    val emb = embOf((1L, Seq(1.0f, 0.0f), 4), (2L, Seq(0.0f, 1.0f), 4))
+    val Array(r) = Cartography.labelCentroids(emb).collect()
+    // centroid direction (1,1)/√2: each member's cosine = 1/√2 ≈ 0.707107
+    assert(r.getLong(3) == math.floor(1e6 / math.sqrt(2.0) + 0.5).toLong)
+    // ‖centroid‖ = √2/2 → micro 707107
+    assert(r.getLong(2) == 707107L)
+  }
+}

@@ -30,7 +30,8 @@ class CatalogPlanSweepSpec extends SparkSpec {
     * a plain scan+agg with no operator content, and the execution cost
     * belongs in their own gates, not a plan screen. */
   private val streamingGates =
-    Set("stream_merge_events", "stream_dedup_docs", "stream_hourly_rollup")
+    Set("stream_merge_events", "stream_dedup_docs", "stream_hourly_rollup",
+      "stream_join_views")
 
   /** J2 scalar-broadcast sites: each crossJoins a broadcast frame that
     * is O(1) rows by construction (the comment names the frame). A BNLJ
@@ -52,6 +53,7 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "lm_surprisal" -> "1-row vocab/total count frames",
     "lm_backoff" -> "1-row vocab/total count frames",
     "bm25_probe" -> "1-row corpus avgdl/N frame",
+    "tfidf_topk" -> "1-row corpus-N frame",
     "hybrid_rrf" -> "1-row corpus stats frame (BM25 leg)",
     "feat_lang_profile" -> "1-row en-profile L2-norm frame",
     "kmv_distinct_events" -> "1-row KMV estimator frame",
