@@ -21,6 +21,7 @@ object SparkEntry {
       analytics.DataOps.entries ++
       analytics.CorpusOps.entries ++
       analytics.CartographyOps.entries ++
+      analytics.TokenizerOps.entries ++
       analytics.StatsOps.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -32,5 +33,6 @@ object SparkEntry {
       analytics.DataOps.oracles ++
       analytics.CorpusOps.oracles ++
       analytics.CartographyOps.oracles ++
+      analytics.TokenizerOps.oracles ++
       analytics.StatsOps.oracles
 }
