@@ -22,6 +22,7 @@ object SparkEntry {
       analytics.CorpusOps.entries ++
       analytics.CartographyOps.entries ++
       analytics.TokenizerOps.entries ++
+      analytics.SpectrumOps.entries ++
       analytics.StatsOps.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -34,5 +35,6 @@ object SparkEntry {
       analytics.CorpusOps.oracles ++
       analytics.CartographyOps.oracles ++
       analytics.TokenizerOps.oracles ++
+      analytics.SpectrumOps.oracles ++
       analytics.StatsOps.oracles
 }

@@ -1,0 +1,153 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Pca
+
+/** Embedding-spectrum catalog entries: the corpus' top principal
+  * component by power iteration and the all-but-the-top correction
+  * rolled up per label ([[graft.operators.Pca]]). The DuckDB oracles
+  * replay the WHOLE training loop — exact integer moments, the
+  * truncating N² normalization, and all [[Rounds]] iteration steps as
+  * unrolled list_reduce chains (the classifier-oracle construction,
+  * with IEEE-exact +,×,÷,sqrt only) — then the application pass.
+  */
+object SpectrumOps {
+
+  /** Embedding dimensionality of the harness corpus. */
+  val Dim = 64
+
+  /** Fixed power-iteration rounds (unrolled in the oracle). */
+  val Rounds = 12
+
+  private val pcaMemo =
+    new scala.collection.concurrent.TrieMap[String, (Pca.Moments, Array[Double])]()
+
+  private def fitted(spark: SparkSession, dir: String): (Pca.Moments, Array[Double]) =
+    pcaMemo.getOrElseUpdate(dir,
+      Pca.fit(Tables.embeddings(spark, dir), Dim, Rounds))
+
+  /** Top principal direction, micro-quantized: (pos, loading_micro). */
+  def embedPcaTop(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, u) = fitted(spark, dir)
+    spark.createDataset((1 to Dim).map(p =>
+        (p.toLong, math.floor(u(p - 1) * Pca.Micro + 0.5).toLong)))
+      .toDF("pos", "loading_micro")
+      .orderBy(col("pos").asc)
+  }
+
+  /** All-but-the-top application rolled up per label. */
+  def embedAbttLabels(spark: SparkSession, dir: String): DataFrame = {
+    val (mom, u) = fitted(spark, dir)
+    Pca.abttLabelStats(Tables.embeddings(spark, dir), Dim, mom, u)
+  }
+
+  // ---- oracle SQL ----------------------------------------------------
+
+  private def dkDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, $b), " +
+      s"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (acc, v) -> acc + v)"
+
+  /** One power-iteration round: y = Ĝv (per-row ascending-j fold),
+    * ‖y‖ from the ascending-i fold, v ← y/‖y‖ (zero vector if the
+    * norm is zero — constant corpus). */
+  private def dkPowerRound(r: Int): String =
+    s"""y$r AS (
+       |  SELECT g.i, ${dkDot("g.grow", "pv.v")} AS y
+       |  FROM gmat g, v${r - 1} pv
+       |), yl$r AS (SELECT list(y ORDER BY i) AS yl FROM y$r),
+       |n$r AS (SELECT sqrt(${dkDot("yl", "yl")}) AS nrm FROM yl$r),
+       |v$r AS MATERIALIZED (
+       |  SELECT CASE WHEN nm.nrm > 0
+       |              THEN list_transform(yl, t -> t / nm.nrm)
+       |              ELSE list_transform(yl, t -> CAST(0 AS DOUBLE)) END AS v
+       |  FROM yl$r, n$r nm
+       |)""".stripMargin
+
+  /** Shared prefix: quantized components, exact moments, the
+    * truncating-÷N² scatter matrix as per-row lists, the all-ones
+    * start vector, and all [[Rounds]] unrolled iteration rounds
+    * ending in v[[Rounds]]. */
+  private lazy val dkPcaCtes: String =
+    s"""ex AS MATERIALIZED (
+       |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+       |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS v
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = $Dim
+       |), st AS MATERIALIZED (
+       |  SELECT pos, CAST(sum(v) AS HUGEINT) AS s, count(*) AS nrows FROM ex GROUP BY 1
+       |), nn AS (SELECT CAST(coalesce(max(nrows), 0) AS HUGEINT) AS n FROM st),
+       |mom AS MATERIALIZED (
+       |  SELECT a.pos AS i, b.pos AS j,
+       |         CAST(sum(CAST(a.v AS HUGEINT) * CAST(b.v AS HUGEINT)) AS HUGEINT) AS m
+       |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+       |  GROUP BY 1, 2
+       |), gfull AS (
+       |  SELECT i, j, m FROM mom
+       |  UNION ALL
+       |  SELECT j, i, m FROM mom WHERE i < j
+       |), gmat AS MATERIALIZED (
+       |  SELECT i, list(gd ORDER BY j) AS grow FROM (
+       |    SELECT g.i, g.j,
+       |           CAST(((SELECT n FROM nn) * g.m - si.s * sj.s)
+       |                // ((SELECT n FROM nn) * (SELECT n FROM nn)) AS DOUBLE) AS gd
+       |    FROM gfull g
+       |    JOIN st si ON si.pos = g.i
+       |    JOIN st sj ON sj.pos = g.j)
+       |  GROUP BY 1
+       |), v0 AS (
+       |  SELECT list_transform(generate_series(1, $Dim), x -> CAST(1 AS DOUBLE)) AS v
+       |), ${(1 to Rounds).map(dkPowerRound).mkString(",\n")}""".stripMargin
+
+  private lazy val embedPcaTopSql: String =
+    s"""WITH $dkPcaCtes
+       |SELECT CAST(pos AS BIGINT) AS pos,
+       |       CAST(floor((SELECT v FROM v$Rounds)[pos] * 1e6 + 0.5) AS BIGINT) AS loading_micro
+       |FROM (SELECT unnest(generate_series(1, $Dim)) AS pos)
+       |ORDER BY pos ASC""".stripMargin
+
+  private lazy val embedAbttLabelsSql: String =
+    s"""WITH $dkPcaCtes,
+       |qv AS (
+       |  SELECT vec_id, label, list(v ORDER BY pos) AS q FROM ex GROUP BY 1, 2
+       |), sl AS (SELECT list(s ORDER BY pos) AS sv FROM st),
+       |cdv AS (
+       |  SELECT vec_id, label,
+       |         list_transform(list_zip(q, sl.sv),
+       |           x -> CAST(CAST(x[1] AS HUGEINT) * nn.n - CAST(x[2] AS HUGEINT) AS DOUBLE)
+       |                / CAST(nn.n AS DOUBLE)) AS cd
+       |  FROM qv, sl, nn
+       |), proj AS (
+       |  SELECT vec_id, label,
+       |         ${dkDot("cd", "fv.v")} AS p,
+       |         ${dkDot("cd", "cd")} AS cn2
+       |  FROM cdv, v$Rounds fv
+       |), rowq AS (
+       |  SELECT label,
+       |         CAST(floor(abs(p) * 1e6 + 0.5) AS BIGINT) AS pm,
+       |         CAST(floor(CASE WHEN cn2 > 0 THEN 1e0 - p * p / cn2 ELSE 0e0 END
+       |                    * 1e6 + 0.5) AS BIGINT) AS rsm
+       |  FROM proj
+       |)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       |       CAST(floor(CAST(sum(pm) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+       |         AS mean_abs_proj_micro,
+       |       CAST(floor(CAST(sum(rsm) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+       |         AS mean_resid_share_micro
+       |FROM rowq GROUP BY 1 ORDER BY label ASC""".stripMargin
+
+  // ---- catalog wiring -----------------------------------------------
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_pca_top" -> (embedPcaTop _),
+    "embed_abtt_labels" -> (embedAbttLabels _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "embed_pca_top" -> embedPcaTopSql,
+    "embed_abtt_labels" -> embedAbttLabelsSql
+  )
+}
