@@ -129,17 +129,93 @@ object CartographyOps {
       |FROM byl b JOIN labstats l USING (label)
       |ORDER BY label ASC""".stripMargin
 
+  /** Theil–Sen Zipf fit over the top-256 word-frequency head. */
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame =
+    Cartography.zipfSlope(Tables.documents(spark, dir), topRanks = 256)
+
+  private val zipfSlopeSql: String =
+    """WITH freqs AS MATERIALIZED (
+      |  SELECT w, cnt FROM (
+      |    SELECT w, CAST(count(*) AS BIGINT) AS cnt
+      |    FROM (SELECT unnest(string_split(text, ' ')) AS w
+      |          FROM documents WHERE text IS NOT NULL)
+      |    WHERE w <> '' GROUP BY 1)
+      |  ORDER BY cnt DESC, w ASC LIMIT 256
+      |), rkd AS (
+      |  SELECT cnt, CAST(row_number() OVER (ORDER BY cnt DESC, w ASC) AS BIGINT) AS rk
+      |  FROM freqs
+      |), pts AS MATERIALIZED (
+      |  SELECT rk, ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y FROM rkd
+      |), pairs AS (
+      |  SELECT a.rk AS rk_a, b.rk AS rk_b,
+      |         CAST(floor((b.y - a.y) / (b.x - a.x) * 1e6 + 0.5) AS BIGINT) AS slope_q
+      |  FROM pts a JOIN pts b ON a.rk < b.rk
+      |), sm AS (SELECT count(*) AS m FROM pairs),
+      |sr AS (
+      |  SELECT slope_q, row_number() OVER (ORDER BY slope_q ASC, rk_a ASC, rk_b ASC) AS prk
+      |  FROM pairs
+      |), smed AS (
+      |  SELECT min(CASE WHEN prk = CAST(floor(CAST(m + 1 AS DOUBLE) / 2.0) AS BIGINT)
+      |                  THEN slope_q END) AS slope_micro,
+      |         max(m) AS m
+      |  FROM sr, sm
+      |), nr AS (SELECT count(*) AS n_ranks FROM pts),
+      |res AS (
+      |  SELECT rk,
+      |         CAST(floor((y - CAST(slope_micro AS DOUBLE) / 1e6 * x) * 1e6 + 0.5) AS BIGINT) AS icept_q
+      |  FROM pts, smed
+      |), rr AS (
+      |  SELECT icept_q, row_number() OVER (ORDER BY icept_q ASC, rk ASC) AS prk FROM res
+      |), imed AS (
+      |  SELECT min(CASE WHEN prk = CAST(floor(CAST(n_ranks + 1 AS DOUBLE) / 2.0) AS BIGINT)
+      |                  THEN icept_q END) AS intercept_micro
+      |  FROM rr, nr
+      |)
+      |SELECT CAST(n_ranks AS BIGINT) AS n_ranks, CAST(m AS BIGINT) AS n_pairs,
+      |       slope_micro, intercept_micro
+      |FROM nr, smed, imed""".stripMargin
+
+  /** Top-3 distinguishing terms per source under source-level TF-IDF. */
+  def keywordsPerSource(spark: SparkSession, dir: String): DataFrame =
+    Cartography.keywordsPerSource(Tables.documents(spark, dir), k = 3)
+
+  private val keywordsPerSourceSql: String =
+    """WITH tf AS MATERIALIZED (
+      |  SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+      |        FROM documents WHERE text IS NOT NULL)
+      |  WHERE term <> '' GROUP BY 1, 2
+      |), dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM tf),
+      |scored AS (
+      |  SELECT tf.source, tf.term,
+      |         CAST(floor((1.0 + ln(CAST(tf AS DOUBLE)))
+      |           * ln(CAST(n_sources AS DOUBLE) / df) * 1e6 + 0.5) AS BIGINT) AS score_micro
+      |  FROM tf JOIN dfr USING (term) CROSS JOIN ns
+      |), rnk AS (
+      |  SELECT source, term, score_micro,
+      |         CAST(row_number() OVER (PARTITION BY source
+      |           ORDER BY score_micro DESC, term ASC) AS BIGINT) AS rk
+      |  FROM scored
+      |)
+      |SELECT source, rk, term, score_micro FROM rnk WHERE rk <= 3
+      |ORDER BY source ASC, rk ASC""".stripMargin
+
   // ---- catalog wiring -----------------------------------------------
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tfidf_topk" -> (tfidfTopK _),
     "rarity_profile" -> (rarityProfile _),
-    "embed_label_centroids" -> (embedLabelCentroids _)
+    "embed_label_centroids" -> (embedLabelCentroids _),
+    "zipf_slope" -> (zipfSlope _),
+    "keywords_per_source" -> (keywordsPerSource _)
   )
 
   val oracles: Map[String, String] = Map(
     "tfidf_topk" -> tfidfTopKSql,
     "rarity_profile" -> rarityProfileSql,
-    "embed_label_centroids" -> embedLabelCentroidsSql
+    "embed_label_centroids" -> embedLabelCentroidsSql,
+    "zipf_slope" -> zipfSlopeSql,
+    "keywords_per_source" -> keywordsPerSourceSql
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dataset-cartography QA operators: corpus-level profiles that tell
@@ -106,5 +107,106 @@ object Cartography {
         floor(col("sum_mc").cast("double") / col("n_vecs") + lit(0.5))
           .cast("long").as("cohesion_micro"))
       .orderBy(col("label").asc)
+  }
+
+  /** Zipf power-law fit over the word-frequency head: Theil–Sen slope
+    * (and intercept) of ln(freq) against ln(rank), over the top
+    * `topRanks` words. Healthy natural-language corpora sit near
+    * slope −1; a flat head signals templated text, a cliff signals a
+    * truncated vocabulary — the corpus-level twin of the per-doc
+    * type-token checks in TextAnalysis.
+    *
+    * Scale shape: the corpus aggregates ONCE to word counts (map-side
+    * combinable), then a TakeOrdered cut bounds the frame at
+    * `topRanks` rows — the O(R²) pairwise-slope join and the exact
+    * rank-pick medians (the [[graft.analytics.StatsOps]]
+    * trend_theil_sen machinery: row_number over a total order, no
+    * percentile state) run on that bounded frame at any corpus size.
+    *
+    * Oracle parity: ln values are doubles, so every pairwise slope is
+    * quantized to the 1e-6 grid BEFORE the median ordering — a
+    * cross-engine ulp in libm's ln can no longer reorder the pick.
+    * The intercept leg reuses the PICKED quantized slope (exact
+    * micro/1e6 double on both engines) and quantizes residuals the
+    * same way. Output: one row (n_ranks, n_pairs, slope_micro,
+    * intercept_micro). */
+  def zipfSlope(docs: DataFrame, topRanks: Int = 256): DataFrame = {
+    require(topRanks >= 2 && topRanks <= 4096, "topRanks must be in [2, 4096]")
+    val freqs = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(topRanks)
+    // bounded frame from here on; pmod constant partition key states
+    // the one-partition intent (the trend_theil_sen idiom)
+    val wR = Window.partitionBy(pmod(length(col("w")), lit(1)))
+      .orderBy(col("cnt").desc, col("w").asc)
+    val pts = freqs.withColumn("rk", row_number().over(wR))
+      .select(col("rk").cast("long").as("rk"),
+        log(col("rk").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    val pairs = pts.select(col("rk").as("rk_a"), col("x").as("x_a"), col("y").as("y_a"))
+      .join(pts.select(col("rk").as("rk_b"), col("x").as("x_b"), col("y").as("y_b")),
+        col("rk_a") < col("rk_b"))
+      .select(col("rk_a"), col("rk_b"),
+        floor((col("y_b") - col("y_a")) / (col("x_b") - col("x_a")) * lit(1e6) + lit(0.5))
+          .cast("long").as("slope_q"))
+    val mFrame = pairs.agg(count(lit(1)).as("m"))
+    val wS = Window.partitionBy(pmod(col("rk_a"), lit(1)))
+      .orderBy(col("slope_q").asc, col("rk_a").asc, col("rk_b").asc)
+    val slopeMed = pairs.withColumn("prk", row_number().over(wS))
+      .crossJoin(broadcast(mFrame))
+      .agg(min(when(col("prk") ===
+          floor((col("m") + lit(1)).cast("double") / lit(2.0)).cast("long"), col("slope_q")))
+        .as("slope_micro"), max(col("m")).as("n_pairs"))
+    val nFrame = pts.agg(count(lit(1)).as("n_ranks"))
+    val wI = Window.partitionBy(pmod(col("rk"), lit(1)))
+      .orderBy(col("icept_q").asc, col("rk").asc)
+    val iceptMed = pts.crossJoin(broadcast(slopeMed))
+      .select(col("rk"),
+        floor((col("y") - col("slope_micro").cast("double") / lit(1e6) * col("x"))
+          * lit(1e6) + lit(0.5)).cast("long").as("icept_q"))
+      .withColumn("prk", row_number().over(wI))
+      .crossJoin(broadcast(nFrame))
+      .agg(min(when(col("prk") ===
+          floor((col("n_ranks") + lit(1)).cast("double") / lit(2.0)).cast("long"), col("icept_q")))
+        .as("intercept_micro"))
+    nFrame.crossJoin(broadcast(slopeMed)).crossJoin(broadcast(iceptMed))
+      .select(col("n_ranks"), col("n_pairs"), col("slope_micro"), col("intercept_micro"))
+  }
+
+  /** Per-source TF-IDF keywords: treat each source as one aggregate
+    * document; score its terms by (1 + ln tf)·ln(S/df) with df = the
+    * number of sources containing the term, and keep the top `k` per
+    * source (score desc, term asc — ubiquitous terms score exactly 0
+    * and lose every tiebreak to anything distinctive). The standard
+    * corpus-card surface: what vocabulary distinguishes each slice.
+    *
+    * Scale shape: one corpus-scale (source, term) count (map-side
+    * combinable), a term-keyed df rollup, a 1-row source-count frame
+    * on a broadcast crossJoin (the J2 pattern), and a per-source
+    * window top-k — the grouped twin of the QUALIFY rewrite. Scores
+    * are micro-quantized per row BEFORE the rank window (the
+    * [[Relevance]] contract), so libm ulps cannot reorder ranks.
+    * Output: (source, rk, term, score_micro), k rows per source. */
+  def keywordsPerSource(docs: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 100, "k must be in [1, 100]")
+    val tf = docs.select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val sFrame = tf.select(col("source")).distinct().agg(count(lit(1)).as("n_sources"))
+    val scored = tf.join(df_, "term")
+      .crossJoin(broadcast(sFrame))
+      .select(col("source"), col("term"),
+        floor((lit(1.0) + log(col("tf").cast("double")))
+          * log(col("n_sources").cast("double") / col("df").cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long").as("score_micro"))
+    val wK = Window.partitionBy(col("source"))
+      .orderBy(col("score_micro").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(wK).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("rk"), col("term"), col("score_micro"))
+      .orderBy(col("source").asc, col("rk").asc)
   }
 }

@@ -1,4 +1,5 @@
 package graft
+// (zipf/keyword additions below reuse this spec's fixtures)
 
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
@@ -113,5 +114,62 @@ class CartographySpec extends SparkSpec {
     assert(r.getLong(3) == math.floor(1e6 / math.sqrt(2.0) + 0.5).toLong)
     // ‖centroid‖ = √2/2 → micro 707107
     assert(r.getLong(2) == 707107L)
+  }
+
+  // ---- zipf slope ----------------------------------------------------
+
+  test("zipfSlope: an exact power law f = C/rank recovers slope -1 and ln C") {
+    // ranks 1..4 with counts 24, 12, 8, 6 = 24/rank
+    val words = Seq("a" -> 24, "b" -> 12, "c" -> 8, "d" -> 6)
+    val text = words.flatMap { case (w, c) => Seq.fill(c)(w) }.mkString(" ")
+    val docs = docsOf((1L, text, "s"))
+    val Array(r) = Cartography.zipfSlope(docs, topRanks = 256).collect()
+    assert((r.getLong(0), r.getLong(1)) == ((4L, 6L)))
+    assert(r.getLong(2) == -1000000L)             // slope exactly -1
+    assert(r.getLong(3) == math.floor(math.log(24.0) * 1e6 + 0.5).toLong)
+  }
+
+  test("zipfSlope: a flat head (all counts equal) fits slope 0") {
+    val docs = docsOf((1L, "a b c d", "s"), (2L, "d c b a", "s"))
+    val Array(r) = Cartography.zipfSlope(docs, topRanks = 256).collect()
+    assert(r.getLong(2) == 0L)
+  }
+
+  test("zipfSlope: topRanks caps the fitted head deterministically") {
+    // head 60/rank (60, 30, 20) is an exact power law; the excluded
+    // tail words (5, 1) would break it if the cap leaked
+    val words = Seq("w1" -> 60, "w2" -> 30, "w3" -> 20, "w4" -> 5, "w5" -> 1)
+    val text = words.flatMap { case (w, c) => Seq.fill(c)(w) }.mkString(" ")
+    val Array(r) = Cartography.zipfSlope(docsOf((1L, text, "s")), topRanks = 3).collect()
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 3L)))
+    assert(r.getLong(2) == -1000000L)
+  }
+
+  // ---- per-source keywords -------------------------------------------
+
+  test("keywordsPerSource: distinctive terms win; ubiquitous terms score zero") {
+    val docs = docsOf(
+      (1L, "shared alpha alpha", "s1"),
+      (2L, "shared beta", "s2"))
+    val out = Cartography.keywordsPerSource(docs, k = 2).collect()
+    val byKey = out.map(r => (r.getString(0), r.getLong(1)) ->
+      (r.getString(2), r.getLong(3))).toMap
+    val idf2 = math.log(2.0)
+    // s1 rank 1: alpha with (1 + ln 2)·ln 2
+    assert(byKey(("s1", 1L)) ==
+      (("alpha", math.floor((1.0 + math.log(2.0)) * idf2 * 1e6 + 0.5).toLong)))
+    // 'shared' in both sources: ln(2/2) = 0 → rank 2 by term asc among zeros
+    assert(byKey(("s1", 2L))._2 == 0L)
+    assert(byKey(("s2", 1L)) == (("beta", math.floor(idf2 * 1e6 + 0.5).toLong)))
+  }
+
+  test("keywordsPerSource: k bounds rows per source; ties order by term ascending") {
+    val docs = docsOf(
+      (1L, "x y z shared", "s1"),
+      (2L, "shared", "s2"))
+    val out = Cartography.keywordsPerSource(docs, k = 2)
+      .filter(col("source") === "s1").collect()
+    // x, y, z all score (1+ln1)·ln2 — tie broken by term asc, k = 2 cuts z
+    assert(out.map(_.getString(2)).toSeq == Seq("x", "y"))
   }
 }

@@ -81,6 +81,11 @@ class CatalogPlanSweepSpec extends SparkSpec {
     //    O(days) frame FIRST; the day<day pair join is span-bounded
     //    (a month is <= 31 rows -> <= 465 pairs) at any corpus SF --
     "trend_theil_sen" -> "O(days) daily-mean frame self-join (span-bounded pairs)",
+    // -- TakeOrdered-bounded head: the corpus aggregates to word counts,
+    //    a LIMIT 256 cut bounds the frame, THEN the rk<rk pair join and
+    //    the 1-row median frames run on <= 256 rows at any corpus SF --
+    "zipf_slope" -> "top-256 frequency head self-join + 1-row median frames",
+    "keywords_per_source" -> "1-row source-count frame",
     // -- two 1-row exact-quantile frames crossJoined --
     "exact_quantiles_totalprice" -> "1-row exact-cut frames (p50, p90)",
     // -- fixed-rounds global exact forms: the constant-key state join
