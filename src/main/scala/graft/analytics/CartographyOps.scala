@@ -134,7 +134,7 @@ object CartographyOps {
     Cartography.zipfSlope(Tables.documents(spark, dir), topRanks = 256)
 
   private val zipfSlopeSql: String =
-    """WITH freqs AS MATERIALIZED (
+    """WITH freqs AS (
       |  SELECT w, cnt FROM (
       |    SELECT w, CAST(count(*) AS BIGINT) AS cnt
       |    FROM (SELECT unnest(string_split(text, ' ')) AS w
@@ -144,7 +144,7 @@ object CartographyOps {
       |), rkd AS (
       |  SELECT cnt, CAST(row_number() OVER (ORDER BY cnt DESC, w ASC) AS BIGINT) AS rk
       |  FROM freqs
-      |), pts AS MATERIALIZED (
+      |), pts AS (
       |  SELECT rk, ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y FROM rkd
       |), pairs AS (
       |  SELECT a.rk AS rk_a, b.rk AS rk_b,
@@ -180,7 +180,7 @@ object CartographyOps {
     Cartography.keywordsPerSource(Tables.documents(spark, dir), k = 3)
 
   private val keywordsPerSourceSql: String =
-    """WITH tf AS MATERIALIZED (
+    """WITH tf AS (
       |  SELECT source, term, CAST(count(*) AS BIGINT) AS tf
       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS term
       |        FROM documents WHERE text IS NOT NULL)

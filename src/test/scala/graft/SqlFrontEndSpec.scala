@@ -11,8 +11,8 @@ class SqlFrontEndSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("the verbatim-portable set holds at least 65 entries") {
-    assert(ansiPortable.size >= 65, s"got ${ansiPortable.size}")
+  test("the verbatim-portable set holds at least 69 entries") {
+    assert(ansiPortable.size >= 69, s"got ${ansiPortable.size}")
     assert(ansiPortable.distinct.size == ansiPortable.size)
   }
 
@@ -100,10 +100,13 @@ object SqlFrontEndSpec {
     "s13_fact_prune", "sample_per_lang", "sample_priority",
     "sample_priority_lang", "sample_strata", "sessionize_daily",
     "shard_plan", "split_train_val_test", "stream_hourly_rollup",
-    "stream_merge_events", "topk_value_by_type", "trend_theil_sen",
+    "stream_join_views",
+    "stream_merge_events", "tfidf_topk", "topk_value_by_type",
+    "trend_theil_sen",
     "ttest_value_halves", "u1_filter_topk", "u2_activity_shocks",
     "u3_kpi_summary", "u4_result_summary", "vocab_coverage",
     "weighted_median_by_flag",
     "weighted_median_price", "window_rank_family", "winsor_stats",
+    "zipf_slope", "keywords_per_source",
     "zorder_cells", "zorder_read")
 }
