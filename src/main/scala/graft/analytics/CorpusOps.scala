@@ -488,9 +488,54 @@ object CorpusOps {
       |FROM dims
       |WHERE x BETWEEN 32 AND 47 AND y BETWEEN 10 AND 19""".stripMargin
 
+  /** ORC format round trip under the DuckDB gate: the events fact is
+    * written DATE-PARTITIONED AS ORC ([[LayerWriter.writeFact]]'s
+    * format twin of the parquet layout s13_fact_prune pins), read
+    * back through a partition-pruning date range PLUS a row-level
+    * value predicate (both must reach the OrcScan —
+    * `OrcRoundtripSpec` pins PartitionFilters and PushedFilters), and
+    * rolled up. The oracle computes the same rollup straight from the
+    * events table: any row the ORC round trip loses, duplicates or
+    * corrupts flips the hash — result-invisibility of the FORMAT,
+    * the contract [[zorderRead]] pins for the layout rewrite. Scratch
+    * is RAM-backed and deleted after the one-row-per-group settle. */
+  def orcRoundtripRead(spark: SparkSession, dir: String): DataFrame = {
+    val work = graft.sources.LocalFs.scratchDir("graft_orc_fact")
+    graft.sources.LayerWriter.writeFact(
+      Tables.events(spark, dir)
+        .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd")),
+      work.toString, "event_date", format = "orc")
+    val rollup = spark.read.orc(work.toString)
+      .filter(col("event_date").between("2024-01-10", "2024-01-16")
+        && col("value") > 10.0)
+      .groupBy(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        Cols.r(Cols.sumExact(col("value"), 2), 2).as("total_value"))
+      .orderBy(col("event_date").asc, col("event_type").asc)
+    val settled = rollup.collect().toSeq
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(settled, 1), rollup.schema)
+    graft.sources.LocalFs.deleteRecursively(work)
+    out
+  }
+
+  private val orcRoundtripReadSql: String =
+    """SELECT substr(CAST(ts AS VARCHAR(30)), 1, 10) AS event_date, event_type,
+      |       count(*) AS n_events,
+      |       count(DISTINCT user_id) AS n_users,
+      |       floor(CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS total_value
+      |FROM events
+      |WHERE substr(CAST(ts AS VARCHAR(30)), 1, 10) BETWEEN '2024-01-10' AND '2024-01-16'
+      |  AND value > 10.0
+      |GROUP BY 1, 2
+      |ORDER BY event_date ASC, event_type ASC""".stripMargin
+
   // ---- catalog wiring -----------------------------------------------
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orc_roundtrip_read" -> (orcRoundtripRead _),
     "shard_plan"  -> (shardPlan _),
     "contam_pairs" -> (contamPairs _),
     "contam_scrub" -> (contamScrub _),
@@ -504,6 +549,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "orc_roundtrip_read" -> orcRoundtripReadSql,
     "shard_plan"  -> shardPlanSql,
     "contam_pairs" -> contamPairsSql,
     "contam_scrub" -> contamScrubSql,
