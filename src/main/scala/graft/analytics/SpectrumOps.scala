@@ -25,9 +25,15 @@ object SpectrumOps {
   private val pcaMemo =
     new scala.collection.concurrent.TrieMap[String, (Pca.Moments, Array[Double])]()
 
+  /** Actual fit executions — lets `TrainMemoSpec` pin the
+    * one-moment-pass-per-corpus claim (the embCountJobs pattern). */
+  private[graft] val pcaFitRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def fitted(spark: SparkSession, dir: String): (Pca.Moments, Array[Double]) =
-    pcaMemo.getOrElseUpdate(dir,
-      Pca.fit(Tables.embeddings(spark, dir), Dim, Rounds))
+    pcaMemo.getOrElseUpdate(dir, {
+      pcaFitRuns.incrementAndGet()
+      Pca.fit(Tables.embeddings(spark, dir), Dim, Rounds)
+    })
 
   /** Top principal direction, micro-quantized: (pos, loading_micro). */
   def embedPcaTop(spark: SparkSession, dir: String): DataFrame = {

@@ -29,8 +29,13 @@ object TokenizerOps {
   private val bpeMemo =
     new scala.collection.concurrent.TrieMap[String, (Seq[Bpe.Merge], DataFrame)]()
 
+  /** Actual training executions — lets `TrainMemoSpec` pin the
+    * one-training-run-per-corpus claim (the embCountJobs pattern). */
+  private[graft] val bpeTrainRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def trained(spark: SparkSession, dir: String): (Seq[Bpe.Merge], DataFrame) =
     bpeMemo.getOrElseUpdate(dir, {
+      bpeTrainRuns.incrementAndGet()
       val dict = Bpe.wordDict(Tables.documents(spark, dir))
       Bpe.train(dict, Rounds)
     })

@@ -1,0 +1,32 @@
+package graft
+
+import graft.analytics.{SpectrumOps, TokenizerOps}
+
+/** The trained-artifact memos: every bpe_* entry shares ONE training
+  * run per corpus and every embed_pca/abtt entry shares ONE moment
+  * pass — repeat catalog sweeps (the bench's cold+warm passes) must
+  * not re-train (the DataOpsCountMemoSpec contract, extended to the
+  * r7 trainers). */
+class TrainMemoSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("BPE trains once per corpus across all three entries and repeats") {
+    val before = TokenizerOps.bpeTrainRuns.get()
+    TokenizerOps.bpeMerges(spark, dir).collect()
+    TokenizerOps.bpeVocab(spark, dir).collect()
+    TokenizerOps.bpeSubtokenStats(spark, dir).collect()
+    TokenizerOps.bpeMerges(spark, dir).collect()
+    val runs = TokenizerOps.bpeTrainRuns.get() - before
+    assert(runs <= 1, s"expected at most one training run, saw $runs")
+  }
+
+  test("PCA fits once per corpus across both entries and repeats") {
+    val before = SpectrumOps.pcaFitRuns.get()
+    SpectrumOps.embedPcaTop(spark, dir).collect()
+    SpectrumOps.embedAbttLabels(spark, dir).collect()
+    SpectrumOps.embedPcaTop(spark, dir).collect()
+    val runs = SpectrumOps.pcaFitRuns.get() - before
+    assert(runs <= 1, s"expected at most one fit, saw $runs")
+  }
+}
