@@ -67,6 +67,27 @@ class BpeSpec extends SparkSpec {
     assert(seqs.select($"seq").as[Seq[String]].collect().head == Seq("ab</w>"))
   }
 
+  test("paths agree on a run-heavy random dict (overlap resolution stress)") {
+    // small alphabet + doubled letters force same-symbol runs — the
+    // case where greedy-left-first and a naive "merge every hit"
+    // diverge; seeded so the fixture is reproducible
+    val rnd = new scala.util.Random(20260814L)
+    val words = (1 to 60).map { _ =>
+      (1 to (2 + rnd.nextInt(6))).map { _ =>
+        val c = ('a' + rnd.nextInt(3)).toChar
+        if (rnd.nextBoolean()) s"$c$c" else s"$c"
+      }.mkString
+    }.distinct
+    val dict = words.map(w => (w, 1L + rnd.nextInt(9))).toDF("word", "cnt")
+    val (mLocal, sLocal) = Bpe.train(dict, rounds = 6)
+    val (mDist, sDist) = Bpe.train(dict, rounds = 6, driverWordLimit = 0)
+    assert(mLocal == mDist)
+    val norm = (df: org.apache.spark.sql.DataFrame) =>
+      df.select($"word", concat_ws("", $"seq").as("s"))
+        .orderBy($"word").collect().toSeq
+    assert(norm(sLocal) == norm(sDist))
+  }
+
   test("empty dict trains zero merges") {
     val dict = spark.emptyDataset[(String, Long)].toDF("word", "cnt")
     val (merges, seqs) = Bpe.train(dict, rounds = 3)
