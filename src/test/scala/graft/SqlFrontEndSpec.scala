@@ -91,7 +91,8 @@ object SqlFrontEndSpec {
     "heavy_hitter_tokens", "incr_load_events",
     "j3_upsert_users", "kpi_unpivot", "m2_dim_users", "mad_outliers",
     "mad_outliers_by_type", "minhash_fast_precheck",
-    "mix_temperature", "mm_payload_stats", "pack_plan",
+    "mix_temperature", "mm_payload_stats", "orc_roundtrip_read",
+    "pack_plan",
     "pivot_daily_types", "profile_events",
     "q1_top_brands", "q2_daily_trend", "q3_zscore_outliers",
     "q4_geo_rollup", "q5_risk_watchlist", "qa_counts_events",
