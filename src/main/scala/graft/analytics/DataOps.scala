@@ -358,6 +358,40 @@ object DataOps {
         n = 3, numHashes = 16, bands = 8, threshold = 0.5)
         .select(col("doc_a"), col("doc_b")))
 
+  /** Community detection over the duplicate pair graph: fixed-rounds
+    * deterministic sync LPA ([[Components.labelPropagation]]) rolled
+    * up per community — the density complement of [[dedupGroups]]
+    * (a chain bridging two near-cliques keeps them in one COMPONENT
+    * but in two COMMUNITIES). Same persisted pair graph; the oracle
+    * unrolls all 4 label rounds over a materialized edge list. */
+  def communitiesLpa(spark: SparkSession, dir: String): DataFrame =
+    Components.labelPropagation(
+      TextDedup.pairGraph(Tables.documents(spark, dir),
+        n = 3, numHashes = 16, bands = 8, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b")),
+      rounds = 4, src = "doc_a", dst = "doc_b")
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("id")).as("min_doc"), max(col("id")).as("max_doc"))
+      .orderBy(col("community").asc)
+
+  /** Threshold-calibration sweep for Jaccard dedup: the 0.05-bin
+    * histogram of the pair-similarity distribution down to J ≥ 0.1 —
+    * the curve a curation pipeline reads BEFORE choosing its dedup τ
+    * (the mass just under a candidate τ is exactly what that choice
+    * keeps). Runs the thin inverted-index form with the lowered
+    * floor; at 100 TB this is a calibration pass over a sample, not
+    * the production screen — the harness corpus' modest df keeps
+    * Σ df² tame. Binning uses the 1e-4-quantized similarity in the
+    * identical double arithmetic on both engines. */
+  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.jaccardPairsIndex(Tables.documents(spark, dir), n = 3, threshold = 0.1)
+      .withColumn("bin", floor(col("jaccard") * 20).cast("long"))
+      .withColumn("j4", floor(col("jaccard") * lit(1e4) + lit(0.5)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("j4")).as("sum_j4"))
+      .orderBy(col("bin").asc)
+
   /** Cross-split leakage audit: near-dup pairs from the shared
     * MinHash-LSH pair graph whose endpoints land in DIFFERENT splits
     * of the deterministic train/val/test assignment — the
@@ -1924,6 +1958,23 @@ object DataOps {
        |  UNION ALL SELECT doc_b, doc_a FROM pairs
        |)""".stripMargin
 
+  /** One unrolled sync-LPA round over `edgesm(a, b)`: neighbor-label
+    * counts, then the per-node argmax by (count DESC, label ASC) —
+    * mirrors [[graft.operators.Components.labelPropagation]] round
+    * for round. */
+  private def dkLpaRound(i: Int): String =
+    s"""lc$i AS (
+       |  SELECT e.a AS id, l.lbl, count(*) AS cnt
+       |  FROM edgesm e JOIN lp${i - 1} l ON l.id = e.b
+       |  GROUP BY 1, 2
+       |), lp$i AS MATERIALIZED (
+       |  SELECT id, lbl FROM (
+       |    SELECT id, lbl,
+       |           row_number() OVER (PARTITION BY id ORDER BY cnt DESC, lbl ASC) AS rn
+       |    FROM lc$i)
+       |  WHERE rn = 1
+       |)""".stripMargin
+
   /** Pair graph → connected components via recursive CTE (callers
     * prepend WITH RECURSIVE). `comps` is (id, comp) with comp = min
     * reachable id — the same labeling Components produces. */
@@ -2669,6 +2720,24 @@ object DataOps {
          |SELECT comp AS group_id, count(*) AS n_docs, max(id) AS max_doc
          |FROM comps GROUP BY comp
          |ORDER BY group_id ASC""".stripMargin,
+    "communities_lpa" ->
+      s"""WITH $dkPairGraphCtes,
+         |edgesm AS MATERIALIZED (SELECT a, b FROM edges),
+         |lp0 AS (SELECT DISTINCT a AS id, a AS lbl FROM edgesm),
+         |${(1 to 4).map(dkLpaRound).mkString(",\n")}
+         |SELECT lbl AS community, count(*) AS n_members,
+         |       min(id) AS min_doc, max(id) AS max_doc
+         |FROM lp4 GROUP BY 1
+         |ORDER BY community ASC""".stripMargin,
+    "dedup_threshold_sweep" ->
+      s"""WITH $dkSizes, $dkJaccardPairs,
+         |swp AS (
+         |  SELECT CAST(floor(jaccard * 20) AS BIGINT) AS bin,
+         |         CAST(floor(jaccard * 1e4 + 0.5) AS BIGINT) AS j4
+         |  FROM jac WHERE jraw >= 0.1
+         |)
+         |SELECT bin, count(*) AS n_pairs, CAST(sum(j4) AS BIGINT) AS sum_j4
+         |FROM swp GROUP BY 1 ORDER BY bin ASC""".stripMargin,
     "dup_source_matrix" ->
       s"""WITH $dkPairGraphCtes,
          |sp AS (SELECT doc_id, source FROM documents)
@@ -3605,6 +3674,8 @@ object DataOps {
     "asof_attribution"  -> (asofAttribution _),
     "range_views_before_purchase" -> (rangeViewsBeforePurchase _),
     "dedup_groups"      -> (dedupGroups _),
+    "communities_lpa"   -> (communitiesLpa _),
+    "dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "split_leakage_pairs" -> (splitLeakagePairs _),
     "dup_source_matrix" -> (dupSourceMatrix _),
     "pagerank_hubs"     -> (pagerankHubs _),

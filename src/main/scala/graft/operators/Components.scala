@@ -190,4 +190,48 @@ object Components {
       .groupBy(col("comp").as("group_id"))
       .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))
       .orderBy(col("group_id").asc)
+
+  /** Synchronous label propagation (Raghavan et al. 2007) with FIXED
+    * rounds and a deterministic tiebreak — the community-detection
+    * complement of [[connectedComponents]]: components answer "what is
+    * transitively connected", LPA answers "what clusters densely"
+    * (a chain that merely bridges two near-cliques keeps them in one
+    * component but in two communities).
+    *
+    * Determinism (the replayability policy): every node starts
+    * labeled with its own id; each round every node adopts the
+    * neighbor label with the highest count, ties broken by SMALLEST
+    * label — argmax via row_number over (count DESC, label ASC), no
+    * randomized update order. Fixed `rounds` (no convergence test)
+    * keeps the replay finite and sidesteps sync-LPA's oscillation
+    * non-termination. Per round: one equi-join edges⋈labels, one
+    * partial-aggregable count, one per-node rank window — all keyed
+    * shuffles, no driver state; the labels frame localCheckpoints
+    * each round (the iterative-DataFrame rule documented above). */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4,
+      src: String = "src", dst: String = "dst"): DataFrame = {
+    require(rounds >= 1 && rounds <= 32, "rounds must be in [1, 32]")
+    val sym = symmetrize(edges, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("cnt").desc, col("lbl").asc)
+    var r = 0
+    while (r < rounds) {
+      val next = sym
+        .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
+        .groupBy(col("src").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("lbl"))
+        .localCheckpoint(true)
+      labels.unpersist(blocking = false)
+      labels = next
+      r += 1
+    }
+    sym.unpersist(blocking = false)
+    labels
+  }
 }

@@ -104,4 +104,41 @@ class ComponentsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 3L, 3L), (10L, 2L, 11L)))
   }
+
+  test("labelPropagation: two cliques bridged by one edge stay two communities") {
+    // cliques {1,2,3} and {10,11,12}, bridge 3-10: one COMPONENT, but
+    // LPA keeps two dense communities (the bridge is outvoted)
+    val k1 = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val k2 = Seq((10L, 11L), (10L, 12L), (11L, 12L))
+    val edges = (k1 ++ k2 :+ (3L, 10L)).toDF("src", "dst")
+    val labels = Components.labelPropagation(edges, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(Components.connectedComponents(edges).select(countDistinct($"comp"))
+      .as[Long].head() == 1L)
+    assert(labels.filterKeys(Set(1L, 2L, 3L)).values.toSet.size == 1)
+    assert(labels.filterKeys(Set(10L, 11L, 12L)).values.toSet.size == 1)
+    assert(labels(1L) != labels(10L))
+  }
+
+  test("labelPropagation: deterministic tiebreak picks the smallest label") {
+    // a single edge: after round 1 each node holds the other's id;
+    // fixed sync rounds keep the oscillation deterministic
+    val edges = Seq((5L, 9L)).toDF("src", "dst")
+    val l1 = Components.labelPropagation(edges, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(l1 == Map(5L -> 9L, 9L -> 5L))
+    val l2 = Components.labelPropagation(edges, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(l2 == Map(5L -> 5L, 9L -> 9L))
+  }
+
+  test("labelPropagation: star adopts the hub after two rounds") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val l = Components.labelPropagation(edges, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    // round 1: leaves take hub id 1; hub takes min leaf id 2
+    // round 2: hub's neighbors all hold 1 -> hub takes 1; leaves take 2
+    assert(l(1L) == 1L)
+    assert(Set(2L, 3L, 4L).forall(l(_) == 2L))
+  }
 }
