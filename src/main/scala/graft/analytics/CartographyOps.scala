@@ -201,6 +201,32 @@ object CartographyOps {
       |SELECT source, rk, term, score_micro FROM rnk WHERE rk <= 3
       |ORDER BY source ASC, rk ASC""".stripMargin
 
+  /** Per-source character-entropy histogram (0.25-nat buckets). */
+  def entropyProfile(spark: SparkSession, dir: String): DataFrame =
+    Cartography.charEntropyProfile(Tables.documents(spark, dir))
+
+  private val entropyProfileSql: String =
+    """WITH ch0 AS (
+      |  SELECT doc_id, source, text,
+      |         unnest(generate_series(1, CAST(length(text) AS BIGINT))) AS i
+      |  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+      |), cnt AS (
+      |  SELECT doc_id, source, substr(text, i, 1) AS ch, count(*) AS n
+      |  FROM ch0 GROUP BY 1, 2, 3
+      |), tot AS (
+      |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS nt FROM cnt GROUP BY 1
+      |), pd AS (
+      |  SELECT c.doc_id, c.source,
+      |         CAST(sum(CAST(floor(-((CAST(n AS DOUBLE) / nt) * ln(CAST(n AS DOUBLE) / nt))
+      |           * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS h9
+      |  FROM cnt c JOIN tot USING (doc_id)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT source, h9 // 250000000 AS bucket,
+      |       count(*) AS n_docs, CAST(sum(h9) AS BIGINT) AS sum_h9
+      |FROM pd GROUP BY 1, 2
+      |ORDER BY source ASC, bucket ASC""".stripMargin
+
   // ---- catalog wiring -----------------------------------------------
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -208,7 +234,8 @@ object CartographyOps {
     "rarity_profile" -> (rarityProfile _),
     "embed_label_centroids" -> (embedLabelCentroids _),
     "zipf_slope" -> (zipfSlope _),
-    "keywords_per_source" -> (keywordsPerSource _)
+    "keywords_per_source" -> (keywordsPerSource _),
+    "entropy_profile" -> (entropyProfile _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -216,6 +243,7 @@ object CartographyOps {
     "rarity_profile" -> rarityProfileSql,
     "embed_label_centroids" -> embedLabelCentroidsSql,
     "zipf_slope" -> zipfSlopeSql,
-    "keywords_per_source" -> keywordsPerSourceSql
+    "keywords_per_source" -> keywordsPerSourceSql,
+    "entropy_profile" -> entropyProfileSql
   )
 }

@@ -175,6 +175,41 @@ object Cartography {
       .select(col("n_ranks"), col("n_pairs"), col("slope_micro"), col("intercept_micro"))
   }
 
+  /** Per-source histogram of document character entropy — the CCNet/
+    * Gopher-family quality signal the ratio rules (TextAnalysis) do
+    * not capture: binary-ish or single-character junk scores near 0
+    * nats, templated text sits low, natural language clusters around
+    * ~3 nats. H(doc) = −Σ_c p_c·ln p_c over the doc's character
+    * distribution.
+    *
+    * Oracle parity: each character's term −p·ln p is quantized to the
+    * 1e-9 grid PER (doc, char) row before the order-independent
+    * integer sum (the ln-parity policy everywhere else); buckets are
+    * 0.25-nat integer divisions of the nano-nat total. Scale shape:
+    * one char explode (linear in corpus bytes), two doc-keyed partial
+    * aggs, a bounded (source × buckets) rollup. */
+  def charEntropyProfile(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(1), length(col("text"))),
+          i => col("text").substr(i, lit(1)))).as("ch"))
+      .groupBy(col("doc_id"), col("source"), col("ch"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("doc_id")).agg(sum(col("n")).as("nt"))
+    val perdoc = counts.join(totals, "doc_id")
+      .withColumn("p", col("n").cast("double") / col("nt").cast("double"))
+      .withColumn("tq",
+        floor(-(col("p") * log(col("p"))) * lit(1e9) + lit(0.5)).cast("long"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("tq")).as("h9"))
+    perdoc
+      .withColumn("bucket", expr("h9 DIV 250000000"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("h9")).as("sum_h9"))
+      .orderBy(col("source").asc, col("bucket").asc)
+  }
+
   /** Per-source TF-IDF keywords: treat each source as one aggregate
     * document; score its terms by (1 + ln tf)·ln(S/df) with df = the
     * number of sources containing the term, and keep the top `k` per

@@ -145,6 +145,35 @@ class CartographySpec extends SparkSpec {
     assert(r.getLong(2) == -1000000L)
   }
 
+  // ---- character entropy ---------------------------------------------
+
+  test("charEntropyProfile: single-character junk lands in bucket 0 with H = 0") {
+    val docs = docsOf((1L, "aaaaaaaa", "junk"))
+    val Array(r) = Cartography.charEntropyProfile(docs).collect()
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (("junk", 0L, 1L, 0L)))
+  }
+
+  test("charEntropyProfile: uniform alphabet hits ln(k) nats exactly") {
+    // "abcd" -> 4 chars each p = 1/4 -> H = ln 4 ≈ 1.386294 nats -> bucket 5
+    val docs = docsOf((1L, "abcd", "s"))
+    val Array(r) = Cartography.charEntropyProfile(docs).collect()
+    val expected = 4L * math.floor(0.25 * math.log(4.0) * 1e9 + 0.5).toLong
+    assert(r.getLong(3) == expected)
+    assert(r.getLong(1) == expected / 250000000L)
+  }
+
+  test("charEntropyProfile: NULL and empty docs are excluded; buckets split per source") {
+    val docs = docsOf(
+      (1L, "aaaa", "s"),            // H = 0 -> bucket 0
+      (2L, "abcdefgh", "s"),        // H = ln 8 ≈ 2.079 -> bucket 8
+      (3L, null.asInstanceOf[String], "s"),
+      (4L, "", "s"))
+    val out = Cartography.charEntropyProfile(docs).collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq.sorted ==
+      Seq((0L, 1L), (8L, 1L)))
+  }
+
   // ---- per-source keywords -------------------------------------------
 
   test("keywordsPerSource: distinctive terms win; ubiquitous terms score zero") {
