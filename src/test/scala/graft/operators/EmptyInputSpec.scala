@@ -102,4 +102,26 @@ class EmptyInputSpec extends SparkSpec {
     // an all-zero-bucket index that matches everything later
     intercept[IllegalArgumentException](Similarity.nearDupPairs(emptyVecs, 0.5))
   }
+
+  test("r7 additions pass empties through") {
+    val emptySrc = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    val emptyLbl = Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label")
+    // BPE: empty dict trains nothing on either path
+    assert(Bpe.train(Bpe.wordDict(emptySrc), rounds = 3)._1.isEmpty)
+    // cartography profiles: empty rollups
+    assert(Cartography.rarityProfile(emptySrc).count() == 0)
+    assert(Cartography.charEntropyProfile(emptySrc).count() == 0)
+    assert(Cartography.keywordsPerSource(emptySrc).count() == 0)
+    assert(Cartography.labelCentroids(emptyLbl).count() == 0)
+    // zipf: the single stats row degrades to zero counts, null fit
+    val z = Cartography.zipfSlope(emptySrc).collect().head
+    assert(z.getLong(0) == 0L && (z.isNullAt(1) || z.getLong(1) == 0L) && z.isNullAt(2))
+    // PCA: zero moments -> zero matrix -> zero vector; ABTT empty
+    val (mom, u) = Pca.fit(emptyLbl, d = 4, rounds = 3)
+    assert(mom.n == 0L && u.toSeq == Seq(0.0, 0.0, 0.0, 0.0))
+    assert(Pca.abttLabelStats(emptyLbl, 4, mom, u).count() == 0)
+    // LPA: empty edge list -> empty labeling
+    assert(Components.labelPropagation(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
+  }
 }
