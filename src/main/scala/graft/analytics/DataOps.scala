@@ -375,6 +375,29 @@ object DataOps {
         min(col("id")).as("min_doc"), max(col("id")).as("max_doc"))
       .orderBy(col("community").asc)
 
+  /** LSH screen certification: recall of the banded MinHash-LSH pair
+    * graph against EXACT all-pairs Jaccard at the same τ = 0.5, from
+    * the same shingle family. The verified pair graph is a subset of
+    * the exact pair set by construction (candidates are
+    * exact-verified), so precision is 1.0 and the one number that can
+    * degrade is recall — the banding collision probability. The hash
+    * gate already proves both sets row-identical to DuckDB; this
+    * entry puts the recall NUMBER itself under the gate, so a banding
+    * regression (fewer bands, broken key) shows up as a value change,
+    * not just a slower diff. Empty corpus → vacuous recall 1.0. */
+  def lshPairRecall(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val exact = TextDedup.jaccardPairsIndex(docs, n = 3, threshold = 0.5)
+      .agg(count(lit(1)).as("n_exact"))
+    val lsh = TextDedup.pairGraph(docs, n = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .agg(count(lit(1)).as("n_lsh"))
+    exact.crossJoin(broadcast(lsh))
+      .select(col("n_exact"), col("n_lsh"),
+        when(col("n_exact") > 0,
+          floor(col("n_lsh").cast("double") / col("n_exact") * lit(1e6) + lit(0.5)))
+          .otherwise(lit(1000000.0)).cast("long").as("recall_micro"))
+  }
+
   /** Threshold-calibration sweep for Jaccard dedup: the 0.05-bin
     * histogram of the pair-similarity distribution down to J ≥ 0.1 —
     * the curve a curation pipeline reads BEFORE choosing its dedup τ
@@ -2729,6 +2752,15 @@ object DataOps {
          |       min(id) AS min_doc, max(id) AS max_doc
          |FROM lp4 GROUP BY 1
          |ORDER BY community ASC""".stripMargin,
+    "lsh_pair_recall" ->
+      s"""WITH $dkPairGraphCtes,
+         |exl AS (SELECT count(*) AS n_exact FROM jac WHERE jraw >= 0.5),
+         |lsl AS (SELECT count(*) AS n_lsh FROM pairs)
+         |SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_lsh AS BIGINT) AS n_lsh,
+         |       CAST(CASE WHEN n_exact > 0
+         |                 THEN floor(CAST(n_lsh AS DOUBLE) / n_exact * 1e6 + 0.5)
+         |                 ELSE 1000000 END AS BIGINT) AS recall_micro
+         |FROM exl, lsl""".stripMargin,
     "dedup_threshold_sweep" ->
       s"""WITH $dkSizes, $dkJaccardPairs,
          |swp AS (
@@ -3676,6 +3708,7 @@ object DataOps {
     "dedup_groups"      -> (dedupGroups _),
     "communities_lpa"   -> (communitiesLpa _),
     "dedup_threshold_sweep" -> (dedupThresholdSweep _),
+    "lsh_pair_recall"   -> (lshPairRecall _),
     "split_leakage_pairs" -> (splitLeakagePairs _),
     "dup_source_matrix" -> (dupSourceMatrix _),
     "pagerank_hubs"     -> (pagerankHubs _),

@@ -51,6 +51,7 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "bootstrap_mean_ci" -> "1-row CI bounds frame",
     "vocab_coverage" -> "1-row vocab-size frame",
     "lm_surprisal" -> "1-row vocab/total count frames",
+    "lsh_pair_recall" -> "two 1-row pair-count frames",
     "lm_backoff" -> "1-row vocab/total count frames",
     "bm25_probe" -> "1-row corpus avgdl/N frame",
     "tfidf_topk" -> "1-row corpus-N frame",
