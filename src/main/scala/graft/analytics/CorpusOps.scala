@@ -532,9 +532,62 @@ object CorpusOps {
       |GROUP BY 1, 2
       |ORDER BY event_date ASC, event_type ASC""".stripMargin
 
+  private val ChunkW = 6
+  private val ChunkStride = 3
+
+  /** Overlapping RAG chunk plan ([[graft.operators.Passages.withChunks]]
+    * w = 6, stride = 3): per-source rollup of chunk counts, token
+    * volume (with overlap — the storage cost of the chunk store) and
+    * tail-aligned chunks. The chunker itself is one map-side explode;
+    * the only shuffle is this bounded rollup. */
+  def chunkPlan(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Passages.withChunks(
+        Tables.documents(spark, dir).filter(col("text").isNotNull),
+        w = ChunkW, stride = ChunkStride, keep = Seq("source"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("chunk_tokens")).cast("long").as("sum_chunk_tokens"),
+        sum(col("is_tail")).cast("long").as("n_tail_chunks"))
+      .orderBy(col("source").asc)
+
+  private val chunkPlanSql: String =
+    s"""WITH c0 AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS t,
+       |         len(string_split(text, ' ')) AS n
+       |  FROM documents WHERE text IS NOT NULL
+       |), st AS (
+       |  SELECT doc_id, source, t, n,
+       |         CASE WHEN n >= $ChunkW THEN
+       |           CASE WHEN (n - $ChunkW) % $ChunkStride <> 0
+       |                THEN list_append(list_transform(
+       |                       generate_series(0, CAST((n - $ChunkW) // $ChunkStride AS BIGINT)),
+       |                       i -> i * $ChunkStride), CAST(n - $ChunkW AS BIGINT))
+       |                ELSE list_transform(
+       |                       generate_series(0, CAST((n - $ChunkW) // $ChunkStride AS BIGINT)),
+       |                       i -> i * $ChunkStride) END
+       |         WHEN n > 0 THEN [CAST(0 AS BIGINT)]
+       |         ELSE [] END AS starts
+       |  FROM c0
+       |), ck AS (
+       |  SELECT doc_id, source, unnest(starts) AS s0, t FROM st
+       |), cr AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(list_slice(t, s0 + 1, s0 + $ChunkW)) AS BIGINT) AS n_ctoks,
+       |         CASE WHEN s0 % $ChunkStride <> 0 THEN 1 ELSE 0 END AS tail
+       |  FROM ck
+       |)
+       |SELECT source,
+       |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |       CAST(count(*) AS BIGINT) AS n_chunks,
+       |       CAST(sum(n_ctoks) AS BIGINT) AS sum_chunk_tokens,
+       |       CAST(sum(tail) AS BIGINT) AS n_tail_chunks
+       |FROM cr GROUP BY 1 ORDER BY source ASC""".stripMargin
+
   // ---- catalog wiring -----------------------------------------------
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "chunk_plan" -> (chunkPlan _),
     "orc_roundtrip_read" -> (orcRoundtripRead _),
     "shard_plan"  -> (shardPlan _),
     "contam_pairs" -> (contamPairs _),
@@ -549,6 +602,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "chunk_plan" -> chunkPlanSql,
     "orc_roundtrip_read" -> orcRoundtripReadSql,
     "shard_plan"  -> shardPlanSql,
     "contam_pairs" -> contamPairsSql,

@@ -83,6 +83,16 @@ object Bpe {
     } else trainDistributed(d, rounds)
   }
 
+  /** Apply an ordered merge list to ONE word (chars + [[EndOfWord]],
+    * then each merge greedily left-to-right in training order) — the
+    * inference half of [[train]]: segmenting words the training dict
+    * never saw. Matches the training-side sequences exactly on seen
+    * words (spec-pinned). */
+  def segment(word: String, merges: Seq[Merge]): Seq[String] =
+    merges.foldLeft(word.map(_.toString).toIndexedSeq :+ EndOfWord) {
+      (s, m) => mergeGreedy(s, m.left, m.right)
+    }
+
   /** Final-vocabulary summary of trained sequences: per symbol, the
     * number of distinct words containing it, total sequence slots,
     * and the occurrence-weighted count. Bounded output: the symbol

@@ -80,4 +80,44 @@ object Passages {
       .select(col("passage"), col("n_occurrences"), col("n_docs"))
       .orderBy(col("n_occurrences").desc, col("passage").asc)
       .limit(k)
+
+  /** OVERLAPPING chunker — the retrieval/RAG complement of
+    * [[withPassages]] (stride < width ⇒ context is never split at a
+    * hard boundary). Chunk starts are 0, stride, 2·stride … while a
+    * full `w`-token window fits, PLUS a tail-aligned start at
+    * n − w when the last full window would leave tokens uncovered —
+    * every token lands in ≥ 1 chunk with at most w-token overlap. A
+    * doc shorter than `w` yields its whole text as one chunk (an
+    * empty-string doc is a single empty token on both engines, so it
+    * yields one empty chunk). Output: one row per chunk
+    * (idCol, chunk_start [0-based token offset], chunk_tokens,
+    * is_tail, chunk) plus passthrough of `keep` columns.
+    *
+    * Deterministic and relational on both engines (the oracle
+    * replays starts, slices and flags with the same arithmetic); at
+    * scale it is one map-side explode — no shuffle at all until the
+    * caller aggregates. */
+  def withChunks(docs: DataFrame, w: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      keep: Seq[String] = Seq.empty): DataFrame = {
+    require(w >= 1 && stride >= 1 && stride <= w,
+      "withChunks needs 1 <= stride <= w")
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    val lastFull = floor((n - w).cast("double") / stride).cast("int")
+    val starts = when(n >= w,
+        when(pmod(n - w, lit(stride)) =!= 0,
+          concat(transform(sequence(lit(0), lastFull), i => i * stride),
+            array(n - w)))
+          .otherwise(transform(sequence(lit(0), lastFull), i => i * stride)))
+      .otherwise(when(n > 0, array(lit(0))).otherwise(array().cast("array<int>")))
+    docs.select(col(idCol) +: keep.map(col) :+
+        col(textCol).as("__t") :+ explode(starts).as("chunk_start"): _*)
+      .withColumn("chunk",
+        concat_ws(" ", slice(split(col("__t"), " "), col("chunk_start") + 1, lit(w))))
+      .withColumn("chunk_tokens",
+        size(slice(split(col("__t"), " "), col("chunk_start") + 1, lit(w))))
+      .withColumn("is_tail", (pmod(col("chunk_start"), lit(stride)) =!= 0).cast("int"))
+      .drop("__t")
+  }
 }

@@ -88,6 +88,17 @@ class BpeSpec extends SparkSpec {
     assert(norm(sLocal) == norm(sDist))
   }
 
+  test("segment replays training sequences on seen words and generalizes to unseen") {
+    val (merges, seqs) = Bpe.trainLocal(sennrich, rounds = 4)
+    // on every trained word, inference == the training-side sequence
+    seqs.foreach { case (w, _, s) => assert(Bpe.segment(w, merges) == s, w) }
+    // unseen word built from trained subwords: "lowest" picks up est</w>
+    val unseen = Bpe.segment("lowest", merges)
+    assert(unseen.last == "est</w>", unseen)
+    // fully novel characters fall back to character pieces
+    assert(Bpe.segment("zz", merges) == Seq("z", "z", "</w>"))
+  }
+
   test("empty dict trains zero merges") {
     val dict = spark.emptyDataset[(String, Long)].toDF("word", "cnt")
     val (merges, seqs) = Bpe.train(dict, rounds = 3)

@@ -37,4 +37,29 @@ class PassagesSpec extends SparkSpec {
     // both repeated passages occur twice; tie broken by passage text asc
     assert(out == Seq(("a b c d", 2L, 2L), ("x y z w", 2L, 2L)))
   }
+
+  test("withChunks: stride-overlapping starts plus a tail-aligned chunk cover every token") {
+    // 8 tokens, w = 4, stride = 2: starts 0, 2, 4 (full) — (8-4)%2 = 0, no tail
+    val d1 = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8")).toDF("doc_id", "text")
+    val c1 = Passages.withChunks(d1, w = 4, stride = 2)
+      .select($"chunk_start", $"chunk", $"chunk_tokens", $"is_tail")
+      .as[(Int, String, Int, Int)].collect().toSeq.sortBy(_._1)
+    assert(c1.map(_._1) == Seq(0, 2, 4))
+    assert(c1.forall(c => c._3 == 4 && c._4 == 0))
+    assert(c1.head._2 == "t1 t2 t3 t4")
+    // 9 tokens: starts 0, 2, 4 plus tail start 5 ((9-4)%2 = 1)
+    val d2 = Seq((2L, "t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val c2 = Passages.withChunks(d2, w = 4, stride = 2)
+      .select($"chunk_start", $"is_tail").as[(Int, Int)].collect().toSeq.sortBy(_._1)
+    assert(c2 == Seq((0, 0), (2, 0), (4, 0), (5, 1)))
+  }
+
+  test("withChunks: short docs yield one whole-text chunk; keep columns pass through") {
+    val d = Seq((1L, "a b", "s1")).toDF("doc_id", "text", "source")
+    val rows = Passages.withChunks(d, w = 4, stride = 2, keep = Seq("source"))
+      .select($"doc_id", $"source", $"chunk", $"chunk_tokens").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(1) == "s1" && rows.head.getString(2) == "a b"
+      && rows.head.getInt(3) == 2)
+  }
 }
