@@ -207,19 +207,17 @@ object CartographyOps {
 
   private val entropyProfileSql: String =
     """WITH ch0 AS (
-      |  SELECT doc_id, source, text,
+      |  SELECT doc_id, source, text, length(text) AS nt,
       |         unnest(generate_series(1, CAST(length(text) AS BIGINT))) AS i
       |  FROM documents WHERE text IS NOT NULL AND length(text) > 0
       |), cnt AS (
-      |  SELECT doc_id, source, substr(text, i, 1) AS ch, count(*) AS n
-      |  FROM ch0 GROUP BY 1, 2, 3
-      |), tot AS (
-      |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS nt FROM cnt GROUP BY 1
+      |  SELECT doc_id, source, nt, substr(text, i, 1) AS ch, count(*) AS n
+      |  FROM ch0 GROUP BY 1, 2, 3, 4
       |), pd AS (
-      |  SELECT c.doc_id, c.source,
+      |  SELECT doc_id, source,
       |         CAST(sum(CAST(floor(-((CAST(n AS DOUBLE) / nt) * ln(CAST(n AS DOUBLE) / nt))
       |           * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS h9
-      |  FROM cnt c JOIN tot USING (doc_id)
+      |  FROM cnt
       |  GROUP BY 1, 2
       |)
       |SELECT source, h9 // 250000000 AS bucket,

@@ -189,15 +189,20 @@ object Cartography {
     * one char explode (linear in corpus bytes), two doc-keyed partial
     * aggs, a bounded (source × buckets) rollup. */
   def charEntropyProfile(docs: DataFrame): DataFrame = {
+    // the per-doc total is length(text) — carrying it through the
+    // explode saves the totals groupBy + join-back (one shuffle).
+    // split("") is the codegen'd char exploder (the transform(
+    // sequence, substr) HOF form costs ~µs per char — the interpreted-
+    // lambda trap); the empty-string guard strips any edge artifact
+    // of the regex split, and real chars are never empty.
     val counts = docs
       .filter(col("text").isNotNull && length(col("text")) > 0)
-      .select(col("doc_id"), col("source"),
-        explode(transform(sequence(lit(1), length(col("text"))),
-          i => col("text").substr(i, lit(1)))).as("ch"))
-      .groupBy(col("doc_id"), col("source"), col("ch"))
+      .select(col("doc_id"), col("source"), length(col("text")).as("nt"),
+        explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("source"), col("nt"), col("ch"))
       .agg(count(lit(1)).as("n"))
-    val totals = counts.groupBy(col("doc_id")).agg(sum(col("n")).as("nt"))
-    val perdoc = counts.join(totals, "doc_id")
+    val perdoc = counts
       .withColumn("p", col("n").cast("double") / col("nt").cast("double"))
       .withColumn("tq",
         floor(-(col("p") * log(col("p"))) * lit(1e9) + lit(0.5)).cast("long"))
