@@ -225,6 +225,65 @@ object CartographyOps {
       |FROM pd GROUP BY 1, 2
       |ORDER BY source ASC, bucket ASC""".stripMargin
 
+  /** Distinct-1/2/3 diversity per source. */
+  def diversityDistinctN(spark: SparkSession, dir: String): DataFrame =
+    Cartography.distinctNgramDiversity(Tables.documents(spark, dir))
+
+  private val diversityDistinctNSql: String =
+    """WITH tk0 AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS ws
+      |  FROM documents WHERE text IS NOT NULL
+      |), tk AS (
+      |  SELECT doc_id, source,
+      |         unnest(generate_series(1, CAST(len(ws) AS BIGINT))) AS pos, ws
+      |  FROM tk0
+      |), tw AS (
+      |  SELECT doc_id, source, pos, ws[pos] AS w FROM tk WHERE ws[pos] <> ''
+      |), led AS (
+      |  SELECT doc_id, source, w,
+      |         lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+      |         lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      |  FROM tw
+      |), gr AS (
+      |  SELECT source, CAST(1 AS BIGINT) AS n, w AS gram FROM led
+      |  UNION ALL
+      |  SELECT source, 2, w || ' ' || w1 FROM led WHERE w1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT source, 3, w || ' ' || w1 || ' ' || w2 FROM led WHERE w2 IS NOT NULL
+      |)
+      |SELECT source, n, count(*) AS n_total,
+      |       CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+      |       CAST(floor(CAST(count(DISTINCT gram) AS DOUBLE) / count(*) * 1e6 + 0.5)
+      |            AS BIGINT) AS ratio_micro
+      |FROM gr GROUP BY 1, 2
+      |ORDER BY source ASC, n ASC""".stripMargin
+
+  /** Top-20 burstiest words (Church–Gale VMR), df ≥ 5. */
+  def burstinessTopK(spark: SparkSession, dir: String): DataFrame =
+    Cartography.burstinessTopK(Tables.documents(spark, dir), k = 20, minDf = 5)
+
+  private val burstinessTopKSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+      |), dd AS (SELECT count(*) AS d FROM base),
+      |pc AS (
+      |  SELECT doc_id, w, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM base)
+      |  WHERE w <> '' GROUP BY 1, 2
+      |), wstats AS (
+      |  SELECT w, count(*) AS df,
+      |         CAST(sum(c) AS BIGINT) AS total,
+      |         CAST(sum(c * c) AS BIGINT) AS sumsq
+      |  FROM pc GROUP BY 1 HAVING count(*) >= 5
+      |), sc AS (
+      |  SELECT w AS word, df, total,
+      |         CAST(floor((CAST(sumsq AS DOUBLE) / d / (CAST(total AS DOUBLE) / d)
+      |           - CAST(total AS DOUBLE) / d) * 1e6 + 0.5) AS BIGINT) AS vmr_micro
+      |  FROM wstats, dd
+      |)
+      |SELECT word, df, total, vmr_micro FROM sc
+      |ORDER BY vmr_micro DESC, word ASC LIMIT 20""".stripMargin
+
   // ---- catalog wiring -----------------------------------------------
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -233,7 +292,9 @@ object CartographyOps {
     "embed_label_centroids" -> (embedLabelCentroids _),
     "zipf_slope" -> (zipfSlope _),
     "keywords_per_source" -> (keywordsPerSource _),
-    "entropy_profile" -> (entropyProfile _)
+    "entropy_profile" -> (entropyProfile _),
+    "diversity_distinct_n" -> (diversityDistinctN _),
+    "burstiness_topk" -> (burstinessTopK _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -242,6 +303,8 @@ object CartographyOps {
     "embed_label_centroids" -> embedLabelCentroidsSql,
     "zipf_slope" -> zipfSlopeSql,
     "keywords_per_source" -> keywordsPerSourceSql,
-    "entropy_profile" -> entropyProfileSql
+    "entropy_profile" -> entropyProfileSql,
+    "diversity_distinct_n" -> diversityDistinctNSql,
+    "burstiness_topk" -> burstinessTopKSql
   )
 }

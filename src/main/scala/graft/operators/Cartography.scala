@@ -215,6 +215,71 @@ object Cartography {
       .orderBy(col("source").asc, col("bucket").asc)
   }
 
+  /** Per-source distinct-n diversity (the NLG distinct-1/2/3 metric,
+    * applied corpus-side): for n = 1..3, the share of DISTINCT token
+    * n-grams among all n-gram instances. Templated/looped text shows
+    * low distinct-2/3; healthy prose sits high. N-grams are built
+    * with window leads over the exploded token stream (codegen'd —
+    * no interpreted per-position lambda), so the cost is one
+    * doc-keyed shuffle plus a (source, n)-bounded rollup.
+    * Output: (source, n, n_total, n_distinct, ratio_micro). */
+  def distinctNgramDiversity(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val led = toks
+      .withColumn("w1", lead(col("w"), 1).over(wDoc))
+      .withColumn("w2", lead(col("w"), 2).over(wDoc))
+    val g1 = led.select(col("source"), lit(1L).as("n"), col("w").as("gram"))
+    val g2 = led.filter(col("w1").isNotNull)
+      .select(col("source"), lit(2L).as("n"),
+        concat_ws(" ", col("w"), col("w1")).as("gram"))
+    val g3 = led.filter(col("w2").isNotNull)
+      .select(col("source"), lit(3L).as("n"),
+        concat_ws(" ", col("w"), col("w1"), col("w2")).as("gram"))
+    g1.unionByName(g2).unionByName(g3)
+      .groupBy(col("source"), col("n"))
+      .agg(count(lit(1)).as("n_total"), countDistinct(col("gram")).as("n_distinct"))
+      .withColumn("ratio_micro",
+        floor(col("n_distinct").cast("double") / col("n_total") * lit(1e6) + lit(0.5))
+          .cast("long"))
+      .orderBy(col("source").asc, col("n").asc)
+  }
+
+  /** Church–Gale burstiness: the variance-to-mean ratio of a word's
+    * per-document count, zeros included — content words burst (a doc
+    * that mentions them mentions them often ⇒ VMR ≫ 1), function
+    * words spread evenly (VMR ≈ 1 − μ·(1−1/D) ≲ 1). Exact integer
+    * per-(word, doc) counts and Σc/Σc² sums; the only doubles are the
+    * final VMR = E[c²]/μ − μ, quantized per row before the top-k cut
+    * (score desc, word asc). Corpus doc count D rides a 1-row
+    * broadcast (the J2 pattern). Words in fewer than `minDf` docs are
+    * excluded (a 1-doc word is trivially "bursty"). */
+  def burstinessTopK(docs: DataFrame, k: Int = 20, minDf: Long = 5): DataFrame = {
+    require(k >= 1 && k <= 1000, "k must be in [1, 1000]")
+    val base = docs.filter(col("text").isNotNull)
+    val dFrame = base.agg(count(lit(1)).as("d"))
+    val perDoc = base
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    perDoc.groupBy(col("w"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("total"),
+        sum(col("c") * col("c")).as("sumsq"))
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(dFrame))
+      .withColumn("mu", col("total").cast("double") / col("d").cast("double"))
+      .withColumn("vmr_micro",
+        floor((col("sumsq").cast("double") / col("d").cast("double") / col("mu")
+          - col("mu")) * lit(1e6) + lit(0.5)).cast("long"))
+      .select(col("w").as("word"), col("df"), col("total"), col("vmr_micro"))
+      .orderBy(col("vmr_micro").desc, col("word").asc)
+      .limit(k)
+  }
+
   /** Per-source TF-IDF keywords: treat each source as one aggregate
     * document; score its terms by (1 + ln tf)·ln(S/df) with df = the
     * number of sources containing the term, and keep the top `k` per

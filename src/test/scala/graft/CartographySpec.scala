@@ -174,6 +174,54 @@ class CartographySpec extends SparkSpec {
       Seq((0L, 1L), (8L, 1L)))
   }
 
+  // ---- distinct-n diversity ------------------------------------------
+
+  test("distinctNgramDiversity: looped text scores low distinct-2, varied text high") {
+    val docs = docsOf(
+      (1L, "a b a b a b", "loop"),     // 1-grams: 6 inst / 2 distinct;
+                                       // 2-grams: 5 inst / 2 distinct (a b, b a)
+      (2L, "p q r s t u", "varied"))   // all distinct at every n
+    val out = Cartography.distinctNgramDiversity(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(("loop", 1L)) == ((6L, 2L, math.floor(2.0 / 6 * 1e6 + 0.5).toLong)))
+    assert(out(("loop", 2L)) == ((5L, 2L, 400000L)))
+    assert(out(("varied", 2L)) == ((5L, 5L, 1000000L)))
+    assert(out(("varied", 3L)) == ((4L, 4L, 1000000L)))
+  }
+
+  test("distinctNgramDiversity: n-grams never cross documents") {
+    // two docs of one token each: no 2-grams at all
+    val docs = docsOf((1L, "x", "s"), (2L, "y", "s"))
+    val out = Cartography.distinctNgramDiversity(docs).collect()
+    assert(out.map(_.getLong(1)).toSet == Set(1L))
+  }
+
+  // ---- burstiness ----------------------------------------------------
+
+  test("burstinessTopK: concentrated word out-bursts the evenly spread one") {
+    // 6 docs; 'even' once in each (VMR < 1); 'bursty' 6 times in one
+    // doc (VMR >> 1); both have total 6 over D = 6 -> mu = 1
+    val docs = docsOf(
+      (1L, "even bursty bursty bursty bursty bursty bursty", "s"),
+      (2L, "even", "s"), (3L, "even", "s"), (4L, "even", "s"),
+      (5L, "even", "s"), (6L, "even", "s"))
+    val out = Cartography.burstinessTopK(docs, k = 10, minDf = 1).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // bursty: E[c^2] = 36/6 = 6, mu = 1 -> VMR = 5
+    assert(out("bursty") == ((1L, 6L, 5000000L)))
+    // even: E[c^2] = 1, mu = 1 -> VMR = 0 (deterministic word has no variance)
+    assert(out("even") == ((6L, 6L, 0L)))
+  }
+
+  test("burstinessTopK: minDf excludes rare words; k cuts deterministically") {
+    val docs = docsOf(
+      (1L, "common rare", "s"), (2L, "common", "s"),
+      (3L, "common", "s"), (4L, "common", "s"), (5L, "common", "s"))
+    val out = Cartography.burstinessTopK(docs, k = 10, minDf = 5).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("common"))
+  }
+
   // ---- per-source keywords -------------------------------------------
 
   test("keywordsPerSource: distinctive terms win; ubiquitous terms score zero") {

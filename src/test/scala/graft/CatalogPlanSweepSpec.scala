@@ -52,6 +52,7 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "vocab_coverage" -> "1-row vocab-size frame",
     "lm_surprisal" -> "1-row vocab/total count frames",
     "lsh_pair_recall" -> "two 1-row pair-count frames",
+    "burstiness_topk" -> "1-row corpus doc-count frame",
     "lm_backoff" -> "1-row vocab/total count frames",
     "bm25_probe" -> "1-row corpus avgdl/N frame",
     "tfidf_topk" -> "1-row corpus-N frame",
