@@ -82,7 +82,7 @@ object SqlFrontEndSpec {
   val ansiPortable = Seq(
     "a5_dup_audit", "agg_rollup_totals", "anti_lapsed_custs",
     "benford_totalprice", "bloom_join_urgent", "bm25_probe",
-    "bootstrap_mean_ci", "bucketed_join",
+    "bootstrap_mean_ci", "bucketed_join", "burstiness_topk",
     "cdf_events_value", "cohort_retention", "corr_price_qty",
     "cube_flag_status",
     "cusum_value_shift", "e_hourly_rollup", "e_json_rollup",
