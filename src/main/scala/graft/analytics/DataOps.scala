@@ -803,6 +803,38 @@ object DataOps {
         lit(micro(w(4))).as("w4_micro"))
   }
 
+  /** Reliability diagram of the trained filter: scores bucketed into
+    * p-deciles with the observed positive rate beside the mean
+    * predicted p — the standard calibration read-out before a learned
+    * keep-filter's threshold is trusted (a bucket whose observed rate
+    * sits far from its mean p is where the filter lies). Same
+    * replayed-training contract as [[clfQualityWeights]]; bucketing
+    * is floor(p·10) on the softsign score (open (0,1), so buckets
+    * 0..9), identical double arithmetic on both engines. */
+  def clfCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    val feats = graft.operators.Persisted.index(
+      Tables.documents(spark, dir).select(
+        when(TextAnalysis.qualityScore(txt) >= 0.875, lit(1.0)).otherwise(lit(0.0)).as("y"),
+        TextAnalysis.lengthScore(txt).as("x1"),
+        TextAnalysis.stopwordScore(txt).as("x2"),
+        TextAnalysis.diversityScore(txt).as("x3"),
+        TextAnalysis.wordLengthScore(txt).as("x4")))
+    val xs = Seq(col("x1"), col("x2"), col("x3"), col("x4"))
+    val w = Classifier.fitSoftsignLogit(feats, xs, col("y"), nIter = 8, lr = 2.0)
+    Classifier.score(feats, xs, w)
+      .withColumn("p_micro", floor(col("p") * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("bucket", floor(col("p") * lit(10)).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("y").cast("long")).as("n_pos"),
+        floor(sum(col("p_micro")).cast("double") / count(lit(1)) + lit(0.5))
+          .cast("long").as("mean_p_micro"))
+      .withColumn("obs_rate_micro",
+        floor(col("n_pos").cast("double") / col("n") * lit(1e6) + lit(0.5)).cast("long"))
+      .orderBy(col("bucket").asc)
+  }
+
   /** The APPLY step of the trained filter: score every document with
     * the weights [[clfQualityWeights]] learns and roll up the keep
     * decision per language — train → score → filter, end to end in
@@ -3626,6 +3658,24 @@ object DataOps {
          |       CAST(floor(w3 * 1e6 + 0.5e0) AS BIGINT) AS w3_micro,
          |       CAST(floor(w4 * 1e6 + 0.5e0) AS BIGINT) AS w4_micro
          |FROM acc CROSS JOIN wt8""".stripMargin,
+    "clf_calibration" ->
+      s"""WITH $dkClfCtes,
+         |predc AS (
+         |  SELECT y, ${dkClfMrg("wt8")} AS z FROM feats CROSS JOIN wt8
+         |), ppc AS (
+         |  SELECT y, ${dkClfSig("z")} AS p FROM predc
+         |), pbc AS (
+         |  SELECT CAST(floor(p * 10) AS BIGINT) AS bucket,
+         |         CAST(floor(p * 1e6 + 0.5e0) AS BIGINT) AS p_micro, y
+         |  FROM ppc
+         |)
+         |SELECT bucket, count(*) AS n,
+         |       CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
+         |       CAST(floor(CAST(sum(p_micro) AS DOUBLE) / count(*) + 0.5e0) AS BIGINT)
+         |         AS mean_p_micro,
+         |       CAST(floor(CAST(sum(CAST(y AS BIGINT)) AS DOUBLE) / count(*) * 1e6 + 0.5e0)
+         |         AS BIGINT) AS obs_rate_micro
+         |FROM pbc GROUP BY 1 ORDER BY bucket ASC""".stripMargin,
     "clf_keep_docs" ->
       s"""WITH $dkClfCtes,
          |predk AS (
@@ -3723,6 +3773,7 @@ object DataOps {
     "lm_backoff"        -> (lmBackoff _),
     "clf_quality_weights" -> (clfQualityWeights _),
     "clf_keep_docs"     -> (clfKeepDocs _),
+    "clf_calibration"   -> (clfCalibration _),
     "kmeans_cells"      -> (kmeansCells _),
     "sim_topk_ivf_kmeans" -> (simTopKIvfKmeans _),
     "sim_topk"          -> (simTopK _),

@@ -54,6 +54,27 @@ class PassagesSpec extends SparkSpec {
     assert(c2 == Seq((0, 0), (2, 0), (4, 0), (5, 1)))
   }
 
+  test("withChunks: coverage property on random docs — every token in >= 1 chunk, overlap bounded") {
+    val rnd = new scala.util.Random(7L)
+    val docs = (1L to 40L).map { id =>
+      (id, (1 to rnd.nextInt(20)).map(i => s"t$i").mkString(" "))
+    }.filter(_._2.nonEmpty).toDF("doc_id", "text")
+    for ((w, s) <- Seq((4, 2), (6, 3), (5, 5), (3, 1))) {
+      val chunks = Passages.withChunks(docs, w, s)
+        .select($"doc_id", $"chunk_start", $"chunk_tokens")
+        .as[(Long, Int, Int)].collect().toSeq.groupBy(_._1)
+      docs.as[(Long, String)].collect().foreach { case (id, text) =>
+        val n = text.split(" ", -1).length
+        val cs = chunks(id).map(c => (c._2, c._3)).sortBy(_._1)
+        // every token position 0..n-1 covered by some [start, start+len)
+        val covered = cs.flatMap { case (st, len) => st until (st + len) }.toSet
+        assert(covered == (0 until n).toSet, s"doc $id w=$w s=$s: $cs")
+        // no chunk exceeds w tokens; full windows start at stride marks or the tail
+        assert(cs.forall(_._2 <= w))
+      }
+    }
+  }
+
   test("withChunks: short docs yield one whole-text chunk; keep columns pass through") {
     val d = Seq((1L, "a b", "s1")).toDF("doc_id", "text", "source")
     val rows = Passages.withChunks(d, w = 4, stride = 2, keep = Seq("source"))
