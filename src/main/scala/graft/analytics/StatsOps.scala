@@ -248,6 +248,45 @@ object StatsOps {
       .orderBy(col("day").asc)
   }
 
+  /** Per-day p10/p50/p90 bands of events.value off the SHARED fixed
+    * grid — the monitoring read-out (is today's distribution inside
+    * its usual envelope?) in the same bounded-state family as
+    * [[rollingMedianValue]], minus the window fan-out: one grid pass,
+    * O(days × buckets) state, three cumulative-cut picks per day.
+    * Bands are bucket upper bounds (one-bucket resolution — the
+    * documented grid contract). */
+  def dailyValueBands(spark: SparkSession, dir: String): DataFrame = {
+    val b = MadBuckets
+    val ev = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("ts").cast("date").as("d"), col("value").cast("double").as("x"))
+    val stats = ev.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val bkt = when(col("hi") === col("lo"), lit(0L)).otherwise(
+      least(floor((col("x") - col("lo")) / (col("hi") - col("lo")) * lit(b)),
+        lit((b - 1).toLong)))
+    val daily = ev.crossJoin(broadcast(stats))
+      .select(col("d"), bkt.cast("int").as("b"))
+      .groupBy(col("d"), col("b")).agg(count(lit(1)).as("cnt"))
+    val tot = daily.groupBy(col("d")).agg(sum(col("cnt")).as("n"))
+    val w = Window.partitionBy(col("d")).orderBy(col("b").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily.withColumn("cum", sum(col("cnt")).over(w))
+    def pick(q: Double, as: String) =
+      min(when(col("cum") >= ceil(lit(q) * col("n")), col("b"))).as(as)
+    val picked = cum.join(broadcast(tot), Seq("d"))
+      .groupBy(col("d"))
+      .agg(pick(0.1, "b10"), pick(0.5, "b50"), pick(0.9, "b90"), max(col("n")).as("n"))
+    def value(bq: String) =
+      Cols.r(when(col("hi") === col("lo"), col("lo"))
+        .otherwise(col("lo") +
+          (col("hi") - col("lo")) * (col(bq) + lit(1)).cast("double") / lit(b)), 6)
+    picked.crossJoin(broadcast(stats))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        value("b10").as("p10"), value("b50").as("p50"), value("b90").as("p90"),
+        col("n").as("n_events"))
+      .orderBy(col("day").asc)
+  }
+
   /** Quantile normalization of event values ([[HistQuantiles.cdf]] —
     * per-row empirical-CDF rank from the O(buckets) histogram, one-
     * bucket resolution, corpus never shuffles): the monotone feature
@@ -635,6 +674,7 @@ object StatsOps {
     "mad_outliers"      -> (madOutliers _),
     "grid_median_events" -> (gridMedianEvents _),
     "rolling_median_value" -> (rollingMedianValue _),
+    "daily_value_bands" -> (dailyValueBands _),
     "winsor_stats"      -> (winsorStats _),
     "mad_outliers_by_type" -> (madOutliersByType _),
     "cdf_events_value"  -> (cdfEventsValue _),
@@ -840,6 +880,45 @@ object StatsOps {
          |              ELSE s.lo + (s.hi - s.lo) * CAST(p.bq + 1 AS DOUBLE) / $MadBuckets END)
          |             * 1e6 + 0.5) / 1e6 AS med7,
          |       n AS n_window
+         |FROM picked p, s
+         |ORDER BY day ASC""".stripMargin,
+    "daily_value_bands" ->
+      s"""WITH v AS (
+         |  SELECT CAST(ts AS DATE) AS d, CAST(value AS DOUBLE) AS x
+         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+         |), s AS (
+         |  SELECT min(x) AS lo, max(x) AS hi FROM v
+         |), daily AS (
+         |  SELECT d,
+         |         CASE WHEN hi = lo THEN 0
+         |              ELSE CAST(least(floor((x - lo) / (hi - lo) * $MadBuckets), ${MadBuckets - 1}) AS INT) END AS b,
+         |         count(*) AS cnt
+         |  FROM v, s GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT d, CAST(sum(cnt) AS BIGINT) AS n FROM daily GROUP BY 1
+         |), cum AS (
+         |  SELECT d, b,
+         |         sum(cnt) OVER (PARTITION BY d ORDER BY b ASC ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM daily
+         |), picked AS (
+         |  SELECT c.d, min(CASE WHEN c.cum >= ceil(0.1e0 * t.n) THEN c.b END) AS b10,
+         |         min(CASE WHEN c.cum >= ceil(0.5e0 * t.n) THEN c.b END) AS b50,
+         |         min(CASE WHEN c.cum >= ceil(0.9e0 * t.n) THEN c.b END) AS b90,
+         |         max(t.n) AS n
+         |  FROM cum c JOIN tot t ON c.d = t.d
+         |  GROUP BY 1
+         |)
+         |SELECT substr(CAST(p.d AS VARCHAR(30)), 1, 10) AS day,
+         |       floor((CASE WHEN s.hi = s.lo THEN s.lo
+         |              ELSE s.lo + (s.hi - s.lo) * CAST(p.b10 + 1 AS DOUBLE) / $MadBuckets END)
+         |             * 1e6 + 0.5) / 1e6 AS p10,
+         |       floor((CASE WHEN s.hi = s.lo THEN s.lo
+         |              ELSE s.lo + (s.hi - s.lo) * CAST(p.b50 + 1 AS DOUBLE) / $MadBuckets END)
+         |             * 1e6 + 0.5) / 1e6 AS p50,
+         |       floor((CASE WHEN s.hi = s.lo THEN s.lo
+         |              ELSE s.lo + (s.hi - s.lo) * CAST(p.b90 + 1 AS DOUBLE) / $MadBuckets END)
+         |             * 1e6 + 0.5) / 1e6 AS p90,
+         |       n AS n_events
          |FROM picked p, s
          |ORDER BY day ASC""".stripMargin,
     "grid_median_events" ->

@@ -71,6 +71,7 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "winsor_stats" -> "1-row [p01,p99] grid-cut frame",
     "cdf_events_value" -> "O(buckets) histogram lookup frame",
     "rolling_median_value" -> "1-row shared-grid stats frame",
+    "daily_value_bands" -> "1-row shared-grid stats frame",
     "profile_events" -> "1-row grid-median frame per column",
     // -- bounded fixed query/sample side vs corpus: the exact/baseline
     //    compare is O(corpus * |fixed set|) BY DESIGN, |fixed set| const --
