@@ -81,55 +81,61 @@ object TokenizerOps {
     * subqueries against b{i} are NULL on an exhausted dict, turning
     * every remaining round into the identity — matching the engine's
     * early stop. */
-  private def dkBpeRound(i: Int): String =
-    s"""e$i AS (
+  private def dkBpeRound(i: Int): String = dkBpeRoundP("", i)
+
+  private def dkBpeRoundP(px: String, i: Int): String =
+    s"""${px}e$i AS (
        |  SELECT word, cnt, unnest(generate_series(1, CAST(len(seq) - 1 AS BIGINT))) AS j, seq
-       |  FROM s${i - 1} WHERE len(seq) >= 2
-       |), p$i AS (
+       |  FROM ${px}s${i - 1} WHERE len(seq) >= 2
+       |), ${px}p$i AS (
        |  SELECT seq[j] AS a, seq[j + 1] AS b, CAST(sum(cnt) AS BIGINT) AS c
-       |  FROM e$i GROUP BY 1, 2
-       |), b$i AS (
-       |  SELECT a, b, c FROM p$i ORDER BY c DESC, a ASC, b ASC LIMIT 1
-       |), h$i AS (
-       |  SELECT word, j FROM e$i
-       |  WHERE seq[j] = (SELECT a FROM b$i) AND seq[j + 1] = (SELECT b FROM b$i)
-       |), r$i AS (
+       |  FROM ${px}e$i GROUP BY 1, 2
+       |), ${px}b$i AS (
+       |  SELECT a, b, c FROM ${px}p$i ORDER BY c DESC, a ASC, b ASC LIMIT 1
+       |), ${px}h$i AS (
+       |  SELECT word, j FROM ${px}e$i
+       |  WHERE seq[j] = (SELECT a FROM ${px}b$i) AND seq[j + 1] = (SELECT b FROM ${px}b$i)
+       |), ${px}r$i AS (
        |  SELECT word, j, j - row_number() OVER (PARTITION BY word ORDER BY j) AS grp
-       |  FROM h$i
-       |), k$i AS MATERIALIZED (
+       |  FROM ${px}h$i
+       |), ${px}k$i AS MATERIALIZED (
        |  SELECT word AS kw, j AS kj FROM (
-       |    SELECT word, j, min(j) OVER (PARTITION BY word, grp) AS j0 FROM r$i)
+       |    SELECT word, j, min(j) OVER (PARTITION BY word, grp) AS j0 FROM ${px}r$i)
        |  WHERE (j - j0) % 2 = 0
-       |), f$i AS (
+       |), ${px}f$i AS (
        |  SELECT word, cnt, unnest(generate_series(1, CAST(len(seq) AS BIGINT))) AS pos, seq
-       |  FROM s${i - 1}
-       |), n$i AS (
+       |  FROM ${px}s${i - 1}
+       |), ${px}n$i AS (
        |  SELECT f.word, f.cnt, f.pos,
        |         CASE WHEN k.kj IS NOT NULL THEN f.seq[f.pos] || f.seq[f.pos + 1]
        |              ELSE f.seq[f.pos] END AS sym
-       |  FROM f$i f
-       |  LEFT JOIN k$i k ON k.kw = f.word AND k.kj = f.pos
-       |  LEFT JOIN k$i c ON c.kw = f.word AND c.kj = f.pos - 1
+       |  FROM ${px}f$i f
+       |  LEFT JOIN ${px}k$i k ON k.kw = f.word AND k.kj = f.pos
+       |  LEFT JOIN ${px}k$i c ON c.kw = f.word AND c.kj = f.pos - 1
        |  WHERE c.kj IS NULL
-       |), s$i AS MATERIALIZED (
-       |  SELECT word, cnt, list(sym ORDER BY pos) AS seq FROM n$i GROUP BY 1, 2
+       |), ${px}s$i AS MATERIALIZED (
+       |  SELECT word, cnt, list(sym ORDER BY pos) AS seq FROM ${px}n$i GROUP BY 1, 2
        |)""".stripMargin
 
   /** Shared prefix: word-frequency dict, char+marker init, all
-    * [[Rounds]] unrolled rounds. */
-  private lazy val dkBpeCtes: String =
-    s"""w0 AS MATERIALIZED (
+    * [[Rounds]] unrolled rounds. `px` prefixes every CTE name and
+    * `filter` restricts the corpus — the stability oracle chains two
+    * independent trainings in one WITH. */
+  private def dkBpeCtesP(px: String, filter: String): String =
+    s"""${px}w0 AS MATERIALIZED (
        |  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w
-       |        FROM documents WHERE text IS NOT NULL)
+       |        FROM documents WHERE text IS NOT NULL AND $filter)
        |  WHERE w <> ''
        |  GROUP BY 1
-       |), s0 AS MATERIALIZED (
+       |), ${px}s0 AS MATERIALIZED (
        |  SELECT word, cnt,
        |         list_append(list_transform(generate_series(1, CAST(length(word) AS BIGINT)),
        |           i -> substr(word, i, 1)), '</w>') AS seq
-       |  FROM w0
-       |), ${(1 to Rounds).map(dkBpeRound).mkString(",\n")}""".stripMargin
+       |  FROM ${px}w0
+       |), ${(1 to Rounds).map(dkBpeRoundP(px, _)).mkString(",\n")}""".stripMargin
+
+  private lazy val dkBpeCtes: String = dkBpeCtesP("", "TRUE")
 
   private lazy val bpeMergesSql: String = {
     val rows = (1 to Rounds).map(i =>
@@ -169,17 +175,63 @@ object TokenizerOps {
        |       CAST(sum(n_sub) AS BIGINT) AS n_subtokens
        |FROM j GROUP BY 1 ORDER BY source ASC""".stripMargin
 
+  /** Tokenizer stability: BPE trained independently on the even and
+    * odd doc_id halves, merge lists compared round by round — a
+    * homogeneous corpus learns the same merges from either half; a
+    * divergent round is where corpus heterogeneity starts rewriting
+    * the tokenizer. Output per round: both pairs and a same_pair
+    * flag. */
+  def bpeStability(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val even = Bpe.train(
+      Bpe.wordDict(docs.filter(pmod(col("doc_id"), lit(2)) === 0)), Rounds)._1
+    val odd = Bpe.train(
+      Bpe.wordDict(docs.filter(pmod(col("doc_id"), lit(2)) === 1)), Rounds)._1
+    val e = spark.createDataset(even).select(col("round").as("merge_round"),
+      col("left").as("left_even"), col("right").as("right_even"))
+    val o = spark.createDataset(odd).select(col("round").as("mr2"),
+      col("left").as("left_odd"), col("right").as("right_odd"))
+    e.join(o, col("merge_round") === col("mr2"), "full_outer")
+      .select(coalesce(col("merge_round"), col("mr2")).as("merge_round"),
+        col("left_even"), col("right_even"), col("left_odd"), col("right_odd"),
+        when(col("left_even").isNotNull && col("left_odd").isNotNull &&
+          col("left_even") === col("left_odd") &&
+          col("right_even") === col("right_odd"), lit(1L)).otherwise(lit(0L))
+          .as("same_pair"))
+      .orderBy(col("merge_round").asc)
+  }
+
+  private lazy val bpeStabilitySql: String = {
+    def merges(px: String, l: String, r: String) = (1 to Rounds).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_round, a AS $l, b AS $r FROM ${px}b$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${dkBpeCtesP("ev", "doc_id % 2 = 0")},
+       |${dkBpeCtesP("od", "doc_id % 2 = 1")},
+       |em AS (${merges("ev", "left_even", "right_even")}),
+       |om AS (${merges("od", "left_odd", "right_odd")})
+       |SELECT COALESCE(e.merge_round, o.merge_round) AS merge_round,
+       |       e.left_even, e.right_even, o.left_odd, o.right_odd,
+       |       CAST(CASE WHEN e.left_even IS NOT NULL AND o.left_odd IS NOT NULL
+       |                  AND e.left_even = o.left_odd AND e.right_even = o.right_odd
+       |            THEN 1 ELSE 0 END AS BIGINT) AS same_pair
+       |FROM em e FULL JOIN om o ON e.merge_round = o.merge_round
+       |ORDER BY merge_round ASC""".stripMargin
+  }
+
   // ---- catalog wiring -----------------------------------------------
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_merges" -> (bpeMerges _),
     "bpe_vocab" -> (bpeVocab _),
-    "bpe_subtoken_stats" -> (bpeSubtokenStats _)
+    "bpe_subtoken_stats" -> (bpeSubtokenStats _),
+    "bpe_stability" -> (bpeStability _)
   )
 
   val oracles: Map[String, String] = Map(
     "bpe_merges" -> bpeMergesSql,
     "bpe_vocab" -> bpeVocabSql,
-    "bpe_subtoken_stats" -> bpeSubtokenStatsSql
+    "bpe_subtoken_stats" -> bpeSubtokenStatsSql,
+    "bpe_stability" -> bpeStabilitySql
   )
 }
