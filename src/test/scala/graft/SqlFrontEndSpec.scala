@@ -85,7 +85,8 @@ object SqlFrontEndSpec {
     "bootstrap_mean_ci", "bucketed_join", "burstiness_topk",
     "cdf_events_value", "cohort_retention", "corr_price_qty",
     "cube_flag_status",
-    "cusum_value_shift", "e_hourly_rollup", "e_json_rollup",
+    "cusum_value_shift", "daily_value_bands",
+    "e_hourly_rollup", "e_json_rollup",
     "event_transitions", "f20_bins_acctbal", "funnel_stages",
     "fuzzy_pairs_customers", "grid_median_events",
     "heavy_hitter_tokens", "incr_load_events",
