@@ -60,53 +60,57 @@ object SpectrumOps {
   /** One power-iteration round: y = Ĝv (per-row ascending-j fold),
     * ‖y‖ from the ascending-i fold, v ← y/‖y‖ (zero vector if the
     * norm is zero — constant corpus). */
-  private def dkPowerRound(r: Int): String =
-    s"""y$r AS (
+  private def dkPowerRound(r: Int): String = dkPowerRoundP("", r)
+
+  private def dkPowerRoundP(px: String, r: Int): String =
+    s"""${px}y$r AS (
        |  SELECT g.i, ${dkDot("g.grow", "pv.v")} AS y
-       |  FROM gmat g, v${r - 1} pv
-       |), yl$r AS (SELECT list(y ORDER BY i) AS yl FROM y$r),
-       |n$r AS (SELECT sqrt(${dkDot("yl", "yl")}) AS nrm FROM yl$r),
-       |v$r AS MATERIALIZED (
+       |  FROM ${px}gmat g, ${px}v${r - 1} pv
+       |), ${px}yl$r AS (SELECT list(y ORDER BY i) AS yl FROM ${px}y$r),
+       |${px}n$r AS (SELECT sqrt(${dkDot("yl", "yl")}) AS nrm FROM ${px}yl$r),
+       |${px}v$r AS MATERIALIZED (
        |  SELECT CASE WHEN nm.nrm > 0
        |              THEN list_transform(yl, t -> t / nm.nrm)
        |              ELSE list_transform(yl, t -> CAST(0 AS DOUBLE)) END AS v
-       |  FROM yl$r, n$r nm
+       |  FROM ${px}yl$r, ${px}n$r nm
        |)""".stripMargin
 
   /** Shared prefix: quantized components, exact moments, the
     * truncating-÷N² scatter matrix as per-row lists, the all-ones
     * start vector, and all [[Rounds]] unrolled iteration rounds
     * ending in v[[Rounds]]. */
-  private lazy val dkPcaCtes: String =
-    s"""ex AS MATERIALIZED (
+  private lazy val dkPcaCtes: String = dkPcaCtesP("", "TRUE")
+
+  private def dkPcaCtesP(px: String, filter: String): String =
+    s"""${px}ex AS MATERIALIZED (
        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS v
        |  FROM embeddings
-       |  WHERE embedding IS NOT NULL AND len(embedding) = $Dim
-       |), st AS MATERIALIZED (
-       |  SELECT pos, CAST(sum(v) AS HUGEINT) AS s, count(*) AS nrows FROM ex GROUP BY 1
-       |), nn AS (SELECT CAST(coalesce(max(nrows), 0) AS HUGEINT) AS n FROM st),
-       |mom AS MATERIALIZED (
+       |  WHERE embedding IS NOT NULL AND len(embedding) = $Dim AND $filter
+       |), ${px}st AS MATERIALIZED (
+       |  SELECT pos, CAST(sum(v) AS HUGEINT) AS s, count(*) AS nrows FROM ${px}ex GROUP BY 1
+       |), ${px}nn AS (SELECT CAST(coalesce(max(nrows), 0) AS HUGEINT) AS n FROM ${px}st),
+       |${px}mom AS MATERIALIZED (
        |  SELECT a.pos AS i, b.pos AS j,
        |         CAST(sum(CAST(a.v AS HUGEINT) * CAST(b.v AS HUGEINT)) AS HUGEINT) AS m
-       |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+       |  FROM ${px}ex a JOIN ${px}ex b ON a.vec_id = b.vec_id AND a.pos <= b.pos
        |  GROUP BY 1, 2
-       |), gfull AS (
-       |  SELECT i, j, m FROM mom
+       |), ${px}gfull AS (
+       |  SELECT i, j, m FROM ${px}mom
        |  UNION ALL
-       |  SELECT j, i, m FROM mom WHERE i < j
-       |), gmat AS MATERIALIZED (
+       |  SELECT j, i, m FROM ${px}mom WHERE i < j
+       |), ${px}gmat AS MATERIALIZED (
        |  SELECT i, list(gd ORDER BY j) AS grow FROM (
        |    SELECT g.i, g.j,
-       |           CAST(((SELECT n FROM nn) * g.m - si.s * sj.s)
-       |                // ((SELECT n FROM nn) * (SELECT n FROM nn)) AS DOUBLE) AS gd
-       |    FROM gfull g
-       |    JOIN st si ON si.pos = g.i
-       |    JOIN st sj ON sj.pos = g.j)
+       |           CAST(((SELECT n FROM ${px}nn) * g.m - si.s * sj.s)
+       |                // ((SELECT n FROM ${px}nn) * (SELECT n FROM ${px}nn)) AS DOUBLE) AS gd
+       |    FROM ${px}gfull g
+       |    JOIN ${px}st si ON si.pos = g.i
+       |    JOIN ${px}st sj ON sj.pos = g.j)
        |  GROUP BY 1
-       |), v0 AS (
+       |), ${px}v0 AS (
        |  SELECT list_transform(generate_series(1, $Dim), x -> CAST(1 AS DOUBLE)) AS v
-       |), ${(1 to Rounds).map(dkPowerRound).mkString(",\n")}""".stripMargin
+       |), ${(1 to Rounds).map(dkPowerRoundP(px, _)).mkString(",\n")}""".stripMargin
 
   private lazy val embedPcaTopSql: String =
     s"""WITH $dkPcaCtes
@@ -145,15 +149,45 @@ object SpectrumOps {
        |         AS mean_resid_share_micro
        |FROM rowq GROUP BY 1 ORDER BY label ASC""".stripMargin
 
+  /** Embedding-space stability: the top principal direction fitted
+    * independently on the even and odd vec_id halves, compared by
+    * their dot product (|align| near 1 = the halves agree on the
+    * dominant direction; the spectral twin of the tokenizer's
+    * bpe_stability). Signs are deterministic (both iterations start
+    * from the all-ones vector), so the raw signed dot is itself a
+    * stable, gateable number. */
+  def embedPcaStability(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val (me, ue) = Pca.fit(emb.filter(pmod(col("vec_id"), lit(2)) === 0), Dim, Rounds)
+    val (mo, uo) = Pca.fit(emb.filter(pmod(col("vec_id"), lit(2)) === 1), Dim, Rounds)
+    var dot = 0.0
+    var i = 0
+    while (i < Dim) { dot += ue(i) * uo(i); i += 1 }
+    spark.createDataset(Seq((me.n, mo.n, math.floor(dot * 1e6 + 0.5).toLong)))
+      .toDF("n_even", "n_odd", "align_micro")
+  }
+
+  private lazy val embedPcaStabilitySql: String =
+    s"""WITH ${dkPcaCtesP("ev", "vec_id % 2 = 0")},
+       |${dkPcaCtesP("od", "vec_id % 2 = 1")},
+       |ne AS (SELECT CAST(coalesce(max(nrows), 0) AS BIGINT) AS n_even FROM evst),
+       |no AS (SELECT CAST(coalesce(max(nrows), 0) AS BIGINT) AS n_odd FROM odst)
+       |SELECT ne.n_even, no.n_odd,
+       |       CAST(floor(${dkDot("a.v", "b.v")} * 1e6 + 0.5) AS BIGINT) AS align_micro
+       |FROM evv$Rounds a, odv$Rounds b, ne, no""".stripMargin
+
   // ---- catalog wiring -----------------------------------------------
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_pca_top" -> (embedPcaTop _),
-    "embed_abtt_labels" -> (embedAbttLabels _)
+    "embed_abtt_labels" -> (embedAbttLabels _),
+    "embed_pca_stability" -> (embedPcaStability _)
   )
 
   val oracles: Map[String, String] = Map(
     "embed_pca_top" -> embedPcaTopSql,
-    "embed_abtt_labels" -> embedAbttLabelsSql
+    "embed_abtt_labels" -> embedAbttLabelsSql,
+    "embed_pca_stability" -> embedPcaStabilitySql
   )
 }
