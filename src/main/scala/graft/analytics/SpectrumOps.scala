@@ -22,18 +22,24 @@ object SpectrumOps {
   /** Fixed power-iteration rounds (unrolled in the oracle). */
   val Rounds = 12
 
+  // keyed by (dir, slice-tag): "" = full corpus, "even"/"odd" = the
+  // stability halves — every fit is once-per-corpus state
   private val pcaMemo =
-    new scala.collection.concurrent.TrieMap[String, (Pca.Moments, Array[Double])]()
+    new scala.collection.concurrent.TrieMap[(String, String), (Pca.Moments, Array[Double])]()
 
   /** Actual fit executions — lets `TrainMemoSpec` pin the
     * one-moment-pass-per-corpus claim (the embCountJobs pattern). */
   private[graft] val pcaFitRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  private def fitted(spark: SparkSession, dir: String): (Pca.Moments, Array[Double]) =
-    pcaMemo.getOrElseUpdate(dir, {
+  private def fittedSlice(spark: SparkSession, dir: String, tag: String,
+      slice: DataFrame => DataFrame): (Pca.Moments, Array[Double]) =
+    pcaMemo.getOrElseUpdate((dir, tag), {
       pcaFitRuns.incrementAndGet()
-      Pca.fit(Tables.embeddings(spark, dir), Dim, Rounds)
+      Pca.fit(slice(Tables.embeddings(spark, dir)), Dim, Rounds)
     })
+
+  private def fitted(spark: SparkSession, dir: String): (Pca.Moments, Array[Double]) =
+    fittedSlice(spark, dir, "", identity)
 
   /** Top principal direction, micro-quantized: (pos, loading_micro). */
   def embedPcaTop(spark: SparkSession, dir: String): DataFrame = {
@@ -158,9 +164,10 @@ object SpectrumOps {
     * stable, gateable number. */
   def embedPcaStability(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val emb = Tables.embeddings(spark, dir)
-    val (me, ue) = Pca.fit(emb.filter(pmod(col("vec_id"), lit(2)) === 0), Dim, Rounds)
-    val (mo, uo) = Pca.fit(emb.filter(pmod(col("vec_id"), lit(2)) === 1), Dim, Rounds)
+    val (me, ue) = fittedSlice(spark, dir, "even",
+      _.filter(pmod(col("vec_id"), lit(2)) === 0))
+    val (mo, uo) = fittedSlice(spark, dir, "odd",
+      _.filter(pmod(col("vec_id"), lit(2)) === 1))
     var dot = 0.0
     var i = 0
     while (i < Dim) { dot += ue(i) * uo(i); i += 1 }
