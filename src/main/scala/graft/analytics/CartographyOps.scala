@@ -284,6 +284,32 @@ object CartographyOps {
       |SELECT word, df, total, vmr_micro FROM sc
       |ORDER BY vmr_micro DESC, word ASC LIMIT 20""".stripMargin
 
+  /** Per-source corpus mix with cumulative concentration. */
+  def sourceMixSummary(spark: SparkSession, dir: String): DataFrame =
+    Cartography.sourceMixSummary(Tables.documents(spark, dir))
+
+  private val sourceMixSummarySql: String =
+    """WITH ps AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT) AS n_tokens,
+      |         CAST(sum(length(text)) AS BIGINT) AS n_chars
+      |  FROM documents WHERE text IS NOT NULL
+      |  GROUP BY 1
+      |), tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_tokens FROM ps),
+      |cm AS (
+      |  SELECT source, n_docs, n_tokens, n_chars,
+      |         sum(n_tokens) OVER (ORDER BY n_tokens DESC, source ASC
+      |                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      |  FROM ps
+      |)
+      |SELECT c.source, c.n_docs, c.n_tokens, c.n_chars,
+      |       CAST(floor(CAST(c.n_tokens AS DOUBLE) / t.t_tokens * 1e6 + 0.5) AS BIGINT)
+      |         AS share_micro,
+      |       CAST(floor(CAST(c.cum_tokens AS DOUBLE) / t.t_tokens * 1e6 + 0.5) AS BIGINT)
+      |         AS cum_share_micro
+      |FROM cm c, tt t
+      |ORDER BY c.n_tokens DESC, c.source ASC""".stripMargin
+
   // ---- catalog wiring -----------------------------------------------
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -294,7 +320,8 @@ object CartographyOps {
     "keywords_per_source" -> (keywordsPerSource _),
     "entropy_profile" -> (entropyProfile _),
     "diversity_distinct_n" -> (diversityDistinctN _),
-    "burstiness_topk" -> (burstinessTopK _)
+    "burstiness_topk" -> (burstinessTopK _),
+    "source_mix_summary" -> (sourceMixSummary _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -305,6 +332,7 @@ object CartographyOps {
     "keywords_per_source" -> keywordsPerSourceSql,
     "entropy_profile" -> entropyProfileSql,
     "diversity_distinct_n" -> diversityDistinctNSql,
-    "burstiness_topk" -> burstinessTopKSql
+    "burstiness_topk" -> burstinessTopKSql,
+    "source_mix_summary" -> sourceMixSummarySql
   )
 }

@@ -280,6 +280,35 @@ object Cartography {
       .limit(k)
   }
 
+  /** Per-source corpus mix — the governance table a training run's
+    * data statement starts from: docs, tokens and chars per source,
+    * token share, and the cumulative share in descending-token order
+    * (read straight off: "the top k sources are X% of the corpus").
+    * One corpus-scale aggregate; everything after runs on the
+    * O(sources) frame (shares from a 1-row total via broadcast
+    * crossJoin, the cumulative from a constant-partition window on
+    * the bounded frame — the trend_theil_sen idiom). Integer token
+    * counts cross engines; shares are micro-quantized per row. */
+  def sourceMixSummary(docs: DataFrame): DataFrame = {
+    val perSource = docs.filter(col("text").isNotNull)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(filter(split(col("text"), " "), w => w =!= ""))).as("n_tokens"),
+        sum(length(col("text"))).as("n_chars"))
+    val tot = perSource.agg(sum(col("n_tokens")).as("t_tokens"))
+    val wCum = Window.partitionBy(pmod(col("n_docs"), lit(1)))
+      .orderBy(col("n_tokens").desc, col("source").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perSource.crossJoin(broadcast(tot))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wCum))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        floor(col("n_tokens").cast("double") / col("t_tokens") * lit(1e6) + lit(0.5))
+          .cast("long").as("share_micro"),
+        floor(col("cum_tokens").cast("double") / col("t_tokens") * lit(1e6) + lit(0.5))
+          .cast("long").as("cum_share_micro"))
+      .orderBy(col("n_tokens").desc, col("source").asc)
+  }
+
   /** Per-source TF-IDF keywords: treat each source as one aggregate
     * document; score its terms by (1 + ln tf)·ln(S/df) with df = the
     * number of sources containing the term, and keep the top `k` per

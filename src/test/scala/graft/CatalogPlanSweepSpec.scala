@@ -53,6 +53,7 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "lm_surprisal" -> "1-row vocab/total count frames",
     "lsh_pair_recall" -> "two 1-row pair-count frames",
     "burstiness_topk" -> "1-row corpus doc-count frame",
+    "source_mix_summary" -> "1-row corpus token-total frame",
     "lm_backoff" -> "1-row vocab/total count frames",
     "bm25_probe" -> "1-row corpus avgdl/N frame",
     "tfidf_topk" -> "1-row corpus-N frame",
