@@ -375,6 +375,30 @@ object DataOps {
         min(col("id")).as("min_doc"), max(col("id")).as("max_doc"))
       .orderBy(col("community").asc)
 
+  /** Corpus duplication inflation — THE one-row dedup governance
+    * summary ("how duplicated is this corpus; what survives dedup"):
+    * exact-duplicate rows (normalized-hash collisions), near-dup
+    * graph size (nodes/clusters from the shared pair graph), and the
+    * keep count after cluster-keeper dedup (docs − (nodes −
+    * clusters)). Composes the existing exact/near machinery; all
+    * counts exact integers, the keep share micro-quantized. */
+  def dupInflation(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val exact = TextDedup.exactDedupSummary(docs)
+      .select(col("n_docs"), col("n_unique").as("n_exact_unique"))
+    val comps = Components.connectedComponents(
+      TextDedup.pairGraph(docs, n = 3, numHashes = 16, bands = 8, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
+    val near = comps.agg(count(lit(1)).as("n_near_nodes"),
+      countDistinct(col("comp")).as("n_near_groups"))
+    exact.crossJoin(broadcast(near))
+      .select(col("n_docs"), col("n_exact_unique"),
+        col("n_near_nodes"), col("n_near_groups"),
+        (col("n_docs") - (col("n_near_nodes") - col("n_near_groups"))).as("n_keep_near"),
+        floor((col("n_docs") - (col("n_near_nodes") - col("n_near_groups"))).cast("double")
+          / col("n_docs") * lit(1e6) + lit(0.5)).cast("long").as("keep_share_micro"))
+  }
+
   /** LSH screen certification: recall of the banded MinHash-LSH pair
     * graph against EXACT all-pairs Jaccard at the same τ = 0.5, from
     * the same shingle family. The verified pair graph is a subset of
@@ -2784,6 +2808,20 @@ object DataOps {
          |       min(id) AS min_doc, max(id) AS max_doc
          |FROM lp4 GROUP BY 1
          |ORDER BY community ASC""".stripMargin,
+    "dup_inflation" ->
+      s"""WITH RECURSIVE $dkComponentCtes,
+         |exs AS (
+         |  SELECT count(*) AS n_docs, count(DISTINCT fp) AS n_exact_unique
+         |  FROM (SELECT sha256(regexp_replace(lower(trim(text)), '[ \t\n\f\r]+', ' ', 'g')) AS fp
+         |        FROM documents)
+         |), nrs AS (
+         |  SELECT count(*) AS n_near_nodes, count(DISTINCT comp) AS n_near_groups FROM comps
+         |)
+         |SELECT n_docs, n_exact_unique, n_near_nodes, n_near_groups,
+         |       n_docs - (n_near_nodes - n_near_groups) AS n_keep_near,
+         |       CAST(floor(CAST(n_docs - (n_near_nodes - n_near_groups) AS DOUBLE)
+         |            / n_docs * 1e6 + 0.5) AS BIGINT) AS keep_share_micro
+         |FROM exs, nrs""".stripMargin,
     "lsh_pair_recall" ->
       s"""WITH $dkPairGraphCtes,
          |exl AS (SELECT count(*) AS n_exact FROM jac WHERE jraw >= 0.5),
@@ -3759,6 +3797,7 @@ object DataOps {
     "communities_lpa"   -> (communitiesLpa _),
     "dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "lsh_pair_recall"   -> (lshPairRecall _),
+    "dup_inflation"     -> (dupInflation _),
     "split_leakage_pairs" -> (splitLeakagePairs _),
     "dup_source_matrix" -> (dupSourceMatrix _),
     "pagerank_hubs"     -> (pagerankHubs _),

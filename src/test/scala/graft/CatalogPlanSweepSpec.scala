@@ -52,6 +52,7 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "vocab_coverage" -> "1-row vocab-size frame",
     "lm_surprisal" -> "1-row vocab/total count frames",
     "lsh_pair_recall" -> "two 1-row pair-count frames",
+    "dup_inflation" -> "two 1-row census frames",
     "burstiness_topk" -> "1-row corpus doc-count frame",
     "source_mix_summary" -> "1-row corpus token-total frame",
     "lm_backoff" -> "1-row vocab/total count frames",
