@@ -461,19 +461,20 @@ object CorpusOps {
     // pure overhead — the r6 bench's zorder_read ×2 drift was tmpdir
     // write latency, not plan cost
     val work = graft.sources.LocalFs.scratchDir("graft_zorder_read")
-    ZOrder.writeZOrdered(ev, "x", "y", bits = ZBits, targetFiles = 16, work.toString)
-    val rollup = spark.read.parquet(work.toString)
-      .filter(col("x").between(32, 47) && col("y").between(10, 19))
-      .agg(count(lit(1)).as("n_rows"),
-        countDistinct(col("event_id")).as("n_ids"),
-        Cols.r(Cols.sumExact(col("value")), 2).as("total_value"),
-        min(col("x")).as("x_lo"), max(col("x")).as("x_hi"),
-        min(col("y")).as("y_lo"), max(col("y")).as("y_hi"))
-    val settled = rollup.collect().toSeq
-    val out = spark.createDataFrame(
-      spark.sparkContext.parallelize(settled, 1), rollup.schema)
-    graft.sources.LocalFs.deleteRecursively(work)
-    out
+    // tmpfs scratch — leak on failure is leaked memory, so try/finally
+    try {
+      ZOrder.writeZOrdered(ev, "x", "y", bits = ZBits, targetFiles = 16, work.toString)
+      val rollup = spark.read.parquet(work.toString)
+        .filter(col("x").between(32, 47) && col("y").between(10, 19))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("event_id")).as("n_ids"),
+          Cols.r(Cols.sumExact(col("value")), 2).as("total_value"),
+          min(col("x")).as("x_lo"), max(col("x")).as("x_hi"),
+          min(col("y")).as("y_lo"), max(col("y")).as("y_hi"))
+      val settled = rollup.collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(settled, 1), rollup.schema)
+    } finally graft.sources.LocalFs.deleteRecursively(work)
   }
 
   private val zorderReadSql: String =
@@ -501,24 +502,26 @@ object CorpusOps {
     * is RAM-backed and deleted after the one-row-per-group settle. */
   def orcRoundtripRead(spark: SparkSession, dir: String): DataFrame = {
     val work = graft.sources.LocalFs.scratchDir("graft_orc_fact")
-    graft.sources.LayerWriter.writeFact(
-      Tables.events(spark, dir)
-        .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd")),
-      work.toString, "event_date", format = "orc")
-    val rollup = spark.read.orc(work.toString)
-      .filter(col("event_date").between("2024-01-10", "2024-01-16")
-        && col("value") > 10.0)
-      .groupBy(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"),
-        col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        countDistinct(col("user_id")).as("n_users"),
-        Cols.r(Cols.sumExact(col("value"), 2), 2).as("total_value"))
-      .orderBy(col("event_date").asc, col("event_type").asc)
-    val settled = rollup.collect().toSeq
-    val out = spark.createDataFrame(
-      spark.sparkContext.parallelize(settled, 1), rollup.schema)
-    graft.sources.LocalFs.deleteRecursively(work)
-    out
+    // scratch is tmpfs — a leaked dir is leaked MEMORY, so the whole
+    // write/read/settle runs under try/finally
+    try {
+      graft.sources.LayerWriter.writeFact(
+        Tables.events(spark, dir)
+          .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd")),
+        work.toString, "event_date", format = "orc")
+      val rollup = spark.read.orc(work.toString)
+        .filter(col("event_date").between("2024-01-10", "2024-01-16")
+          && col("value") > 10.0)
+        .groupBy(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          Cols.r(Cols.sumExact(col("value"), 2), 2).as("total_value"))
+        .orderBy(col("event_date").asc, col("event_type").asc)
+      val settled = rollup.collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(settled, 1), rollup.schema)
+    } finally graft.sources.LocalFs.deleteRecursively(work)
   }
 
   private val orcRoundtripReadSql: String =

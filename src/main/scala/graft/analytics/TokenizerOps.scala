@@ -26,15 +26,23 @@ object TokenizerOps {
   /** Merge rounds trained (and unrolled in the oracle). */
   val Rounds = 8
 
+  // Keyed by (session, dir), NOT dir alone: the cached seqs frame is
+  // session-bound (the distributed path returns a localCheckpoint-
+  // backed frame), so a memo surviving a SparkSession restart would
+  // hand back a frame whose blocks are gone. A new session re-trains;
+  // within a session the one-run-per-corpus contract (TrainMemoSpec)
+  // holds. Unlike centroidMemo/embCountMemo this memo cannot be made
+  // session-free without collecting the dict-sized seqs to the driver,
+  // which the >DriverWordLimit distributed path exists to avoid.
   private val bpeMemo =
-    new scala.collection.concurrent.TrieMap[String, (Seq[Bpe.Merge], DataFrame)]()
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), (Seq[Bpe.Merge], DataFrame)]()
 
   /** Actual training executions — lets `TrainMemoSpec` pin the
     * one-training-run-per-corpus claim (the embCountJobs pattern). */
   private[graft] val bpeTrainRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def trained(spark: SparkSession, dir: String): (Seq[Bpe.Merge], DataFrame) =
-    bpeMemo.getOrElseUpdate(dir, {
+    bpeMemo.getOrElseUpdate((spark, dir), {
       bpeTrainRuns.incrementAndGet()
       val dict = Bpe.wordDict(Tables.documents(spark, dir))
       Bpe.train(dict, Rounds)

@@ -89,7 +89,7 @@ object Bpe {
     * never saw. Matches the training-side sequences exactly on seen
     * words (spec-pinned). */
   def segment(word: String, merges: Seq[Merge]): Seq[String] =
-    merges.foldLeft(word.map(_.toString).toIndexedSeq :+ EndOfWord) {
+    merges.foldLeft(charSyms(word) :+ EndOfWord) {
       (s, m) => mergeGreedy(s, m.left, m.right)
     }
 
@@ -121,10 +121,34 @@ object Bpe {
     out.toIndexedSeq
   }
 
+  /** One symbol per Unicode CODE POINT — what Spark's `substr`/
+    * `length` (UTF8String counts code points) and DuckDB's `substr`
+    * do. A UTF-16 `w.map(_.toString)` split would shear non-BMP
+    * characters into lone surrogates, diverging from the distributed
+    * init and producing un-encodable symbols. */
+  private[graft] def charSyms(w: String): IndexedSeq[String] =
+    w.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))).toIndexedSeq
+
+  /** Unsigned lexicographic comparison of the UTF-8 encodings — the
+    * collation Spark StringType and DuckDB VARCHAR share. */
+  private[graft] def utf8Compare(x: String, y: String): Int = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
   private[graft] def trainLocal(dict: Seq[(String, Long)],
       rounds: Int): (Seq[Merge], Seq[(String, Long, Seq[String])]) = {
     var seqs: Seq[(String, Long, IndexedSeq[String])] =
-      dict.map { case (w, c) => (w, c, w.map(_.toString).toIndexedSeq :+ EndOfWord) }
+      dict.map { case (w, c) => (w, c, charSyms(w) :+ EndOfWord) }
     val merges = mutable.ArrayBuffer.empty[Merge]
     var r = 1
     var done = false
@@ -141,9 +165,20 @@ object Bpe {
       if (counts.isEmpty) done = true
       else {
         // max count, ties broken by binary (left, right) order — the
-        // exact ORDER BY c DESC, a ASC, b ASC the oracle writes
-        val ((ba, bb), bc) = counts.min(Ordering.by {
-          kv: ((String, String), Long) => (-kv._2, kv._1._1, kv._1._2)
+        // exact ORDER BY c DESC, a ASC, b ASC the oracle writes.
+        // "binary" means UTF-8 bytes compared unsigned (what Spark's
+        // StringType and DuckDB VARCHAR both do); Scala's default
+        // String ordering compares UTF-16 code units, which diverges
+        // for supplementary-plane symbols vs U+E000–U+FFFF, so the
+        // tiebreak goes through utf8Compare to keep the driver path
+        // bit-identical to the distributed path and the oracle.
+        val ((ba, bb), bc) = counts.min(new Ordering[((String, String), Long)] {
+          def compare(x: ((String, String), Long), y: ((String, String), Long)): Int = {
+            var c = java.lang.Long.compare(y._2, x._2)
+            if (c == 0) c = utf8Compare(x._1._1, y._1._1)
+            if (c == 0) c = utf8Compare(x._1._2, y._1._2)
+            c
+          }
         })
         merges += Merge(r.toLong, ba, bb, bc)
         seqs = seqs.map { case (w, c, s) => (w, c, mergeGreedy(s, ba, bb)) }

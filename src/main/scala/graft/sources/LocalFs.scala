@@ -28,8 +28,14 @@ object LocalFs {
     * pays that cost deliberately. */
   def scratchDir(prefix: String): Path = {
     val shm = java.nio.file.Paths.get("/dev/shm")
-    if (Files.isDirectory(shm) && Files.isWritable(shm))
-      Files.createTempDirectory(shm, prefix)
-    else Files.createTempDirectory(prefix)
+    val dir =
+      if (Files.isDirectory(shm) && Files.isWritable(shm))
+        Files.createTempDirectory(shm, prefix)
+      else Files.createTempDirectory(prefix)
+    // Best-effort backstop: RAM-backed scratch leaked on a failure
+    // path is leaked MEMORY that outlives the query — reclaim at JVM
+    // exit (no-op when the caller's own cleanup already ran).
+    sys.addShutdownHook(deleteRecursively(dir))
+    dir
   }
 }

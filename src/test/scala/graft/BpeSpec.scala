@@ -52,6 +52,23 @@ class BpeSpec extends SparkSpec {
     assert((m2.head.left, m2.head.right) == ("a", "b"))
   }
 
+  test("tiebreak is UTF-8 binary even for non-BMP symbols (path equivalence)") {
+    // U+1F642 (🙂) encodes as a UTF-16 surrogate pair starting 0xD83D,
+    // which sorts BELOW U+E000 in code-unit order — but its UTF-8 lead
+    // byte 0xF0 sorts ABOVE U+E000's 0xEE. Spark StringType and DuckDB
+    // both compare UTF-8 bytes, so tied pairs must pick U+E000 first;
+    // Scala's default String ordering would pick the emoji.
+    val dict = Seq(("🙂", 2L), ("", 2L))
+    val (mLocal, _) = Bpe.trainLocal(dict, rounds = 1)
+    assert(mLocal.head.left == "" && mLocal.head.right == "</w>")
+    // and the driver path agrees with the relational path bit-for-bit
+    val df = dict.toDF("word", "cnt")
+    val (mDist, _) = Bpe.train(df, rounds = 2, driverWordLimit = 0)
+    val (mDrv, _) = Bpe.train(df, rounds = 2)
+    assert(mDrv == mDist)
+    assert(mDrv.head.left == "")
+  }
+
   test("training stops early when a word fully collapses and no pairs remain") {
     val (merges, seqs) = Bpe.trainLocal(Seq(("ab", 10L)), rounds = 6)
     // r1: (a,b) -> ab ; r2: (ab,</w>) -> ab</w> ; r3: single symbol, stop
