@@ -1066,6 +1066,89 @@ object DataOps {
         (col("emax").cast("double") / lit(1e6)).as("max_abs_err"))
   }
 
+  // ---- product quantization -------------------------------------------
+
+  /** PQ geometry: 64-dim vectors → 4 subspaces × 16 codewords, 2
+    * Lloyd iterations over a 256-vector training sample. 16 codewords
+    * ⇒ 4-bit codes — the corpus compresses to 2 bytes/vector. */
+  private val pqM = 4
+  private val pqK = 16
+  private val pqIter = 2
+  private val pqSampleN = 256
+
+  /** Trained-codebook memo, keyed by corpus dir — pure driver-side
+    * values (the centroidMemo pattern), safe across sessions. */
+  private val pqMemo =
+    new scala.collection.concurrent.TrieMap[String, Seq[graft.operators.Pq.Code]]()
+
+  /** Actual trainings — TrainMemoSpec pins one-per-corpus. */
+  private[analytics] val pqTrainRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def trainedPq(emb: DataFrame, dir: String): Seq[graft.operators.Pq.Code] =
+    pqMemo.getOrElseUpdate(dir, {
+      pqTrainRuns.incrementAndGet()
+      graft.operators.Pq.fitCodebooks(emb, pqM, pqK, pqIter, pqSampleN)
+    })
+
+  /** ADC top-k over the product-quantized corpus ([[graft.operators
+    * .Pq]]): codebooks train once on a bounded sample, the corpus is
+    * encoded and reconstructed map-side from literal codebooks, and
+    * the same 10 queries as `sim_topk` rank against the
+    * reconstruction. The oracle replays the ENTIRE loop — sample,
+    * per-subspace unrolled Lloyd rounds, L2 argmin encode,
+    * reconstruction, cosine ranking. */
+  def simTopKPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    graft.operators.Pq.adcTopK(emb, emb.filter(col("vec_id") < 10),
+        trainedPq(emb, dir), k = 5)
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  /** Measured PQ reconstruction quality over the WHOLE corpus: mean/
+    * max squared reconstruction error and mean cosine between each
+    * vector and its reconstruction — the compression-loss gate (the
+    * rp_distortion pattern for the PQ codec). Per-vector values
+    * quantize to the 1e-6 grid before exact integer aggregation. */
+  def pqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val rec = graft.operators.Pq.reconstruct(emb, trainedPq(emb, dir))
+    val v = col("embedding"); val r = col("recon")
+    val sq = graft.GraftFunctions.dot(v, v) - lit(2.0) * graft.GraftFunctions.dot(v, r) +
+      graft.GraftFunctions.dot(r, r)
+    val cosRaw = graft.GraftFunctions.dot(v, r) /
+      (sqrt(graft.GraftFunctions.dot(v, v)) * sqrt(graft.GraftFunctions.dot(r, r)))
+    rec.select(
+        floor(sq * lit(1e6) + lit(0.5)).cast("long").as("e"),
+        floor(cosRaw * lit(1e6) + lit(0.5)).cast("long").as("c"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("e")).as("esum"),
+        max(col("e")).as("emax"), sum(col("c")).as("csum"))
+      .select(lit(pqM).as("m"), lit(pqK).as("k"), col("n_vectors"),
+        (floor(col("esum").cast("double") / col("n_vectors").cast("double") + lit(0.5)) / lit(1e6))
+          .as("mean_sq_err"),
+        (col("emax").cast("double") / lit(1e6)).as("max_sq_err"),
+        (floor(col("csum").cast("double") / col("n_vectors").cast("double") + lit(0.5)) / lit(1e6))
+          .as("mean_cos"))
+  }
+
+  /** Recall@5 of PQ ADC search against exact brute force — the
+    * index-quality regression gate for the codec ([[annRecall]]'s
+    * construction for the PQ path): a codebook change that degrades
+    * rank preservation flips this row red. */
+  def pqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = graft.operators.Pq.adcTopK(emb, q, trainedPq(emb, dir), k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    approx.join(exact, Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .crossJoin(broadcast(nExact))
+      .select(lit("pq_adc").as("method"), col("n_exact"), col("n_hits"),
+        Cols.r(col("n_hits").cast("double") / col("n_exact").cast("double"), 6).as("recall"))
+  }
+
   // ---- text analysis ---------------------------------------------------
 
   def textTokenStats(spark: SparkSession, dir: String): DataFrame = {
