@@ -1081,8 +1081,9 @@ object DataOps {
   private val pqMemo =
     new scala.collection.concurrent.TrieMap[String, Seq[graft.operators.Pq.Code]]()
 
-  /** Actual trainings — TrainMemoSpec pins one-per-corpus. */
-  private[analytics] val pqTrainRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Actual trainings — TrainMemoSpec pins one-per-corpus across the
+    * four PQ-family entries and repeat sweeps. */
+  private[graft] val pqTrainRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def trainedPq(emb: DataFrame, dir: String): Seq[graft.operators.Pq.Code] =
     pqMemo.getOrElseUpdate(dir, {
@@ -1147,6 +1148,22 @@ object DataOps {
       .crossJoin(broadcast(nExact))
       .select(lit("pq_adc").as("method"), col("n_exact"), col("n_hits"),
         Cols.r(col("n_hits").cast("double") / col("n_exact").cast("double"), 6).as("recall"))
+  }
+
+  /** IVFADC: the trained-IVF coarse index composed with the PQ codec
+    * ([[graft.operators.Pq.ivfAdcTopK]]) — probe each query's 2
+    * nearest trained cells, ADC-score only the probed cells' codes.
+    * Shares BOTH trained artifacts with their standalone entries (the
+    * k-means centroids of `sim_topk_ivf_kmeans` via centroidMemo, the
+    * PQ codebooks via pqMemo), so the composition adds zero training
+    * jobs. The oracle replays coarse training, PQ training, both
+    * assignments, and the ADC ranking. */
+  def simTopKIvfadc(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    graft.operators.Pq.ivfAdcTopK(emb, emb.filter(col("vec_id") < 10),
+        trainedCentroids(emb, dir, k = 8, nIter = 2), trainedPq(emb, dir),
+        k = 5, nProbe = 2)
+      .orderBy(col("query_id").asc, col("rank").asc)
   }
 
   // ---- text analysis ---------------------------------------------------
@@ -2402,6 +2419,66 @@ object DataOps {
        |)""".stripMargin
   }
 
+  /** The double-cast subspace slice of a float embedding: subspace
+    * `sub` (0-based, from the joined codebook row) of width 16 —
+    * mirrors Pq's slice(v, sub·16+1, 16) + per-element double cast. */
+  private def dkPqSlice(v: String, sub: String): String =
+    s"list_transform(list_slice($v, $sub * 16 + 1, $sub * 16 + 16), x -> CAST(x AS DOUBLE))"
+
+  /** One unrolled per-subspace Lloyd iteration for the PQ codebooks:
+    * L2 assignment via dot(c,c) − 2·dot(v,c) (ties to the lowest
+    * cell — mirrors Pq.fitCodebooks' ascending-cell strict-< scan),
+    * then 1e-9-grid quantized per-dim means (exact int64 sums). Empty
+    * cells drop out of the GROUP BY exactly as the engine's groupBy
+    * forgets them. */
+  private def dkPqIter(i: Int): String =
+    s"""pqa$i AS (
+       |  SELECT sub, cell, v FROM (
+       |    SELECT sv.sub, sv.rn, sv.v, c.cell,
+       |           row_number() OVER (PARTITION BY sv.sub, sv.rn
+       |             ORDER BY (${dkDot("c.c", "c.c")} - 2 * ${dkDot("sv.v", "c.c")}) ASC,
+       |                      c.cell ASC) AS rk
+       |    FROM pq_sv sv JOIN pqc${i - 1} c ON sv.sub = c.sub) WHERE rk = 1
+       |), pqm$i AS (
+       |  SELECT sub, cell, u.pos AS pos, sum(u.q) AS sq, count(*) AS n FROM (
+       |    SELECT sub, cell, unnest(list_transform(generate_series(1, len(v)),
+       |      j -> struct_pack(pos := j, q := CAST(floor(v[j] * 1e9 + 0.5) AS BIGINT)))) AS u
+       |    FROM pqa$i)
+       |  GROUP BY 1, 2, 3
+       |), pqc$i AS (
+       |  SELECT sub, cell, list((CAST(sq AS DOUBLE) / n) / 1e9 ORDER BY pos ASC) AS c
+       |  FROM pqm$i GROUP BY sub, cell
+       |)""".stripMargin
+
+  /** Full-replay PQ pipeline as shared CTEs (mirrors Pq.fitCodebooks
+    * + Pq.reconstruct at the catalog geometry m=4, k=16, 2 Lloyd
+    * rounds, 256-vector sample): pq_s = the deterministic sample in
+    * vec_id order, pqc0 = first-16 init, pqc2 = trained codebooks,
+    * pq_enc = per-(vector, subspace) argmin code assignment over the
+    * whole corpus, pq_rec = (vec_id, recon) with recon the
+    * concatenated assigned sub-centroids in subspace order. */
+  private val dkPqCtes: String =
+    s"""pq_s AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id ASC) AS rn, embedding
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 256)
+       |), pq_sv AS (
+       |  SELECT rn, sub, ${dkPqSlice("embedding", "sub")} AS v
+       |  FROM pq_s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS sub) subs
+       |), pqc0 AS (
+       |  SELECT sub, rn - 1 AS cell, v AS c FROM pq_sv WHERE rn <= 16
+       |), ${dkPqIter(1)}, ${dkPqIter(2)},
+       |pq_enc AS (
+       |  SELECT vec_id, sub, cell, c FROM (
+       |    SELECT e.vec_id, c.sub, c.cell, c.c,
+       |           row_number() OVER (PARTITION BY e.vec_id, c.sub
+       |             ORDER BY (${dkDot("c.c", "c.c")} - 2 * ${dkDot(dkPqSlice("e.embedding", "c.sub"), "c.c")}) ASC,
+       |                      c.cell ASC) AS rk
+       |    FROM embeddings e CROSS JOIN pqc2 c) WHERE rk = 1
+       |), pq_rec AS (
+       |  SELECT vec_id, flatten(list(c ORDER BY sub ASC)) AS recon
+       |  FROM pq_enc GROUP BY vec_id
+       |)""".stripMargin
+
   /** One unrolled PageRank power iteration (mirrors PageRank.ranks:
     * 1e-12-grid quantized contributions, teleport/n + d·sum). The
     * scalar constants are interpolated as full-precision double
@@ -2500,6 +2577,93 @@ object DataOps {
          |)
          |SELECT query_id, rank, neighbor_id, cos FROM kranked
          |WHERE rank <= 3
+         |ORDER BY query_id ASC, rank ASC""".stripMargin,
+    "sim_topk_pq" ->
+      s"""WITH $dkPqCtes,
+         |pscored AS (
+         |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         |         ${dkCos("q.embedding", "r.recon")} AS cos
+         |  FROM pq_rec r JOIN embeddings q ON r.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10
+         |), pranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM pscored
+         |)
+         |SELECT query_id, rank, neighbor_id, cos FROM pranked
+         |WHERE rank <= 5
+         |ORDER BY query_id ASC, rank ASC""".stripMargin,
+    "pq_distortion" ->
+      s"""WITH $dkPqCtes,
+         |pd AS (
+         |  SELECT CAST(floor((${dkDot("e.embedding", "e.embedding")}
+         |                     - 2 * ${dkDot("e.embedding", "r.recon")}
+         |                     + ${dkDot("r.recon", "r.recon")}) * 1e6 + 0.5) AS BIGINT) AS e,
+         |         CAST(floor(${dkCosRaw("e.embedding", "r.recon")} * 1e6 + 0.5) AS BIGINT) AS c
+         |  FROM embeddings e JOIN pq_rec r ON e.vec_id = r.vec_id
+         |)
+         |SELECT 4 AS m, 16 AS k, count(*) AS n_vectors,
+         |       floor(CAST(sum(e) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) / 1e6 AS mean_sq_err,
+         |       CAST(max(e) AS DOUBLE) / 1e6 AS max_sq_err,
+         |       floor(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) / 1e6 AS mean_cos
+         |FROM pd""".stripMargin,
+    "pq_recall" ->
+      s"""WITH $dkPqCtes,
+         |pexact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${dkCos("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
+         |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 10)
+         |  WHERE rank <= 5
+         |), papprox AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${dkCos("q.embedding", "r.recon")} DESC, r.vec_id ASC) AS rank
+         |    FROM pq_rec r JOIN embeddings q ON r.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 10)
+         |  WHERE rank <= 5
+         |), pnex AS (SELECT count(*) AS n_exact FROM pexact),
+         |phits AS (
+         |  SELECT count(*) AS n_hits FROM papprox JOIN pexact USING (query_id, neighbor_id)
+         |)
+         |SELECT 'pq_adc' AS method, n_exact, n_hits,
+         |       floor(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) * 1e6 + 0.5) / 1e6 AS recall
+         |FROM phits CROSS JOIN pnex""".stripMargin,
+    "sim_topk_ivfadc" ->
+      s"""WITH c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, embedding AS c
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 8)
+         |), ${dkKmeansIter(1)}, ${dkKmeansIter(2)},
+         |$dkPqCtes,
+         |vc_assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${dkCosRaw("e.embedding", "c.c")} DESC, c.cell ASC) AS rn
+         |    FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1
+         |), vq_assign AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${dkCosRaw("e.embedding", "c.c")} DESC, c.cell ASC) AS rn
+         |    FROM embeddings e CROSS JOIN c2 c
+         |    WHERE e.vec_id < 10) WHERE rn <= 2
+         |), vscored AS (
+         |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         |         ${dkCos("q.embedding", "r.recon")} AS cos
+         |  FROM vq_assign q
+         |  JOIN vc_assign a ON q.cell = a.cell AND a.vec_id <> q.vec_id
+         |  JOIN pq_rec r ON r.vec_id = a.vec_id
+         |), vranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM vscored
+         |)
+         |SELECT query_id, rank, neighbor_id, cos FROM vranked
+         |WHERE rank <= 5
          |ORDER BY query_id ASC, rank ASC""".stripMargin,
     "incr_load_events" ->
       """SELECT substr(CAST(ts AS VARCHAR(30)), 1, 10) AS event_date,
@@ -3898,6 +4062,10 @@ object DataOps {
     "clf_calibration"   -> (clfCalibration _),
     "kmeans_cells"      -> (kmeansCells _),
     "sim_topk_ivf_kmeans" -> (simTopKIvfKmeans _),
+    "sim_topk_pq"       -> (simTopKPq _),
+    "pq_distortion"     -> (pqDistortion _),
+    "pq_recall"         -> (pqRecall _),
+    "sim_topk_ivfadc"   -> (simTopKIvfadc _),
     "sim_topk"          -> (simTopK _),
     "embed_outliers"    -> (embedOutliers _),
     "sim_topk_lsh"      -> (simTopKLsh _),

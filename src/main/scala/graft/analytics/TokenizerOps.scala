@@ -41,12 +41,20 @@ object TokenizerOps {
     * one-training-run-per-corpus claim (the embCountJobs pattern). */
   private[graft] val bpeTrainRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  private def trained(spark: SparkSession, dir: String): (Seq[Bpe.Merge], DataFrame) =
+  private def trained(spark: SparkSession, dir: String): (Seq[Bpe.Merge], DataFrame) = {
+    // evict entries owned by stopped sessions: their cached /
+    // localCheckpoint-backed frames are unusable anyway, and keeping
+    // the key would strongly retain every dead SparkSession (and its
+    // seqs frame) forever under session churn
+    bpeMemo.keySet.foreach { key =>
+      if (key._1.sparkContext.isStopped) bpeMemo.remove(key)
+    }
     bpeMemo.getOrElseUpdate((spark, dir), {
       bpeTrainRuns.incrementAndGet()
       val dict = Bpe.wordDict(Tables.documents(spark, dir))
       Bpe.train(dict, Rounds)
     })
+  }
 
   /** The ordered merge list — the tokenizer itself. */
   def bpeMerges(spark: SparkSession, dir: String): DataFrame = {

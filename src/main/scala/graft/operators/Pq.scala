@@ -112,25 +112,32 @@ object Pq {
     array_min(array(scored: _*)).getField("cell")
   }
 
-  /** Encode + reconstruct: (idCol, code_0..code_{m-1}, recon) where
+  /** Encode + reconstruct: (idCol, [keepCols,] codes, recon) where
     * recon is the concatenation of the assigned sub-centroids — the
     * vector ADC actually scores. One map-side pass, codebooks as
-    * literal maps. */
+    * literal maps. The codes array is materialized in its own
+    * projection and recon derives from it via element_at, so the
+    * per-subspace argmin scoring runs ONCE per row (CollapseProject
+    * keeps the split: the codes alias is non-cheap and multiply
+    * referenced). */
   def reconstruct(corpus: DataFrame, books: Seq[Code],
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      keepCols: Seq[String] = Nil): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
     require(books.nonEmpty, "reconstruct needs trained codebooks")
     val m = books.map(_.sub).max + 1
     val subDim = books.head.coords.length
     val v = col(vecCol)
+    val kept = keepCols.map(col)
+    val coded = corpus.select(col(idCol) +: kept :+ v :+
+      array((0 until m).map(s => codeCol(v, s, subDim, books)): _*).as("codes"): _*)
     val parts = (0 until m).map { s =>
       val lut = typedlit(books.filter(_.sub == s)
         .map(cd => cd.cell -> cd.coords.toSeq).toMap)
-      element_at(lut, codeCol(v, s, subDim, books).cast("int"))
+      element_at(lut, element_at(col("codes"), s + 1).cast("int"))
     }
-    corpus.select(col(idCol), v,
-      array((0 until m).map(s => codeCol(v, s, subDim, books)): _*).as("codes"),
-      flatten(array(parts: _*)).as("recon"))
+    coded.select(col(idCol) +: kept :+ v :+ col("codes") :+
+      flatten(array(parts: _*)).as("recon"): _*)
   }
 
   /** ADC top-k: exact queries against the reconstructed corpus —
@@ -146,6 +153,50 @@ object Pq {
       (sqrt(GraftFunctions.dot(col("q_vec"), col("q_vec"))) *
         sqrt(GraftFunctions.dot(col("recon"), col("recon"))))
     val scored = rec.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", floor(cos * lit(1e6) + lit(0.5)) / lit(1e6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** IVFADC (Jégou et al. 2011 §V): the trained-IVF probe index
+    * composed with PQ codes — the genuine 100 TB ANN recipe. The
+    * corpus is coarse-assigned to centroid cells ([[KMeans
+    * .assignCells]]) and PQ-encoded, both map-side with literal
+    * parameters; each query probes its `nProbe` nearest cells (same
+    * struct-sort probe as [[Similarity.ivfTopKTrained]]) and
+    * ADC-scores ONLY the probed cells' reconstructions — candidate
+    * volume is Σ probed-cell occupancy, never N, and the 2-byte codes
+    * are what stays hot while the raw floats stay cold. The cell join
+    * is an equi-join with the O(queries·nProbe) side broadcast. */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame,
+      centroids: Seq[(Int, Array[Double])], books: Seq[Code], k: Int,
+      nProbe: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    require(centroids.nonEmpty && nProbe > 0, "ivfAdcTopK needs centroids and nProbe > 0")
+    val rec = reconstruct(KMeans.assignCells(corpus, centroids, idCol, vecCol),
+        books, idCol, vecCol, keepCols = Seq("cell"))
+      .select(col(idCol).as("neighbor_id"), col("cell"), col("recon"))
+    val v = col(vecCol)
+    // query-side probe: max cosine first, ties to the LOWEST cell id
+    // (struct sort on (cos, -cell) — same total order as assignCells)
+    val scoredCells = array(centroids.map { case (cid, c) =>
+      val cl = typedlit(c.toSeq)
+      struct((GraftFunctions.dot(v, cl) /
+          (sqrt(GraftFunctions.dot(v, v)) * sqrt(GraftFunctions.dot(cl, cl)))).as("cos"),
+        lit(-cid).as("negcell"))
+    }: _*)
+    val qB = queries.select(col(idCol).as("query_id"), v.as("q_vec"),
+        explode(slice(sort_array(scoredCells, asc = false), 1, nProbe)).as("sc"))
+      .select(col("query_id"), col("q_vec"), (-col("sc.negcell")).as("cell"))
+    val cos = GraftFunctions.dot(col("q_vec"), col("recon")) /
+      (sqrt(GraftFunctions.dot(col("q_vec"), col("q_vec"))) *
+        sqrt(GraftFunctions.dot(col("recon"), col("recon"))))
+    val scored = rec.join(broadcast(qB), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", floor(cos * lit(1e6) + lit(0.5)) / lit(1e6))
     val w = Window.partitionBy(col("query_id"))

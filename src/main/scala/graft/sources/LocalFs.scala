@@ -10,12 +10,28 @@ import java.util.Comparator
   * don't provide — a production deployment swaps table-format
   * snapshots instead. */
 object LocalFs {
-  def deleteRecursively(p: Path): Unit =
+  def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {
       val s = Files.walk(p)
       try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
       finally s.close()
     }
+    // a scratch dir the caller cleaned up no longer needs the exit
+    // backstop — drop it so the pending set stays O(live dirs)
+    pendingScratch.remove(p)
+  }
+
+  /** Scratch dirs created but not yet cleaned up. ONE static shutdown
+    * hook drains this set — per-call `addShutdownHook` would register
+    * (and strongly retain) a new Thread per scratch dir for the life
+    * of the JVM, so a bench sweep or long-lived service accumulates
+    * hooks without bound. */
+  private val pendingScratch =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Path]()
+  private lazy val scratchHook: Unit = {
+    sys.addShutdownHook(pendingScratch.forEach(p => deleteRecursively(p)))
+    ()
+  }
 
   /** Scratch directory for gate-local streaming state, preferring a
     * RAM-backed filesystem (`/dev/shm`) over the disk-backed tmpdir.
@@ -34,8 +50,10 @@ object LocalFs {
       else Files.createTempDirectory(prefix)
     // Best-effort backstop: RAM-backed scratch leaked on a failure
     // path is leaked MEMORY that outlives the query — reclaim at JVM
-    // exit (no-op when the caller's own cleanup already ran).
-    sys.addShutdownHook(deleteRecursively(dir))
+    // exit (no-op when the caller's own cleanup already ran, which
+    // removes the dir from the pending set).
+    scratchHook
+    pendingScratch.add(dir)
     dir
   }
 }

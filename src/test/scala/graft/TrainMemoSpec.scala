@@ -21,6 +21,18 @@ class TrainMemoSpec extends SparkSpec {
     assert(runs <= 1, s"expected at most one training run, saw $runs")
   }
 
+  test("PQ trains once per corpus across all four entries and repeats") {
+    import graft.analytics.DataOps
+    val before = DataOps.pqTrainRuns.get()
+    DataOps.simTopKPq(spark, dir).collect()
+    DataOps.pqDistortion(spark, dir).collect()
+    DataOps.pqRecall(spark, dir).collect()
+    DataOps.simTopKIvfadc(spark, dir).collect()
+    DataOps.simTopKPq(spark, dir).collect()
+    val runs = DataOps.pqTrainRuns.get() - before
+    assert(runs <= 1, s"expected at most one PQ training run, saw $runs")
+  }
+
   test("PCA fits once per corpus across both entries and repeats") {
     val before = SpectrumOps.pcaFitRuns.get()
     SpectrumOps.embedPcaTop(spark, dir).collect()
