@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.functions.{call_function, lit, typedLit}
-import graft.functions.{BloomTest, DotProduct, HyperplaneKeys, Q8Quantize, TextHashExprs, TopCells}
+import graft.functions.{BloomTest, DotProduct, HyperplaneKeys, PqCodec, Q8Quantize, TextHashExprs, TopCells}
 
 /** Session extension registering graft's native Catalyst functions —
   * enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       TopCells.info, TopCells.builder))
     ext.injectFunction((FunctionIdentifier("graft_bloom_test"),
       BloomTest.info, BloomTest.builder))
+    ext.injectFunction((FunctionIdentifier("graft_pq_encode"),
+      PqCodec.encodeInfo, PqCodec.encodeBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_pq_recon"),
+      PqCodec.reconInfo, PqCodec.reconBuilder))
   }
 }
 
@@ -53,7 +57,7 @@ object GraftFunctions {
     * build) self-heals instead of skipping the additions. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier("graft_bloom_test"))) {
+    if (!reg.functionExists(FunctionIdentifier("graft_pq_encode"))) {
       reg.createOrReplaceTempFunction("graft_dot", DotProduct.builder, "built-in")
       reg.createOrReplaceTempFunction("graft_token_hashes", TextHashExprs.tokenBuilder, "built-in")
       reg.createOrReplaceTempFunction("graft_shingle_hashes", TextHashExprs.shingleBuilder, "built-in")
@@ -66,6 +70,8 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction("graft_winnow", TextHashExprs.winnowBuilder, "built-in")
       reg.createOrReplaceTempFunction("graft_top_cells", TopCells.builder, "built-in")
       reg.createOrReplaceTempFunction("graft_bloom_test", BloomTest.builder, "built-in")
+      reg.createOrReplaceTempFunction("graft_pq_recon", PqCodec.reconBuilder, "built-in")
+      reg.createOrReplaceTempFunction("graft_pq_encode", PqCodec.encodeBuilder, "built-in")
     }
     // the HOF-dot rewrite for sessions built without the extensions
     // config; experimental.extraOptimizations runs in the same
@@ -108,4 +114,19 @@ object GraftFunctions {
   def hyperplaneKeys(vec: Column, planes: Seq[Array[Float]], planesPerBand: Int): Column =
     call_function("graft_hyperplane_keys", vec,
       typedLit(planes.map(_.toSeq)), lit(planesPerBand))
+
+  /** PQ code assignment from ONE literal codebook (see
+    * [[graft.functions.PqEncode]]); book args via
+    * [[graft.operators.Pq.bookArgs]]. */
+  def pqEncode(vec: Column, subOffsets: Seq[Int], cellIds: Seq[Int],
+      coords: Seq[Seq[Double]], cc: Seq[Double]): Column =
+    call_function("graft_pq_encode", vec, typedLit(subOffsets),
+      typedLit(cellIds), typedLit(coords), typedLit(cc))
+
+  /** PQ centroid reconstruction from a codes column (see
+    * [[graft.functions.PqReconFromCodes]]). */
+  def pqRecon(codes: Column, subOffsets: Seq[Int], cellIds: Seq[Int],
+      coords: Seq[Seq[Double]]): Column =
+    call_function("graft_pq_recon", codes, typedLit(subOffsets),
+      typedLit(cellIds), typedLit(coords))
 }

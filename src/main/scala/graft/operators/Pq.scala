@@ -95,49 +95,42 @@ object Pq {
     }
   }
 
-  private def subSlice(v: Column, sub: Int, subDim: Int): Column =
-    slice(v, sub * subDim + 1, subDim)
-
-  /** Per-row code assignment for subspace `sub`: argmin over that
-    * subspace's codebook of dot(c,c) − 2·dot(v_s, c), ties to the
-    * lowest cell — the array_min-over-structs form (struct ordering
-    * is field order, so min score wins and min cell breaks ties).
-    * Map-side only: centroids are plan literals. */
-  private def codeCol(v: Column, sub: Int, subDim: Int, book: Seq[Code]): Column = {
-    val sv = subSlice(v, sub, subDim)
-    val scored = book.filter(_.sub == sub).map { cd =>
-      val score = lit(cd.cc) - lit(2.0) * GraftFunctions.dot(sv, typedlit(cd.coords.toSeq))
-      struct(score.as("score"), lit(cd.cell).as("cell"))
-    }
-    array_min(array(scored: _*)).getField("cell")
+  /** Flat literal arguments for the [[graft.functions.PqEncode]] /
+    * [[graft.functions.PqReconFromCodes]] kernels: (subOffsets,
+    * cellIds, coords, cc), cells ascending within each subspace (the
+    * kernels' tie-to-lowest-cell contract). */
+  private[graft] def bookArgs(books: Seq[Code])
+      : (Seq[Int], Seq[Int], Seq[Seq[Double]], Seq[Double]) = {
+    val m = books.map(_.sub).max + 1
+    val bySub = (0 until m).map(s => books.filter(_.sub == s).sortBy(_.cell))
+    require(bySub.forall(_.nonEmpty), "every subspace needs at least one cell")
+    val flat = bySub.flatten
+    val subOffsets = bySub.scanLeft(0)(_ + _.size)
+    (subOffsets, flat.map(_.cell), flat.map(_.coords.toSeq), flat.map(_.cc))
   }
 
   /** Encode + reconstruct: (idCol, [keepCols,] codes, recon) where
     * recon is the concatenation of the assigned sub-centroids — the
-    * vector ADC actually scores. One map-side pass, codebooks as
-    * literal maps. The codes array is materialized in its own
-    * projection and recon derives from it via element_at, so the
-    * per-subspace argmin scoring runs ONCE per row (CollapseProject
-    * keeps the split: the codes alias is non-cheap and multiply
-    * referenced). */
+    * vector ADC actually scores. One map-side pass through the
+    * [[graft.functions.PqEncode]] kernel (the codebook rides as ONE
+    * literal matrix, not an unrolled m·k expression tree — the
+    * unrolled form blew janino's 64 KB method limit and pushed the
+    * whole stage to interpreted eval; see PqCodec.scala). The codes
+    * array is materialized in its own projection and recon derives
+    * from it via the lookup-only [[graft.functions.PqReconFromCodes]]
+    * kernel, so the argmin scoring runs ONCE per row. */
   def reconstruct(corpus: DataFrame, books: Seq[Code],
       idCol: String = "vec_id", vecCol: String = "embedding",
       keepCols: Seq[String] = Nil): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
     require(books.nonEmpty, "reconstruct needs trained codebooks")
-    val m = books.map(_.sub).max + 1
-    val subDim = books.head.coords.length
+    val (subOffsets, cellIds, coords, cc) = bookArgs(books)
     val v = col(vecCol)
     val kept = keepCols.map(col)
     val coded = corpus.select(col(idCol) +: kept :+ v :+
-      array((0 until m).map(s => codeCol(v, s, subDim, books)): _*).as("codes"): _*)
-    val parts = (0 until m).map { s =>
-      val lut = typedlit(books.filter(_.sub == s)
-        .map(cd => cd.cell -> cd.coords.toSeq).toMap)
-      element_at(lut, element_at(col("codes"), s + 1).cast("int"))
-    }
+      GraftFunctions.pqEncode(v, subOffsets, cellIds, coords, cc).as("codes"): _*)
     coded.select(col(idCol) +: kept :+ v :+ col("codes") :+
-      flatten(array(parts: _*)).as("recon"): _*)
+      GraftFunctions.pqRecon(col("codes"), subOffsets, cellIds, coords).as("recon"): _*)
   }
 
   /** ADC top-k: exact queries against the reconstructed corpus —
@@ -146,12 +139,16 @@ object Pq {
     * the lowest neighbor id. */
   def adcTopK(corpus: DataFrame, queries: DataFrame, books: Seq[Code], k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // norms hoisted OUT of the pair loop: ‖recon‖ once per corpus row,
+    // ‖q‖ once per query — the per-pair expression is one dot + one
+    // divide (same values, same fold order, so the oracle holds)
     val rec = reconstruct(corpus, books, idCol, vecCol)
-      .select(col(idCol).as("neighbor_id"), col("recon"))
+      .select(col(idCol).as("neighbor_id"), col("recon"),
+        sqrt(GraftFunctions.dot(col("recon"), col("recon"))).as("r_norm"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", sqrt(GraftFunctions.dot(col("q_vec"), col("q_vec"))))
     val cos = GraftFunctions.dot(col("q_vec"), col("recon")) /
-      (sqrt(GraftFunctions.dot(col("q_vec"), col("q_vec"))) *
-        sqrt(GraftFunctions.dot(col("recon"), col("recon"))))
+      (col("q_norm") * col("r_norm"))
     val scored = rec.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", floor(cos * lit(1e6) + lit(0.5)) / lit(1e6))
@@ -180,7 +177,8 @@ object Pq {
     require(centroids.nonEmpty && nProbe > 0, "ivfAdcTopK needs centroids and nProbe > 0")
     val rec = reconstruct(KMeans.assignCells(corpus, centroids, idCol, vecCol),
         books, idCol, vecCol, keepCols = Seq("cell"))
-      .select(col(idCol).as("neighbor_id"), col("cell"), col("recon"))
+      .select(col(idCol).as("neighbor_id"), col("cell"), col("recon"),
+        sqrt(GraftFunctions.dot(col("recon"), col("recon"))).as("r_norm"))
     val v = col(vecCol)
     // query-side probe: max cosine first, ties to the LOWEST cell id
     // (struct sort on (cos, -cell) — same total order as assignCells)
@@ -192,10 +190,10 @@ object Pq {
     }: _*)
     val qB = queries.select(col(idCol).as("query_id"), v.as("q_vec"),
         explode(slice(sort_array(scoredCells, asc = false), 1, nProbe)).as("sc"))
-      .select(col("query_id"), col("q_vec"), (-col("sc.negcell")).as("cell"))
+      .select(col("query_id"), col("q_vec"), (-col("sc.negcell")).as("cell"),
+        sqrt(GraftFunctions.dot(col("q_vec"), col("q_vec"))).as("q_norm"))
     val cos = GraftFunctions.dot(col("q_vec"), col("recon")) /
-      (sqrt(GraftFunctions.dot(col("q_vec"), col("q_vec"))) *
-        sqrt(GraftFunctions.dot(col("recon"), col("recon"))))
+      (col("q_norm") * col("r_norm"))
     val scored = rec.join(broadcast(qB), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", floor(cos * lit(1e6) + lit(0.5)) / lit(1e6))
