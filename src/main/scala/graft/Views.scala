@@ -96,14 +96,46 @@ object Views {
     *  - scalar `generate_series(a, b[, step])` ≡ `sequence` (both
     *    ends inclusive on both engines). The table-function form
     *    (`FROM generate_series(...)`) stays unbridgeable and fails
-    *    loudly at parse.
+    *    loudly at parse. CAVEAT (measured): for a > b DuckDB returns
+    *    an EMPTY list but Spark's sequence counts DOWN ([1,0] for
+    *    (1,0)) — shared-dialect SQL must guard the upper bound (e.g.
+    *    `greatest(length(w), 1)` for possibly-empty tokens) so the
+    *    range is never descending;
+    *  - `list_contains(l, x)` ≡ `array_contains` /
+    *    `list_append(l, x)` ≡ `array_append` (same arg order);
+    *    `list_prepend(x, l)` ≡ `array_prepend(l, x)` (DuckDB puts the
+    *    element FIRST, Spark's native puts it second — the bridge
+    *    swaps);
+    *  - `array_to_string(l, sep)` ≡ `array_join` (NULL list → NULL
+    *    on both);
+    *  - `regexp_split_to_array(s, p)` ≡ `split(s, p, -1)` (regex
+    *    split, all fields kept — the split+join pair is the shared
+    *    dialect's GLOBAL regexp_replace: DuckDB needs the 'g' flag,
+    *    which Spark's same-named builtin parses as a position
+    *    argument, so the flagged form is unbridgeable by name);
+    *  - `list_slice(l, a, b)` ≡ `slice(l, a, greatest(b-a+1, 0))` —
+    *    both 1-based with the END index INCLUSIVE in DuckDB, hence
+    *    the +1; `b < a` yields an empty list on both (Spark would
+    *    throw on a negative length, so the bridge clamps to 0).
+    *    Bridged for the shared dialect's `a ≥ 1` use only — DuckDB
+    *    clamps a ≤ 0 to the list head, Spark treats negatives as
+    *    from-the-end, so non-positive starts stay out of the dialect;
+    *  - `list_reduce(list_prepend(z, L), f)` ≡ `reduce(L, z, f)` —
+    *    DuckDB's list_reduce has NO zero argument (it folds from the
+    *    first element), Spark's reduce REQUIRES one, so only the
+    *    explicit-zero idiom (prepend the zero, fold left) is
+    *    bridgeable; both engines then compute f(..f(f(z,x1),x2)..,xn).
+    *    A list_reduce whose first argument is not a list_prepend call
+    *    fails loudly rather than guessing a zero.
     *
     * NOT bridged, deliberately: `list_sum` (DuckDB widens to
     * HUGEINT; Spark `aggregate` needs an element-typed zero — a
     * wrong-type zero would be a silent semantics change) and list
     * SUBSCRIPTS (DuckDB `l[i]` is 1-based, Spark 0-based — any oracle
     * using subscripts must stay excluded; the SqlFrontEndSpec
-    * result-equality gate catches an accidental inclusion). */
+    * result-equality gate catches an accidental inclusion; in-bounds
+    * extraction spells as `list_slice(l, i, i)` through the slice
+    * bridge when the dialect needs it). */
   private def registerDuckAliases(spark: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
     import org.apache.spark.sql.catalyst.expressions.{Encode, Expression, Literal}
@@ -113,14 +145,73 @@ object Views {
       UnresolvedFunction(Seq(name), args, isDistinct = false)
     def alias(duck: String, sparkName: String): Unit =
       reg.createOrReplaceTempFunction(duck, args => fn(sparkName, args), "built-in")
+    // LAMBDA-taking aliases cannot round-trip through an
+    // UnresolvedFunction: the analyzer's higher-order check fires on
+    // the unresolved node before the fixpoint re-resolves the Spark
+    // name (INVALID_LAMBDA_FUNCTION_CALL.NON_HIGHER_ORDER_FUNCTION —
+    // measured). Build the concrete HOF through the BUILTIN registry's
+    // own builder instead; children still resolve normally afterwards.
+    def native(sparkName: String, args: Seq[Expression]): Expression =
+      org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+        .lookupFunctionBuilder(org.apache.spark.sql.catalyst.FunctionIdentifier(sparkName))
+        .getOrElse(throw new IllegalStateException(s"no builtin $sparkName"))(args)
+    def aliasHof(duck: String, sparkName: String): Unit =
+      reg.createOrReplaceTempFunction(duck, args => native(sparkName, args), "built-in")
     alias("unnest", "explode")
-    alias("list_transform", "transform")
-    alias("list_filter", "filter")
+    aliasHof("list_transform", "transform")
+    aliasHof("list_filter", "filter")
     alias("list_min", "array_min")
     alias("list_max", "array_max")
     alias("list_distinct", "array_distinct")
     alias("len", "size")
     alias("generate_series", "sequence")
+    alias("list_contains", "array_contains")
+    alias("list_append", "array_append")
+    alias("array_to_string", "array_join")
+    reg.createOrReplaceTempFunction("regexp_split_to_array", {
+      case Seq(s, p) => fn("split", Seq(s, p, Literal(-1)))
+      case other => throw new IllegalArgumentException(
+        s"regexp_split_to_array takes (expr, pattern), got ${other.size} args")
+    }, "built-in")
+    reg.createOrReplaceTempFunction("list_prepend", {
+      case Seq(e, l) => fn("array_prepend", Seq(l, e))
+      case other => throw new IllegalArgumentException(
+        s"list_prepend takes (element, list), got ${other.size} args")
+    }, "built-in")
+    // list_slice: DuckDB (list, start, stop) 1-based inclusive-stop →
+    // slice(list, start, stop-start+1 clamped at 0). INT casts: the
+    // dialect's indices arrive as BIGINT (generate_series), which
+    // Spark's slice won't implicitly narrow.
+    reg.createOrReplaceTempFunction("list_slice", {
+      case Seq(l, a, b) =>
+        import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Subtract}
+        import org.apache.spark.sql.types.IntegerType
+        fn("slice", Seq(l, Cast(a, IntegerType),
+          Cast(fn("greatest", Seq(Subtract(Add(b, Literal(1)), a), Literal(0))), IntegerType)))
+      case other => throw new IllegalArgumentException(
+        s"list_slice bridge takes (list, start, stop), got ${other.size} args")
+    }, "built-in")
+    // list_reduce: bridged ONLY as the explicit-zero fold idiom
+    // list_reduce(list_prepend(zero, l), f) ≡ reduce(l, zero, f) —
+    // see the scaladoc above for why the bare form is unbridgeable.
+    // the analyzer may hand the first argument over at any resolution
+    // stage: still-unresolved list_prepend, the already-aliased
+    // array_prepend spelling, or the concrete ArrayPrepend node
+    reg.createOrReplaceTempFunction("list_reduce", {
+      case Seq(u: UnresolvedFunction, f)
+          if u.nameParts.map(_.toLowerCase(java.util.Locale.ROOT)) == Seq("list_prepend")
+            && u.arguments.size == 2 =>
+        native("reduce", Seq(u.arguments(1), u.arguments(0), f))
+      case Seq(u: UnresolvedFunction, f)
+          if u.nameParts.map(_.toLowerCase(java.util.Locale.ROOT)) == Seq("array_prepend")
+            && u.arguments.size == 2 =>
+        native("reduce", Seq(u.arguments(0), u.arguments(1), f))
+      case Seq(p: org.apache.spark.sql.catalyst.expressions.ArrayPrepend, f) =>
+        native("reduce", Seq(p.left, p.right, f))
+      case _ => throw new IllegalArgumentException(
+        "list_reduce is bridged only as list_reduce(list_prepend(zero, l), lambda) " +
+          "— DuckDB's zero-less fold has no Spark equivalent")
+    }, "built-in")
     reg.createOrReplaceTempFunction("string_split", {
       case Seq(s, Literal(sep, StringType)) if sep != null =>
         fn("split", Seq(s, Literal(java.util.regex.Pattern.quote(sep.toString)), Literal(-1)))

@@ -57,11 +57,11 @@ object CartographyOps {
   // The char-fold / shingle mirrors below replay TextDedup's portable
   // hash family (same fragments as DataOps' dedup oracles).
   private def dkWordHash(w: String): String =
-    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length($w)), " +
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, greatest(length($w), 1)), " +
       s"i -> CAST(ascii(substr($w, i, 1)) AS BIGINT))), (acc, x) -> (acc * 31 + x) % $P)"
 
   private val dkShingles3 =
-    s"""CASE WHEN len(th) < 3 THEN [] ELSE
+    s"""CASE WHEN len(th) < 3 THEN list_slice(th, 1, 0) ELSE
        |  list_distinct(list_transform(generate_series(1, len(th) - 2),
        |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, i, i + 2)),
        |         (acc, h) -> (acc * 131 + h) % $P))) END""".stripMargin
@@ -81,7 +81,7 @@ object CartographyOps {
        |  FROM sh s JOIN dfr d USING (sh)
        |  GROUP BY 1, 2
        |)
-       |SELECT source, CAST((n_unique * 1000 // n_sh) // 100 AS BIGINT) AS bucket,
+       |SELECT source, CAST(floor(floor(n_unique * 1000.0 / n_sh) / 100.0) AS BIGINT) AS bucket,
        |       count(*) AS n_docs,
        |       CAST(sum(n_sh) AS BIGINT) AS sum_sh,
        |       CAST(sum(n_unique) AS BIGINT) AS sum_unique
@@ -220,7 +220,7 @@ object CartographyOps {
       |  FROM cnt
       |  GROUP BY 1, 2
       |)
-      |SELECT source, h9 // 250000000 AS bucket,
+      |SELECT source, CAST(floor(h9 / 250000000.0) AS BIGINT) AS bucket,
       |       count(*) AS n_docs, CAST(sum(h9) AS BIGINT) AS sum_h9
       |FROM pd GROUP BY 1, 2
       |ORDER BY source ASC, bucket ASC""".stripMargin

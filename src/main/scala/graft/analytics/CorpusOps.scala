@@ -85,11 +85,11 @@ object CorpusOps {
 
   /** DuckDB: portable char-fold word hash (= TextDedup.charFold). */
   private def dkWordHash(w: String): String =
-    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length($w), 1), " +
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, greatest(length($w), 1), 1), " +
       s"i -> CAST(ascii(substr($w, i, 1)) AS BIGINT))), (acc, x) -> (acc * 31 + x) % $P)"
 
   private def dkShinglesN(n: Int): String =
-    s"""CASE WHEN len(th) < $n THEN [] ELSE
+    s"""CASE WHEN len(th) < $n THEN list_slice(th, 1, 0) ELSE
        |  list_distinct(list_transform(generate_series(1, len(th) - ${n - 1}, 1),
        |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, i, i + ${n - 1})),
        |         (acc, h) -> (acc * 131 + h) % $P))) END""".stripMargin
@@ -564,13 +564,14 @@ object CorpusOps {
        |         CASE WHEN n >= $ChunkW THEN
        |           CASE WHEN (n - $ChunkW) % $ChunkStride <> 0
        |                THEN list_append(list_transform(
-       |                       generate_series(0, CAST((n - $ChunkW) // $ChunkStride AS BIGINT)),
+       |                       generate_series(0, CAST(floor((n - $ChunkW) / $ChunkStride.0) AS BIGINT)),
        |                       i -> i * $ChunkStride), CAST(n - $ChunkW AS BIGINT))
        |                ELSE list_transform(
-       |                       generate_series(0, CAST((n - $ChunkW) // $ChunkStride AS BIGINT)),
+       |                       generate_series(0, CAST(floor((n - $ChunkW) / $ChunkStride.0) AS BIGINT)),
        |                       i -> i * $ChunkStride) END
-       |         WHEN n > 0 THEN [CAST(0 AS BIGINT)]
-       |         ELSE [] END AS starts
+       |         WHEN n > 0 THEN list_transform(generate_series(0, 0), i -> CAST(0 AS BIGINT))
+       |         ELSE list_filter(list_transform(generate_series(0, 0),
+       |                i -> CAST(0 AS BIGINT)), x -> false) END AS starts
        |  FROM c0
        |), ck AS (
        |  SELECT doc_id, source, unnest(starts) AS s0, t FROM st

@@ -21,14 +21,27 @@ object DataOps {
 
   // Shared DuckDB SQL fragments, mirrored 1:1 with the Spark operators.
   private val P = TextDedup.P
-  /** DuckDB: portable char-fold word hash (= TextDedup.charFold). */
+  /** DuckDB: portable char-fold word hash (= TextDedup.charFold).
+    * greatest(len, 1): for an EMPTY token DuckDB's generate_series
+    * returns [] but Spark's sequence counts DOWN ([1,0]) — the guard
+    * folds over [ascii('')] = [0] instead, which is 0 on both engines,
+    * the same value the bare empty fold produces. */
   private def dkWordHash(w: String): String =
-    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length($w)), " +
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, greatest(length($w), 1)), " +
       s"i -> CAST(ascii(substr($w, i, 1)) AS BIGINT))), (acc, x) -> (acc * 31 + x) % $P)"
   private val dkTokenHashes =
     s"list_transform(string_split(text, ' '), w -> ${dkWordHash("w")})"
+  /** Whitespace-collapse normalization (= TextDedup.normalized), in
+    * the shared dialect: split-on-runs + join IS the global
+    * regexp_replace (DuckDB's 'g' flag parses as a position argument
+    * in Spark, unbridgeable by name). chr(12) because Spark's string
+    * parser drops the backslash from '\f' (measured — the class would
+    * silently gain a literal 'f'); \t \n \r survive both parsers as
+    * the intended control characters. */
+  private val dkNormText =
+    """array_to_string(regexp_split_to_array(lower(trim(text)), '[ \t\n' || chr(12) || '\r]+'), ' ')"""
   private val dkShingles =
-    s"""CASE WHEN len(th) < 3 THEN [] ELSE
+    s"""CASE WHEN len(th) < 3 THEN list_slice(th, 1, 0) ELSE
        |  list_distinct(list_transform(generate_series(1, len(th) - 2),
        |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, i, i + 2)),
        |         (acc, h) -> (acc * 131 + h) % $P))) END""".stripMargin
@@ -2087,7 +2100,7 @@ object DataOps {
        |  SELECT lang,
        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
        |         CAST(len(list_filter(string_split(text, ' '),
-       |              w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE)
+       |              w -> list_contains(string_split('the a an and or of to in is it', ' '), w))) AS DOUBLE)
        |           / len(string_split(text, ' ')) AS swr,
        |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
        |           / len(string_split(text, ' ')) AS ttr,
@@ -2300,9 +2313,10 @@ object DataOps {
     s"""ptoks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
        |pinst AS (
        |  SELECT doc_id, lang, unnest(
-       |    CASE WHEN len(t) >= 4 THEN list_transform(generate_series(1, len(t) // 4),
+       |    CASE WHEN len(t) >= 4 THEN list_transform(
+       |      generate_series(1, CAST(floor(len(t) / 4.0) AS BIGINT)),
        |      i -> array_to_string(list_slice(t, (i - 1) * 4 + 1, (i - 1) * 4 + 4), ' '))
-       |    ELSE [] END) AS passage
+       |    ELSE list_slice(t, 1, 0) END) AS passage
        |  FROM ptoks
        |), pcnt AS (SELECT passage, count(*) AS cnt FROM pinst GROUP BY 1)""".stripMargin
 
@@ -2316,7 +2330,7 @@ object DataOps {
        |sgram AS (
        |  SELECT doc_id,
        |         unnest(generate_series(1, greatest(len(th) - 7, 0))) AS pos,
-       |         unnest(CASE WHEN len(th) < 8 THEN [] ELSE
+       |         unnest(CASE WHEN len(th) < 8 THEN list_slice(th, 1, 0) ELSE
        |           list_transform(generate_series(1, len(th) - 7),
        |             i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, i, i + 7)),
        |                  (acc, h) -> (acc * 131 + h) % $P)) END) AS g
@@ -2738,10 +2752,16 @@ object DataOps {
         |WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
         |  AND levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY nation ASC, id_a ASC, id_b ASC""".stripMargin,
+    // shared dialect (SqlFrontEndSpec): floor-division spells as
+    // floor(x / 10.0) (DuckDB's // is not Spark-parseable), and the
+    // %f timestamp rendering builds from the fixed-width first-19
+    // chars of the canonical CAST plus the zero-padded epoch_us
+    // microsecond remainder — strftime is DuckDB-only. `||` not
+    // concat: DuckDB's concat SKIPS NULLs, || propagates on both.
     "scd2_user_versions" ->
       """WITH chg AS (
         |  SELECT user_id, ts, event_id,
-        |         CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS tier
+        |         CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10.0) AS BIGINT) AS tier
         |  FROM events
         |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND user_id < 10
         |), flagged AS (
@@ -2759,8 +2779,10 @@ object DataOps {
         |  FROM collapsed
         |)
         |SELECT user_id, event_id AS version_event, tier,
-        |       strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
-        |       strftime(vt, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+        |       substr(CAST(vf AS VARCHAR(30)), 1, 19) || '.' ||
+        |         lpad(CAST(epoch_us(vf) % 1000000 AS VARCHAR(10)), 6, '0') AS valid_from,
+        |       substr(CAST(vt AS VARCHAR(30)), 1, 19) || '.' ||
+        |         lpad(CAST(epoch_us(vt) % 1000000 AS VARCHAR(10)), 6, '0') AS valid_to,
         |       vt IS NULL AS is_current
         |FROM versions
         |ORDER BY user_id ASC, valid_from ASC, version_event ASC""".stripMargin,
@@ -2795,7 +2817,7 @@ object DataOps {
         |  SELECT doc_id, unnest(
         |    CASE WHEN len(t) >= 2 THEN list_transform(generate_series(1, len(t) - 1),
         |      i -> array_to_string(list_slice(t, i, i + 1), ' '))
-        |    ELSE [] END) AS gram
+        |    ELSE list_slice(t, 1, 0) END) AS gram
         |  FROM rtoks
         |), rc AS (SELECT doc_id, gram, count(*) AS cnt FROM rg GROUP BY 1, 2),
         |rpd AS (
@@ -2816,16 +2838,23 @@ object DataOps {
         |       floor(CAST(sum(CAST(df AS DECIMAL(30,6))) AS DOUBLE) / count(df) * 1e6 + 0.5) / 1e6 AS avg_dup_frac
         |FROM rf GROUP BY lang
         |ORDER BY lang ASC""".stripMargin,
+    // shared dialect: explicit group 0 on regexp_extract_all (Spark
+    // defaults to group 1 and errors on group-less patterns; DuckDB
+    // defaults to 0), and split+join for the GLOBAL replace (DuckDB's
+    // 'g' flag parses as a position argument in Spark). The patterns
+    // themselves are parser-safe by construction (Redaction's [.]/[+]
+    // bracket classes).
     "text_redact" ->
       s"""SELECT lang, count(*) AS n_docs,
-         |       CAST(sum(len(regexp_extract_all(text, '${Redaction.emailPattern}'))) AS BIGINT) AS total_emails,
-         |       CAST(sum(len(regexp_extract_all(text, '${Redaction.phonePattern}'))) AS BIGINT) AS total_phones,
-         |       CAST(sum(CASE WHEN len(regexp_extract_all(text, '${Redaction.emailPattern}')) = 0
-         |                      AND len(regexp_extract_all(text, '${Redaction.phonePattern}')) = 0
+         |       CAST(sum(len(regexp_extract_all(text, '${Redaction.emailPattern}', 0))) AS BIGINT) AS total_emails,
+         |       CAST(sum(len(regexp_extract_all(text, '${Redaction.phonePattern}', 0))) AS BIGINT) AS total_phones,
+         |       CAST(sum(CASE WHEN len(regexp_extract_all(text, '${Redaction.emailPattern}', 0)) = 0
+         |                      AND len(regexp_extract_all(text, '${Redaction.phonePattern}', 0)) = 0
          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
-         |       count(DISTINCT md5(regexp_replace(regexp_replace(text,
-         |         '${Redaction.emailPattern}', '<EMAIL>', 'g'),
-         |         '${Redaction.phonePattern}', '<PHONE>', 'g'))) AS n_distinct_redacted
+         |       count(DISTINCT md5(array_to_string(regexp_split_to_array(
+         |         array_to_string(regexp_split_to_array(text,
+         |           '${Redaction.emailPattern}'), '<EMAIL>'),
+         |         '${Redaction.phonePattern}'), '<PHONE>'))) AS n_distinct_redacted
          |FROM documents
          |GROUP BY lang
          |ORDER BY lang ASC""".stripMargin,
@@ -2847,11 +2876,11 @@ object DataOps {
          |ORDER BY n_occurrences DESC, passage ASC
          |LIMIT 10""".stripMargin,
     "dedup_exact" ->
-      """SELECT count(*) AS n_docs,
-        |       count(DISTINCT fp) AS n_unique,
-        |       count(*) - count(DISTINCT fp) AS n_dup_rows
-        |FROM (SELECT sha256(regexp_replace(lower(trim(text)), '[ \t\n\f\r]+', ' ', 'g')) AS fp
-        |      FROM documents)""".stripMargin,
+      s"""SELECT count(*) AS n_docs,
+         |       count(DISTINCT fp) AS n_unique,
+         |       count(*) - count(DISTINCT fp) AS n_dup_rows
+         |FROM (SELECT sha256($dkNormText) AS fp
+         |      FROM documents)""".stripMargin,
     "dedup_jaccard" ->
       s"""WITH $dkSizes, $dkJaccardPairs
          |SELECT doc_a, doc_b, jaccard FROM jac
@@ -3008,20 +3037,34 @@ object DataOps {
          |FROM documents d LEFT JOIN sclean s ON d.doc_id = s.doc_id
          |ORDER BY removed_tokens DESC, d.doc_id ASC
          |LIMIT 15""".stripMargin,
+    // shared dialect: ASOF LEFT JOIN is DuckDB-only syntax; its ANSI
+    // expansion — left join on the inequality, keep each click's
+    // greatest purchase ts (rank over the per-click partition; clicks
+    // are keyed by event_id so duplicate (user, ts) clicks keep their
+    // multiplicity; purchases are grouped on (user, ts) so the rank
+    // has no ties) — runs verbatim on both engines.
     "asof_attribution" ->
       """WITH clicks AS (
-        |  SELECT user_id, ts FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click' AND ts IS NOT NULL
         |), purchases AS (
         |  SELECT user_id, ts, max(value) AS purchase_value
         |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
         |  GROUP BY user_id, ts
+        |), best AS (
+        |  SELECT ts, purchase_value,
+        |         row_number() OVER (PARTITION BY event_id
+        |           ORDER BY pts DESC NULLS LAST) AS rk
+        |  FROM (
+        |    SELECT c.event_id, c.ts, p.ts AS pts, p.purchase_value
+        |    FROM clicks c LEFT JOIN purchases p
+        |      ON c.user_id = p.user_id AND p.ts <= c.ts) j
         |)
-        |SELECT substr(CAST(c.ts AS VARCHAR(30)), 1, 10) AS click_date,
+        |SELECT substr(CAST(ts AS VARCHAR(30)), 1, 10) AS click_date,
         |       count(*) AS n_clicks,
-        |       count(p.purchase_value) AS n_attributed,
-        |       floor((CAST(sum(CAST(p.purchase_value AS DECIMAL(30,2))) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS attributed_value
-        |FROM clicks c ASOF LEFT JOIN purchases p
-        |  ON c.user_id = p.user_id AND p.ts <= c.ts
+        |       count(purchase_value) AS n_attributed,
+        |       floor((CAST(sum(CAST(purchase_value AS DECIMAL(30,2))) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS attributed_value
+        |FROM best WHERE rk = 1
         |GROUP BY 1
         |ORDER BY click_date ASC""".stripMargin,
     "range_views_before_purchase" ->
@@ -3128,7 +3171,7 @@ object DataOps {
         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt_l,
         |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
         |         CAST(len(list_filter(string_split(text, ' '),
-        |              w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE)
+        |              w -> list_contains(string_split('the a an and or of to in is it', ' '), w))) AS DOUBLE)
         |           / len(string_split(text, ' ')) AS swr,
         |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
         |           / len(string_split(text, ' ')) AS ttr,
@@ -3528,14 +3571,20 @@ object DataOps {
          |       floor(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) * 1e6 + 0.5) / 1e6 AS recall
          |FROM hits_mlsh CROSS JOIN nex
          |ORDER BY method ASC""".stripMargin,
+    // shared dialect: floor-division spelled as floor(x/4.0), explicit
+    // group 0 on regexp_extract_all (Spark defaults to 1), chr(12) for
+    // form feed (Spark's parser drops the backslash from '\f'), and
+    // CAST over `::` (both parse ::, but the CAST form is uniform here)
     "text_token_stats" ->
       """SELECT lang,
         |       count(*) AS n_docs,
         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-        |       sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |             list_transform(string_split(text, ' '), w -> CAST((length(w) + 3) // 4 AS BIGINT))),
-        |           (a, x) -> a + x)) :: BIGINT AS total_subwords,
-        |       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\f\r]'))) AS BIGINT) AS total_bpe_tokens,
+        |       CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(string_split(text, ' '),
+        |               w -> CAST(floor((length(w) + 3) / 4.0) AS BIGINT))),
+        |           (a, x) -> a + x)) AS BIGINT) AS total_subwords,
+        |       CAST(sum(len(regexp_extract_all(text,
+        |         '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n' || chr(12) || '\r]', 0))) AS BIGINT) AS total_bpe_tokens,
         |       floor((CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*)) * 1e4 + 0.5) / 1e4 AS avg_tokens,
         |       CAST(sum(length(text)) AS BIGINT) AS total_chars
         |FROM documents
@@ -3547,7 +3596,7 @@ object DataOps {
         |         len(string_split(text, ' ')) AS n_tokens,
         |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
         |         CAST(len(list_filter(string_split(text, ' '),
-        |              w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) AS DOUBLE)
+        |              w -> list_contains(string_split('the a an and or of to in is it', ' '), w))) AS DOUBLE)
         |           / len(string_split(text, ' ')) AS swr,
         |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
         |           / len(string_split(text, ' ')) AS ttr,
@@ -3571,11 +3620,11 @@ object DataOps {
     "text_langid" ->
       """WITH scores AS (
         |  SELECT lang,
-        |         len(list_filter(string_split(lower(text), ' '), w -> list_contains(['the','and','of','to','is'], w))) AS s_en,
-        |         len(list_filter(string_split(lower(text), ' '), w -> list_contains(['der','die','das','und','ist'], w))) AS s_de,
-        |         len(list_filter(string_split(lower(text), ' '), w -> list_contains(['le','la','les','et','est'], w))) AS s_fr,
-        |         len(list_filter(string_split(lower(text), ' '), w -> list_contains(['el','la','los','y','es'], w))) AS s_es,
-        |         len(list_filter(string_split(lower(text), ' '), w -> list_contains(['的','是','了','在','我'], w))) AS s_zh
+        |         len(list_filter(string_split(lower(text), ' '), w -> list_contains(string_split('the and of to is', ' '), w))) AS s_en,
+        |         len(list_filter(string_split(lower(text), ' '), w -> list_contains(string_split('der die das und ist', ' '), w))) AS s_de,
+        |         len(list_filter(string_split(lower(text), ' '), w -> list_contains(string_split('le la les et est', ' '), w))) AS s_fr,
+        |         len(list_filter(string_split(lower(text), ' '), w -> list_contains(string_split('el la los y es', ' '), w))) AS s_es,
+        |         len(list_filter(string_split(lower(text), ' '), w -> list_contains(string_split('的 是 了 在 我', ' '), w))) AS s_zh
         |  FROM documents
         |), pred AS (
         |  SELECT lang,
@@ -3593,9 +3642,9 @@ object DataOps {
         |GROUP BY lang, predicted
         |ORDER BY lang ASC, predicted ASC""".stripMargin,
     "text_fingerprint" ->
-      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '[ \t\n\f\r]+', ' ', 'g')) AS fp
-        |FROM documents
-        |ORDER BY doc_id ASC""".stripMargin,
+      s"""SELECT doc_id, md5($dkNormText) AS fp
+         |FROM documents
+         |ORDER BY doc_id ASC""".stripMargin,
     "text_winnow" ->
       s"""WITH $dkWinnowCtes
          |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
@@ -3645,7 +3694,7 @@ object DataOps {
     "feat_lang_profile" ->
       s"""WITH ftok AS (SELECT lang, unnest($dkTokenHashes) AS h FROM documents),
          |fdim AS (
-         |  SELECT lang, h % 64 AS dim, ((h // 64) % 2) * 2 - 1 AS sign FROM ftok
+         |  SELECT lang, h % 64 AS dim, ((CAST(floor(h / 64.0) AS BIGINT)) % 2) * 2 - 1 AS sign FROM ftok
          |), fcnt AS (
          |  SELECT lang, dim, CAST(sum(sign) AS BIGINT) AS cnt FROM fdim GROUP BY 1, 2
          |), fstats AS (
@@ -3665,7 +3714,7 @@ object DataOps {
          |FROM fstats s JOIN fdots USING (lang) CROSS JOIN fenl2
          |ORDER BY lang ASC""".stripMargin,
     "kmv_distinct_events" ->
-      s"""WITH src AS (SELECT CAST(event_id AS VARCHAR) AS s FROM events WHERE event_id IS NOT NULL),
+      s"""WITH src AS (SELECT CAST(event_id AS VARCHAR(30)) AS s FROM events WHERE event_id IS NOT NULL),
          |${dkKmvEst("src", 256, "k")},
          |ex AS (SELECT count(DISTINCT s) AS n_exact FROM src)
          |SELECT 256 AS k, n_exact, kth_hash, n_est,
@@ -3683,9 +3732,14 @@ object DataOps {
         |  SELECT event_type, value, substr(CAST(ts AS VARCHAR(30)), 1, 10) AS event_date
         |  FROM events WHERE ts IS NOT NULL
         |), dates AS (
-        |  -- Spark dayofweek: 1 = Sunday .. 7; DuckDB dayofweek: 0 = Sunday
+        |  -- convention-free day-of-week: the same-NAMED builtins
+        |  -- disagree (Spark dayofweek 1=Sunday..7, DuckDB 0=Sunday..6,
+        |  -- and shadowing would leak into DataFrame-API queries — see
+        |  -- Views), so count epoch days mod 7 anchored at 1970-01-01 =
+        |  -- Thursday: +4 then +1 lands Sunday on 1, Spark's convention
         |  SELECT DISTINCT event_date,
-        |         dayofweek(CAST(event_date AS DATE)) + 1 AS dow
+        |         (CAST(floor(epoch_us(CAST(CAST(event_date AS DATE) AS TIMESTAMP))
+        |                     / 86400000000.0) AS BIGINT) + 4) % 7 + 1 AS dow
         |  FROM ev
         |)
         |SELECT event_type, dow, count(*) AS n_events,
@@ -3695,7 +3749,7 @@ object DataOps {
         |ORDER BY event_type ASC, dow ASC""".stripMargin,
     "kmv_daily_users" ->
       s"""WITH dsrc AS (
-         |  SELECT substr(CAST(ts AS VARCHAR(30)), 1, 10) AS event_date, CAST(user_id AS VARCHAR) AS s
+         |  SELECT substr(CAST(ts AS VARCHAR(30)), 1, 10) AS event_date, CAST(user_id AS VARCHAR(30)) AS s
          |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
          |), dhs AS (
          |  SELECT DISTINCT event_date, (${dkWordHash("s")} * 2654435761) % $P AS h FROM dsrc
@@ -3717,7 +3771,7 @@ object DataOps {
          |ORDER BY event_date ASC""".stripMargin,
     "kmv_rolling_users" ->
       s"""WITH rsrc AS (
-         |  SELECT CAST(ts AS DATE) AS d, CAST(user_id AS VARCHAR) AS s
+         |  SELECT CAST(ts AS DATE) AS d, CAST(user_id AS VARCHAR(30)) AS s
          |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
          |), rdays AS (
          |  SELECT DISTINCT d FROM rsrc
@@ -3746,10 +3800,10 @@ object DataOps {
          |ORDER BY day ASC""".stripMargin,
     "kmv_user_overlap" ->
       s"""WITH ca AS (
-         |  SELECT CAST(user_id AS VARCHAR) AS s FROM events
+         |  SELECT CAST(user_id AS VARCHAR(30)) AS s FROM events
          |  WHERE user_id IS NOT NULL AND event_type = 'click'
          |), cb AS (
-         |  SELECT CAST(user_id AS VARCHAR) AS s FROM events
+         |  SELECT CAST(user_id AS VARCHAR(30)) AS s FROM events
          |  WHERE user_id IS NOT NULL AND event_type = 'purchase'
          |),
          |${dkKmvEst("ca", 64, "a")},
@@ -3812,7 +3866,7 @@ object DataOps {
          |  SELECT token, ${dkWordHash("token")} AS h FROM ctok
          |), cpos AS (
          |  SELECT t.i, ((h * (2 * t.i + 1) + 999983 * t.i) % $P) % 512 AS pos
-         |  FROM cth CROSS JOIN generate_series(0, 3) t(i)
+         |  FROM cth CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) t
          |), counters AS (
          |  SELECT i, pos, count(*) AS cnt FROM cpos GROUP BY 1, 2
          |), truth AS (
@@ -3821,7 +3875,7 @@ object DataOps {
          |), qpos AS (
          |  SELECT token, n_true, t.i,
          |         ((${dkWordHash("token")} * (2 * t.i + 1) + 999983 * t.i) % $P) % 512 AS pos
-         |  FROM truth CROSS JOIN generate_series(0, 3) t(i)
+         |  FROM truth CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) t
          |), est AS (
          |  SELECT token, n_true, min(coalesce(cnt, 0)) AS n_est
          |  FROM qpos LEFT JOIN counters USING (i, pos)
@@ -3833,17 +3887,17 @@ object DataOps {
          |ORDER BY n_true DESC, token ASC""".stripMargin,
     "cms_join_size" ->
       s"""WITH ko AS (
-         |  SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders WHERE o_custkey IS NOT NULL
+         |  SELECT CAST(o_custkey AS VARCHAR(30)) AS k FROM orders WHERE o_custkey IS NOT NULL
          |), ke AS (
-         |  SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE user_id IS NOT NULL
+         |  SELECT CAST(user_id AS VARCHAR(30)) AS k FROM events WHERE user_id IS NOT NULL
          |), pa AS (
          |  SELECT t.i AS row, ((h * (2 * t.i + 1) + 999983 * t.i) % $P) % 8192 AS pos
-         |  FROM (SELECT ${dkWordHash("k")} AS h FROM ko) CROSS JOIN generate_series(0, 3) t(i)
+         |  FROM (SELECT ${dkWordHash("k")} AS h FROM ko) CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) t
          |), sa AS (
          |  SELECT row, pos, count(*) AS ca FROM pa GROUP BY 1, 2
          |), pb AS (
          |  SELECT t.i AS row, ((h * (2 * t.i + 1) + 999983 * t.i) % $P) % 8192 AS pos
-         |  FROM (SELECT ${dkWordHash("k")} AS h FROM ke) CROSS JOIN generate_series(0, 3) t(i)
+         |  FROM (SELECT ${dkWordHash("k")} AS h FROM ke) CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) t
          |), sb AS (
          |  SELECT row, pos, count(*) AS cb FROM pb GROUP BY 1, 2
          |), ip AS (
@@ -3861,9 +3915,9 @@ object DataOps {
          |       floor(CAST(join_size_est AS DOUBLE) / CAST(join_size_actual AS DOUBLE) * 1e4 + 0.5) / 1e4 AS over_ratio
          |FROM est, act""".stripMargin,
     "stream_dedup_docs" ->
-      """SELECT count(DISTINCT fp) AS n_rows, count(DISTINCT fp) AS n_distinct_fp
-        |FROM (SELECT sha256(regexp_replace(lower(trim(text)), '[ \t\n\f\r]+', ' ', 'g')) AS fp
-        |      FROM documents)""".stripMargin,
+      s"""SELECT count(DISTINCT fp) AS n_rows, count(DISTINCT fp) AS n_distinct_fp
+         |FROM (SELECT sha256($dkNormText) AS fp
+         |      FROM documents)""".stripMargin,
     "bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |       floor(CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS total_price
@@ -3911,7 +3965,7 @@ object DataOps {
         |GROUP BY 1
         |ORDER BY hour ASC""".stripMargin,
     "hll_distinct_events" ->
-      s"""WITH src AS (SELECT CAST(event_id AS VARCHAR) AS s FROM events WHERE event_id IS NOT NULL),
+      s"""WITH src AS (SELECT CAST(event_id AS VARCHAR(30)) AS s FROM events WHERE event_id IS NOT NULL),
          |${dkHll("src", Seq.empty, 64, "g")},
          |ex AS (SELECT count(DISTINCT s) AS n_exact FROM src)
          |SELECT 64 AS m, n_present, n_exact, n_est,
@@ -3919,7 +3973,7 @@ object DataOps {
          |FROM gx CROSS JOIN ex""".stripMargin,
     "hll_daily_users" ->
       s"""WITH src AS (
-         |  SELECT substr(CAST(ts AS VARCHAR(30)), 1, 10) AS event_date, CAST(user_id AS VARCHAR) AS s
+         |  SELECT substr(CAST(ts AS VARCHAR(30)), 1, 10) AS event_date, CAST(user_id AS VARCHAR(30)) AS s
          |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
          |),
          |${dkHll("src", Seq("event_date"), 64, "d")},

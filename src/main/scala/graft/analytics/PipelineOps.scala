@@ -224,8 +224,8 @@ object PipelineOps {
       """WITH stg AS (
         |  SELECT event_id, user_id, event_type,
         |         substr(CAST(ts AS VARCHAR(30)), 1, 10) AS event_date,
-        |         sha256(CAST(user_id AS VARCHAR)) AS entity_sk,
-        |         sha256(concat_ws('|', CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR))) AS observation_sk,
+        |         sha256(CAST(user_id AS VARCHAR(30))) AS entity_sk,
+        |         sha256(concat_ws('|', CAST(user_id AS VARCHAR(30)), CAST(event_id AS VARCHAR(30)))) AS observation_sk,
         |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |         floor((value) * 1e4 + 0.5) / 1e4 AS value,
         |         row_number() OVER (PARTITION BY user_id, event_type, substr(CAST(ts AS VARCHAR(30)), 1, 10)

@@ -18,14 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object Redaction {
 
-  /** Email spans — local part, @, dotted domain, 2+ letter TLD. */
-  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** Email spans — local part, @, dotted domain, 2+ letter TLD.
+    * `[.]` not `\.`: identical regex semantics, but the bracket form
+    * survives BOTH engines' SQL string parsers when the pattern is
+    * embedded verbatim in shared-dialect oracle text (Spark's parser
+    * drops the backslash from unknown escapes, turning `\.` into the
+    * match-anything `.`). */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
 
   /** Phone-like spans: 7+ characters of digits/space/parens/dash
-    * starting and ending in a digit, optional leading +. Deliberately
+    * starting and ending in a digit, optional leading + (`[+]` for
+    * the same parser-survival reason as `[.]` above). Deliberately
     * permissive — curation prefers over-redaction of number runs to
     * leaking a real number. */
-  val phonePattern: String = "\\+?[0-9][0-9() -]{5,}[0-9]"
+  val phonePattern: String = "[+]?[0-9][0-9() -]{5,}[0-9]"
 
   /** (pattern, replacement token) pairs applied in order. Emails go
     * first: after `<EMAIL>` is substituted no digits remain for the

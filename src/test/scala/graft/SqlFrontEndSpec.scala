@@ -11,8 +11,8 @@ class SqlFrontEndSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("the verbatim-portable set holds at least 69 entries") {
-    assert(ansiPortable.size >= 69, s"got ${ansiPortable.size}")
+  test("the verbatim-portable set holds at least 105 entries") {
+    assert(ansiPortable.size >= 105, s"got ${ansiPortable.size}")
     assert(ansiPortable.distinct.size == ansiPortable.size)
   }
 
@@ -110,5 +110,27 @@ object SqlFrontEndSpec {
     "weighted_median_by_flag",
     "weighted_median_price", "window_rank_family", "winsor_stats",
     "zipf_slope", "keywords_per_source",
-    "zorder_cells", "zorder_read")
+    "zorder_cells", "zorder_read",
+    // r9 expansion: the full list-vocabulary bridge pack
+    // (list_contains/append/prepend, array_to_string,
+    // regexp_split_to_array, clamped list_slice, explicit-zero
+    // list_reduce — Views.registerDuckAliases r9 section) plus the
+    // shared-dialect spellings it unlocked: floor(x/k.0) for `//`,
+    // explicit group 0 on regexp_extract_all, chr(12) for \f,
+    // split+join for global regexp_replace, [.]/[+] bracket classes
+    // in Redaction's patterns, the ASOF-join ANSI expansion
+    // (asof_attribution), and the epoch_us %f rendering
+    // (scd2_user_versions).
+    "asof_attribution", "boilerplate_topk", "chunk_plan",
+    "clf_calibration", "clf_keep_docs", "clf_quality_weights",
+    "cms_join_size", "cms_token_counts", "contam_pairs",
+    "contam_scrub", "dedup_containment", "dedup_exact",
+    "dedup_jaccard", "dedup_jaccard_prefix", "dedup_threshold_sweep",
+    "entropy_profile", "feat_lang_profile", "kmv_daily_users",
+    "kmv_distinct_events", "kmv_rolling_users", "kmv_user_overlap",
+    "m1_stg_events", "mix_budget", "passage_dup", "rarity_profile",
+    "scd2_user_versions", "skew_salted_rollup", "source_mix_summary",
+    "stream_dedup_docs", "text_fingerprint", "text_langid",
+    "text_quality", "text_redact", "text_repetition",
+    "text_token_stats")
 }
