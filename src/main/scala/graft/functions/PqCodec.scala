@@ -64,9 +64,29 @@ private[functions] trait PqBooksArgs { self: Expression =>
         else if (so.getInt(so.numElements() - 1) != ids.numElements())
           TypeCheckResult.TypeCheckFailure(
             s"$prettyName subOffsets must end at cellIds length ${ids.numElements()}")
-        else TypeCheckResult.TypeCheckSuccess
+        else if (so.getInt(0) != 0)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName subOffsets must start at 0, got ${so.getInt(0)}")
+        else if ((1 until so.numElements()).exists(i => so.getInt(i) <= so.getInt(i - 1)))
+          // An empty subspace range would leave the encode argmin with no
+          // candidate (bi = -1 -> cellIds(-1) at EXECUTION time); since the
+          // kernels are SQL-exposed, malformed calls must die at analysis.
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName subOffsets must be strictly increasing (no empty subspace)")
+        else {
+          val inner = (0 until co.numElements()).map(co.getArray)
+          if (inner.exists(_ == null))
+            TypeCheckResult.TypeCheckFailure(s"$prettyName coords must not contain NULL centroids")
+          else if (inner.nonEmpty && inner.exists(_.numElements() != inner.head.numElements()))
+            TypeCheckResult.TypeCheckFailure(s"$prettyName coords centroids must share one dimension")
+          else TypeCheckResult.TypeCheckSuccess
+        }
     }
   }
+
+  /** Arity of the codebook, for sibling-argument checks (cc). */
+  protected def bookCellCount: Int =
+    cellIdsArg.eval(null).asInstanceOf[ArrayData].numElements()
 
   @transient protected lazy val subOffsets: Array[Int] = {
     val a = subOffsetsArg.eval(null).asInstanceOf[ArrayData]
@@ -119,7 +139,21 @@ case class PqEncode(children: Seq[Expression])
     vecArg.dataType match {
       case ArrayType(FloatType | DoubleType, _) =>
         ccArg.dataType match {
-          case ArrayType(DoubleType, _) if ccArg.foldable => checkBookArgs()
+          case ArrayType(DoubleType, _) if ccArg.foldable =>
+            checkBookArgs() match {
+              case TypeCheckResult.TypeCheckSuccess =>
+                // cc is indexed by global cell index in the encode loop; a
+                // short cc would AIOOBE at execution, so pin its arity here.
+                ccArg.eval(null) match {
+                  case null => TypeCheckResult.TypeCheckFailure(
+                    s"$prettyName expects a non-NULL cc argument")
+                  case a: ArrayData if a.numElements() != bookCellCount =>
+                    TypeCheckResult.TypeCheckFailure(
+                      s"$prettyName cc/cellIds arity mismatch: ${a.numElements()} vs $bookCellCount")
+                  case _ => TypeCheckResult.TypeCheckSuccess
+                }
+              case fail => fail
+            }
           case _ => TypeCheckResult.TypeCheckFailure(
             s"$prettyName expects a literal array<double> cc argument")
         }

@@ -1,12 +1,30 @@
-package graft
+package graft.tools
 
 import org.apache.spark.sql.streaming.StreamingQueryListener
 
-/** Scratch diagnostic (deleted before commit): runs stream_join_views
-  * once and dumps every micro-batch's progress JSON to stderr so the
-  * batch count and per-phase durations are visible.
+import graft.{Sessions, Tables}
+
+/** Committed measurement mains backing SCALE.md's adjudications.
+  *
+  * These are diagnostics, not engine surface: nothing in
+  * `SparkEntry`, the catalog, or the specs reaches them. They live in
+  * a dedicated `tools` package so the measurement provenance of
+  * SCALE.md's numbers is reproducible from the repo —
+  * `sbt "runMain graft.tools.StreamJoinProbe"` /
+  * `sbt "runMain graft.tools.IvfCandidateProbe <sfDir>..."`.
   */
-object ProbeSJ {
+object StreamJoinProbe {
+
+  /** Runs `stream_join_views` twice (cold + warm) with a
+    * [[StreamingQueryListener]] attached and dumps every micro-batch's
+    * progress JSON to stderr — batch count, per-phase durations
+    * (addBatch / getBatch / commitOffsets / walCommit), state-store
+    * rows. This is the decomposition tool for SCALE.md's
+    * stream-gate floor budget: machinery floor (offset log, WAL,
+    * state-store commit) vs real join work shows up as the split
+    * between `triggerExecution` and `addBatch` durations across the
+    * four micro-batches.
+    */
   def main(args: Array[String]): Unit = {
     val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val spark = Sessions.build("graft-probe-sj")
@@ -25,12 +43,14 @@ object ProbeSJ {
   }
 }
 
-/** Scratch diagnostic (deleted before commit): measures IVFADC
-  * candidate volume (Σ probed-cell occupancy over the 10 anchored
-  * queries) vs corpus size N at each scale factor — the evidence that
-  * the probed join is sub-linear in N.
+/** Measures IVFADC candidate volume (Σ probed-cell occupancy over the
+  * 10 anchored queries) vs corpus size N at each scale factor — the
+  * evidence behind SCALE.md's claim that the probed join's candidate
+  * set tracks probed-cell occupancy, not N. Pass one or more sf dirs;
+  * prints `N`, probed candidates, the brute-force candidate count,
+  * and the fraction.
   */
-object ProbeIvf {
+object IvfCandidateProbe {
   def main(args: Array[String]): Unit = {
     import org.apache.spark.sql.functions._
     val spark = Sessions.build("graft-probe-ivf")

@@ -30,12 +30,15 @@ class ScaleUpSpec extends SparkSpec {
     dp(a.length)
   }
 
-  test("name prefixes keep every cross-copy pair at edit distance >= 2 over 1000 copies") {
+  test("name prefixes keep every cross-copy pair at edit distance >= 2 over MaxCopies copies") {
     // The deletion-neighborhood linkage links names at distance <= 1;
     // any prefix pair closer than 2 would create cross-copy candidate
     // pairs for EVERY base name — the quadratic artifact the rule
-    // exists to prevent.
-    val n = 1000
+    // exists to prevent. Sweeps the FULL require()-allowed range: for
+    // c >= 1000 the h digit renders as "1010" (no longer a doubled
+    // single digit), so copies 1000..1007 need the sweep, not the
+    // doubled-digit length argument.
+    val n = ScaleUp.MaxCopies
     val base = "Customer#000000042"
     val names = (0 until n).map(c => ScaleUp.namePrefix(c) + base)
     assert(names.distinct.size == n)
@@ -50,13 +53,20 @@ class ScaleUpSpec extends SparkSpec {
     // transforms (via the local mirror — the Column path is pinned
     // against it below) and check (a) all images distinct, (b) every
     // cross-copy cosine stays noise-level. A lag or sign collision
-    // would put one pair at cosine 1.0 exactly; the bound is 0.45
-    // rather than the 0.4 dedup threshold because over 500k pairs the
-    // worst single autocorrelation of THIS probe vector lands at 0.414
-    // (copies 0↔531) — a hair over threshold, adding at most a
-    // noise-level sliver of near-dup pairs, while any real collision
-    // is caught three orders of magnitude away from the bound. The
-    // structural half-the-coordinates guarantee is the next test.
+    // would put one pair at cosine 1.0 exactly. A circular shift of a
+    // 64-dim Gaussian probe has autocorrelation ~N(0, 1/64) (sd
+    // 0.125), so over the 507,528 pairs a >0.4 (3.2 sd) tail is
+    // structurally unavoidable for ANY probe vector. For THIS seed-7
+    // probe the tail is ONE relative-transform equivalence class:
+    // 240 pairs (0.047%), every one at the identical cosine 0.41344
+    // (pair (i,j) has it iff transform(j)∘transform(i)⁻¹ equals the
+    // one relative shift+mask whose autocorrelation crosses 0.4) — a
+    // hair over the 0.4 near-dup threshold the dedup entries use.
+    // The class is pinned EXACTLY (count + shared cosine + canonical
+    // member) so any second class or growth fails the suite, and
+    // everything must stay under 0.45 — a real collision lands at
+    // 1.0, three orders of magnitude past the bound. The structural
+    // half-the-coordinates guarantee is the next test.
     val n = ScaleUp.MaxCopies
     val rnd = new scala.util.Random(7)
     val baseVec = Array.fill(64)((rnd.nextGaussian() / 8.0).toFloat)
@@ -73,10 +83,19 @@ class ScaleUpSpec extends SparkSpec {
     images.foreach { v =>
       assert(math.abs(math.sqrt(v.map(x => x * x).sum) - n0) < 1e-4)
     }
+    val overThreshold = scala.collection.mutable.ArrayBuffer[(Int, Int, Double)]()
     for (i <- 0 until n; j <- (i + 1) until n) {
       val c = math.abs(cos(images(i), images(j)))
       assert(c < 0.45, s"copies $i and $j: |cosine| $c >= 0.45 — transform collision")
+      if (c > 0.4) overThreshold += ((i, j, c))
     }
+    assert(overThreshold.size == 240,
+      s"pairs above the 0.4 near-dup threshold drifted from the known 240: ${overThreshold.size}")
+    assert(overThreshold.forall(p => math.abs(p._3 - 0.4134355670510279) < 1e-12),
+      "a second over-threshold relative-transform class appeared: " +
+        overThreshold.filterNot(p => math.abs(p._3 - 0.4134355670510279) < 1e-12).take(5))
+    assert(overThreshold.head._1 == 0 && overThreshold.head._2 == 531,
+      s"canonical member drifted from (0,531): ${overThreshold.head}")
   }
 
   test("same-lag copy pairs disagree on exactly 32 of 64 sign positions (Hadamard masks)") {

@@ -78,6 +78,35 @@ class PqSpec extends SparkSpec {
     assert(adc.forall(r => r._3 != r._1))
   }
 
+  test("SQL-exposed codec kernels reject malformed codebooks at ANALYSIS time") {
+    // graft_pq_encode is reachable from raw SQL via GraftExtensions, so
+    // a malformed codebook must die in checkInputDataTypes — never as an
+    // ArrayIndexOutOfBoundsException mid-execution (empty subspace ⇒
+    // bi = -1 ⇒ cellIds(-1); short cc ⇒ cc(ci) overrun).
+    def bad(sql: String, frag: String): Unit = {
+      val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(sql).collect())
+      assert(e.getMessage.contains(frag), s"wanted '$frag' in: ${e.getMessage}")
+    }
+    val vec = "array(1.0D, 2.0D)"
+    // valid shape for reference: m=2 subspaces of 1 cell each, subDim=1
+    val ok = spark.sql(
+      s"SELECT graft_pq_encode($vec, array(0,1,2), array(0,0), array(array(1.0D),array(2.0D)), array(1.0D,4.0D)) AS c")
+      .head().getSeq[Int](0)
+    assert(ok == Seq(0, 0))
+    bad(s"SELECT graft_pq_encode($vec, array(0,2,2), array(0,1), array(array(1.0D),array(2.0D)), array(1.0D,4.0D))",
+      "strictly increasing")
+    bad(s"SELECT graft_pq_encode(array(1.0D), array(1,2), array(0,1), array(array(1.0D),array(2.0D)), array(1.0D,4.0D))",
+      "start at 0")
+    bad(s"SELECT graft_pq_encode($vec, array(0,1,2), array(0,0), array(array(1.0D),array(2.0D)), array(1.0D))",
+      "cc/cellIds arity mismatch")
+    bad(s"SELECT graft_pq_encode($vec, array(0,1,2), array(0,0), array(array(1.0D), CAST(NULL AS array<double>)), array(1.0D,4.0D))",
+      "NULL centroids")
+    bad(s"SELECT graft_pq_encode($vec, array(0,1,2), array(0,0), array(array(1.0D),array(2.0D,3.0D)), array(1.0D,4.0D))",
+      "share one dimension")
+    bad(s"SELECT graft_pq_recon(array(0,0), array(0,2,2), array(0,1), array(array(1.0D),array(2.0D)))",
+      "strictly increasing")
+  }
+
   test("ivfAdcTopK scores only probed cells and keeps the cell join an equi-join") {
     val d = separable
     val q = d.filter($"vec_id" < 2)
