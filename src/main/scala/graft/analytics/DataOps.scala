@@ -1179,6 +1179,68 @@ object DataOps {
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 
+  /** PRODUCTION PQ geometry (FAISS's standard PQ8x256): 8 subspaces ×
+    * 256 codewords ⇒ 1-byte codes, 8 B per 64-dim vector (32×
+    * compression), trained on a 512-vector bounded sample. The m=4/
+    * k=16 catalog family gates the loop kernels at a small geometry;
+    * this instance forces the kernel's large-k scan (256 candidates
+    * per subspace) and the 2048-centroid literal codebook — the shape
+    * a real 100 TB corpus would deploy. The kernels are loop-based,
+    * so plan size and codegen behavior are IDENTICAL to the small
+    * geometry (no janino cliff — that is the point of the r9 loop
+    * rewrite, and this entry pins it under the oracle). */
+  private val pq256M = 8
+  private val pq256K = 256
+  private val pq256SampleN = 512
+
+  private val pq256Memo =
+    new scala.collection.concurrent.TrieMap[String, Seq[graft.operators.Pq.Code]]()
+
+  /** Actual production-geometry trainings — TrainMemoSpec pins
+    * one-per-corpus across the pq256 entries and repeat sweeps. */
+  private[graft] val pq256TrainRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def trainedPq256(emb: DataFrame, dir: String): Seq[graft.operators.Pq.Code] =
+    pq256Memo.getOrElseUpdate(dir, {
+      pq256TrainRuns.incrementAndGet()
+      graft.operators.Pq.fitCodebooks(emb, pq256M, pq256K, pqIter, pq256SampleN)
+    })
+
+  /** ADC top-k at the production geometry — same 10 queries and k as
+    * `sim_topk_pq`, different codec. The oracle replays the full
+    * PQ8x256 loop (512-vector sample, per-subspace Lloyd at k=256,
+    * argmin encode, reconstruction, cosine ranking). */
+  def simTopKPq256(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    graft.operators.Pq.adcTopK(emb, emb.filter(col("vec_id") < 10),
+        trainedPq256(emb, dir), k = 5)
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
+  /** Recall@5 of the composed IVFADC search against exact brute
+    * force — the missing gate `pq_recall` does not cover: probing 2
+    * of 8 cells can silently miss true neighbors, and nothing red-
+    * flags a probe-quality regression without this row ([[annRecall]]
+    * construction over [[graft.operators.Pq.ivfAdcTopK]]). Shares
+    * both trained artifacts with their standalone entries — zero new
+    * training jobs. */
+  def ivfadcRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = graft.operators.Pq.ivfAdcTopK(emb, q,
+        trainedCentroids(emb, dir, k = 8, nIter = 2), trainedPq(emb, dir),
+        k = 5, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    approx.join(exact, Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .crossJoin(broadcast(nExact))
+      .select(lit("ivfadc").as("method"), col("n_exact"), col("n_hits"),
+        Cols.r(col("n_hits").cast("double") / col("n_exact").cast("double"), 6).as("recall"))
+  }
+
   // ---- text analysis ---------------------------------------------------
 
   def textTokenStats(spark: SparkSession, dir: String): DataFrame = {
@@ -2434,64 +2496,78 @@ object DataOps {
   }
 
   /** The double-cast subspace slice of a float embedding: subspace
-    * `sub` (0-based, from the joined codebook row) of width 16 —
-    * mirrors Pq's slice(v, sub·16+1, 16) + per-element double cast. */
-  private def dkPqSlice(v: String, sub: String): String =
-    s"list_transform(list_slice($v, $sub * 16 + 1, $sub * 16 + 16), x -> CAST(x AS DOUBLE))"
+    * `sub` (0-based, from the joined codebook row) of width `subDim` —
+    * mirrors Pq's slice(v, sub·subDim+1, subDim) + per-element double
+    * cast. */
+  private def dkPqSlice(v: String, sub: String, subDim: Int): String =
+    s"list_transform(list_slice($v, $sub * $subDim + 1, $sub * $subDim + $subDim), x -> CAST(x AS DOUBLE))"
 
-  /** One unrolled per-subspace Lloyd iteration for the PQ codebooks:
-    * L2 assignment via dot(c,c) − 2·dot(v,c) (ties to the lowest
-    * cell — mirrors Pq.fitCodebooks' ascending-cell strict-< scan),
-    * then 1e-9-grid quantized per-dim means (exact int64 sums). Empty
-    * cells drop out of the GROUP BY exactly as the engine's groupBy
-    * forgets them. */
-  private def dkPqIter(i: Int): String =
-    s"""pqa$i AS (
+  /** One unrolled per-subspace Lloyd iteration for the PQ codebooks
+    * (CTE names prefixed `$px`): L2 assignment via dot(c,c) −
+    * 2·dot(v,c) (ties to the lowest cell — mirrors Pq.fitCodebooks'
+    * ascending-cell strict-< scan), then 1e-9-grid quantized per-dim
+    * means (exact int64 sums). Empty cells drop out of the GROUP BY
+    * exactly as the engine's groupBy forgets them. */
+  private def dkPqIter(i: Int, px: String = "pq"): String =
+    s"""${px}a$i AS (
        |  SELECT sub, cell, v FROM (
        |    SELECT sv.sub, sv.rn, sv.v, c.cell,
        |           row_number() OVER (PARTITION BY sv.sub, sv.rn
        |             ORDER BY (${dkDot("c.c", "c.c")} - 2 * ${dkDot("sv.v", "c.c")}) ASC,
        |                      c.cell ASC) AS rk
-       |    FROM pq_sv sv JOIN pqc${i - 1} c ON sv.sub = c.sub) WHERE rk = 1
-       |), pqm$i AS (
+       |    FROM ${px}_sv sv JOIN ${px}c${i - 1} c ON sv.sub = c.sub) WHERE rk = 1
+       |), ${px}m$i AS (
        |  SELECT sub, cell, u.pos AS pos, sum(u.q) AS sq, count(*) AS n FROM (
        |    SELECT sub, cell, unnest(list_transform(generate_series(1, len(v)),
        |      j -> struct_pack(pos := j, q := CAST(floor(v[j] * 1e9 + 0.5) AS BIGINT)))) AS u
-       |    FROM pqa$i)
+       |    FROM ${px}a$i)
        |  GROUP BY 1, 2, 3
-       |), pqc$i AS (
+       |), ${px}c$i AS (
        |  SELECT sub, cell, list((CAST(sq AS DOUBLE) / n) / 1e9 ORDER BY pos ASC) AS c
-       |  FROM pqm$i GROUP BY sub, cell
+       |  FROM ${px}m$i GROUP BY sub, cell
        |)""".stripMargin
 
-  /** Full-replay PQ pipeline as shared CTEs (mirrors Pq.fitCodebooks
-    * + Pq.reconstruct at the catalog geometry m=4, k=16, 2 Lloyd
-    * rounds, 256-vector sample): pq_s = the deterministic sample in
-    * vec_id order, pqc0 = first-16 init, pqc2 = trained codebooks,
-    * pq_enc = per-(vector, subspace) argmin code assignment over the
-    * whole corpus, pq_rec = (vec_id, recon) with recon the
-    * concatenated assigned sub-centroids in subspace order. */
-  private val dkPqCtes: String =
-    s"""pq_s AS (
+  /** Full-replay PQ pipeline as shared CTEs for an (m, k, sampleN)
+    * geometry over 64-dim embeddings (mirrors Pq.fitCodebooks +
+    * Pq.reconstruct, 2 Lloyd rounds): ${px}_s = the deterministic
+    * sample in vec_id order, ${px}c0 = first-k init, ${px}c2 =
+    * trained codebooks, ${px}_enc = per-(vector, subspace) argmin
+    * code assignment over the whole corpus, ${px}_rec = (vec_id,
+    * recon) with recon the concatenated assigned sub-centroids in
+    * subspace order. */
+  private def dkPqCtesFor(px: String, m: Int, k: Int, sampleN: Int): String = {
+    val subDim = 64 / m
+    val subs = (0 until m).mkString(", ")
+    s"""${px}_s AS (
        |  SELECT row_number() OVER (ORDER BY vec_id ASC) AS rn, embedding
-       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 256)
-       |), pq_sv AS (
-       |  SELECT rn, sub, ${dkPqSlice("embedding", "sub")} AS v
-       |  FROM pq_s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS sub) subs
-       |), pqc0 AS (
-       |  SELECT sub, rn - 1 AS cell, v AS c FROM pq_sv WHERE rn <= 16
-       |), ${dkPqIter(1)}, ${dkPqIter(2)},
-       |pq_enc AS (
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT $sampleN)
+       |), ${px}_sv AS (
+       |  SELECT rn, sub, ${dkPqSlice("embedding", "sub", subDim)} AS v
+       |  FROM ${px}_s CROSS JOIN (SELECT unnest([$subs]) AS sub) subs
+       |), ${px}c0 AS (
+       |  SELECT sub, rn - 1 AS cell, v AS c FROM ${px}_sv WHERE rn <= $k
+       |), ${dkPqIter(1, px)}, ${dkPqIter(2, px)},
+       |${px}_enc AS (
        |  SELECT vec_id, sub, cell, c FROM (
        |    SELECT e.vec_id, c.sub, c.cell, c.c,
        |           row_number() OVER (PARTITION BY e.vec_id, c.sub
-       |             ORDER BY (${dkDot("c.c", "c.c")} - 2 * ${dkDot(dkPqSlice("e.embedding", "c.sub"), "c.c")}) ASC,
+       |             ORDER BY (${dkDot("c.c", "c.c")} - 2 * ${dkDot(dkPqSlice("e.embedding", "c.sub", subDim), "c.c")}) ASC,
        |                      c.cell ASC) AS rk
-       |    FROM embeddings e CROSS JOIN pqc2 c) WHERE rk = 1
-       |), pq_rec AS (
+       |    FROM embeddings e CROSS JOIN ${px}c2 c) WHERE rk = 1
+       |), ${px}_rec AS (
        |  SELECT vec_id, flatten(list(c ORDER BY sub ASC)) AS recon
-       |  FROM pq_enc GROUP BY vec_id
+       |  FROM ${px}_enc GROUP BY vec_id
        |)""".stripMargin
+  }
+
+  /** The catalog geometry instance: m=4, k=16, 256-vector sample —
+    * CTE names pq_s/pq_sv/pqc0..pqc2/pq_enc/pq_rec as before. */
+  private val dkPqCtes: String = dkPqCtesFor("pq", m = 4, k = 16, sampleN = 256)
+
+  /** The PRODUCTION geometry instance (FAISS's standard PQ8x256:
+    * m=8 subspaces × k=256 codewords ⇒ 1-byte codes, 8 B/vector),
+    * trained on a 512-vector sample: CTE prefix `pz`. */
+  private val dkPq256Ctes: String = dkPqCtesFor("pz", m = 8, k = 256, sampleN = 512)
 
   /** One unrolled PageRank power iteration (mirrors PageRank.ranks:
     * 1e-12-grid quantized contributions, teleport/n + d·sum). The
@@ -2679,6 +2755,67 @@ object DataOps {
          |SELECT query_id, rank, neighbor_id, cos FROM vranked
          |WHERE rank <= 5
          |ORDER BY query_id ASC, rank ASC""".stripMargin,
+    "sim_topk_pq256" ->
+      s"""WITH $dkPq256Ctes,
+         |zscored AS (
+         |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         |         ${dkCos("q.embedding", "r.recon")} AS cos
+         |  FROM pz_rec r JOIN embeddings q ON r.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10
+         |), zranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM zscored
+         |)
+         |SELECT query_id, rank, neighbor_id, cos FROM zranked
+         |WHERE rank <= 5
+         |ORDER BY query_id ASC, rank ASC""".stripMargin,
+    "ivfadc_recall" ->
+      s"""WITH c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, embedding AS c
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 8)
+         |), ${dkKmeansIter(1)}, ${dkKmeansIter(2)},
+         |$dkPqCtes,
+         |vc_assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${dkCosRaw("e.embedding", "c.c")} DESC, c.cell ASC) AS rn
+         |    FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1
+         |), vq_assign AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${dkCosRaw("e.embedding", "c.c")} DESC, c.cell ASC) AS rn
+         |    FROM embeddings e CROSS JOIN c2 c
+         |    WHERE e.vec_id < 10) WHERE rn <= 2
+         |), vscored AS (
+         |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         |         ${dkCos("q.embedding", "r.recon")} AS cos
+         |  FROM vq_assign q
+         |  JOIN vc_assign a ON q.cell = a.cell AND a.vec_id <> q.vec_id
+         |  JOIN pq_rec r ON r.vec_id = a.vec_id
+         |), vapprox AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |    FROM vscored)
+         |  WHERE rank <= 5
+         |), vexact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${dkCos("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
+         |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 10)
+         |  WHERE rank <= 5
+         |), vnex AS (SELECT count(*) AS n_exact FROM vexact),
+         |vhits AS (
+         |  SELECT count(*) AS n_hits FROM vapprox JOIN vexact USING (query_id, neighbor_id)
+         |)
+         |SELECT 'ivfadc' AS method, n_exact, n_hits,
+         |       floor(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) * 1e6 + 0.5) / 1e6 AS recall
+         |FROM vhits CROSS JOIN vnex""".stripMargin,
     "incr_load_events" ->
       """SELECT substr(CAST(ts AS VARCHAR(30)), 1, 10) AS event_date,
         |       count(*) AS n_events,
@@ -4120,6 +4257,8 @@ object DataOps {
     "pq_distortion"     -> (pqDistortion _),
     "pq_recall"         -> (pqRecall _),
     "sim_topk_ivfadc"   -> (simTopKIvfadc _),
+    "sim_topk_pq256"    -> (simTopKPq256 _),
+    "ivfadc_recall"     -> (ivfadcRecall _),
     "sim_topk"          -> (simTopK _),
     "embed_outliers"    -> (embedOutliers _),
     "sim_topk_lsh"      -> (simTopKLsh _),

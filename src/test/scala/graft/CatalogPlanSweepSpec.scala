@@ -81,7 +81,9 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "sim_topk_ivf" -> "fixed query set (cell-probe search)",
     "sim_topk_q8" -> "fixed query set (quantized search)",
     "sim_topk_pq" -> "fixed 10-query frame (ADC scan over map-side recon)",
+    "sim_topk_pq256" -> "fixed 10-query frame (ADC scan, production PQ8x256 codec)",
     "pq_recall" -> "fixed query set + exact-baseline + 1-row count frames",
+    "ivfadc_recall" -> "fixed query set + exact-baseline + 1-row count frames",
     "ann_recall" -> "fixed query set + exact-baseline frames",
     "rp_distortion" -> "fixed 600-pair sample frame",
     // -- bounded-frame non-equi self-join: the corpus aggregates to an

@@ -21,16 +21,26 @@ class TrainMemoSpec extends SparkSpec {
     assert(runs <= 1, s"expected at most one training run, saw $runs")
   }
 
-  test("PQ trains once per corpus across all four entries and repeats") {
+  test("PQ trains once per corpus across all five m=4 entries and repeats") {
     import graft.analytics.DataOps
     val before = DataOps.pqTrainRuns.get()
     DataOps.simTopKPq(spark, dir).collect()
     DataOps.pqDistortion(spark, dir).collect()
     DataOps.pqRecall(spark, dir).collect()
     DataOps.simTopKIvfadc(spark, dir).collect()
+    DataOps.ivfadcRecall(spark, dir).collect()
     DataOps.simTopKPq(spark, dir).collect()
     val runs = DataOps.pqTrainRuns.get() - before
     assert(runs <= 1, s"expected at most one PQ training run, saw $runs")
+  }
+
+  test("production-geometry PQ (8x256) trains once per corpus across repeats") {
+    import graft.analytics.DataOps
+    val before = DataOps.pq256TrainRuns.get()
+    DataOps.simTopKPq256(spark, dir).collect()
+    DataOps.simTopKPq256(spark, dir).collect()
+    val runs = DataOps.pq256TrainRuns.get() - before
+    assert(runs <= 1, s"expected at most one PQ8x256 training run, saw $runs")
   }
 
   test("PCA fits once per corpus across both entries and repeats") {
