@@ -1,0 +1,39 @@
+package graft.tools
+
+import graft.{SparkEntry, Sessions, Views}
+
+/** Measurement main behind the verbatim two-engine SQL set's
+  * exclusion notes (SqlFrontEndSpec.ansiPortable): runs EVERY catalog
+  * oracle verbatim through `spark.sql` on the registered views and
+  * prints, per entry, whether the text parses + analyzes + produces
+  * the DataFrame-identical result (`PORTABLE`), produces a different
+  * result (`MISMATCH` — the silent-semantics-change class that keeps
+  * an entry excluded), or fails (`ERROR` + the first line — the
+  * concrete blocker an alias bridge would have to solve). Output is
+  * the evidence for which excluded entries are bridgeable and which
+  * carry a genuine dialect impossibility.
+  *
+  * `sbt "runMain graft.tools.SqlPortabilityAudit [sfDir]"`
+  */
+object SqlPortabilityAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val spark = Sessions.build("graft-sql-audit")
+    Views.register(spark, dir)
+    SparkEntry.oracleSql.toSeq.sortBy(_._1).foreach { case (name, sql) =>
+      val status =
+        try {
+          val viaSql = spark.sql(sql).toJSON.collect().toSeq
+          val viaApi = SparkEntry.queries(name)(spark, dir).toJSON.collect().toSeq
+          if (viaSql == viaApi) "PORTABLE" else "MISMATCH"
+        } catch {
+          case e: Throwable =>
+            val first = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.take(2).mkString(" | ").take(220)
+            s"ERROR $first"
+        }
+      println(s"AUDIT $name: $status")
+    }
+    spark.stop()
+  }
+}
