@@ -168,6 +168,15 @@ object Views {
     alias("list_contains", "array_contains")
     alias("list_append", "array_append")
     alias("array_to_string", "array_join")
+    // r10 additions: the literal-table lookup idiom. list_value is
+    // DuckDB's function spelling of the [..] literal (Spark: array);
+    // list_extract is 1-based on BOTH engines (Spark element_at is
+    // 1-based, negative = from-the-end on both; the dialect uses
+    // in-bounds positive indices only) — this bridges table LOOKUPS
+    // while raw `l[i]` SUBSCRIPTS stay excluded (DuckDB 1-based vs
+    // Spark 0-based, see the scaladoc above).
+    alias("list_value", "array")
+    alias("list_extract", "element_at")
     reg.createOrReplaceTempFunction("regexp_split_to_array", {
       case Seq(s, p) => fn("split", Seq(s, p, Literal(-1)))
       case other => throw new IllegalArgumentException(

@@ -2466,7 +2466,7 @@ object DataOps {
        |), ${px}x AS (
        |  SELECT $gSel n_present,
        |         CASE WHEN $eRaw <= ${2.5 * m} AND $m - n_present > 0
-       |              THEN [$table][$m - n_present]
+       |              THEN list_extract(list_value($table), CAST($m - n_present AS INT))
        |              ELSE CAST(floor($eRaw) AS BIGINT) END AS n_est
        |  FROM ${px}e)""".stripMargin
   }

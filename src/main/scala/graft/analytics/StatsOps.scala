@@ -503,9 +503,12 @@ object StatsOps {
     * [[HistQuantiles.exactCutFixed]] — FIXED-ROUNDS relational grid
     * refinement (no per-round driver collect, predictable pass count
     * at any scale) instead of exact `percentile`'s O(distinct) single
-    * buffer. The oracle is DuckDB's own exact `quantile_disc` (no
-    * replay: both sides claim the same order statistic, which is the
-    * strongest possible gate for a quantile operator). */
+    * buffer. The oracle is ANSI `percentile_disc … WITHIN GROUP` — in
+    * DuckDB exactly its own `quantile_disc` (no replay: both sides
+    * claim the same order statistic, the strongest possible gate for
+    * a quantile operator), and since the ANSI spelling parses on
+    * Spark too, SqlFrontEndSpec pins a THIRD independent
+    * implementation (Spark's percentile_disc) to the same answer. */
   def exactQuantilesTotalprice(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(spark, dir)
     val p50 = HistQuantiles.exactCutFixed(ord, col("o_totalprice"), 0.5, as = "p50_exact")
@@ -517,8 +520,10 @@ object StatsOps {
   /** EXACT per-type median of events.value through
     * [[HistQuantiles.groupedExactCut]] — the grouped companion of
     * [[exactQuantilesTotalprice]]: three relational refinement rounds
-    * (O(groups·buckets) state) + one exact pick, oracle = DuckDB's
-    * per-group `quantile_disc`. */
+    * (O(groups·buckets) state) + one exact pick, oracle = per-group
+    * ANSI `percentile_disc … WITHIN GROUP` (DuckDB's own
+    * `quantile_disc`, verbatim-portable — see
+    * [[exactQuantilesTotalprice]]). */
   def exactMedianByType(spark: SparkSession, dir: String): DataFrame =
     HistQuantiles.groupedExactCut(Tables.events(spark, dir),
         col("event_type"), col("value"), p = 0.5, rounds = 2, as = "p50_exact")
@@ -765,11 +770,11 @@ object StatsOps {
          |  SELECT ${(1 to 9).map(i => s"min(CASE WHEN cum >= ceil(CAST(${i / 10.0} AS DOUBLE) * n) THEN b END) AS b$i").mkString(", ")}
          |  FROM hq_u, hq_s
          |), cuts AS (
-         |  SELECT [${(1 to 9).map(i => s"CASE WHEN hi = lo THEN lo ELSE lo + (hi - lo) * CAST(b$i + 1 AS DOUBLE) / $DecileBuckets END").mkString(", ")}] AS qs
+         |  SELECT ${(1 to 9).map(i => s"CASE WHEN hi = lo THEN lo ELSE lo + (hi - lo) * CAST(b$i + 1 AS DOUBLE) / $DecileBuckets END AS q$i").mkString(", ")}
          |  FROM pick, hq_s
          |), assigned AS (
          |  SELECT o_totalprice,
-         |         ${(1 to 9).map(i => s"(CASE WHEN o_totalprice >= qs[$i] THEN 1 ELSE 0 END)").mkString(" + ")} + 1 AS decile
+         |         ${(1 to 9).map(i => s"(CASE WHEN o_totalprice >= q$i THEN 1 ELSE 0 END)").mkString(" + ")} + 1 AS decile
          |  FROM orders, cuts
          |)
          |SELECT decile, count(*) AS n_orders,
@@ -1214,14 +1219,21 @@ object StatsOps {
         |       CAST(floor(slope_med * 1e6 + 0.5) AS BIGINT) AS slope_micro,
         |       CAST(floor(icept_med * 1e6 + 0.5) AS BIGINT) AS intercept_micro
         |FROM nd, smed, imed""".stripMargin,
+    // ANSI percentile_disc ... WITHIN GROUP: in DuckDB this is exactly
+    // quantile_disc (same function, ANSI surface), so the exactness
+    // gate still runs against DuckDB's OWN rank rule — and the ANSI
+    // spelling also parses in Spark, making the oracle verbatim-
+    // portable: SqlFrontEndSpec additionally pins Spark's independent
+    // percentile_disc implementation to the same answer (three
+    // implementations of the discrete-quantile rule must now agree).
     "exact_quantiles_totalprice" ->
       """SELECT count(o_totalprice) AS n,
-        |       CAST(quantile_disc(o_totalprice, 0.5) AS DOUBLE) AS p50_exact,
-        |       CAST(quantile_disc(o_totalprice, 0.9) AS DOUBLE) AS p90_exact
+        |       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice ASC) AS DOUBLE) AS p50_exact,
+        |       CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice ASC) AS DOUBLE) AS p90_exact
         |FROM orders WHERE o_totalprice IS NOT NULL""".stripMargin,
     "exact_median_by_type" ->
       """SELECT event_type,
-        |       CAST(quantile_disc(value, 0.5) AS DOUBLE) AS p50_exact,
+        |       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY value ASC) AS DOUBLE) AS p50_exact,
         |       count(value) AS n
         |FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
         |GROUP BY event_type

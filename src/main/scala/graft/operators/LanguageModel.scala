@@ -198,11 +198,16 @@ object LanguageModel {
 
   /** SQL expression replaying [[surprisalBits]] over the probability
     * expression `p` — the identical ladder literals, scale lookup, and
-    * association order. */
+    * association order. Shared-dialect spelling: the scale table
+    * renders as `list_value(...)` (≡ DuckDB's `[...]` literal, and
+    * alias-bridged to Spark's `array`) and the lookup as
+    * `list_extract` (1-based on both engines via the `element_at`
+    * bridge), so every oracle built on this expression stays inside
+    * the verbatim two-engine dialect. */
   def dkSurprisal(p: String): String = {
     val j = (1 to MaxOctave).map(t =>
       s"(CASE WHEN $p <= ${math.pow(2.0, -t)} THEN 1 ELSE 0 END)").mkString(" + ")
-    val lst = pow2.mkString("[", ", ", "]")
+    val lst = pow2.mkString("list_value(", ", ", ")")
     s"(CAST(($j) AS DOUBLE) + 2.0 - $p * list_extract($lst, ($j) + 1))"
   }
 }

@@ -13,14 +13,17 @@ import graft.{SparkEntry, Sessions, Views}
   * the evidence for which excluded entries are bridgeable and which
   * carry a genuine dialect impossibility.
   *
-  * `sbt "runMain graft.tools.SqlPortabilityAudit [sfDir]"`
+  * `sbt "runMain graft.tools.SqlPortabilityAudit [sfDir] [nameRegex]"`
   */
 object SqlPortabilityAudit {
   def main(args: Array[String]): Unit = {
     val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val nameFilter = if (args.length > 1) Some(args(1).r) else None
     val spark = Sessions.build("graft-sql-audit")
     Views.register(spark, dir)
-    SparkEntry.oracleSql.toSeq.sortBy(_._1).foreach { case (name, sql) =>
+    SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      .filter { case (name, _) => nameFilter.forall(_.findFirstIn(name).isDefined) }
+      .foreach { case (name, sql) =>
       val status =
         try {
           val viaSql = spark.sql(sql).toJSON.collect().toSeq
