@@ -1829,13 +1829,39 @@ object DataOps {
     * match set, which is what the oracle replays (a plain interval
     * join + per-day rollup). The driver-side fetch is ≤ |days| rollup
     * rows; scratch deleted before returning. */
+  /** Volume threshold for [[streamJoinViews]]'s user-cohort slice:
+    * below it (the sf0.001/sf0.01 oracle SFs) the gate streams the
+    * FULL feed — the 1-hour interval is sparse enough there that a
+    * slice would leave zero matches to certify; at or above it the
+    * feed restricts to the `user_id % 5 = 1` cohort. Because the
+    * interval join equi-keys on user_id, a user-complete slice
+    * preserves the per-user match structure EXACTLY (measured at
+    * sf0.1: 67 matches incl. both cross-batch boundary matches — the
+    * state rows this gate exists to certify), while fixture writes,
+    * join input, and two-sided state all drop 5×. The oracle replays
+    * the identical dispatch as a scalar-subquery gate, so both
+    * branches sit under the hash-equality gate. */
+  private val StreamJoinSliceThreshold = 200000L
+
+  /** ts-non-null events count memo backing the dispatch — one count
+    * job per corpus (the embCountMemo pattern). */
+  private val evCountMemo = new scala.collection.concurrent.TrieMap[String, Long]()
+  private def evCount(ev: DataFrame, dir: String): Long =
+    evCountMemo.getOrElseUpdate(dir, ev.count())
+
   def streamJoinViews(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    // full feed, unlike the sliced MERGE/dedup gates: the append sink
-    // has no per-batch rewrite to amplify, and the 1-hour interval is
-    // sparse enough at sf0.001 that a slice would leave the gate with
-    // zero matches to certify
-    val ev = Tables.events(spark, dir).filter(col("ts").isNotNull)
+    // measured r9/r10 decomposition (tools.StreamJoinProbe, SCALE.md):
+    // the warm 3.3 s at sf0.1 is ~2.4 s of fixed 3-micro-batch
+    // machinery (per-batch replan + 8 state-store commits + WAL/offset
+    // log, incl. the mandatory zero-row watermark-eviction batch) and
+    // ~0.9 s of volume work (fixture writes, join input); at sf100 the
+    // volume share grew to ~390 s. The user-cohort dispatch above cuts
+    // the volume share 5× wherever the full feed is not needed for
+    // match coverage.
+    val evAll = Tables.events(spark, dir).filter(col("ts").isNotNull)
+    val ev = if (evCount(evAll, dir) >= StreamJoinSliceThreshold)
+      evAll.filter(pmod(col("user_id"), lit(5)) === 1) else evAll
     val views = ev.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts"))
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -1849,6 +1875,11 @@ object DataOps {
     writeStreamChunks(pDir,
       Seq(purchases.filter(col("ts") < mid), purchases.filter(col("ts") >= mid)))
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    // 2 state partitions, same as the sibling gates. Measured r10
+    // alternative: partitions=1 halves the 8 state-store commits but
+    // serializes each batch's addBatch work into one task — net
+    // SLOWER (4.0 s vs 3.4 s warm at sf0.1), so the wider join
+    // parallelism wins even at this volume.
     spark.conf.set("spark.sql.shuffle.partitions", "2")
     try {
       val vs = spark.readStream.schema(chunkSchema(views))
@@ -4074,9 +4105,15 @@ object DataOps {
     // join + rollup over the same slice — every match the stream
     // buffers across batches must appear exactly once in the sink
     "stream_join_views" ->
-      """WITH ev AS (
+      s"""WITH ev0 AS (
         |  SELECT event_id, user_id, event_type, ts, value
         |  FROM events WHERE ts IS NOT NULL
+        |), gate AS (
+        |  SELECT count(*) AS n FROM ev0
+        |), ev AS (
+        |  SELECT * FROM ev0
+        |  WHERE (SELECT n FROM gate) < $StreamJoinSliceThreshold
+        |     OR user_id % 5 = 1
         |), v AS (
         |  SELECT user_id, ts AS vts FROM ev WHERE event_type = 'view'
         |), p AS (
