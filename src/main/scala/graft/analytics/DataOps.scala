@@ -1849,7 +1849,13 @@ object DataOps {
   private def evCount(ev: DataFrame, dir: String): Long =
     evCountMemo.getOrElseUpdate(dir, ev.count())
 
-  def streamJoinViews(spark: SparkSession, dir: String): DataFrame = {
+  /** `sliceThreshold` defaults to the catalog dispatch; StreamsSpec
+    * forces 0 to drive the SLICED branch end-to-end at a small SF
+    * (the driver's sf0.01 oracle run exercises only the full branch,
+    * so without the forced-slice spec a sliced-branch regression
+    * would pass the correctness gate silently). */
+  def streamJoinViews(spark: SparkSession, dir: String,
+      sliceThreshold: Long = StreamJoinSliceThreshold): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     // measured r9/r10 decomposition (tools.StreamJoinProbe, SCALE.md):
     // the warm 3.3 s at sf0.1 is ~2.4 s of fixed 3-micro-batch
@@ -1860,7 +1866,7 @@ object DataOps {
     // the volume share 5× wherever the full feed is not needed for
     // match coverage.
     val evAll = Tables.events(spark, dir).filter(col("ts").isNotNull)
-    val ev = if (evCount(evAll, dir) >= StreamJoinSliceThreshold)
+    val ev = if (evCount(evAll, dir) >= sliceThreshold)
       evAll.filter(pmod(col("user_id"), lit(5)) === 1) else evAll
     val views = ev.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts"))
@@ -4335,7 +4341,7 @@ object DataOps {
     "stream_merge_events" -> (streamMergeEvents _),
     "stream_hourly_rollup" -> (streamHourlyRollup _),
     "stream_dedup_docs" -> (streamDedupDocs _),
-    "stream_join_views" -> (streamJoinViews _),
+    "stream_join_views" -> ((s: SparkSession, d: String) => streamJoinViews(s, d)),
     "bucketed_join"     -> (bucketedJoin _),
     "skew_salted_rollup" -> (skewSaltedRollup _),
     "bloom_join_urgent"  -> (bloomJoinUrgent _),

@@ -148,6 +148,35 @@ class StreamsSpec extends SparkSpec {
     assert(out == Set((1L, 100L, "11:30:00")))
   }
 
+  test("stream_join_views SLICED branch: forced dispatch matches the batch interval-join replay") {
+    // The catalog dispatch slices only above 200k events, so the
+    // driver's sf0.01 oracle run exercises the FULL branch alone;
+    // forcing sliceThreshold = 0 here drives the sliced branch through
+    // the real file-source -> two-sided-state -> append-sink machinery
+    // at sf0.01 and pins it against a plain batch interval join over
+    // the identically sliced feeds (the oracle's own construction).
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val streamed = graft.analytics.DataOps
+      .streamJoinViews(spark, dir, sliceThreshold = 0L)
+      .collect().map(_.toString).sorted.toSeq
+    val ev = graft.Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && pmod(col("user_id"), lit(5)) === 1)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("vts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("event_id").as("pid"), col("value"))
+    val expected = p.join(v, p("user_id") === v("user_id") &&
+        col("vts") >= col("pts") - expr("INTERVAL 1 HOUR") && col("vts") <= col("pts"))
+      .groupBy(date_format(col("pts"), "yyyy-MM-dd").as("purchase_date"))
+      .agg(count(lit(1)).as("n_matches"),
+        countDistinct(col("pid")).as("n_purchases"),
+        graft.functions.Cols.r(graft.functions.Cols.sumExact(col("value"), 2), 2).as("total_value"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty, "sliced branch produced no matches at sf0.01 — the spec lost its teeth")
+    assert(streamed == expected)
+  }
+
   test("closedSessions emits only on close: gap jump in-line, idle timeout at the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
