@@ -109,12 +109,17 @@ object SqlFrontEndSpec {
     * DataFrame functions resolve by name through the session
     * registry, so shadowing would leak into engine queries;
     * measured, see Views.registerDuckAliases). span_dup_profile and
-    * span_dup_spans PARSE and RUN on Spark but return different
-    * rows (audit status MISMATCH — a silent dialect divergence
-    * inside their window/list pipeline), exactly the class the
-    * result-equality gate exists to keep out. Exposed on the
-    * companion so CoverageDocSpec can pin COVERAGE.md's published
-    * count to this list's size. */
+    * span_dup_spans PARSE and RUN on Spark but return different rows
+    * (audit status MISMATCH): their sgram CTE puts TWO unnest()
+    * columns in one SELECT, which DuckDB zips POSITIONALLY —
+    * `unnest(gs(1,3)), unnest([10,20,30])` → 3 rows (1,10)(2,20)
+    * (3,30) — while Spark through the explode bridge CROSS-PRODUCTS
+    * the generators → 9 rows (measured). A silent 3×-row divergence
+    * with zero errors: exactly the class the result-equality gate
+    * exists to keep out, and the sharpest argument against ever
+    * bridging parallel unnest by name. Exposed on the companion so
+    * CoverageDocSpec can pin COVERAGE.md's published count to this
+    * list's size. */
   val ansiPortable = Seq(
     "a5_dup_audit", "agg_rollup_totals", "anti_lapsed_custs",
     "benford_totalprice", "bloom_join_urgent", "bm25_probe",
