@@ -1217,6 +1217,30 @@ object DataOps {
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 
+  /** Recall@5 of the PRODUCTION-geometry codec ([[simTopKPq256]])
+    * against exact brute force — the quality half of the PQ8x256
+    * story: the m=4/k=16 gate fixture compresses 64 floats to FOUR
+    * 4-bit codes (128×) and lands ~0.2 recall@5 — a hash-gated
+    * NUMBER, not a quality claim — while the 8×256 deployment shape
+    * (32×, 8 one-byte codes) must recover most of it. A codebook or
+    * kernel regression that degrades production-shape rank
+    * preservation flips this row red even while the small-geometry
+    * gates stay green. */
+  def pq256Recall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = graft.operators.Pq.adcTopK(emb, q, trainedPq256(emb, dir), k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    approx.join(exact, Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .crossJoin(broadcast(nExact))
+      .select(lit("pq256_adc").as("method"), col("n_exact"), col("n_hits"),
+        Cols.r(col("n_hits").cast("double") / col("n_exact").cast("double"), 6).as("recall"))
+  }
+
   /** Recall@5 of the composed IVFADC search against exact brute
     * force — the missing gate `pq_recall` does not cover: probing 2
     * of 8 cells can silently miss true neighbors, and nothing red-
@@ -2792,6 +2816,31 @@ object DataOps {
          |SELECT query_id, rank, neighbor_id, cos FROM vranked
          |WHERE rank <= 5
          |ORDER BY query_id ASC, rank ASC""".stripMargin,
+    "pq256_recall" ->
+      s"""WITH $dkPq256Ctes,
+         |zexact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${dkCos("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
+         |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 10)
+         |  WHERE rank <= 5
+         |), zapprox AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${dkCos("q.embedding", "r.recon")} DESC, r.vec_id ASC) AS rank
+         |    FROM pz_rec r JOIN embeddings q ON r.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 10)
+         |  WHERE rank <= 5
+         |), znex AS (SELECT count(*) AS n_exact FROM zexact),
+         |zhits AS (
+         |  SELECT count(*) AS n_hits FROM zapprox JOIN zexact USING (query_id, neighbor_id)
+         |)
+         |SELECT 'pq256_adc' AS method, n_exact, n_hits,
+         |       floor(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) * 1e6 + 0.5) / 1e6 AS recall
+         |FROM zhits CROSS JOIN znex""".stripMargin,
     "sim_topk_pq256" ->
       s"""WITH $dkPq256Ctes,
          |zscored AS (
@@ -4301,6 +4350,7 @@ object DataOps {
     "pq_recall"         -> (pqRecall _),
     "sim_topk_ivfadc"   -> (simTopKIvfadc _),
     "sim_topk_pq256"    -> (simTopKPq256 _),
+    "pq256_recall"      -> (pq256Recall _),
     "ivfadc_recall"     -> (ivfadcRecall _),
     "sim_topk"          -> (simTopK _),
     "embed_outliers"    -> (embedOutliers _),

@@ -83,6 +83,7 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "sim_topk_pq" -> "fixed 10-query frame (ADC scan over map-side recon)",
     "sim_topk_pq256" -> "fixed 10-query frame (ADC scan, production PQ8x256 codec)",
     "pq_recall" -> "fixed query set + exact-baseline + 1-row count frames",
+    "pq256_recall" -> "fixed query set + exact-baseline + 1-row count frames",
     "ivfadc_recall" -> "fixed query set + exact-baseline + 1-row count frames",
     "ann_recall" -> "fixed query set + exact-baseline frames",
     "rp_distortion" -> "fixed 600-pair sample frame",

@@ -34,10 +34,11 @@ class TrainMemoSpec extends SparkSpec {
     assert(runs <= 1, s"expected at most one PQ training run, saw $runs")
   }
 
-  test("production-geometry PQ (8x256) trains once per corpus across repeats") {
+  test("production-geometry PQ (8x256) trains once per corpus across both entries and repeats") {
     import graft.analytics.DataOps
     val before = DataOps.pq256TrainRuns.get()
     DataOps.simTopKPq256(spark, dir).collect()
+    DataOps.pq256Recall(spark, dir).collect()
     DataOps.simTopKPq256(spark, dir).collect()
     val runs = DataOps.pq256TrainRuns.get() - before
     assert(runs <= 1, s"expected at most one PQ8x256 training run, saw $runs")
