@@ -1868,10 +1868,13 @@ object DataOps {
   private val StreamJoinSliceThreshold = 200000L
 
   /** ts-non-null events count memo backing the dispatch — one count
-    * job per corpus (the embCountMemo pattern). */
+    * job per corpus (the embCountMemo pattern; `evCountJobs` counts
+    * actual executions so DataOpsCountMemoSpec can pin the one-job
+    * claim). */
   private val evCountMemo = new scala.collection.concurrent.TrieMap[String, Long]()
-  private def evCount(ev: DataFrame, dir: String): Long =
-    evCountMemo.getOrElseUpdate(dir, ev.count())
+  private[analytics] val evCountJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[analytics] def evCount(ev: DataFrame, dir: String): Long =
+    evCountMemo.getOrElseUpdate(dir, { evCountJobs.incrementAndGet(); ev.count() })
 
   /** `sliceThreshold` defaults to the catalog dispatch; StreamsSpec
     * forces 0 to drive the SLICED branch end-to-end at a small SF

@@ -26,4 +26,16 @@ class DataOpsCountMemoSpec extends SparkSpec {
       "embedding corpus count re-ran despite the memo")
     assert(DataOps.embCount(emb, dir) == emb.count()) // memo holds the true count
   }
+
+  test("one events-count job per corpus across stream_join_views dispatch and repeats") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, dir).filter(col("ts").isNotNull)
+    DataOps.evCount(ev, dir) // prime (≤1 job)
+    val before = DataOps.evCountJobs.get()
+    DataOps.streamJoinViews(spark, dir).count()
+    DataOps.streamJoinViews(spark, dir).count() // repeat catalog call
+    assert(DataOps.evCountJobs.get() == before,
+      "events dispatch count re-ran despite the memo")
+    assert(DataOps.evCount(ev, dir) == ev.count()) // memo holds the true count
+  }
 }
