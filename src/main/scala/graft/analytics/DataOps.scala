@@ -421,7 +421,15 @@ object DataOps {
     * gate already proves both sets row-identical to DuckDB; this
     * entry puts the recall NUMBER itself under the gate, so a banding
     * regression (fewer bands, broken key) shows up as a value change,
-    * not just a slower diff. Empty corpus → vacuous recall 1.0. */
+    * not just a slower diff. Empty corpus → vacuous recall 1.0.
+    *
+    * 100 TB posture: the exact-all-pairs leg makes this a
+    * CERTIFICATION entry, not a production screen (the
+    * dedup_threshold_sweep rule) — at scale the recall estimate runs
+    * over a document sample, while the production screen is the
+    * banded pair graph alone. Measured: the exact leg dominates the
+    * entry's 329 s at sf100 (SCALE.md round-10 breadth table) and is
+    * the cost a sample would cap. */
   def lshPairRecall(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val exact = TextDedup.jaccardPairsIndex(docs, n = 3, threshold = 0.5)
