@@ -1249,6 +1249,33 @@ object DataOps {
         Cols.r(col("n_hits").cast("double") / col("n_exact").cast("double"), 6).as("recall"))
   }
 
+  /** Recall@5 of the PRODUCTION IVFADC composition — trained coarse
+    * cells probed at nProbe=3 with the PQ8x256 codec scoring only the
+    * probed cells' codes (the full Jégou §V deployment recipe at the
+    * deployment codebook shape). Completes the gated recall matrix:
+    * codec alone at both geometries (`pq_recall` 0.20, `pq256_recall`
+    * 0.62), composition at the fixture geometry (`ivfadc_recall`),
+    * and HERE the composition at the production geometry — so a
+    * regression in either the probe or the production codebooks
+    * flips a gated value. Shares the coarse centroids and pq256
+    * codebooks with their standalone entries (zero new trainings). */
+  def ivfadc256Recall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = graft.operators.Pq.ivfAdcTopK(emb, q,
+        trainedCentroids(emb, dir, k = 8, nIter = 2), trainedPq256(emb, dir),
+        k = 5, nProbe = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    approx.join(exact, Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .crossJoin(broadcast(nExact))
+      .select(lit("ivfadc256").as("method"), col("n_exact"), col("n_hits"),
+        Cols.r(col("n_hits").cast("double") / col("n_exact").cast("double"), 6).as("recall"))
+  }
+
   /** Recall@5 of the composed IVFADC search against exact brute
     * force — the missing gate `pq_recall` does not cover: probing 2
     * of 8 cells can silently miss true neighbors, and nothing red-
@@ -2867,6 +2894,52 @@ object DataOps {
          |SELECT query_id, rank, neighbor_id, cos FROM zranked
          |WHERE rank <= 5
          |ORDER BY query_id ASC, rank ASC""".stripMargin,
+    "ivfadc256_recall" ->
+      s"""WITH c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, embedding AS c
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 8)
+         |), ${dkKmeansIter(1)}, ${dkKmeansIter(2)},
+         |$dkPq256Ctes,
+         |yc_assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${dkCosRaw("e.embedding", "c.c")} DESC, c.cell ASC) AS rn
+         |    FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1
+         |), yq_assign AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${dkCosRaw("e.embedding", "c.c")} DESC, c.cell ASC) AS rn
+         |    FROM embeddings e CROSS JOIN c2 c
+         |    WHERE e.vec_id < 10) WHERE rn <= 3
+         |), yscored AS (
+         |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         |         ${dkCos("q.embedding", "r.recon")} AS cos
+         |  FROM yq_assign q
+         |  JOIN yc_assign a ON q.cell = a.cell AND a.vec_id <> q.vec_id
+         |  JOIN pz_rec r ON r.vec_id = a.vec_id
+         |), yapprox AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |    FROM yscored)
+         |  WHERE rank <= 5
+         |), yexact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${dkCos("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
+         |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 10)
+         |  WHERE rank <= 5
+         |), ynex AS (SELECT count(*) AS n_exact FROM yexact),
+         |yhits AS (
+         |  SELECT count(*) AS n_hits FROM yapprox JOIN yexact USING (query_id, neighbor_id)
+         |)
+         |SELECT 'ivfadc256' AS method, n_exact, n_hits,
+         |       floor(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) * 1e6 + 0.5) / 1e6 AS recall
+         |FROM yhits CROSS JOIN ynex""".stripMargin,
     "ivfadc_recall" ->
       s"""WITH c0 AS (
          |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, embedding AS c
@@ -4363,6 +4436,7 @@ object DataOps {
     "sim_topk_pq256"    -> (simTopKPq256 _),
     "pq256_recall"      -> (pq256Recall _),
     "ivfadc_recall"     -> (ivfadcRecall _),
+    "ivfadc256_recall"  -> (ivfadc256Recall _),
     "sim_topk"          -> (simTopK _),
     "embed_outliers"    -> (embedOutliers _),
     "sim_topk_lsh"      -> (simTopKLsh _),

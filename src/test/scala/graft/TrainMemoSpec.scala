@@ -39,6 +39,7 @@ class TrainMemoSpec extends SparkSpec {
     val before = DataOps.pq256TrainRuns.get()
     DataOps.simTopKPq256(spark, dir).collect()
     DataOps.pq256Recall(spark, dir).collect()
+    DataOps.ivfadc256Recall(spark, dir).collect()
     DataOps.simTopKPq256(spark, dir).collect()
     val runs = DataOps.pq256TrainRuns.get() - before
     assert(runs <= 1, s"expected at most one PQ8x256 training run, saw $runs")
