@@ -23,7 +23,8 @@ object SparkEntry {
       analytics.CartographyOps.entries ++
       analytics.TokenizerOps.entries ++
       analytics.SpectrumOps.entries ++
-      analytics.StatsOps.entries
+      analytics.StatsOps.entries ++
+      pipeline.StockCatalog.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
       analytics.CartographyOps.oracles ++
       analytics.TokenizerOps.oracles ++
       analytics.SpectrumOps.oracles ++
-      analytics.StatsOps.oracles
+      analytics.StatsOps.oracles ++
+      pipeline.StockCatalog.oracles
 }

@@ -87,7 +87,10 @@ object DataOps {
     * (modest-df corpora like the harness: max df ~25) or the
     * loss-less prefix-filtered form (hot-shingle corpora where df²
     * explodes). Both exact, identical pair sets; the prefix branch is
-    * separately oracle-gated as `dedup_jaccard_prefix`. */
+    * separately oracle-gated as `dedup_jaccard_prefix`. A third,
+    * disk-bounded tier (banded-LSH prescreen + exact verify) engages
+    * when even the prefix branch's MEASURED candidate volume exceeds
+    * the shuffle budget — see [[TextDedup.jaccardPairsAdaptive]]. */
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // dispatch statistic memoized per corpus (the embCount pattern):
@@ -113,7 +116,8 @@ object DataOps {
     * direction-aware complement of dedup_jaccard, behind the SAME
     * measured Σ df² dispatch (shared per-corpus memo): thin
     * co-occurrence on modest-df corpora, the loss-less rarest-prefix
-    * filter ([[TextDedup.containmentPairsPrefix]]) when df² explodes;
+    * filter ([[TextDedup.containmentPairsPrefix]]) when df² explodes,
+    * and the disk-bounded LSH-prescreen tier above the prefix budget;
     * C = |∩| / min(|A|,|B|). */
   def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -425,13 +429,22 @@ object DataOps {
     *
     * 100 TB posture: the exact-all-pairs leg makes this a
     * CERTIFICATION entry, not a production screen (the
-    * dedup_threshold_sweep rule) — at scale the recall estimate runs
-    * over a document sample, while the production screen is the
-    * banded pair graph alone. Measured: the exact leg dominates the
-    * entry's 329 s at sf100 (SCALE.md round-10 breadth table) and is
-    * the cost a sample would cap. */
-  def lshPairRecall(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    * dedup_threshold_sweep rule) — so above [[RecallSampleThreshold]]
+    * docs, BOTH legs run over the deterministic 1-in-
+    * [[RecallSampleMod]] doc sample `doc_id % mod = 1` (harness ids
+    * are non-negative, so `%` = pmod — the one modulo rule the engine,
+    * the verbatim SQL, and DuckDB share) and the recall number is the
+    * sampled subgraph's recall — an unbiased estimate of the banding
+    * curve, at 1/mod² of the exact leg's pair cost (sf100: the full
+    * exact leg alone was 329 s, SCALE.md r10). The oracle replays the
+    * dispatch as the same scalar-subquery gate (the stream_join_views
+    * cohort pattern), so both branches sit under the hash gate; below
+    * the threshold the estimate stays exact-full-corpus. */
+  def lshPairRecall(spark: SparkSession, dir: String,
+      sampleThreshold: Long = RecallSampleThreshold): DataFrame = {
+    val all = Tables.documents(spark, dir)
+    val docs = if (docCount(all, dir) <= sampleThreshold) all
+      else all.filter(col("doc_id") % RecallSampleMod === 1)
     val exact = TextDedup.jaccardPairsIndex(docs, n = 3, threshold = 0.5)
       .agg(count(lit(1)).as("n_exact"))
     val lsh = TextDedup.pairGraph(docs, n = 3, numHashes = 16, bands = 8, threshold = 0.5)
@@ -442,6 +455,20 @@ object DataOps {
           floor(col("n_lsh").cast("double") / col("n_exact") * lit(1e6) + lit(0.5)))
           .otherwise(lit(1000000.0)).cast("long").as("recall_micro"))
   }
+
+  /** Recall-certification sampling dispatch: above this many docs the
+    * exact leg runs on a 1-in-[[RecallSampleMod]] sample. Sized above
+    * every oracle SF (sf0.1 = 5k docs, sf1 = 50k) and below the sf10+
+    * decade corpora, where the exact leg is the catalog's top cost. */
+  private[analytics] val RecallSampleThreshold = 100000L
+  private[analytics] val RecallSampleMod = 20
+
+  /** documents count memo backing the dispatch — the evCountMemo
+    * pattern and the same IMMUTABLE-FIXTURE-DIR contract (keys on dir
+    * alone; must only be fed the full documents frame for that dir). */
+  private val docCountMemo = new scala.collection.concurrent.TrieMap[String, Long]()
+  private[analytics] def docCount(docs: DataFrame, dir: String): Long =
+    docCountMemo.getOrElseUpdate(dir, docs.count())
 
   /** Threshold-calibration sweep for Jaccard dedup: the 0.05-bin
     * histogram of the pair-similarity distribution down to J ≥ 0.1 —
@@ -1905,7 +1932,12 @@ object DataOps {
   /** ts-non-null events count memo backing the dispatch — one count
     * job per corpus (the embCountMemo pattern; `evCountJobs` counts
     * actual executions so DataOpsCountMemoSpec can pin the one-job
-    * claim). */
+    * claim). VALID ONLY FOR IMMUTABLE FIXTURE DIRS (embCountMemo's
+    * contract): the memo keys on `dir` alone and deliberately ignores
+    * the DataFrame argument, so it must only ever be fed the canonical
+    * ts-non-null events frame for that dir — a mutated dir or a
+    * differently-filtered frame would take a stale/incorrect branch
+    * and silently diverge from the oracle's per-run recount. */
   private val evCountMemo = new scala.collection.concurrent.TrieMap[String, Long]()
   private[analytics] val evCountJobs = new java.util.concurrent.atomic.AtomicInteger(0)
   private[analytics] def evCount(ev: DataFrame, dir: String): Long =
@@ -1928,8 +1960,12 @@ object DataOps {
     // the volume share 5× wherever the full feed is not needed for
     // match coverage.
     val evAll = Tables.events(spark, dir).filter(col("ts").isNotNull)
+    // `%`, not pmod: the oracle and the verbatim-SQL path both use
+    // `user_id % 5 = 1`, and pmod disagrees with % for negative
+    // dividends — this keeps all three implementations on ONE modulo
+    // rule even if a future fixture ships negative user ids
     val ev = if (evCount(evAll, dir) >= sliceThreshold)
-      evAll.filter(pmod(col("user_id"), lit(5)) === 1) else evAll
+      evAll.filter(col("user_id") % 5 === 1) else evAll
     val views = ev.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts"))
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -2219,10 +2255,11 @@ object DataOps {
        |  WHERE ${dkCos("a.embedding", "b.embedding")} >= 0.4
        |)""".stripMargin
 
-  private val dkSizes =
-    s"""tok AS (SELECT doc_id, $dkTokenHashes AS th FROM documents),
+  private def dkSizesFrom(src: String) =
+    s"""tok AS (SELECT doc_id, $dkTokenHashes AS th FROM $src),
        |sh AS (SELECT doc_id, unnest($dkShingles) AS sh FROM tok),
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)""".stripMargin
+  private val dkSizes = dkSizesFrom("documents")
 
   /** Softsign-GD training replay (the kmeans_cells whole-loop
     * pattern), shared by the classifier oracles: every double
@@ -2285,9 +2322,11 @@ object DataOps {
 
   /** MinHash-LSH pair graph as a reusable CTE chain: `pairs`
     * (doc_a < doc_b) and symmetric `edges` (a, b) — identical to the
-    * pair set Components/PageRank consume in the engine. */
-  private[analytics] lazy val dkPairGraphCtes =
-    s"""$dkSizes,
+    * pair set Components/PageRank consume in the engine. The `src`
+    * variant lets lsh_pair_recall replay the SAME chain over its
+    * dispatch-sampled doc slice. */
+  private[analytics] def dkPairGraphCtesFrom(src: String) =
+    s"""${dkSizesFrom(src)},
        |sigs AS (
        |  SELECT doc_id,
        |         list_transform(generate_series(0, 15),
@@ -2310,6 +2349,7 @@ object DataOps {
        |  SELECT doc_a AS a, doc_b AS b FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs
        |)""".stripMargin
+  private[analytics] lazy val dkPairGraphCtes = dkPairGraphCtesFrom("documents")
 
   /** One unrolled sync-LPA round over `edgesm(a, b)`: neighbor-label
     * counts, then the per-node argmax by (count DESC, label ASC) —
@@ -3420,7 +3460,16 @@ object DataOps {
          |            / n_docs * 1e6 + 0.5) AS BIGINT) AS keep_share_micro
          |FROM exs, nrs""".stripMargin,
     "lsh_pair_recall" ->
-      s"""WITH $dkPairGraphCtes,
+      // docsrc replays the engine's sampling dispatch: full corpus at
+      // oracle SFs, the deterministic doc_id % mod = 1 slice above the
+      // threshold (scalar-subquery gate — the stream_join_views
+      // cohort pattern)
+      s"""WITH docsrc AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE (SELECT count(*) FROM documents) <= $RecallSampleThreshold
+         |     OR doc_id % $RecallSampleMod = 1
+         |),
+         |${dkPairGraphCtesFrom("docsrc")},
          |exl AS (SELECT count(*) AS n_exact FROM jac WHERE jraw >= 0.5),
          |lsl AS (SELECT count(*) AS n_lsh FROM pairs)
          |SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_lsh AS BIGINT) AS n_lsh,
@@ -4410,7 +4459,7 @@ object DataOps {
     "dedup_groups"      -> (dedupGroups _),
     "communities_lpa"   -> (communitiesLpa _),
     "dedup_threshold_sweep" -> (dedupThresholdSweep _),
-    "lsh_pair_recall"   -> (lshPairRecall _),
+    "lsh_pair_recall"   -> ((s: SparkSession, d: String) => lshPairRecall(s, d)),
     "dup_inflation"     -> (dupInflation _),
     "split_leakage_pairs" -> (splitLeakagePairs _),
     "dup_source_matrix" -> (dupSourceMatrix _),

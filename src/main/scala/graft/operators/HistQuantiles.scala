@@ -272,7 +272,8 @@ object HistQuantiles {
     * oracle is a plain aggregate call, no replay needed (exactness is
     * the whole point). NULLs excluded; empty input → NULL value. */
   def exactCut(df: DataFrame, c: Column, p: Double, nBuckets: Int = 4096,
-      as: String = "q", maxRounds: Int = 16): DataFrame = {
+      as: String = "q", maxRounds: Int = 16,
+      maxFallbackDistinct: Int = 1 << 20): DataFrame = {
     require(nBuckets >= 2 && nBuckets <= (1 << 20), "nBuckets must be in [2, 2^20]")
     require(p > 0.0 && p < 1.0, "probability must lie strictly inside (0, 1)")
     val spark = df.sparkSession
@@ -312,10 +313,18 @@ object HistQuantiles {
     if (lo < hi) {
       // rounds exhausted (adversarially concentrated data): exact pick
       // over the remaining range's DISTINCT values — bounded by what
-      // ~B^maxRounds refinement left, partial-aggregable either way
+      // ~B^maxRounds refinement left, partial-aggregable either way.
+      // The collect is CAPPED (orderBy+limit plans as TakeOrdered —
+      // bounded driver memory even mid-probe) and fails LOUD if a
+      // pathological distribution still holds more distinct values
+      // than the cap, instead of silently ballooning the driver.
       val grp = vals.filter(col("x") >= lo && col("x") <= hi)
         .groupBy(col("x")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("x").asc).collect()
+        .orderBy(col("x").asc).limit(maxFallbackDistinct + 1).collect()
+      require(grp.length <= maxFallbackDistinct,
+        s"exactCut fallback: residual range [$lo, $hi] still holds more than " +
+          s"$maxFallbackDistinct distinct values after $maxRounds refinement rounds — " +
+          "raise nBuckets/maxRounds (or maxFallbackDistinct) for this distribution")
       var cum = 0L; var i = 0; var v = hi
       var found = false
       while (!found && i < grp.length) {

@@ -62,20 +62,41 @@ object SpanDedup {
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("g"))
   }
 
+  /** Duplicated-gram-key broadcast budget: 2²² keys (8-byte longs →
+    * ~32 MiB build side) — the bounded-parameter-fetch policy class
+    * (Bloom bitset ≤ 2²⁷ bits, Components.DriverEdgeLimit 2²¹ edges).
+    * Duplicated gram KEYS are bounded by true cross-doc duplication,
+    * not corpus size, so real corpora land under this at any SF. */
+  val DupKeysBroadcastMax: Long = 1L << 22
+
   /** Start positions of duplicated windows: (doc_id, pos) for every
     * length-`n` window whose gram occurs in ≥ `minDocs` distinct
     * docs. The shared first half of [[duplicatedSpans]] and
-    * [[excised]]. */
-  private def duplicatedPositions(docs: DataFrame, n: Int, minDocs: Int): DataFrame = {
+    * [[excised]].
+    *
+    * Scale shape (the r10→r11 I/O fix): the groupBy(g) already
+    * shuffles the full gram stream once (unavoidable — df needs it);
+    * the SEMI JOIN back used to shuffle it a second time. The
+    * duplicated KEY set is persisted and counted (one bounded probe),
+    * and when it fits [[DupKeysBroadcastMax]] it is broadcast so the
+    * gram stream's second pass stays map-side — at sf100 that halves
+    * the operator's dominant shuffle volume. Over-budget corpora fall
+    * back to the shuffle semi join unchanged. */
+  private def duplicatedPositions(docs: DataFrame, n: Int, minDocs: Int,
+      fast: Boolean = false): DataFrame = {
     require(minDocs >= 2, "span dedup needs minDocs >= 2 (1 would flag every window)")
-    val grams = gramPositions(docs, n)
+    val grams = gramPositions(docs, n, fast)
     // duplicated gram keys — thin (g) frame; countDistinct partial-
-    // aggregates per partition before the one shuffle on g
-    val dup = grams.groupBy(col("g"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") >= minDocs)
-      .select(col("g"))
-    grams.join(dup, Seq("g"), "left_semi").select(col("doc_id"), col("pos"))
+    // aggregates per partition before the one shuffle on g; persisted
+    // so the count probe and the join read ONE computation
+    val dup = Persisted.index(
+      grams.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= minDocs)
+        .select(col("g")))
+    val fits = dup.limit((DupKeysBroadcastMax + 1).toInt).count() <= DupKeysBroadcastMax
+    val keys = if (fits) broadcast(dup) else dup
+    grams.join(keys, Seq("g"), "left_semi").select(col("doc_id"), col("pos"))
   }
 
   /** Maximal duplicated spans: (doc_id, span_start, span_end,
@@ -83,8 +104,9 @@ object SpanDedup {
     * windows occurring in ≥ `minDocs` distinct documents.
     * `span_end` is exclusive; `span_len = span_end - span_start` is
     * the token count a substring-level cleaner would excise. */
-  def duplicatedSpans(docs: DataFrame, n: Int = 8, minDocs: Int = 2): DataFrame = {
-    val dupPos = duplicatedPositions(docs, n, minDocs)
+  def duplicatedSpans(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
+      fast: Boolean = false): DataFrame = {
+    val dupPos = duplicatedPositions(docs, n, minDocs, fast)
     // interval merge of [pos, pos+n): new span iff pos starts past the
     // running max end of every earlier duplicated window in the doc
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
@@ -115,8 +137,9 @@ object SpanDedup {
     * lambda over per-doc span lists (that form re-evaluates the
     * tokenization per element once CollapseProject inlines it —
     * O(tokens²) per doc). */
-  def excised(docs: DataFrame, n: Int = 8, minDocs: Int = 2): DataFrame = {
-    val covered = duplicatedPositions(docs, n, minDocs)
+  def excised(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
+      fast: Boolean = false): DataFrame = {
+    val covered = duplicatedPositions(docs, n, minDocs, fast)
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
       .distinct()
     val toks = TextDedup.tokenized(docs)
@@ -139,8 +162,9 @@ object SpanDedup {
     * is inside a duplicated span — (doc_id, n_spans, dup_tokens,
     * n_tokens, kept_tokens). Docs with no duplicated span don't
     * appear (their profile is trivially all-kept). */
-  def spanProfile(docs: DataFrame, n: Int = 8, minDocs: Int = 2): DataFrame = {
-    val perDoc = duplicatedSpans(docs, n, minDocs)
+  def spanProfile(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
+      fast: Boolean = false): DataFrame = {
+    val perDoc = duplicatedSpans(docs, n, minDocs, fast)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"), sum(col("span_len")).as("dup_tokens"))
     val sizes = TextDedup.tokenized(docs)

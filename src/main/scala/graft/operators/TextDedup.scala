@@ -193,17 +193,40 @@ object TextDedup {
     * the frequent shingles land at the end of the order and never
     * generate candidates. All shuffles are linear (df count, rank
     * join-back, prefix self-join). */
-  def prefixCandidates(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+  /** The exploded (doc_id, rarest-prefix shingle) frame behind the
+    * prefix-filtered branches, persisted like the other signature
+    * frames so the dispatch statistic ([[prefixFanout]]) and the
+    * candidate self-join share ONE build (CacheManager dedupes the
+    * repeat call by canonicalized plan). */
+  def prefixIndex(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       fast: Boolean = false): DataFrame = {
     val idx = shingleIndex(docs, n, fast)
     val dfCounts = idx.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val prefixes = idx.join(dfCounts, "sh")
+    index(idx.join(dfCounts, "sh")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ordered"))
       .select(col("doc_id"), expr(
         s"transform(slice(ordered, 1, size(ordered) - cast(ceil($threshold * size(ordered)) as int) + 1), x -> x.sh)")
         .as("prefix"))
-      .select(col("doc_id"), explode(col("prefix")).as("sh"))
+      .select(col("doc_id"), explode(col("prefix")).as("sh")))
+  }
+
+  /** Candidate-row count of the prefix-filtered self-join, MEASURED
+    * before running it: Σ df² over the PREFIX index — exactly the rows
+    * [[prefixCandidates]] will shuffle (the [[indexFanout]] statistic,
+    * one tier down). One aggregate over the already-persisted prefix
+    * frame; 0 for an empty corpus. */
+  def prefixFanout(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      fast: Boolean = false): Long = {
+    val row = prefixIndex(docs, n, threshold, fast)
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * col("df")).as("fanout")).head()
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
+
+  def prefixCandidates(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      fast: Boolean = false): DataFrame = {
+    val prefixes = prefixIndex(docs, n, threshold, fast)
     prefixes.as("a")
       .join(prefixes.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -251,12 +274,34 @@ object TextDedup {
     if (row.isNullAt(0)) 0L else row.getLong(0)
   }
 
+  /** Tier-3 dispatch (the branch that survives a scratch-disk budget):
+    * above `prefixBudget`, EVEN the loss-less prefix filter would
+    * shuffle more candidate rows than the disk budget allows, so the
+    * screen degrades gracefully to the banded-LSH prescreen + exact
+    * verification — per-doc state is `numHashes` longs REGARDLESS of
+    * document length and candidates come from band equi-joins, so the
+    * shuffle is bounded by true near-dup density, not by corpus
+    * entropy. The trade is explicit and bounded: precision stays 1.0
+    * (candidates are exact-verified), recall drops from 1.0 to the LSH
+    * banding curve 1 − (1 − J^(numHashes/bands))^bands (≈ 0.96 at
+    * J = τ = 0.5 with 16/8, → 1 rapidly above τ) — the production
+    * posture every 100 TB dedup pipeline ships (the pure-LSH path is
+    * separately gated as dedup_minhash_lsh / lsh_pair_recall). Both
+    * exact tiers are unchanged and still dispatch first whenever their
+    * MEASURED candidate volume fits the budget. */
   def jaccardPairsAdaptive(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       fast: Boolean = false, fanoutBudget: Long = IndexFanoutBudget,
-      fanoutOpt: Option[Long] = None): DataFrame = {
+      fanoutOpt: Option[Long] = None,
+      prefixBudget: Long = IndexFanoutBudget,
+      prefixFanoutOpt: Option[Long] = None,
+      numHashes: Int = 16, bands: Int = 8): DataFrame = {
     val fanout = fanoutOpt.getOrElse(indexFanout(docs, n, fast))
     if (fanout <= fanoutBudget) jaccardPairsIndex(docs, n, threshold, fast)
-    else jaccardPairs(docs, n, threshold, fast)
+    else {
+      val pf = prefixFanoutOpt.getOrElse(prefixFanout(docs, n, threshold, fast))
+      if (pf <= prefixBudget) jaccardPairs(docs, n, threshold, fast)
+      else minhashLshPairs(docs, n, numHashes, bands, threshold, fast)
+    }
   }
 
   /** Same result via inverted-index co-occurrence counting: self-join
@@ -358,14 +403,7 @@ object TextDedup {
       "containment threshold must lie in (0, 1]")
     val idx = shingleIndex(docs, n, fast)
     val sizes = shingleArrays(docs, n, fast).select(col("doc_id"), col("n_sh"))
-    val dfCounts = idx.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val pref = idx.join(dfCounts, "sh")
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ordered"))
-      .select(col("doc_id"), explode(expr(
-        s"transform(slice(ordered, 1, size(ordered) - cast(ceil($threshold * size(ordered)) as int) + 1), x -> x.sh)"))
-        .as("sh"))
-      .join(sizes, "doc_id")
+    val pref = prefixIndex(docs, n, threshold, fast).join(sizes, "doc_id")
     val full = idx.join(sizes, "doc_id")
     val cands = pref.as("a")
       .join(full.as("b"),
@@ -404,15 +442,29 @@ object TextDedup {
   }
 
   /** Strategy dispatch for the containment screen — same measured
-    * Σ df² statistic and budget as [[jaccardPairsAdaptive]] (the two
+    * Σ df² statistic and budgets as [[jaccardPairsAdaptive]] (the two
     * share the failure mode AND the statistic, so a caller's memoized
-    * fanout serves both). */
+    * fanout serves both). Tier 3 (above `prefixBudget`) prescreens
+    * with the banded-LSH candidates and exact-verifies containment on
+    * candidates only — disk-bounded like the Jaccard tier, with one
+    * EXTRA documented recall bias: MinHash banding collides on
+    * JACCARD, so a subset pair whose Jaccard is far below its
+    * containment (a tiny quote inside a huge doc) is likelier missed
+    * than a near-equal pair. Precision stays 1.0 (exact verify). */
   def containmentPairsAdaptive(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
       fast: Boolean = false, fanoutBudget: Long = IndexFanoutBudget,
-      fanoutOpt: Option[Long] = None): DataFrame = {
+      fanoutOpt: Option[Long] = None,
+      prefixBudget: Long = IndexFanoutBudget,
+      prefixFanoutOpt: Option[Long] = None,
+      numHashes: Int = 16, bands: Int = 8): DataFrame = {
     val fanout = fanoutOpt.getOrElse(indexFanout(docs, n, fast))
     if (fanout <= fanoutBudget) containmentPairs(docs, n, threshold, fast)
-    else containmentPairsPrefix(docs, n, threshold, fast)
+    else {
+      val pf = prefixFanoutOpt.getOrElse(prefixFanout(docs, n, threshold, fast))
+      if (pf <= prefixBudget) containmentPairsPrefix(docs, n, threshold, fast)
+      else containmentVerify(lshCandidates(docs, n, numHashes, bands, fast),
+        docs, n, threshold, fast)
+    }
   }
 
   /** MinHash signatures: sig[i] = min over shingle hashes of the i-th

@@ -292,7 +292,14 @@ object StockPipeline {
   /** The reference's 11 dbt tests + QA checks as one suite; returns
     * failing checks only (empty map = healthy warehouse). */
   def qualitySuite(stg: DataFrame, dim: DataFrame, fct: DataFrame): Map[String, Long] =
-    DataQuality.runAll(Map(
+    DataQuality.runAll(qualityChecks(stg, dim, fct))
+
+  /** The named check set behind [[qualitySuite]], exposed so callers
+    * (the oracle catalog) can report ALL check counts, not only
+    * failures, against the exact same check definitions. */
+  def qualityChecks(stg: DataFrame, dim: DataFrame,
+      fct: DataFrame): Map[String, () => Long] =
+    Map(
       "stg_observation_sk_not_null" -> (() => DataQuality.notNull(stg, "observation_sk")),
       "stg_observation_sk_unique"   -> (() => DataQuality.unique(stg, "observation_sk")),
       "stg_entity_sk_not_null"      -> (() => DataQuality.notNull(stg, "entity_sk")),
@@ -305,5 +312,5 @@ object StockPipeline {
       "fct_observation_sk_not_null" -> (() => DataQuality.notNull(fct, "observation_sk")),
       "fct_observation_sk_unique"   -> (() => DataQuality.unique(fct, "observation_sk")),
       "fct_entity_sk_relationship"  -> (() => DataQuality.relationships(fct, "entity_sk", dim, "entity_sk")),
-      "fct_observation_date_not_null" -> (() => DataQuality.notNull(fct, "observation_date"))))
+      "fct_observation_date_not_null" -> (() => DataQuality.notNull(fct, "observation_date")))
 }

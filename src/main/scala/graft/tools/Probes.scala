@@ -80,3 +80,44 @@ object IvfCandidateProbe {
     spark.stop()
   }
 }
+
+/** Decomposes `communities_lpa`'s COLD cost at a given sf dir (the r10
+  * SCALE.md open item: sf100 cold 447 s vs warm 5.3 s). Stages run in
+  * dependency order, each timed AFTER its inputs are persisted by the
+  * previous stage, so the deltas price: the one-time corpus
+  * tokenize→hash→shingle index build, the minhash/band/candidate pass,
+  * the exact-Jaccard pair verification, the LPA rounds, and the final
+  * community rollup. The index build is shared session state every
+  * dedup/graph entry amortizes — in the bench's cold pass
+  * communities_lpa merely pays it FIRST (alphabetical order).
+  *
+  * `sbt "runMain graft.tools.LpaColdProbe <sfDir>"`
+  */
+object LpaColdProbe {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = Sessions.build("graft-probe-lpa")
+    val docs = Tables.documents(spark, dir)
+    def timed(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      System.err.println(f"STAGE $label rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+    }
+    timed("shingle_index")(
+      graft.operators.TextDedup.shingleArrays(docs, n = 3).count())
+    timed("lsh_candidates")(
+      graft.operators.TextDedup.lshCandidates(docs, n = 3, numHashes = 16, bands = 8).count())
+    timed("pair_graph_verified")(
+      graft.operators.TextDedup.pairGraph(docs, n = 3, numHashes = 16, bands = 8,
+        threshold = 0.5).count())
+    timed("lpa_4_rounds")(
+      graft.operators.Components.labelPropagation(
+        graft.operators.TextDedup.pairGraph(docs, n = 3, numHashes = 16, bands = 8,
+          threshold = 0.5).select(col("doc_a"), col("doc_b")),
+        rounds = 4, src = "doc_a", dst = "doc_b").count())
+    timed("communities_rollup")(
+      graft.analytics.DataOps.communitiesLpa(spark, dir).count())
+    spark.stop()
+  }
+}

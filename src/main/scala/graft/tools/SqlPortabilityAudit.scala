@@ -26,8 +26,12 @@ object SqlPortabilityAudit {
       .foreach { case (name, sql) =>
       val status =
         try {
-          val viaSql = spark.sql(sql).toJSON.collect().toSeq
-          val viaApi = SparkEntry.queries(name)(spark, dir).toJSON.collect().toSeq
+          // .sorted (the SqlFrontEndSpec/StreamsSpec convention): an
+          // oracle without a total ORDER BY must not print a spurious
+          // MISMATCH from row order alone — MISMATCH means VALUE
+          // divergence, the silent-semantics-change class
+          val viaSql = spark.sql(sql).toJSON.collect().toSeq.sorted
+          val viaApi = SparkEntry.queries(name)(spark, dir).toJSON.collect().toSeq.sorted
           if (viaSql == viaApi) "PORTABLE" else "MISMATCH"
         } catch {
           case e: Throwable =>

@@ -25,6 +25,18 @@ class CoverageDocSpec extends AnyFunSuite {
       s"doc says ${m.group(2)} oracle-gated but oracleSql has ${SparkEntry.oracleSql.size}")
   }
 
+  test("README.md catalog counts == SparkEntry.queries.size (ADVICE r10: README drifted)") {
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), java.nio.charset.StandardCharsets.UTF_8)
+    // the three catalog-count phrasings (the "116 oracle queries run
+    // VERBATIM" line is the ansiPortable set, pinned elsewhere)
+    val counts = """(\d+)(?: queries \+ DuckDB|-oracle catalog|-query bench)""".r
+      .findAllMatchIn(readme).map(_.group(1).toInt).toSeq
+    assert(counts.size == 3, s"README.md lost catalog-count references (found $counts)")
+    counts.foreach(c => assert(c == SparkEntry.queries.size,
+      s"README says $c but the catalog has ${SparkEntry.queries.size} entries"))
+  }
+
   test("oracle keys and query keys are identical — every entry is oracle-gated") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet

@@ -29,6 +29,25 @@ class DataOpsDispatchSpec extends SparkSpec {
     assert(pairSet(got).nonEmpty)
   }
 
+  test("lsh_pair_recall sampling dispatch: forced threshold slices to doc_id % 20 = 1") {
+    import graft.operators.TextDedup
+    import org.apache.spark.sql.functions.col
+    val sampled = DataOps.lshPairRecall(spark, dir, sampleThreshold = 0L).head()
+    val docsS = Tables.documents(spark, dir)
+      .filter(col("doc_id") % DataOps.RecallSampleMod === 1)
+    val nExact = TextDedup.jaccardPairsIndex(docsS, n = 3, threshold = 0.5).count()
+    val nLsh = TextDedup.minhashLshPairs(docsS, n = 3, numHashes = 16, bands = 8,
+      threshold = 0.5).count()
+    assert(sampled.getAs[Long]("n_exact") == nExact)
+    assert(sampled.getAs[Long]("n_lsh") == nLsh)
+    // default threshold at this SF stays full-corpus (the oracle branch)
+    val full = DataOps.lshPairRecall(spark, dir).head()
+    val nExactFull = TextDedup.jaccardPairsIndex(Tables.documents(spark, dir),
+      n = 3, threshold = 0.5).count()
+    assert(full.getAs[Long]("n_exact") == nExactFull)
+    assert(nExactFull > nExact, "the slice must actually shrink the exact leg")
+  }
+
   test("N > limit dispatches to the trained-IVF candidate path") {
     val emb = Tables.embeddings(spark, dir)
     val got = DataOps.embPairGraphAdaptive(emb, dir, bandedLimit = 10)

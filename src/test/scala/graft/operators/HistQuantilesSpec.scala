@@ -191,6 +191,21 @@ class HistQuantilesSpec extends SparkSpec {
     }
   }
 
+  test("exactCut fallback collect is capped: bounded TakeOrdered probe, loud failure past the cap") {
+    // maxRounds = 0 forces the residual-range fallback over ALL values —
+    // the adversarial all-one-bucket shape the cap exists for
+    val df = (1 to 200).map(_.toDouble).toDF("x")
+    val ok = HistQuantiles.exactCut(df, col("x"), 0.5,
+      maxRounds = 0, maxFallbackDistinct = 1000).head()
+    // quantile_disc rank floor(0.5*199)+1 = 100 → value 100.0
+    assert(ok.getDouble(0) == 100.0)
+    val e = intercept[IllegalArgumentException] {
+      HistQuantiles.exactCut(df, col("x"), 0.5,
+        maxRounds = 0, maxFallbackDistinct = 50)
+    }
+    assert(e.getMessage.contains("distinct values"))
+  }
+
   test("exactCut degenerate inputs: constant column, single row, empty, 1-ulp range") {
     val const = Seq.fill(50)(7.25).toDF("x")
     assert(HistQuantiles.exactCut(const, col("x"), 0.5).head().getDouble(0) == 7.25)

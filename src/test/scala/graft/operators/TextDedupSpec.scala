@@ -166,6 +166,51 @@ class TextDedupSpec extends SparkSpec {
     assert(viaPrefix == expected)
   }
 
+  test("tier-3 dispatch: above the prefix budget the screen degrades to the LSH prescreen") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "the quick brown fox jumps over the lazy dog again and AGAIN", // near-identical
+      3L -> "completely unrelated words describing some other topic entirely now",
+      4L -> "another unrelated document with different words and nothing shared here")
+    val exact = TextDedup.jaccardPairs(d, 3, 0.5).as[(Long, Long, Double)].collect().toSet
+    // zero budgets force: fanout → past tier 1, prefix → past tier 2
+    val tier3 = TextDedup.jaccardPairsAdaptive(d, n = 3, threshold = 0.5,
+        fanoutBudget = 0L, prefixBudget = 0L)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = TextDedup.minhashLshPairs(d, 3, 16, 8, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(tier3 == lsh, "tier 3 must be the banded-LSH prescreen path")
+    assert(tier3.subsetOf(exact), "precision stays 1.0 (exact verify)")
+    assert(tier3.exists(p => p._1 == 1L && p._2 == 2L), "blatant near-dup caught")
+    // tier 2 still runs (and stays loss-less) when only the index budget trips
+    val tier2 = TextDedup.jaccardPairsAdaptive(d, n = 3, threshold = 0.5, fanoutBudget = 0L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(tier2 == exact)
+  }
+
+  test("tier-3 containment dispatch: LSH prescreen + exact containment verify") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "the quick brown fox jumps over the lazy dog again and AGAIN",
+      3L -> "completely unrelated words describing some other topic entirely now")
+    val exact = TextDedup.containmentPairs(d, n = 3, threshold = 0.8)
+      .select($"doc_sub", $"doc_sup", $"containment").as[(Long, Long, Double)].collect().toSet
+    val tier3 = TextDedup.containmentPairsAdaptive(d, n = 3, threshold = 0.8,
+        fanoutBudget = 0L, prefixBudget = 0L)
+      .select($"doc_sub", $"doc_sup", $"containment").as[(Long, Long, Double)].collect().toSet
+    assert(tier3.subsetOf(exact), "precision stays 1.0")
+    assert(tier3.exists(p => Set(p._1, p._2) == Set(1L, 2L)), "high-J containment caught")
+  }
+
+  test("prefixFanout measures exactly the prefix self-join's candidate volume") {
+    val d = docs(1L -> "a b c d e f", 2L -> "a b c d e g", 3L -> "x y z w v u")
+    // Σ df² over the prefix index == rows the prefix equi-self-join shuffles
+    val pf = TextDedup.prefixFanout(d, n = 3, threshold = 0.5)
+    val idx = TextDedup.prefixIndex(d, n = 3, threshold = 0.5)
+    val expected = idx.as("a").join(idx.as("b"), $"a.sh" === $"b.sh").count()
+    assert(pf == expected && pf > 0)
+  }
+
   test("minhashLshPairs is a subset of exact pairs and catches near-identical docs") {
     val d = docs(
       1L -> "the quick brown fox jumps over the lazy dog again and again",
