@@ -201,4 +201,72 @@ object ScaleUp {
       "vec_id" -> (col("vec_id") + lit(c * vStr)),
       "embedding" -> embedMutation(c, col("embedding")))), "embeddings", 2)
   }
+
+  /** 64 → 64·factor-dim widening for PRODUCTION-DIMENSION rehearsal
+    * (r10 verdict missing #4: fixtures are 64-dim, production
+    * embeddings are 768–1536-dim — ADC table sizes and scan arithmetic
+    * differ materially). Output block j is an ORTHOGONAL transform of
+    * the base vector — circular shift by 17j mod 64 composed with the
+    * Walsh sign mask j — and every block is scaled by 1/√factor
+    * (exact in float for factor 4 / 16, so norms are preserved
+    * bit-exactly). Orthogonal blocks preserve inner products:
+    * ⟨W(u), W(v)⟩ = (1/f)·Σⱼ ⟨Tⱼu, Tⱼv⟩ = ⟨u, v⟩ — the widened corpus
+    * carries the IDENTICAL neighbor structure at production
+    * dimensionality, so recall probes measure the codec geometry, not
+    * a new random dataset. Per-block (lag, mask) pairs are pairwise
+    * distinct (lags 17j mod 64 distinct for j < 16 since gcd(17,64)=1;
+    * masks j distinct) — ScaleUpSpec pins norms, inner products, and
+    * the mirror. */
+  def widenEmbedding(factor: Int, e: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    require(factor == 4 || factor == 16, "factor must be 4 or 16 (exact 1/sqrt(f) float scale)")
+    val scale = (1.0 / math.sqrt(factor.toDouble)).toFloat // 0.5f / 0.25f, exact
+    val blocks = (0 until factor).map { j =>
+      val lag = (17 * j) % 64
+      val rotated = if (lag == 0) e
+        else concat(slice(e, lag + 1, 64 - lag), slice(e, 1, lag))
+      if (j == 0) rotated
+      else {
+        val flip = (0 until 64).map(i => java.lang.Integer.bitCount(i & j) % 2 == 1)
+        zip_with(rotated, array(flip.map(lit): _*),
+          (x, neg) => when(neg, -x).otherwise(x))
+      }
+    }
+    transform(concat(blocks: _*), x => x * lit(scale)).cast("array<float>")
+  }
+
+  /** Local mirror of [[widenEmbedding]] (the embedMutationLocal
+    * pattern) for spec-side exact checks. */
+  def widenEmbeddingLocal(factor: Int, e: Array[Float]): Array[Float] = {
+    val scale = (1.0 / math.sqrt(factor.toDouble)).toFloat
+    (0 until factor).flatMap { j =>
+      val lag = (17 * j) % 64
+      val rot = Array.tabulate(64)(i => e((i + lag) % 64))
+      val sgn = if (j == 0) rot
+        else Array.tabulate(64)(i =>
+          if (java.lang.Integer.bitCount(i & j) % 2 == 1) -rot(i) else rot(i))
+      sgn.map(_ * scale)
+    }.toArray
+  }
+}
+
+
+
+/** Writes a production-dimension embeddings rehearsal dir: `dst`
+  * gets the widened embeddings (64·factor dims, identical neighbor
+  * structure — [[ScaleUp.widenEmbedding]]) plus a verbatim lineitem
+  * copy (Bench's warmup touches it). Recall probes then run the
+  * dimension-generic PQ/IVFADC entries against `dst` directly:
+  * `sbt "runMain graft.WidenEmbeddings <src> <dst> <factor>"`. */
+object WidenEmbeddings {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dst = if (args.length > 1) args(1) else "bench-data/sf0.1-d256"
+    val factor = if (args.length > 2) args(2).toInt else 4
+    val spark = Sessions.build("graft-widen")
+    Tables.embeddings(spark, src)
+      .withColumn("embedding", ScaleUp.widenEmbedding(factor, col("embedding")))
+      .repartition(2).write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    Tables.lineitem(spark, src).write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+    spark.stop()
+  }
 }

@@ -89,8 +89,9 @@ object DataOps {
     * explodes). Both exact, identical pair sets; the prefix branch is
     * separately oracle-gated as `dedup_jaccard_prefix`. A third,
     * disk-bounded tier (banded-LSH prescreen + exact verify) engages
-    * when even the prefix branch's MEASURED candidate volume exceeds
-    * the shuffle budget — see [[TextDedup.jaccardPairsAdaptive]]. */
+    * when even the prefix branch's MEASURED input volume (shingle-
+    * index rows) exceeds the scratch budget — see
+    * [[TextDedup.jaccardPairsAdaptive]]. */
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // dispatch statistic memoized per corpus (the embCount pattern):

@@ -211,16 +211,33 @@ object TextDedup {
       .select(col("doc_id"), explode(col("prefix")).as("sh")))
   }
 
-  /** Candidate-row count of the prefix-filtered self-join, MEASURED
-    * before running it: Σ df² over the PREFIX index — exactly the rows
-    * [[prefixCandidates]] will shuffle (the [[indexFanout]] statistic,
-    * one tier down). One aggregate over the already-persisted prefix
-    * frame; 0 for an empty corpus. */
+  /** Candidate-row count of the prefix-filtered self-join: Σ df² over
+    * the PREFIX index — exactly the rows [[prefixCandidates]] will
+    * shuffle (the [[indexFanout]] statistic, one tier down). DIAGNOSTIC
+    * ONLY: computing it materializes the prefix order (the df-join +
+    * per-doc sort aggregate over the full shingle index), which IS the
+    * disk cost a scratch-budget dispatch needs to avoid — the r11
+    * sf100 probe ENOSPC'd inside this statistic's own build. The
+    * dispatch uses [[totalIndexRows]] instead. */
   def prefixFanout(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       fast: Boolean = false): Long = {
     val row = prefixIndex(docs, n, threshold, fast)
       .groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .agg(sum(col("df") * col("df")).as("fanout")).head()
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
+
+  /** Total shingle-index rows Σ n_sh — the prefix tier's INPUT size,
+    * measured for free (one aggregate over the already-persisted
+    * per-doc sizes in [[shingleArrays]], no new build). The prefix
+    * branch pays Θ(index rows) in its order-build shuffle (df join +
+    * per-doc sort aggregate) and at least that again in its candidate
+    * shuffle, so index rows × row width bounds its scratch-disk
+    * footprint from below — the statistic a disk-budget dispatch can
+    * afford to measure. 0 for an empty corpus. */
+  def totalIndexRows(docs: DataFrame, n: Int = 3, fast: Boolean = false): Long = {
+    val row = shingleArrays(docs, n, fast)
+      .agg(sum(col("n_sh")).as("rows")).head()
     if (row.isNullAt(0)) 0L else row.getLong(0)
   }
 
@@ -274,32 +291,42 @@ object TextDedup {
     if (row.isNullAt(0)) 0L else row.getLong(0)
   }
 
+  /** Index-row budget for the loss-less prefix tier: 2²⁸ rows (≈ 6 GB
+    * per pass at ~24 B/row, and the prefix branch makes ~3 passes —
+    * order-build shuffle, candidate shuffle, verify join), sized to a
+    * single node's scratch disk; a cluster run raises it to its
+    * aggregate shuffle capacity. */
+  val PrefixIndexRowsBudget: Long = 1L << 28
+
   /** Tier-3 dispatch (the branch that survives a scratch-disk budget):
-    * above `prefixBudget`, EVEN the loss-less prefix filter would
-    * shuffle more candidate rows than the disk budget allows, so the
-    * screen degrades gracefully to the banded-LSH prescreen + exact
-    * verification — per-doc state is `numHashes` longs REGARDLESS of
-    * document length and candidates come from band equi-joins, so the
-    * shuffle is bounded by true near-dup density, not by corpus
-    * entropy. The trade is explicit and bounded: precision stays 1.0
-    * (candidates are exact-verified), recall drops from 1.0 to the LSH
-    * banding curve 1 − (1 − J^(numHashes/bands))^bands (≈ 0.96 at
-    * J = τ = 0.5 with 16/8, → 1 rapidly above τ) — the production
-    * posture every 100 TB dedup pipeline ships (the pure-LSH path is
-    * separately gated as dedup_minhash_lsh / lsh_pair_recall). Both
-    * exact tiers are unchanged and still dispatch first whenever their
-    * MEASURED candidate volume fits the budget. */
+    * above `prefixBudget` index rows ([[totalIndexRows]] — measured
+    * for free from the persisted per-doc sizes; NOT Σ dfp², whose own
+    * measurement materializes the prefix order and costs the very disk
+    * being budgeted), EVEN the loss-less prefix filter would spill
+    * more than the budget allows, so the screen degrades gracefully to
+    * the banded-LSH prescreen + exact verification — per-doc state is
+    * `numHashes` longs REGARDLESS of document length and candidates
+    * come from band equi-joins, so the shuffle is bounded by true
+    * near-dup density, not by corpus entropy. The trade is explicit
+    * and bounded: precision stays 1.0 (candidates are exact-verified),
+    * recall drops from 1.0 to the LSH banding curve
+    * 1 − (1 − J^(numHashes/bands))^bands (≈ 0.96 at J = τ = 0.5 with
+    * 16/8, → 1 rapidly above τ) — the production posture every 100 TB
+    * dedup pipeline ships (the pure-LSH path is separately gated as
+    * dedup_minhash_lsh / lsh_pair_recall). Both exact tiers are
+    * unchanged and still dispatch first whenever their MEASURED
+    * volume fits the budgets. */
   def jaccardPairsAdaptive(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       fast: Boolean = false, fanoutBudget: Long = IndexFanoutBudget,
       fanoutOpt: Option[Long] = None,
-      prefixBudget: Long = IndexFanoutBudget,
-      prefixFanoutOpt: Option[Long] = None,
+      prefixBudget: Long = PrefixIndexRowsBudget,
+      indexRowsOpt: Option[Long] = None,
       numHashes: Int = 16, bands: Int = 8): DataFrame = {
     val fanout = fanoutOpt.getOrElse(indexFanout(docs, n, fast))
     if (fanout <= fanoutBudget) jaccardPairsIndex(docs, n, threshold, fast)
     else {
-      val pf = prefixFanoutOpt.getOrElse(prefixFanout(docs, n, threshold, fast))
-      if (pf <= prefixBudget) jaccardPairs(docs, n, threshold, fast)
+      val rows = indexRowsOpt.getOrElse(totalIndexRows(docs, n, fast))
+      if (rows <= prefixBudget) jaccardPairs(docs, n, threshold, fast)
       else minhashLshPairs(docs, n, numHashes, bands, threshold, fast)
     }
   }
@@ -454,14 +481,14 @@ object TextDedup {
   def containmentPairsAdaptive(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
       fast: Boolean = false, fanoutBudget: Long = IndexFanoutBudget,
       fanoutOpt: Option[Long] = None,
-      prefixBudget: Long = IndexFanoutBudget,
-      prefixFanoutOpt: Option[Long] = None,
+      prefixBudget: Long = PrefixIndexRowsBudget,
+      indexRowsOpt: Option[Long] = None,
       numHashes: Int = 16, bands: Int = 8): DataFrame = {
     val fanout = fanoutOpt.getOrElse(indexFanout(docs, n, fast))
     if (fanout <= fanoutBudget) containmentPairs(docs, n, threshold, fast)
     else {
-      val pf = prefixFanoutOpt.getOrElse(prefixFanout(docs, n, threshold, fast))
-      if (pf <= prefixBudget) containmentPairsPrefix(docs, n, threshold, fast)
+      val rows = indexRowsOpt.getOrElse(totalIndexRows(docs, n, fast))
+      if (rows <= prefixBudget) containmentPairsPrefix(docs, n, threshold, fast)
       else containmentVerify(lshCandidates(docs, n, numHashes, bands, fast),
         docs, n, threshold, fast)
     }

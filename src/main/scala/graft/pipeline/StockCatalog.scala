@@ -354,7 +354,12 @@ object StockCatalog {
     * hash gate (a healthy fixture must yield 13 zeros, and the oracle
     * recomputes each violation count from scratch). */
   def stockQualitySuite(spark: SparkSession, dir: String): DataFrame = {
-    val s = stg(spark, dir); val d = dim(spark, dir); val f = fct(spark, dir)
+    // the 13 checks are 13 scalar jobs over these three frames; persist
+    // the derived marts so each job reads a cached frame instead of
+    // re-running the dedupe/keep-latest windows 13 times
+    val s = stg(spark, dir)
+    val d = Persisted.index(dim(spark, dir))
+    val f = Persisted.index(fct(spark, dir))
     val failing = StockPipeline.qualitySuite(s, d, f)
     val all = StockPipeline.qualityChecks(s, d, f).keys.toSeq.sorted
     import spark.implicits._

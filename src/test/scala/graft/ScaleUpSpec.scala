@@ -126,6 +126,30 @@ class ScaleUpSpec extends SparkSpec {
     }
   }
 
+  test("widenEmbedding preserves norms exactly and inner products to fp tolerance (256/1024 dims)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def vec() = Array.fill(64)((rnd.nextGaussian() / 8.0).toFloat)
+    val (u, v) = (vec(), vec())
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.map(i => a(i).toDouble * b(i)).sum
+    for (factor <- Seq(4, 16)) {
+      val (wu, wv) = (ScaleUp.widenEmbeddingLocal(factor, u), ScaleUp.widenEmbeddingLocal(factor, v))
+      assert(wu.length == 64 * factor)
+      // orthogonal blocks + exact 1/sqrt(f) scale → same norm, same inner product
+      assert(math.abs(dot(wu, wu) - dot(u, u)) < 1e-6, s"norm drift at factor $factor")
+      assert(math.abs(dot(wu, wv) - dot(u, v)) < 1e-6, s"inner-product drift at factor $factor")
+      // blocks are pairwise distinct transforms: no two blocks equal
+      val blocks = wu.grouped(64).toSeq
+      assert(blocks.distinct.size == factor, "per-block transforms must be pairwise distinct")
+    }
+    // Column expression == local mirror
+    val one = Seq(Tuple1(u)).toDF("embedding")
+    val viaColumn = one.select(ScaleUp.widenEmbedding(4, col("embedding")).as("e"))
+      .head().getSeq[Float](0).toArray
+    assert(viaColumn.toSeq == ScaleUp.widenEmbeddingLocal(4, u).toSeq)
+  }
+
   test("scale(copies = 3) preserves referential integrity and per-copy shapes") {
     val src = "/root/testdata/sf0.001"
     val dst = java.nio.file.Files.createTempDirectory("graft-scaleup").toString
