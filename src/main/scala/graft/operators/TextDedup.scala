@@ -291,12 +291,17 @@ object TextDedup {
     if (row.isNullAt(0)) 0L else row.getLong(0)
   }
 
-  /** Index-row budget for the loss-less prefix tier: 2²⁸ rows (≈ 6 GB
-    * per pass at ~24 B/row, and the prefix branch makes ~3 passes —
-    * order-build shuffle, candidate shuffle, verify join), sized to a
-    * single node's scratch disk; a cluster run raises it to its
-    * aggregate shuffle capacity. */
-  val PrefixIndexRowsBudget: Long = 1L << 28
+  /** Index-row budget for the loss-less prefix tier: 2²⁶ rows,
+    * BRACKETED BY MEASUREMENT on the 128 GiB / ~60 GB-scratch harness
+    * box — the sf10 corpus (2.6e7 index rows) runs the prefix branch
+    * fine, the sf100 corpus (2.6e8 rows) ENOSPC's it (r11 probe: the
+    * branch's live spill footprint is ~200 B/row once the order-build
+    * sort, the candidate shuffle, and the verify join overlap, an
+    * order past the naive 24 B/row estimate). 2²⁶ sits between the
+    * measured-safe and measured-fatal decades with margin for the
+    * box's other persists; a cluster run raises it to its aggregate
+    * shuffle capacity. */
+  val PrefixIndexRowsBudget: Long = 1L << 26
 
   /** Tier-3 dispatch (the branch that survives a scratch-disk budget):
     * above `prefixBudget` index rows ([[totalIndexRows]] — measured

@@ -121,3 +121,37 @@ object LpaColdProbe {
     spark.stop()
   }
 }
+
+/** Recall of the ADC codec across PQ subspace counts at a given
+  * corpus — the evidence behind SCALE.md's production-dimension note
+  * (fixed m = 8 under-quantizes 256-dim vectors; deployments scale m
+  * with dimensionality). For each m, trains PQ(m × 256) with the
+  * pq256 entry's budget (512-sample, 2 Lloyd rounds), ranks the same
+  * 10 anchored queries via ADC, and prints recall@5 vs brute force.
+  *
+  * `sbt "runMain graft.tools.PqDimProbe <sfDir> [m,m,...]"`
+  */
+object PqDimProbe {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val dir = if (args.length > 0) args(0) else "bench-data/sf0.1-d256"
+    val ms = (if (args.length > 1) args(1) else "8,16,32").split(",").map(_.trim.toInt)
+    val spark = Sessions.build("graft-probe-pqdim")
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = graft.operators.Persisted.index(
+      graft.operators.Similarity.bruteForceTopK(emb, q, k = 5)
+        .select(col("query_id"), col("neighbor_id")))
+    val nExact = exact.count()
+    ms.foreach { m =>
+      val t0 = System.nanoTime()
+      val codes = graft.operators.Pq.fitCodebooks(emb, m, 256, nIter = 2, sampleN = 512)
+      val hits = graft.operators.Pq.adcTopK(emb, q, codes, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id")).count()
+      System.err.println(f"PQDIM $dir m=$m recall@5=${hits.toDouble / nExact}%.2f " +
+        f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+    }
+    spark.stop()
+  }
+}

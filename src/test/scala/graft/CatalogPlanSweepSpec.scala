@@ -103,7 +103,23 @@ class CatalogPlanSweepSpec extends SparkSpec {
     //    folds `k = k` away, degenerating the broadcast hash join into
     //    a BNLJ whose build side is the ONE-GROUP state frame (O(1)
     //    rows by construction — the global form has exactly one key) --
-    "weighted_median_price" -> "1-row constant-key weighted-cut state frame"
+    "weighted_median_price" -> "1-row constant-key weighted-cut state frame",
+    // -- stock-fixture synthesis: customer x (10-row batch frame) x
+    //    (2-row dup frame) — both broadcast sides are O(1) literal
+    //    ranges by construction (StockCatalog.rawStock), the map-side
+    //    replication a scrape history is; u2/u3 additionally carry the
+    //    1-row global-stats frame (the q3 scalar-cross-join shape) --
+    "stock_stg" -> "10-row batch + 2-row dup broadcast frames",
+    "stock_dim_entity" -> "10-row batch + 2-row dup broadcast frames",
+    "stock_fct_observations" -> "10-row batch + 2-row dup broadcast frames",
+    "stock_q1_top_market_cap" -> "10-row batch + 2-row dup broadcast frames",
+    "stock_q2_daily_trend" -> "10-row batch + 2-row dup broadcast frames",
+    "stock_q3_volume_outliers" -> "fixture frames + 1-row volume-stats frame",
+    "stock_q4_geo" -> "10-row batch + 2-row dup broadcast frames",
+    "stock_q5_risk_watchlist" -> "10-row batch + 2-row dup broadcast frames",
+    "stock_u1_filters" -> "10-row batch + 2-row dup broadcast frames",
+    "stock_u2_shocks" -> "fixture frames + 1-row volume-stats frame",
+    "stock_u3_kpis" -> "fixture frames (top-5 leg)"
   )
 
   test("no cartesian product, no unbounded nested-loop join, no exact percentile — anywhere") {
