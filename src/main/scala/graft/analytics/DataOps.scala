@@ -1756,30 +1756,13 @@ object DataOps {
     * comes back as a partition column on read and is dropped before
     * the pipeline. The explicit stamping also closes the
     * same-mtime-tick race the sequential form had to handle. */
-  private def writeStreamChunks(inDir: String, chunks: Seq[DataFrame]): Unit = {
-    chunks.zipWithIndex.map { case (df, i) => df.withColumn("_b", lit(i)) }
-      .reduce(_ unionByName _)
-      .coalesce(1).write.partitionBy("_b").parquet(inDir)
-    chunks.indices.foreach { i =>
-      val d = java.nio.file.Paths.get(inDir, s"_b=$i")
-      // an empty chunk writes no partition dir — tolerate it (the
-      // stream simply runs one fewer micro-batch) rather than crash
-      if (java.nio.file.Files.isDirectory(d)) {
-        val it = java.nio.file.Files.list(d).iterator()
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.toString.endsWith(".parquet"))
-            java.nio.file.Files.setLastModifiedTime(f,
-              java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
-        }
-      }
-    }
-  }
-
-  /** readStream schema for a [[writeStreamChunks]] layout: the data
-    * schema plus the `_b` partition column. */
+  // chunk-fixture helpers shared with the stock streaming gate —
+  // moved to [[graft.streaming.Streams]] (r11); these delegates keep
+  // the existing streaming entries' call sites unchanged
+  private def writeStreamChunks(inDir: String, chunks: Seq[DataFrame]): Unit =
+    graft.streaming.Streams.writeOrderedChunks(inDir, chunks)
   private def chunkSchema(data: DataFrame) =
-    data.schema.add("_b", org.apache.spark.sql.types.IntegerType)
+    graft.streaming.Streams.chunkSchema(data)
 
   def streamMergeEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger

@@ -368,6 +368,58 @@ object StockCatalog {
       .orderBy(col("check_name").asc)
   }
 
+  /** STREAMING dim maintenance — the reference's hourly-scrape loop as
+    * a Structured Stream: raw scrape batches arrive as in-order
+    * micro-batches (three scrape windows over the 10-batch fixture),
+    * and each micro-batch runs the REAL batch models
+    * ([[StockPipeline.stgMostActives]] → [[StockPipeline.dimEntity]])
+    * then MERGEs keep-latest state per entity into the dim target via
+    * [[graft.operators.Upsert.mergeIntoPath]] — one definition of
+    * truth, batch logic inside foreachBatch (the [[graft.streaming
+    * .Streams.upsertSink]] pattern). Because scrape batches arrive in
+    * event order (the reference's loop; enforced here by
+    * writeOrderedChunks' file mtimes), the unconditional-on-match
+    * MERGE — the reference's own MERGE shape, ref
+    * sql/02_load_data.sql:78-165 — yields exactly the batch
+    * keep-latest dim, so the ORACLE IS THE SAME SQL as
+    * `stock_dim_entity`: the gate proves streamed incremental
+    * maintenance ≡ the batch rebuild. */
+  def stockStreamDim(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val raw = rawStock(spark, dir)
+    val work = graft.sources.LocalFs.scratchDir("graft_stock_stream")
+    val inDir = s"$work/in"; val target = s"$work/dim"; val ckpt = s"$work/ckpt"
+    graft.streaming.Streams.writeOrderedChunks(inDir, Seq(
+      raw.filter(col("scraped_at") < "2024-01-14"),
+      raw.filter(col("scraped_at") >= "2024-01-14" && col("scraped_at") < "2024-01-18"),
+      raw.filter(col("scraped_at") >= "2024-01-18")))
+    // 2 state partitions — the streaming gates' shared width (pinned at
+    // first start into the checkpoint; restored right after)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      val q = spark.readStream.schema(graft.streaming.Streams.chunkSchema(raw))
+        .option("maxFilesPerTrigger", 1).parquet(inDir).drop("_b")
+        .writeStream
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            graft.operators.Upsert.mergeIntoPath(batch.sparkSession, target,
+              StockPipeline.dimEntity(StockPipeline.stgMostActives(batch)),
+              keys = Seq("entity_sk"))
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.read.parquet(target).select(
+        col("entity_sk"), col("symbol"), col("entity_name"), col("exchange"),
+        col("category"), col("location"), col("market_cap_category"),
+        col("last_seen_at").cast("string").as("last_seen_at"))
+      .orderBy(col("entity_sk").asc)
+  }
+
   /** S-layer — the real [[StockPipeline.normalizeQuotes]] (the
     * scraper's normalize_row: falsy-string fallback chains, Python
     * float()/int() coercions with non-finite → NULL and
@@ -424,6 +476,14 @@ object StockCatalog {
         |FROM stgd
         |ORDER BY observation_sk ASC""".stripMargin),
     "stock_dim_entity" -> o(
+      """SELECT entity_sk, symbol, entity_name, exchange, category, location,
+        |       market_cap_category,
+        |       CAST(last_seen_at AS VARCHAR(30)) AS last_seen_at
+        |FROM dim
+        |ORDER BY entity_sk ASC""".stripMargin),
+    // the streamed incremental dim must equal the batch rebuild — the
+    // oracle is deliberately the identical SQL as stock_dim_entity
+    "stock_stream_dim" -> o(
       """SELECT entity_sk, symbol, entity_name, exchange, category, location,
         |       market_cap_category,
         |       CAST(last_seen_at AS VARCHAR(30)) AS last_seen_at
@@ -655,6 +715,7 @@ object StockCatalog {
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stock_stg"                -> (stockStg _),
     "stock_dim_entity"         -> (stockDimEntity _),
+    "stock_stream_dim"         -> (stockStreamDim _),
     "stock_fct_observations"   -> (stockFctObservations _),
     "stock_q1_top_market_cap"  -> (stockQ1 _),
     "stock_q2_daily_trend"     -> (stockQ2 _),

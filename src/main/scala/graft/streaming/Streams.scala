@@ -225,4 +225,35 @@ object Streams {
           }
       }
   }
+
+  /** Deterministic micro-batch fixture: write `chunks` as one
+    * partitioned parquet job (`_b` = chunk index) and stamp each
+    * chunk's files with ascending mtimes, so a
+    * `readStream.option("maxFilesPerTrigger", 1)` source replays them
+    * as in-order micro-batches. An empty chunk writes no partition
+    * dir — the stream simply runs one fewer batch. Shared by every
+    * streaming catalog gate (events merge/rollup/dedupe, the
+    * stream-stream join, and the stock dim-maintenance gate). */
+  def writeOrderedChunks(inDir: String, chunks: Seq[DataFrame]): Unit = {
+    chunks.zipWithIndex.map { case (df, i) => df.withColumn("_b", lit(i)) }
+      .reduce(_ unionByName _)
+      .coalesce(1).write.partitionBy("_b").parquet(inDir)
+    chunks.indices.foreach { i =>
+      val d = java.nio.file.Paths.get(inDir, s"_b=$i")
+      if (java.nio.file.Files.isDirectory(d)) {
+        val it = java.nio.file.Files.list(d).iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.toString.endsWith(".parquet"))
+            java.nio.file.Files.setLastModifiedTime(f,
+              java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+        }
+      }
+    }
+  }
+
+  /** readStream schema for a [[writeOrderedChunks]] layout: the data
+    * schema plus the `_b` partition column. */
+  def chunkSchema(data: DataFrame): org.apache.spark.sql.types.StructType =
+    data.schema.add("_b", org.apache.spark.sql.types.IntegerType)
 }

@@ -71,6 +71,14 @@ class StockCatalogSpec extends SparkSpec {
     assert(n == fullN && tot == fullTot && n > 0)
   }
 
+  test("streamed incremental dim == batch dim rebuild (same rows, same values)") {
+    val streamed = StockCatalog.stockStreamDim(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val batch = StockCatalog.stockDimEntity(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("qualitySuite is clean on the fixture (all 13 dbt checks pass)") {
     assert(StockPipeline.qualitySuite(stg, dim, fct) == Map.empty)
   }
