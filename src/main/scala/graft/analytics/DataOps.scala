@@ -477,16 +477,26 @@ object DataOps {
     * (the mass just under a candidate τ is exactly what that choice
     * keeps). Runs the thin inverted-index form with the lowered
     * floor; at 100 TB this is a calibration pass over a sample, not
-    * the production screen — the harness corpus' modest df keeps
-    * Σ df² tame. Binning uses the 1e-4-quantized similarity in the
-    * identical double arithmetic on both engines. */
-  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame =
-    TextDedup.jaccardPairsIndex(Tables.documents(spark, dir), n = 3, threshold = 0.1)
+    * the production screen — so the calibration is now DISPATCHED like
+    * [[lshPairRecall]]: above [[RecallSampleThreshold]] docs the sweep
+    * runs over the deterministic `doc_id % RecallSampleMod = 1` slice
+    * (the curve is a distribution estimate; a 1-in-20 doc sample
+    * estimates it at 1/400 the exact-pair cost), and the oracle
+    * replays the dispatch as the same scalar-subquery gate. Binning
+    * uses the 1e-4-quantized similarity in the identical double
+    * arithmetic on both engines. */
+  def dedupThresholdSweep(spark: SparkSession, dir: String,
+      sampleThreshold: Long = RecallSampleThreshold): DataFrame = {
+    val all = Tables.documents(spark, dir)
+    val docs = if (docCount(all, dir) <= sampleThreshold) all
+      else all.filter(col("doc_id") % RecallSampleMod === 1)
+    TextDedup.jaccardPairsIndex(docs, n = 3, threshold = 0.1)
       .withColumn("bin", floor(col("jaccard") * 20).cast("long"))
       .withColumn("j4", floor(col("jaccard") * lit(1e4) + lit(0.5)).cast("long"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_pairs"), sum(col("j4")).as("sum_j4"))
       .orderBy(col("bin").asc)
+  }
 
   /** Cross-split leakage audit: near-dup pairs from the shared
     * MinHash-LSH pair graph whose endpoints land in DIFFERENT splits
@@ -3462,7 +3472,14 @@ object DataOps {
          |                 ELSE 1000000 END AS BIGINT) AS recall_micro
          |FROM exl, lsl""".stripMargin,
     "dedup_threshold_sweep" ->
-      s"""WITH $dkSizes, $dkJaccardPairs,
+      // docsrc replays the engine's sampling dispatch (the
+      // lsh_pair_recall pattern)
+      s"""WITH docsrc AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE (SELECT count(*) FROM documents) <= $RecallSampleThreshold
+         |     OR doc_id % $RecallSampleMod = 1
+         |),
+         |${dkSizesFrom("docsrc")}, $dkJaccardPairs,
          |swp AS (
          |  SELECT CAST(floor(jaccard * 20) AS BIGINT) AS bin,
          |         CAST(floor(jaccard * 1e4 + 0.5) AS BIGINT) AS j4
@@ -4442,7 +4459,7 @@ object DataOps {
     "range_views_before_purchase" -> (rangeViewsBeforePurchase _),
     "dedup_groups"      -> (dedupGroups _),
     "communities_lpa"   -> (communitiesLpa _),
-    "dedup_threshold_sweep" -> (dedupThresholdSweep _),
+    "dedup_threshold_sweep" -> ((s: SparkSession, d: String) => dedupThresholdSweep(s, d)),
     "lsh_pair_recall"   -> ((s: SparkSession, d: String) => lshPairRecall(s, d)),
     "dup_inflation"     -> (dupInflation _),
     "split_leakage_pairs" -> (splitLeakagePairs _),

@@ -48,6 +48,22 @@ class DataOpsDispatchSpec extends SparkSpec {
     assert(nExactFull > nExact, "the slice must actually shrink the exact leg")
   }
 
+  test("dedup_threshold_sweep sampling dispatch: forced threshold slices like lsh_pair_recall") {
+    import graft.operators.TextDedup
+    import org.apache.spark.sql.functions.{col, floor, lit, count, sum}
+    val sampled = DataOps.dedupThresholdSweep(spark, dir, sampleThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val docsS = Tables.documents(spark, dir)
+      .filter(col("doc_id") % DataOps.RecallSampleMod === 1)
+    val expected = TextDedup.jaccardPairsIndex(docsS, n = 3, threshold = 0.1)
+      .withColumn("bin", floor(col("jaccard") * 20).cast("long"))
+      .withColumn("j4", floor(col("jaccard") * lit(1e4) + lit(0.5)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("j4")).as("sum_j4"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sampled == expected)
+  }
+
   test("N > limit dispatches to the trained-IVF candidate path") {
     val emb = Tables.embeddings(spark, dir)
     val got = DataOps.embPairGraphAdaptive(emb, dir, bandedLimit = 10)
