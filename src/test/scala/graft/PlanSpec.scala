@@ -143,6 +143,25 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(pS).size == 1, pS)
   }
 
+  test("stock pipeline keeps the reference plans' 100 TB shapes: broadcast dim, TakeOrdered top-k, keyed windows") {
+    import graft.pipeline.StockCatalog
+    // fct ⋈ dim is a broadcast hash join — the dim is entity-sized at
+    // any fact scale — and Q1's top-10 is TakeOrderedAndProject
+    val q1 = plan(StockCatalog.stockQ1(spark, dir))
+    assert(q1.contains("BroadcastHashJoin"))
+    assert(!q1.contains("SortMergeJoin"))
+    assert(q1.contains("TakeOrderedAndProject"))
+    // U1's parameterized top-k likewise never global-sorts
+    assert(plan(StockCatalog.stockU1(spark, dir)).contains("TakeOrderedAndProject"))
+    // Q5's trailing window partitions by entity (high-cardinality at
+    // scale) — no empty-partition-spec global window anywhere
+    val q5 = plan(StockCatalog.stockQ5(spark, dir))
+    assert(!q5.contains("Window [") || !q5.contains("partitionBy=[]"))
+    // U2's global stats are a 1-row aggregate broadcast, never a window
+    val u2 = plan(StockCatalog.stockU2(spark, dir))
+    assert(u2.contains("BroadcastNestedLoopJoin") || u2.contains("BroadcastExchange"))
+  }
+
   test("global stats never use a global window: q3/u2 plan a 1-row aggregate + broadcast") {
     val p3 = plan(Queries.q3ZScoreOutliers(spark, dir))
     assert(!p3.contains("Window") && p3.contains("BroadcastNestedLoopJoin"))
