@@ -2575,7 +2575,7 @@ object DataOps {
     * literal alpha·m² (string-cast to DOUBLE, like dkKmvEst's scale)
     * and the SAME precomputed linear-counting table. Emits
     * `${px}x` (gCols…, n_present, n_est). */
-  private def dkHll(src: String, gCols: Seq[String], m: Int, px: String): String = {
+  private[graft] def dkHll(src: String, gCols: Seq[String], m: Int, px: String): String = {
     val w = Sketches.hllW(m)
     val alphaM2 = Sketches.hllAlphaM2(m).toString
     val table = Sketches.hllLinearTable(m).mkString(", ")

@@ -288,6 +288,18 @@ object StockCatalog {
         col("total_volume"))
       .orderBy(col("total_volume").desc, col("location").asc)
 
+  /** Q4's 100 TB form — the real [[StockPipeline.q4GeoBreakdownScalable]]
+    * (HLL-register distinct state instead of the exact form's 64-byte-
+    * key Expand; the oracle replays the registers, the linear-counting
+    * branch, and the estimate arithmetic). */
+  def stockQ4Scalable(spark: SparkSession, dir: String): DataFrame =
+    StockPipeline.q4GeoBreakdownScalable(fct(spark, dir), dim(spark, dir), m = 64)
+      .select(col("location"), col("n_entities_est"),
+        Cols.r(col("avg_price"), 6).as("avg_price"),
+        Cols.r(col("avg_market_cap"), 4).as("avg_market_cap"),
+        col("total_volume"))
+      .orderBy(col("total_volume").desc, col("location").asc)
+
   /** Q5 — the real [[StockPipeline.q5RiskWatchlist]] over the 10-batch
     * observation history (so the 7-row trailing window and LAG(7) have
     * real depth). */
@@ -541,6 +553,23 @@ object StockCatalog {
         |FROM obs
         |GROUP BY coalesce(location, 'Unknown')
         |ORDER BY total_volume DESC, location ASC""".stripMargin),
+    "stock_q4_geo_scalable" -> o(
+      s""", src AS (
+        |  SELECT coalesce(location, 'Unknown') AS location, entity_sk AS s
+        |  FROM obs
+        |),
+        |${graft.analytics.DataOps.dkHll("src", Seq("location"), 64, "d")},
+        |sums AS (
+        |  SELECT coalesce(location, 'Unknown') AS location,
+        |         floor((avg(price)) * 1e6 + 0.5) / 1e6 AS avg_price,
+        |         floor((avg(market_cap)) * 1e4 + 0.5) / 1e4 AS avg_market_cap,
+        |         CAST(sum(volume) AS BIGINT) AS total_volume
+        |  FROM obs
+        |  GROUP BY coalesce(location, 'Unknown')
+        |)
+        |SELECT location, n_est AS n_entities_est, avg_price, avg_market_cap, total_volume
+        |FROM sums JOIN dx USING (location)
+        |ORDER BY total_volume DESC, location ASC""".stripMargin),
     "stock_q5_risk_watchlist" -> o(
       """, win AS (
         |  SELECT d.symbol, d.entity_name, f.observation_date, f.volume, f.price,
@@ -721,6 +750,7 @@ object StockCatalog {
     "stock_q2_daily_trend"     -> (stockQ2 _),
     "stock_q3_volume_outliers" -> (stockQ3 _),
     "stock_q4_geo"             -> (stockQ4 _),
+    "stock_q4_geo_scalable"    -> (stockQ4Scalable _),
     "stock_q5_risk_watchlist"  -> (stockQ5 _),
     "stock_u1_filters"         -> (stockU1 _),
     "stock_u2_shocks"          -> (stockU2 _),

@@ -188,6 +188,33 @@ object StockPipeline {
         sum(col("volume")).as("total_volume"))
       .orderBy(col("total_volume").desc_nulls_last, col("location").asc)
 
+  /** Q4 at 100 TB — the same geographic rollup with the distinct-
+    * entity count estimated by the engine's portable HLL (m registers
+    * per location; exact sums unchanged). The exact form's
+    * COUNT(DISTINCT entity_sk) Expands the fact with its 64-byte
+    * sha256 keys through the shuffle — measured as the one scratch-
+    * bound stock plan at the synthetic sf100 decade (SCALE.md r11) —
+    * while this form's distinct state is m registers per location
+    * regardless of fact or entity scale. Estimate error is the
+    * standard ~1.04/√m (m = 64 → ~13%); sums/averages stay exact. */
+  def q4GeoBreakdownScalable(fct: DataFrame, dim: DataFrame, m: Int = 64): DataFrame = {
+    val o = joined(fct, dim)
+      .withColumn("location", coalesce(col("location"), lit("Unknown")))
+    val sums = o.groupBy(col("location"))
+      .agg(
+        avg(col("price")).as("avg_price"),
+        avg(col("market_cap")).as("avg_market_cap"),
+        sum(col("volume")).as("total_volume"))
+    val est = graft.operators.Sketches.hllDistinctBy(
+        o.select(col("location"), col("entity_sk")),
+        col("location"), col("entity_sk"), m)
+      .select(col("g").as("location"), col("n_est").as("n_entities_est"))
+    sums.join(est, Seq("location"))
+      .select(col("location"), col("n_entities_est"), col("avg_price"),
+        col("avg_market_cap"), col("total_volume"))
+      .orderBy(col("total_volume").desc_nulls_last, col("location").asc)
+  }
+
   /** Q5 — risk watchlist: 7-row trailing volume average + LAG(7)
     * price momentum, guarded ratios, conjunctive thresholds, top-k. */
   def q5RiskWatchlist(fct: DataFrame, dim: DataFrame,

@@ -63,6 +63,19 @@ class StockCatalogSpec extends SparkSpec {
     assert(caps.count() == caps.distinct().count())
   }
 
+  test("q4 scalable form: HLL entity estimates within the ~1.04/sqrt(64) band of exact") {
+    val exact = StockPipeline.q4GeoBreakdown(fct, dim)
+      .select(col("location"), col("n_entities")).as[(String, Long)].collect().toMap
+    val est = StockPipeline.q4GeoBreakdownScalable(fct, dim, m = 64)
+      .select(col("location"), col("n_entities_est")).as[(String, Long)].collect().toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (loc, e) =>
+      val x = exact(loc)
+      assert(math.abs(e - x) <= math.max(3, 0.45 * x),
+        s"$loc: est $e vs exact $x — outside 3.5 sigma of the m=64 error band")
+    }
+  }
+
   test("kpisWithFallback: empty filter result falls back to the full dataset") {
     val empty = StockPipeline.applyFilters(obs,
       category = Some("NO-SUCH-CATEGORY"), metric = "market_cap")
