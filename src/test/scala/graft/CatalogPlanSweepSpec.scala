@@ -119,7 +119,8 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "stock_q5_risk_watchlist" -> "10-row batch + 2-row dup broadcast frames",
     "stock_u1_filters" -> "10-row batch + 2-row dup broadcast frames",
     "stock_u2_shocks" -> "fixture frames + 1-row volume-stats frame",
-    "stock_u3_kpis" -> "fixture frames (top-5 leg)"
+    "stock_u3_kpis" -> "fixture frames (top-5 leg)",
+    "stock_q4_geo_scalable" -> "fixture frames (sums + O(locations) HLL frame join)"
   )
 
   test("no cartesian product, no unbounded nested-loop join, no exact percentile — anywhere") {
