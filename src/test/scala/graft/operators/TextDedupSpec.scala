@@ -202,6 +202,31 @@ class TextDedupSpec extends SparkSpec {
     assert(tier3.exists(p => Set(p._1, p._2) == Set(1L, 2L)), "high-J containment caught")
   }
 
+  test("tier-3 precision sweep: LSH-prescreen output ⊆ exact pairs on random corpora") {
+    val words = Seq("the", "cat", "sat", "on", "mat", "dog", "ran", "red", "big", "sky")
+    for (seed <- Seq(3, 17, 29)) {
+      val rng = new scala.util.Random(seed)
+      val corpus = (1L to 25L).map { i =>
+        i -> Seq.fill(8 + rng.nextInt(8))(words(rng.nextInt(words.size))).mkString(" ")
+      }
+      val d = docs(corpus: _*)
+      val exactJ = TextDedup.jaccardPairsIndex(d, n = 3, threshold = 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+      val t3J = TextDedup.jaccardPairsAdaptive(d, n = 3, threshold = 0.5,
+          fanoutBudget = 0L, prefixBudget = 0L)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(t3J.subsetOf(exactJ), s"seed $seed: jaccard tier-3 emitted a non-exact pair")
+      val exactC = TextDedup.containmentPairs(d, n = 3, threshold = 0.8)
+        .select($"doc_sub", $"doc_sup", $"containment")
+        .as[(Long, Long, Double)].collect().toSet
+      val t3C = TextDedup.containmentPairsAdaptive(d, n = 3, threshold = 0.8,
+          fanoutBudget = 0L, prefixBudget = 0L)
+        .select($"doc_sub", $"doc_sup", $"containment")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(t3C.subsetOf(exactC), s"seed $seed: containment tier-3 emitted a non-exact pair")
+    }
+  }
+
   test("prefixFanout measures exactly the prefix self-join's candidate volume") {
     val d = docs(1L -> "a b c d e f", 2L -> "a b c d e g", 3L -> "x y z w v u")
     // Σ df² over the prefix index == rows the prefix equi-self-join shuffles
