@@ -155,3 +155,28 @@ object PqDimProbe {
     spark.stop()
   }
 }
+
+/** Decomposes `stock_stream_dim` (the heaviest streaming gate — two
+  * window models + a MERGE target swap per micro-batch): runs it
+  * twice (cold + warm) with a [[StreamingQueryListener]] dumping each
+  * micro-batch's progress JSON (triggerExecution vs addBatch duration
+  * = machinery floor vs real model work), the StreamJoinProbe
+  * playbook. `sbt "runMain graft.tools.StockStreamProbe [sfDir]"` */
+object StockStreamProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = Sessions.build("graft-probe-stock-stream")
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        System.err.println("PROGRESS " + e.progress.json)
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    })
+    (1 to 2).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = graft.pipeline.StockCatalog.stockStreamDim(spark, dir).count()
+      System.err.println(s"RUN$i rows=$n sec=${(System.nanoTime() - t0) / 1e9}")
+    }
+    spark.stop()
+  }
+}
