@@ -782,6 +782,29 @@ object DataOps {
       .orderBy(col("lang").asc)
   }
 
+  /** Near-dup collapse with the QUALITY-WEIGHTED keeper
+    * ([[graft.operators.Curation.keeperFilterBest]]): each cluster
+    * keeps its best document by (rounded quality DESC, doc_id ASC) —
+    * the rule production curation runs — rolled up per language.
+    * `quality_sum_q4` (the 1e-4-quantized quality sum of survivors,
+    * an order-independent integer) is what separates this gate from
+    * the min-id keeper's when clusters span quality levels: a broken
+    * keeper rule flips the VALUE, not just row counts. The oracle
+    * replays components (recursive CTE), the quality features, and
+    * the per-cluster argmax. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = TextDedup.pairGraph(Tables.documents(spark, dir), n = 3, numHashes = 16,
+        bands = 8, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    Curation.keeperFilterBest(docFeatures(spark, dir), pairs,
+        Seq(col("quality").desc, col("doc_id").asc))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_tokens").cast("long")).as("kept_tokens"),
+        sum(floor(col("quality") * lit(1e4) + lit(0.5)).cast("long")).as("quality_sum_q4"))
+      .orderBy(col("lang").asc)
+  }
+
   /** Quality-first token budgeting: per language, keep the
     * highest-quality documents while the running token total stays
     * within 2000 — the mixture-assembly step of a curation pipeline.
@@ -3522,6 +3545,42 @@ object DataOps {
          |WHERE doc_id NOT IN (SELECT id FROM dropped)
          |GROUP BY lang
          |ORDER BY lang ASC""".stripMargin,
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $dkComponentCtes,
+         |feats AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt_l,
+         |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+         |         CAST(len(list_filter(string_split(text, ' '),
+         |              w -> list_contains(string_split('the a an and or of to in is it', ' '), w))) AS DOUBLE)
+         |           / len(string_split(text, ' ')) AS swr,
+         |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |           / len(string_split(text, ' ')) AS ttr,
+         |         (length(text) - len(string_split(text, ' ')) + 1.0) / len(string_split(text, ' ')) AS awl
+         |  FROM documents
+         |), scored AS (
+         |  SELECT doc_id, lang, nt_l,
+         |         floor(((CASE WHEN nt >= 20 AND nt <= 80 THEN 1.0 WHEN nt >= 10 THEN 0.5 ELSE 0.0 END)
+         |          + (CASE WHEN swr >= 0.05 THEN 1.0 ELSE 0.0 END)
+         |          + (CASE WHEN ttr >= 0.3 THEN 1.0 WHEN ttr >= 0.15 THEN 0.5 ELSE 0.0 END)
+         |          + (CASE WHEN awl >= 3 AND awl <= 10 THEN 1.0 ELSE 0.0 END)) / 4.0 * 1e4 + 0.5) / 1e4 AS quality
+         |  FROM feats
+         |), wc AS (
+         |  SELECT s.*, coalesce(c.comp, s.doc_id) AS clu
+         |  FROM scored s LEFT JOIN comps c ON c.id = s.doc_id
+         |), keep AS (
+         |  SELECT * FROM (
+         |    SELECT wc.*, row_number() OVER (PARTITION BY clu
+         |                                    ORDER BY quality DESC, doc_id ASC) AS rn
+         |    FROM wc) t
+         |  WHERE rn = 1
+         |)
+         |SELECT lang, count(*) AS n_kept,
+         |       CAST(sum(nt_l) AS BIGINT) AS kept_tokens,
+         |       CAST(sum(CAST(floor(quality * 1e4 + 0.5) AS BIGINT)) AS BIGINT) AS quality_sum_q4
+         |FROM keep
+         |GROUP BY lang
+         |ORDER BY lang ASC""".stripMargin,
     "mix_budget" ->
       """WITH feats AS (
         |  SELECT doc_id, lang,
@@ -4467,6 +4526,7 @@ object DataOps {
     "pagerank_hubs"     -> (pagerankHubs _),
     "kcore_docs"        -> (kcoreDocs _),
     "dedup_keep"        -> (dedupKeep _),
+    "dedup_keep_best"   -> (dedupKeepBest _),
     "mix_budget"        -> (mixBudget _),
     "sample_strata"     -> (sampleStrata _),
     "split_train_val_test" -> (splitTrainValTest _),

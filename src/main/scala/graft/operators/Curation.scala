@@ -39,6 +39,32 @@ object Curation {
     docs.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Quality-weighted keeper: within each duplicate cluster keep the
+    * SINGLE best document by `orderBy` (best first — callers must pass
+    * a TOTAL order, e.g. rounded quality DESC then id ASC, so both
+    * engines pick the same keeper at FP boundaries), drop the rest.
+    * [[keeperFilter]]'s min-id rule is the provenance-free form; this
+    * is what production curation actually runs — a near-dup cluster
+    * keeps its highest-quality member, not its oldest id.
+    *
+    * Shape: components on the (small) pair graph, LEFT join onto the
+    * corpus (absent ⇒ singleton ⇒ own cluster of one), then one
+    * row_number window PARTITIONED BY CLUSTER — cluster count is
+    * corpus-scale cardinality, so WindowExec parallelizes, and only
+    * cluster members carry more than one row per partition key. */
+  def keeperFilterBest(docs: DataFrame, pairs: DataFrame, orderBy: Seq[Column],
+      idCol: String = "doc_id", aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val comps = Components.connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    val withComp = docs.join(comps, Seq(idCol), "left")
+      .withColumn("_comp", coalesce(col("comp"), col(idCol)))
+      .drop("comp")
+    val w = Window.partitionBy(col("_comp")).orderBy(orderBy: _*)
+    withComp.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_comp")
+  }
+
   /** Per-group token budgeting: rank each group's documents by
     * `orderBy` (best first), keep rows while the RUNNING token total
     * (inclusive of the current row) stays within `budget`. The

@@ -15,6 +15,24 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L, 6L, 7L, 9L, 10L))
   }
 
+  test("keeperFilterBest keeps each cluster's highest-quality member, not the min id") {
+    val docs = Seq(
+      (1L, 0.5), (2L, 0.9), (3L, 0.7), // cluster {1,2,3}: keeper = 2 (best quality)
+      (7L, 0.4), (8L, 0.4),            // cluster {7,8}: quality tie → id tiebreak = 7
+      (4L, 0.1), (9L, 0.2)             // singletons survive regardless of quality
+    ).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val kept = Curation.keeperFilterBest(docs, pairs,
+        Seq($"quality".desc, $"doc_id".asc))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 7L, 4L, 9L))
+    // the min-id keeper disagrees on cluster {1,2,3} — the two rules
+    // are genuinely different policies
+    val minId = Curation.keeperFilter(docs, pairs)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(minId == Set(1L, 7L, 4L, 9L))
+  }
+
   test("tokenBudget keeps best-first rows while the inclusive running total fits") {
     val docs = Seq(
       // lang, doc_id, tokens, quality
