@@ -380,6 +380,26 @@ object StockCatalog {
       .orderBy(col("check_name").asc)
   }
 
+  /** L1 — the reference's inline load-QA over the RAW stock batches
+    * (ref sql/02_load_data.sql:66-73: per-batch COUNT(*) + COUNT_IF of
+    * blank/unparseable fields, run before staging promotes a load).
+    * The real [[graft.quality.DataQuality.conditionalCounts]] check
+    * definitions drive the counts; the frame form below is the same
+    * single aggregate pass, grouped per scrape batch so a bad batch is
+    * visible as a row, not an average. */
+  def stockRawQa(spark: SparkSession, dir: String): DataFrame =
+    rawStock(spark, dir)
+      .groupBy(col("scraped_at"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(Cols.tryDecimal(trim(col("price")), 18, 4).isNull &&
+          Cols.cleanString(col("price")).isNotNull, 1L).otherwise(0L)).as("n_bad_price"),
+        sum(when(Cols.cleanString(col("price")).isNull, 1L).otherwise(0L)).as("n_blank_price"),
+        sum(when(Cols.tryNumber(trim(col("volume"))).isNull, 1L).otherwise(0L)).as("n_bad_volume"),
+        sum(when(Cols.cleanString(col("market_cap")).isNull, 1L).otherwise(0L)).as("n_null_cap"),
+        countDistinct(col("symbol")).as("n_symbols"))
+      .orderBy(col("scraped_at").asc)
+
   /** STREAMING dim maintenance — the reference's hourly-scrape loop as
     * a Structured Stream: raw scrape batches arrive as in-order
     * micro-batches (three scrape windows over the 10-batch fixture),
@@ -508,6 +528,18 @@ object StockCatalog {
         |       price, market_cap, volume, avg_volume_3m, source_url
         |FROM fct
         |ORDER BY observation_sk ASC""".stripMargin),
+    "stock_raw_qa" -> o(
+      """SELECT scraped_at,
+        |       count(*) AS n_rows,
+        |       CAST(count(*) FILTER (WHERE TRY_CAST(trim(price) AS DECIMAL(18,4)) IS NULL
+        |                               AND nullif(trim(price), '') IS NOT NULL) AS BIGINT) AS n_bad_price,
+        |       CAST(count(*) FILTER (WHERE nullif(trim(price), '') IS NULL) AS BIGINT) AS n_blank_price,
+        |       CAST(count(*) FILTER (WHERE TRY_CAST(trim(volume) AS DECIMAL(38,0)) IS NULL) AS BIGINT) AS n_bad_volume,
+        |       CAST(count(*) FILTER (WHERE nullif(trim(market_cap), '') IS NULL) AS BIGINT) AS n_null_cap,
+        |       count(DISTINCT symbol) AS n_symbols
+        |FROM braw
+        |GROUP BY scraped_at
+        |ORDER BY scraped_at ASC""".stripMargin),
     "stock_q1_top_market_cap" -> o(
       """SELECT symbol, entity_name, category, location,
         |       max(market_cap) AS latest_market_cap
@@ -743,6 +775,7 @@ object StockCatalog {
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stock_stg"                -> (stockStg _),
+    "stock_raw_qa"             -> (stockRawQa _),
     "stock_dim_entity"         -> (stockDimEntity _),
     "stock_stream_dim"         -> (stockStreamDim _),
     "stock_fct_observations"   -> (stockFctObservations _),

@@ -31,7 +31,7 @@ class CatalogPlanSweepSpec extends SparkSpec {
     * belongs in their own gates, not a plan screen. */
   private val streamingGates =
     Set("stream_merge_events", "stream_dedup_docs", "stream_hourly_rollup",
-      "stream_join_views")
+      "stream_join_views", "stock_stream_dim")
 
   /** J2 scalar-broadcast sites: each crossJoins a broadcast frame that
     * is O(1) rows by construction (the comment names the frame). A BNLJ
@@ -120,7 +120,8 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "stock_u1_filters" -> "10-row batch + 2-row dup broadcast frames",
     "stock_u2_shocks" -> "fixture frames + 1-row volume-stats frame",
     "stock_u3_kpis" -> "fixture frames (top-5 leg)",
-    "stock_q4_geo_scalable" -> "fixture frames (sums + O(locations) HLL frame join)"
+    "stock_q4_geo_scalable" -> "fixture frames (sums + O(locations) HLL frame join)",
+    "stock_raw_qa" -> "10-row batch + 2-row dup broadcast frames"
   )
 
   test("no cartesian product, no unbounded nested-loop join, no exact percentile — anywhere") {
