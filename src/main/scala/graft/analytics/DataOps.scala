@@ -3246,9 +3246,32 @@ object DataOps {
          |FROM (SELECT sha256($dkNormText) AS fp
          |      FROM documents)""".stripMargin,
     "dedup_jaccard" ->
-      s"""WITH $dkSizes, $dkJaccardPairs
-         |SELECT doc_a, doc_b, jaccard FROM jac
-         |WHERE jraw >= 0.5
+      // replays the engine's FULL three-tier dispatch (ADVICE r11: the
+      // oracle used to stay exact unconditionally, so the gate would
+      // mismatch by construction past the prefix budget): exact_tier
+      // mirrors jaccardPairsAdaptive's measured statistics — exact
+      // whenever Σ df² fits the fanout budget OR Σ n_sh fits the
+      // prefix budget (tiers 1 and 2 are value-identical), else the
+      // banded-LSH prescreen + exact verify (jac restricted to cands —
+      // the dedup_minhash_lsh tail). Scalar-subquery gate, the
+      // lsh_pair_recall / stream_join_views cohort pattern.
+      s"""WITH $dkSizes, $dkJaccardPairs, $dkMinhashCandCtes,
+         |dspx AS (
+         |  SELECT CASE WHEN coalesce((SELECT sum(df * df) FROM (
+         |                SELECT count(*) AS df FROM sh GROUP BY sh)), 0)
+         |                <= ${graft.operators.TextDedup.IndexFanoutBudget}
+         |           OR coalesce((SELECT sum(n_sh) FROM sizes), 0)
+         |                <= ${graft.operators.TextDedup.PrefixIndexRowsBudget}
+         |         THEN 1 ELSE 0 END AS exact_tier
+         |)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT j.doc_a, j.doc_b, j.jaccard FROM jac j
+         |  WHERE j.jraw >= 0.5 AND (SELECT exact_tier FROM dspx) = 1
+         |  UNION ALL
+         |  SELECT j.doc_a, j.doc_b, j.jaccard
+         |  FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+         |  WHERE j.jraw >= 0.5 AND (SELECT exact_tier FROM dspx) = 0
+         |)
          |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
     // the prefix-filtered strategy must produce the IDENTICAL pair
     // set — same oracle text, so the filter's loss-lessness is
@@ -3259,7 +3282,11 @@ object DataOps {
          |WHERE jraw >= 0.5
          |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
     "dedup_containment" ->
-      s"""WITH $dkSizes,
+      // same three-tier dispatch replay as dedup_jaccard (shared
+      // measured statistics — containmentPairsAdaptive dispatches on
+      // the identical budgets): exact cpair below budget, cpair
+      // restricted to the banded-LSH candidates above it.
+      s"""WITH $dkSizes, $dkMinhashCandCtes,
          |cinter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_ab
          |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -3271,13 +3298,26 @@ object DataOps {
          |  FROM cinter
          |  JOIN sizes sa ON sa.doc_id = doc_a
          |  JOIN sizes sb ON sb.doc_id = doc_b
+         |), dspx AS (
+         |  SELECT CASE WHEN coalesce((SELECT sum(df * df) FROM (
+         |                SELECT count(*) AS df FROM sh GROUP BY sh)), 0)
+         |                <= ${graft.operators.TextDedup.IndexFanoutBudget}
+         |           OR coalesce((SELECT sum(n_sh) FROM sizes), 0)
+         |                <= ${graft.operators.TextDedup.PrefixIndexRowsBudget}
+         |         THEN 1 ELSE 0 END AS exact_tier
+         |), cgated AS (
+         |  SELECT * FROM cpair WHERE (SELECT exact_tier FROM dspx) = 1
+         |  UNION ALL
+         |  SELECT p.* FROM cpair p JOIN cands c
+         |    ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+         |  WHERE (SELECT exact_tier FROM dspx) = 0
          |)
          |SELECT CASE WHEN n_a <= n_b THEN doc_a ELSE doc_b END AS doc_sub,
          |       CASE WHEN n_a <= n_b THEN doc_b ELSE doc_a END AS doc_sup,
          |       CAST(least(n_a, n_b) AS BIGINT) AS n_sub,
          |       floor(craw * 1e4 + 0.5) / 1e4 AS containment,
          |       floor(jraw * 1e4 + 0.5) / 1e4 AS jaccard
-         |FROM cpair WHERE craw >= 0.8
+         |FROM cgated WHERE craw >= 0.8
          |ORDER BY doc_sub ASC, doc_sup ASC""".stripMargin,
     "topk_value_by_type" ->
       """WITH r AS (

@@ -459,7 +459,8 @@ object HistQuantiles {
     * prunes row groups. Driver state is one BigDecimal accumulator.
     * Rows with NULL or non-positive weights are excluded. */
   def weightedCut(df: DataFrame, c: Column, w: Column, pNum: Long = 1, pDen: Long = 2,
-      nBuckets: Int = 4096, as: String = "q", maxRounds: Int = 16): DataFrame = {
+      nBuckets: Int = 4096, as: String = "q", maxRounds: Int = 16,
+      maxFallbackDistinct: Int = 1 << 20): DataFrame = {
     require(nBuckets >= 2 && nBuckets <= (1 << 20), "nBuckets must be in [2, 2^20]")
     require(pNum > 0 && pNum < pDen, "need 0 < pNum/pDen < 1")
     val spark = df.sparkSession
@@ -505,9 +506,18 @@ object HistQuantiles {
       assert(found, "weight target not reachable — inconsistent histogram")
     }
     if (lo < hi) {
+      // same CAPPED fallback as [[exactCut]]: orderBy+limit plans as
+      // TakeOrdered (bounded driver memory), and an adversarial
+      // all-one-bucket weighted distribution that still holds more
+      // distinct values than the cap fails LOUD instead of silently
+      // ballooning the driver with an unbounded collect.
       val grp = vals.filter(col("x") >= lo && col("x") <= hi)
         .groupBy(col("x")).agg(sum(col("w")).as("ws"))
-        .orderBy(col("x").asc).collect()
+        .orderBy(col("x").asc).limit(maxFallbackDistinct + 1).collect()
+      require(grp.length <= maxFallbackDistinct,
+        s"weightedCut fallback: residual range [$lo, $hi] still holds more than " +
+          s"$maxFallbackDistinct distinct values after $maxRounds refinement rounds — " +
+          "raise nBuckets/maxRounds (or maxFallbackDistinct) for this distribution")
       var i = 0; var v = hi; var found = false
       while (!found && i < grp.length) {
         cumBefore = cumBefore.add(grp(i).getDecimal(1))

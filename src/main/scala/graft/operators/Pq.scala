@@ -44,6 +44,37 @@ object Pq {
     s
   }
 
+  /** Default subspace count for a dimensionality — the measured
+    * m ∝ dim law (SCALE.md "Production-dimension embeddings": at
+    * fixed m = 8, recall@5 collapses 0.62 → 0.42 → 0.24 as dims and
+    * corpus grow; scaling m with dim recovers it — m = 32 at 256
+    * dims lands 0.58 at sf0.1 where m = 8 lands 0.42). 8-dim
+    * subvectors at any production dimensionality, never fewer than
+    * the deployment-standard 8 subspaces, so a user at 768–1536 dims
+    * gets the recall-preserving geometry by DEFAULT instead of
+    * silent collapse at a stale fixed m. */
+  def mForDim(dim: Int): Int = math.max(8, dim / 8)
+
+  /** [[fitCodebooks]] with the subspace count DERIVED from the
+    * corpus's measured dimensionality via [[mForDim]] — the entry
+    * point to prefer unless a specific compression ratio is the
+    * point (explicit-m override stays available on the 6-arg form). */
+  def fitCodebooksAuto(corpus: DataFrame, k: Int, nIter: Int,
+      sampleN: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[Code] = {
+    val sample = collectSample(corpus, sampleN, idCol, vecCol)
+    fitOnSample(sample, mForDim(sample.head.length), k, nIter)
+  }
+
+  private def collectSample(corpus: DataFrame, sampleN: Int,
+      idCol: String, vecCol: String): Array[Array[Double]] = {
+    val sample = corpus.orderBy(col(idCol).asc).limit(sampleN)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "fitCodebooks needs a non-empty corpus")
+    sample
+  }
+
   /** Train `m` codebooks of `k` centroids each with `nIter` Lloyd
     * iterations over the first `sampleN` corpus vectors (vec_id
     * order — the deterministic bounded sample). The collect is the
@@ -52,12 +83,15 @@ object Pq {
   def fitCodebooks(corpus: DataFrame, m: Int, k: Int, nIter: Int,
       sampleN: Int, idCol: String = "vec_id",
       vecCol: String = "embedding"): Seq[Code] = {
-    require(m > 0 && k > 0 && nIter >= 0 && sampleN >= k,
-      "fitCodebooks needs m > 0, k > 0, nIter >= 0, sampleN >= k")
-    val sample = corpus.orderBy(col(idCol).asc).limit(sampleN)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    require(sample.nonEmpty, "fitCodebooks needs a non-empty corpus")
+    require(k > 0 && nIter >= 0 && sampleN >= k,
+      "fitCodebooks needs k > 0, nIter >= 0, sampleN >= k")
+    fitOnSample(collectSample(corpus, sampleN, idCol, vecCol), m, k, nIter)
+  }
+
+  private def fitOnSample(sample: Array[Array[Double]], m: Int, k: Int,
+      nIter: Int): Seq[Code] = {
+    require(m > 0 && k > 0 && nIter >= 0,
+      "fitCodebooks needs m > 0, k > 0, nIter >= 0")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m

@@ -26,13 +26,18 @@ object SqlPortabilityAudit {
       .foreach { case (name, sql) =>
       val status =
         try {
-          // .sorted (the SqlFrontEndSpec/StreamsSpec convention): an
-          // oracle without a total ORDER BY must not print a spurious
-          // MISMATCH from row order alone — MISMATCH means VALUE
-          // divergence, the silent-semantics-change class
-          val viaSql = spark.sql(sql).toJSON.collect().toSeq.sorted
-          val viaApi = SparkEntry.queries(name)(spark, dir).toJSON.collect().toSeq.sorted
-          if (viaSql == viaApi) "PORTABLE" else "MISMATCH"
+          // ordered compare FIRST: an oracle that declares a total
+          // ORDER BY must also produce rows in that order, so a sorted-
+          // only match is reported as ORDER-ONLY (order divergence),
+          // never silently promoted to PORTABLE. Oracles without a
+          // total ORDER BY legitimately differ in row order alone —
+          // for those the sorted compare is the correct equivalence,
+          // and MISMATCH stays reserved for VALUE divergence.
+          val viaSql = spark.sql(sql).toJSON.collect().toSeq
+          val viaApi = SparkEntry.queries(name)(spark, dir).toJSON.collect().toSeq
+          if (viaSql == viaApi) "PORTABLE"
+          else if (viaSql.sorted == viaApi.sorted) "ORDER-ONLY"
+          else "MISMATCH"
         } catch {
           case e: Throwable =>
             val first = Option(e.getMessage).getOrElse(e.getClass.getName)

@@ -28,11 +28,18 @@ class CoverageDocSpec extends AnyFunSuite {
   test("README.md catalog counts == SparkEntry.queries.size (ADVICE r10: README drifted)") {
     val readme = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("README.md")), java.nio.charset.StandardCharsets.UTF_8)
-    // the three catalog-count phrasings (the "116 oracle queries run
-    // VERBATIM" line is the ansiPortable set, pinned elsewhere)
-    val counts = """(\d+)(?: queries \+ DuckDB|-oracle catalog|-query bench)""".r
-      .findAllMatchIn(readme).map(_.group(1).toInt).toSeq
-    assert(counts.size == 3, s"README.md lost catalog-count references (found $counts)")
+    // ANY standalone number immediately qualifying a catalog/queries/
+    // bench noun is a catalog-count claim (ADVICE r11: the old form
+    // hard-coded three exact phrasings, so a reworded line escaped the
+    // pin and a fourth count went unchecked). The verbatim two-engine
+    // count ("N oracle queries run VERBATIM") is the ansiPortable set,
+    // pinned in its own test below.
+    val counts = """(\d+)[ -](?:queries|oracle catalog|query bench|entry catalog|oracle-gated)"""
+      .r.findAllMatchIn(readme)
+      .filterNot(m => readme.substring(m.end, math.min(readme.length, m.end + 40))
+        .contains("VERBATIM"))
+      .map(_.group(1).toInt).toSeq
+    assert(counts.nonEmpty, "README.md lost all catalog-count references")
     counts.foreach(c => assert(c == SparkEntry.queries.size,
       s"README says $c but the catalog has ${SparkEntry.queries.size} entries"))
   }

@@ -221,6 +221,23 @@ class HistQuantilesSpec extends SparkSpec {
     assert(HistQuantiles.exactCut(tight, col("x"), 0.9).head().getDouble(0) == hi)
   }
 
+  test("weightedCut fallback collect is capped: bounded probe, loud failure past the cap") {
+    // maxRounds = 0 forces the residual-range fallback over ALL values —
+    // the adversarial all-one-bucket WEIGHTED shape (the exactCut cap's
+    // twin: same TakeOrdered-bounded collect, same loud require)
+    val df = (1 to 200).map(i => (i.toDouble, 1.0)).toDF("x", "w")
+    val ok = HistQuantiles.weightedCut(df, col("x"), col("w"),
+      maxRounds = 0, maxFallbackDistinct = 1000).head()
+    // unit weights reduce to the median-by-cumulative-weight pick: the
+    // smallest x with 2·cum >= W is x = 100
+    assert(ok.getDouble(0) == 100.0)
+    val e = intercept[IllegalArgumentException] {
+      HistQuantiles.weightedCut(df, col("x"), col("w"),
+        maxRounds = 0, maxFallbackDistinct = 50)
+    }
+    assert(e.getMessage.contains("distinct values"))
+  }
+
   test("weightedCut == brute-force weighted quantile, with ties and duplicate weights") {
     val rng = new scala.util.Random(21)
     val rows = Seq.fill(800)((rng.nextInt(40).toDouble, (rng.nextInt(50) + 1) * 0.5)) ++
