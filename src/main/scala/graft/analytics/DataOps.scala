@@ -1337,6 +1337,103 @@ object DataOps {
         Cols.r(col("n_hits").cast("double") / col("n_exact").cast("double"), 6).as("recall"))
   }
 
+  // ---- production-DIMENSION (256-d) gates ------------------------------
+
+  /** The corpus at PRODUCTION dimensionality, synthesized MAP-SIDE
+    * inside the entry (the StockCatalog.rawStock fixture pattern):
+    * [[graft.ScaleUp.widenEmbedding]]'s 4× orthogonal-block widening —
+    * norm-exact, inner-product-preserving, every output element the
+    * EXACT float ±e·0.5 — so the widened corpus carries the identical
+    * neighbor structure at 256 dims and both engines rebuild it
+    * bit-identically from the same parquet (the oracle replays the
+    * rotation/sign/scale as list arithmetic). Closes r11 Missing #1:
+    * the 256-dim recall study ran from gitignored rehearsal dirs; now
+    * the driver enforces it at every oracle SF. */
+  private def widenedEmb(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("embedding", graft.ScaleUp.widenEmbedding(4, col("embedding")))
+
+  /** d256 geometry = the r11 study's measured recovery point: m
+    * DEFAULTED from dimensionality ([[graft.operators.Pq
+    * .fitCodebooksAuto]] → mForDim(256) = 32 subspaces of 8 dims —
+    * the fixture's subvector width at production dim), k = 256
+    * one-byte codewords, 512-vector sample, 2 Lloyd rounds. */
+  private val pqD256K = 256
+  private val pqD256SampleN = 512
+
+  private val pqD256Memo =
+    new scala.collection.concurrent.TrieMap[String, Seq[graft.operators.Pq.Code]]()
+
+  /** d256 trainings — TrainMemoSpec pins one per corpus. */
+  private[graft] val pqD256TrainRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def trainedPqD256(emb: DataFrame, dir: String): Seq[graft.operators.Pq.Code] =
+    pqD256Memo.getOrElseUpdate(dir, {
+      pqD256TrainRuns.incrementAndGet()
+      graft.operators.Pq.fitCodebooksAuto(emb, pqD256K, pqIter, pqD256SampleN)
+    })
+
+  private val centroidD256Memo =
+    new scala.collection.concurrent.TrieMap[String, Seq[(Int, Array[Double])]]()
+
+  private def trainedCentroidsD256(emb: DataFrame, dir: String): Seq[(Int, Array[Double])] =
+    centroidD256Memo.getOrElseUpdate(dir, graft.operators.KMeans.fit(emb, 8, 2))
+
+  /** Measured floors under the minimum across the oracle corpora
+    * (sf0.001/0.01/0.1 land 0.80/0.72/0.58 for the codec, 0.74/0.72/
+    * 0.56 composed — vs 0.42 at the stale m=8), emitted as a
+    * `meets_floor` column COMPUTED IN BOTH ENGINES: a codec or
+    * kernel regression that drops production-dimension recall below
+    * the study's level flips a hash-gated value. */
+  private[analytics] val PqD256RecallFloor = 0.55
+  private[analytics] val IvfadcD256RecallFloor = 0.50
+
+  /** Recall@5 of the PQ codec at PRODUCTION DIMENSIONALITY (256-d,
+    * m = 32 via the mForDim default) against exact brute force over
+    * the same widened corpus — the committed form of the r11 recall
+    * study (SCALE.md "Production-dimension embeddings"): the oracle
+    * replays widening, PQ32x256 training, encode, reconstruction,
+    * ranking, and the floor test. */
+  def pqRecallD256(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.operators.Persisted.index(widenedEmb(spark, dir))
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = graft.operators.Pq.adcTopK(emb, q, trainedPqD256(emb, dir), k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    approx.join(exact, Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .crossJoin(broadcast(nExact))
+      .select(lit("pq_d256").as("method"), col("n_exact"), col("n_hits"),
+        Cols.r(col("n_hits").cast("double") / col("n_exact").cast("double"), 6).as("recall"))
+      .withColumn("meets_floor", col("recall") >= lit(PqD256RecallFloor))
+  }
+
+  /** Recall@5 of the FULL production deployment shape — 256-dim
+    * corpus, trained coarse cells probed at nProbe = 3, PQ32x256 ADC
+    * scoring only the probed cells' codes. Completes the recall
+    * matrix's last axis (geometry × dimensionality × composition);
+    * shares both trained artifacts across repeat sweeps via the d256
+    * memos. */
+  def ivfadcRecallD256(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.operators.Persisted.index(widenedEmb(spark, dir))
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = graft.operators.Pq.ivfAdcTopK(emb, q,
+        trainedCentroidsD256(emb, dir), trainedPqD256(emb, dir),
+        k = 5, nProbe = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    approx.join(exact, Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .crossJoin(broadcast(nExact))
+      .select(lit("ivfadc_d256").as("method"), col("n_exact"), col("n_hits"),
+        Cols.r(col("n_hits").cast("double") / col("n_exact").cast("double"), 6).as("recall"))
+      .withColumn("meets_floor", col("recall") >= lit(IvfadcD256RecallFloor))
+  }
+
   /** Recall@5 of the composed IVFADC search against exact brute
     * force — the missing gate `pq_recall` does not cover: probing 2
     * of 8 cells can silently miss true neighbors, and nothing red-
@@ -2630,24 +2727,31 @@ object DataOps {
   /** One unrolled Lloyd iteration as CTEs: assign against c<i-1>,
     * quantized per-dim sums, means → c<i>. Mirrors KMeans.assignCells
     * (tie-break: lowest cell) + meanUpdate (1e-9 grid, exact int64). */
-  private def dkKmeansIter(i: Int): String = {
-    val prev = s"c${i - 1}"
-    s"""a$i AS (
+  private def dkKmeansIter(i: Int): String = dkKmeansIterFrom(i, "embeddings", "")
+
+  /** One unrolled coarse-k-means Lloyd iteration over `src(vec_id,
+    * embedding)` with CTE names prefixed `px` — the generalization
+    * that lets the d256 gates replay KMeans.fit over the WIDENED
+    * corpus CTE (px = "", src = "embeddings" reproduces the original
+    * text the 64-dim entries share). */
+  private def dkKmeansIterFrom(i: Int, src: String, px: String): String = {
+    val prev = s"${px}c${i - 1}"
+    s"""${px}a$i AS (
        |  SELECT vec_id, embedding, cell FROM (
        |    SELECT e.vec_id, e.embedding, c.cell,
        |           row_number() OVER (PARTITION BY e.vec_id
        |             ORDER BY ${dkCosRaw("e.embedding", "c.c")} DESC, c.cell ASC) AS rn
-       |    FROM embeddings e CROSS JOIN $prev c) WHERE rn = 1
-       |), m$i AS (
+       |    FROM $src e CROSS JOIN $prev c) WHERE rn = 1
+       |), ${px}m$i AS (
        |  SELECT cell, u.pos AS pos, sum(u.q) AS sq, count(*) AS n FROM (
        |    SELECT cell, unnest(list_transform(generate_series(1, len(embedding)),
        |      j -> struct_pack(pos := j,
        |             q := CAST(floor(CAST(embedding[j] AS DOUBLE) * 1e9 + 0.5) AS BIGINT)))) AS u
-       |    FROM a$i)
+       |    FROM ${px}a$i)
        |  GROUP BY 1, 2
-       |), c$i AS (
+       |), ${px}c$i AS (
        |  SELECT cell, list((CAST(sq AS DOUBLE) / n) / 1e9 ORDER BY pos ASC) AS c
-       |  FROM m$i GROUP BY cell
+       |  FROM ${px}m$i GROUP BY cell
        |)""".stripMargin
   }
 
@@ -2691,12 +2795,13 @@ object DataOps {
     * code assignment over the whole corpus, ${px}_rec = (vec_id,
     * recon) with recon the concatenated assigned sub-centroids in
     * subspace order. */
-  private def dkPqCtesFor(px: String, m: Int, k: Int, sampleN: Int): String = {
-    val subDim = 64 / m
+  private def dkPqCtesFor(px: String, m: Int, k: Int, sampleN: Int,
+      src: String = "embeddings", dim: Int = 64): String = {
+    val subDim = dim / m
     val subs = (0 until m).mkString(", ")
     s"""${px}_s AS (
        |  SELECT row_number() OVER (ORDER BY vec_id ASC) AS rn, embedding
-       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT $sampleN)
+       |  FROM (SELECT vec_id, embedding FROM $src ORDER BY vec_id ASC LIMIT $sampleN)
        |), ${px}_sv AS (
        |  SELECT rn, sub, ${dkPqSlice("embedding", "sub", subDim)} AS v
        |  FROM ${px}_s CROSS JOIN (SELECT unnest([$subs]) AS sub) subs
@@ -2709,7 +2814,7 @@ object DataOps {
        |           row_number() OVER (PARTITION BY e.vec_id, c.sub
        |             ORDER BY (${dkDot("c.c", "c.c")} - 2 * ${dkDot(dkPqSlice("e.embedding", "c.sub", subDim), "c.c")}) ASC,
        |                      c.cell ASC) AS rk
-       |    FROM embeddings e CROSS JOIN ${px}c2 c) WHERE rk = 1
+       |    FROM $src e CROSS JOIN ${px}c2 c) WHERE rk = 1
        |), ${px}_rec AS (
        |  SELECT vec_id, flatten(list(c ORDER BY sub ASC)) AS recon
        |  FROM ${px}_enc GROUP BY vec_id
@@ -2724,6 +2829,27 @@ object DataOps {
     * m=8 subspaces × k=256 codewords ⇒ 1-byte codes, 8 B/vector),
     * trained on a 512-vector sample: CTE prefix `pz`. */
   private val dkPq256Ctes: String = dkPqCtesFor("pz", m = 8, k = 256, sampleN = 512)
+
+  /** DuckDB replay of [[graft.ScaleUp.widenEmbedding]](4, ·): output
+    * position p (0-based) reads block j = p/64's source element
+    * (i + 17j mod 64) with i = p mod 64, negates when popcount(i & j)
+    * is odd, scales by the EXACT 0.5 (a power of two — float·0.5 is
+    * exact, so the double list here equals Spark's float array
+    * element-for-element). CTE `wide(vec_id, embedding)`. */
+  private val dkWideCte: String =
+    """wide AS (
+      |  SELECT vec_id,
+      |         list_transform(generate_series(0, 255),
+      |           p -> CAST(embedding[((p % 64) + (17 * (p // 64)) % 64) % 64 + 1] AS DOUBLE) * 0.5
+      |                * CASE WHEN bit_count(CAST((p % 64) AS BIGINT) & CAST((p // 64) AS BIGINT)) % 2 = 1
+      |                       THEN -1 ELSE 1 END) AS embedding
+      |  FROM embeddings
+      |)""".stripMargin
+
+  /** The PRODUCTION-DIMENSION instance: PQ32x256 over the 256-dim
+    * widened corpus (m from the mForDim law), prefix `pw`. */
+  private val dkPqD256Ctes: String =
+    dkPqCtesFor("pw", m = 32, k = 256, sampleN = 512, src = "wide", dim = 256)
 
   /** One unrolled PageRank power iteration (mirrors PageRank.ranks:
     * 1e-12-grid quantized contributions, teleport/n + d·sum). The
@@ -3043,6 +3169,88 @@ object DataOps {
          |SELECT 'ivfadc' AS method, n_exact, n_hits,
          |       floor(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) * 1e6 + 0.5) / 1e6 AS recall
          |FROM vhits CROSS JOIN vnex""".stripMargin,
+    "pq_recall_d256" ->
+      // full replay at PRODUCTION DIMENSIONALITY: widen (dkWideCte) →
+      // PQ32x256 train/encode/reconstruct (dkPqD256Ctes) → ADC vs
+      // exact ranking over the SAME widened corpus → recall + the
+      // measured floor test (computed in both engines)
+      s"""WITH $dkWideCte,
+         |$dkPqD256Ctes,
+         |wexact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${dkCos("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
+         |    FROM wide q JOIN wide c ON c.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 10)
+         |  WHERE rank <= 5
+         |), wapprox AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${dkCos("q.embedding", "r.recon")} DESC, r.vec_id ASC) AS rank
+         |    FROM pw_rec r JOIN wide q ON r.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 10)
+         |  WHERE rank <= 5
+         |), wnex AS (SELECT count(*) AS n_exact FROM wexact),
+         |whits AS (
+         |  SELECT count(*) AS n_hits FROM wapprox JOIN wexact USING (query_id, neighbor_id)
+         |)
+         |SELECT 'pq_d256' AS method, n_exact, n_hits,
+         |       floor(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) * 1e6 + 0.5) / 1e6 AS recall,
+         |       floor(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) * 1e6 + 0.5) / 1e6 >= $PqD256RecallFloor AS meets_floor
+         |FROM whits CROSS JOIN wnex""".stripMargin,
+    "ivfadc_recall_d256" ->
+      // the composed deployment shape at 256 dims: coarse k-means
+      // retrained over the widened corpus (dkKmeansIterFrom px = "k"),
+      // nProbe = 3 probe, PQ32x256 ADC scoring, exact compare + floor
+      s"""WITH $dkWideCte,
+         |kc0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, embedding AS c
+         |  FROM (SELECT vec_id, embedding FROM wide ORDER BY vec_id ASC LIMIT 8)
+         |), ${dkKmeansIterFrom(1, "wide", "k")}, ${dkKmeansIterFrom(2, "wide", "k")},
+         |$dkPqD256Ctes,
+         |yc_assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${dkCosRaw("e.embedding", "c.c")} DESC, c.cell ASC) AS rn
+         |    FROM wide e CROSS JOIN kc2 c) WHERE rn = 1
+         |), yq_assign AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${dkCosRaw("e.embedding", "c.c")} DESC, c.cell ASC) AS rn
+         |    FROM wide e CROSS JOIN kc2 c
+         |    WHERE e.vec_id < 10) WHERE rn <= 3
+         |), yscored AS (
+         |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         |         ${dkCos("q.embedding", "r.recon")} AS cos
+         |  FROM yq_assign q
+         |  JOIN yc_assign a ON q.cell = a.cell AND a.vec_id <> q.vec_id
+         |  JOIN pw_rec r ON r.vec_id = a.vec_id
+         |), yapprox AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |    FROM yscored)
+         |  WHERE rank <= 5
+         |), yexact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${dkCos("q.embedding", "c.embedding")} DESC, c.vec_id ASC) AS rank
+         |    FROM wide q JOIN wide c ON c.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 10)
+         |  WHERE rank <= 5
+         |), ynex AS (SELECT count(*) AS n_exact FROM yexact),
+         |yhits AS (
+         |  SELECT count(*) AS n_hits FROM yapprox JOIN yexact USING (query_id, neighbor_id)
+         |)
+         |SELECT 'ivfadc_d256' AS method, n_exact, n_hits,
+         |       floor(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) * 1e6 + 0.5) / 1e6 AS recall,
+         |       floor(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) * 1e6 + 0.5) / 1e6 >= $IvfadcD256RecallFloor AS meets_floor
+         |FROM yhits CROSS JOIN ynex""".stripMargin,
     "incr_load_events" ->
       """SELECT substr(CAST(ts AS VARCHAR(30)), 1, 10) AS event_date,
         |       count(*) AS n_events,
@@ -4587,6 +4795,8 @@ object DataOps {
     "pq256_recall"      -> (pq256Recall _),
     "ivfadc_recall"     -> (ivfadcRecall _),
     "ivfadc256_recall"  -> (ivfadc256Recall _),
+    "pq_recall_d256"    -> (pqRecallD256 _),
+    "ivfadc_recall_d256" -> (ivfadcRecallD256 _),
     "sim_topk"          -> (simTopK _),
     "embed_outliers"    -> (embedOutliers _),
     "sim_topk_lsh"      -> (simTopKLsh _),

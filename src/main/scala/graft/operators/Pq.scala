@@ -52,8 +52,11 @@ object Pq {
     * subvectors at any production dimensionality, never fewer than
     * the deployment-standard 8 subspaces, so a user at 768–1536 dims
     * gets the recall-preserving geometry by DEFAULT instead of
-    * silent collapse at a stale fixed m. */
-  def mForDim(dim: Int): Int = math.max(8, dim / 8)
+    * silent collapse at a stale fixed m. Clamped to dim for toy
+    * corpora below 8 dims (1-dim subvectors); dim must be divisible
+    * by the result — fitCodebooks' existing require fails loud on
+    * geometries no m-law can fix (e.g. dim = 12). */
+  def mForDim(dim: Int): Int = math.min(dim, math.max(8, dim / 8))
 
   /** [[fitCodebooks]] with the subspace count DERIVED from the
     * corpus's measured dimensionality via [[mForDim]] — the entry

@@ -86,6 +86,8 @@ class CatalogPlanSweepSpec extends SparkSpec {
     "pq256_recall" -> "fixed query set + exact-baseline + 1-row count frames",
     "ivfadc_recall" -> "fixed query set + exact-baseline + 1-row count frames",
     "ivfadc256_recall" -> "fixed query set + exact-baseline + 1-row count frames",
+    "pq_recall_d256" -> "fixed query set + exact-baseline + 1-row count frames",
+    "ivfadc_recall_d256" -> "fixed query set + exact-baseline + 1-row count frames",
     "ann_recall" -> "fixed query set + exact-baseline frames",
     "rp_distortion" -> "fixed 600-pair sample frame",
     // -- bounded-frame non-equi self-join: the corpus aggregates to an

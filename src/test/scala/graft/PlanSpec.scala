@@ -211,10 +211,13 @@ class PlanSpec extends SparkSpec {
     val p = plan(graft.analytics.DataOps.spanDupSpans(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
     // the duplicated-gram probe is a semi join (positions never fan out
-    // per duplicate), and the distinct-doc gram filter partial-aggregates
-    // before its one shuffle on g
+    // per duplicate); under the key budget the build side is the
+    // bounded LOCAL key relation (the dup aggregate — with its
+    // partial-aggregated df counts — runs in the one bounded key-fetch
+    // job, no cached frame left behind), so the gram stream's second
+    // pass stays map-side
     assert(p.contains("LeftSemi"), p.take(3000))
-    assert(p.contains("partial_count"), p.take(3000))
+    assert(p.contains("LocalTableScan"), p.take(3000))
     // interval merge runs per doc, not in one global window
     assert(!p.contains("Window [") || !p.contains("SinglePartition"), p.take(3000))
   }

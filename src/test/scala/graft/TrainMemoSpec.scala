@@ -45,6 +45,16 @@ class TrainMemoSpec extends SparkSpec {
     assert(runs <= 1, s"expected at most one PQ8x256 training run, saw $runs")
   }
 
+  test("production-DIMENSION PQ (32x256 at 256-d) trains once per corpus across both d256 entries and repeats") {
+    import graft.analytics.DataOps
+    val before = DataOps.pqD256TrainRuns.get()
+    DataOps.pqRecallD256(spark, dir).collect()
+    DataOps.ivfadcRecallD256(spark, dir).collect()
+    DataOps.pqRecallD256(spark, dir).collect()
+    val runs = DataOps.pqD256TrainRuns.get() - before
+    assert(runs <= 1, s"expected at most one PQ32x256 training run, saw $runs")
+  }
+
   test("PCA fits once per corpus across both entries and repeats") {
     val before = SpectrumOps.pcaFitRuns.get()
     SpectrumOps.embedPcaTop(spark, dir).collect()

@@ -135,4 +135,34 @@ class PqSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("mForDim pins the measured m ∝ dim law; fitCodebooksAuto derives geometry from data") {
+    // 8-dim subvectors at production dims, never below 8 subspaces,
+    // clamped for toy dims (SCALE.md production-dimension study)
+    assert(Pq.mForDim(64) == 8)
+    assert(Pq.mForDim(256) == 32)
+    assert(Pq.mForDim(768) == 96)
+    assert(Pq.mForDim(1024) == 128)
+    assert(Pq.mForDim(1536) == 192)
+    assert(Pq.mForDim(4) == 4) // toy clamp: m can never exceed dim
+    // auto geometry on the 4-dim fixture: m = 4 (1-dim subvectors),
+    // and the books agree with the explicit-m call exactly
+    val auto = Pq.fitCodebooksAuto(separable, k = 2, nIter = 2, sampleN = 6)
+    assert(auto.map(_.sub).distinct.sorted == Seq(0, 1, 2, 3))
+    val explicit = Pq.fitCodebooks(separable, m = 4, k = 2, nIter = 2, sampleN = 6)
+    assert(auto.map(c => (c.sub, c.cell, c.coords.toSeq)) ==
+      explicit.map(c => (c.sub, c.cell, c.coords.toSeq)))
+  }
+
+  test("d256 default geometry recovers the measured recall floor (the m-law's quality pin)") {
+    // the committed production-dimension gate over the sf0.001 corpus:
+    // fitCodebooksAuto at 256 dims must choose m = 32 and land at or
+    // above the study's floor (measured 0.80/0.72/0.58 across the
+    // oracle SFs; floor 0.55) — a default-geometry regression that
+    // collapses production-dim recall fails HERE even before the
+    // driver's hash gate sees it
+    val row = graft.analytics.DataOps.pqRecallD256(spark, "/root/testdata/sf0.001").head()
+    assert(row.getAs[Double]("recall") >= 0.55)
+    assert(row.getAs[Boolean]("meets_floor"))
+  }
 }
