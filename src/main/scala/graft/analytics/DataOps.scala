@@ -1894,6 +1894,62 @@ object DataOps {
   private def chunkSchema(data: DataFrame) =
     graft.streaming.Streams.chunkSchema(data)
 
+  /** PARTITION-SCOPED incremental MERGE gate ([[graft.operators
+    * .Upsert.mergePartitionedPath]] — the operator a date-partitioned
+    * 100 TB fact needs so a daily batch rewrites O(touched dates),
+    * never O(target); UpsertSpec pins byte-identical untouched
+    * partitions, THIS entry hash-gates the end state): three
+    * deterministic key batches merge sequentially into a
+    * date-partitioned parquet target, the third re-emitting a slice
+    * of batch 0's keys with a CHANGED partition value (+365 days) and
+    * an updated value — the matched-key-moves-partitions case the
+    * semi-probe exists for (scoping to source partitions alone would
+    * leave stale duplicates; the rollup's count doubling would flip
+    * the hash). The SETTLED target rolls up per date against a purely
+    * relational oracle of the same final state. Keys are deduped to
+    * one row per event_id first (lexicographically-greatest tuple —
+    * order-independent, NULL-free by filter) so MERGE semantics are
+    * well-defined regardless of fixture replay. */
+  def incrMergePartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .filter(col("event_id").isNotNull && col("ts").isNotNull &&
+        col("user_id").isNotNull && col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_date(col("ts")).as("event_date"), col("value"))
+      .groupBy(col("event_id"))
+      .agg(max(struct(col("event_date"), col("user_id"), col("event_type"), col("value"))).as("s"))
+      .select(col("event_id"), col("s.event_date").as("event_date"),
+        col("s.user_id").as("user_id"), col("s.event_type").as("event_type"),
+        col("s.value").as("value"))
+    val work = graft.sources.LocalFs.scratchDir("graft_pmerge")
+    val target = s"$work/fact"
+    val cols = Seq("event_id", "user_id", "event_type", "event_date", "value").map(col)
+    val b0 = base.filter(col("event_id") % 3 === 0).select(cols: _*)
+    val b1 = base.filter(col("event_id") % 3 === 1).select(cols: _*)
+    // batch 2 = its own keys + the moved/updated correction slice of b0
+    val moved = b0.filter(col("event_id") % 7 === 0)
+      .withColumn("event_date", date_add(col("event_date"), 365))
+      .withColumn("value", col("value") + lit(1.0))
+    val b2 = base.filter(col("event_id") % 3 === 2).select(cols: _*)
+      .unionByName(moved.select(cols: _*))
+    Seq(b0, b1, b2).foreach(b =>
+      graft.operators.Upsert.mergePartitionedPath(spark, target, b,
+        keys = Seq("event_id"), partCol = "event_date"))
+    val rollup = spark.read.parquet(target)
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        Cols.r(Cols.sumExact(col("value")), 2).as("total_value"))
+      .select(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"),
+        col("n_events"), col("n_users"), col("total_value"))
+      .orderBy(col("event_date").asc)
+    val settled = rollup.collect().toSeq
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(settled, 1), rollup.schema)
+    graft.sources.LocalFs.deleteRecursively(work)
+    out
+  }
+
   def streamMergeEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     // a deterministic 20% slice: the gate certifies the MACHINERY
@@ -4588,6 +4644,36 @@ object DataOps {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment ASC""".stripMargin,
+    "incr_merge_partitioned" ->
+      // relational replay of the merged END STATE: dedupe to one row
+      // per key (lexicographically-greatest tuple — the entry's
+      // max-struct), then apply the third batch's moved/updated
+      // correction slice (key % 21 = 0: +365 days partition move,
+      // +1.0 value) and roll up per date. Any stale duplicate the
+      // partition-scoped surgery left behind (or any row it lost)
+      // flips count/sum here.
+      """WITH evx AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS event_date, value,
+        |         row_number() OVER (PARTITION BY event_id
+        |           ORDER BY CAST(ts AS DATE) DESC, user_id DESC, event_type DESC, value DESC) AS rn
+        |  FROM events
+        |  WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL AND value IS NOT NULL
+        |), finalst AS (
+        |  SELECT event_id, user_id,
+        |         CASE WHEN event_id % 3 = 0 AND event_id % 7 = 0
+        |              THEN event_date + 365 ELSE event_date END AS event_date,
+        |         CASE WHEN event_id % 3 = 0 AND event_id % 7 = 0
+        |              THEN value + 1.0 ELSE value END AS value
+        |  FROM evx WHERE rn = 1
+        |)
+        |SELECT strftime(event_date, '%Y-%m-%d') AS event_date,
+        |       count(*) AS n_events,
+        |       count(DISTINCT user_id) AS n_users,
+        |       floor(CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS total_value
+        |FROM finalst
+        |GROUP BY 1
+        |ORDER BY event_date ASC""".stripMargin,
     "stream_merge_events" ->
       """SELECT event_type, count(*) AS n_events,
         |       count(DISTINCT event_id) AS n_ids,
@@ -4833,6 +4919,7 @@ object DataOps {
     "heavy_hitter_tokens" -> (heavyHitterTokens _),
     "cms_token_counts"  -> (cmsTokenCounts _),
     "cms_join_size"     -> (cmsJoinSizeOrdersEvents _),
+    "incr_merge_partitioned" -> (incrMergePartitioned _),
     "stream_merge_events" -> (streamMergeEvents _),
     "stream_hourly_rollup" -> (streamHourlyRollup _),
     "stream_dedup_docs" -> (streamDedupDocs _),

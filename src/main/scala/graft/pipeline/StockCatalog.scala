@@ -106,8 +106,30 @@ object StockCatalog {
   private def stg(spark: SparkSession, dir: String): DataFrame =
     Persisted.index(StockPipeline.stgMostActives(rawStock(spark, dir)))
 
+  /** Entity-count budget for the dim's WINDOW form: the synthetic
+    * decades scale ENTITIES with facts (the reference's dim is
+    * hundreds of rows — SCALE.md adjudication), and the window form
+    * shuffles O(facts) rows with 64-byte keys to rank them — measured
+    * green at sf10 (1.5M entities, 27M facts) and measured FATAL at
+    * sf100 (15M entities, 273M facts: the ~35 GB keep-latest sort
+    * co-resident with the ~35 GB persisted stg exceeds the box's
+    * scratch). 2²¹ sits between the decades; above it the
+    * value-identical partial-aggregable form takes over
+    * ([[StockPipeline.dimEntityScalable]] — O(entities) shuffle,
+    * bit-equality spec-pinned), so every dim-joining entry keeps one
+    * oracle at any SF. The statistic is one memoized customer count
+    * (the fixture's entity driver). */
+  private[pipeline] val DimWindowEntityBudget: Long = 1L << 21
+
+  private val entityCountMemo = new scala.collection.concurrent.TrieMap[String, Long]()
+
+  private def entityCount(spark: SparkSession, dir: String): Long =
+    entityCountMemo.getOrElseUpdate(dir, Tables.customer(spark, dir).count())
+
   private def dim(spark: SparkSession, dir: String): DataFrame =
-    StockPipeline.dimEntity(stg(spark, dir))
+    if (entityCount(spark, dir) <= DimWindowEntityBudget)
+      StockPipeline.dimEntity(stg(spark, dir))
+    else StockPipeline.dimEntityScalable(stg(spark, dir))
 
   private def fct(spark: SparkSession, dir: String): DataFrame =
     StockPipeline.fctObservations(stg(spark, dir))
@@ -233,6 +255,21 @@ object StockCatalog {
   /** M2 — the real [[StockPipeline.dimEntity]] (keep-latest + bins). */
   def stockDimEntity(spark: SparkSession, dir: String): DataFrame =
     dim(spark, dir).select(
+        col("entity_sk"), col("symbol"), col("entity_name"), col("exchange"),
+        col("category"), col("location"), col("market_cap_category"),
+        col("last_seen_at").cast("string").as("last_seen_at"))
+      .orderBy(col("entity_sk").asc)
+
+  /** The dim's PARTIAL-AGGREGABLE form, FORCED ([[StockPipeline
+    * .dimEntityScalable]]) — the keep-latest shape the adaptive
+    * dispatch uses above [[DimWindowEntityBudget]]. Deliberately
+    * shares `stock_dim_entity`'s oracle text (the q4 HLL-twin
+    * pattern): the hash gate certifies the O(entities)-shuffle form
+    * is value-identical to the reference's window formulation at
+    * every oracle SF, so the dispatch can never silently change a
+    * gated value. */
+  def stockDimEntityScalable(spark: SparkSession, dir: String): DataFrame =
+    StockPipeline.dimEntityScalable(stg(spark, dir)).select(
         col("entity_sk"), col("symbol"), col("entity_name"), col("exchange"),
         col("category"), col("location"), col("market_cap_category"),
         col("last_seen_at").cast("string").as("last_seen_at"))
@@ -436,10 +473,22 @@ object StockCatalog {
         .outputMode(OutputMode.Update())
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty)
+          if (!batch.isEmpty) {
+            // this stream is STATELESS (file source → foreachBatch):
+            // the 2-wide pin above exists only so the streaming gates
+            // share one cheap width, but foreachBatch's BATCH jobs run
+            // on the micro-batch session clone and inherit it — which
+            // serialized the two window models AND the full-dim MERGE
+            // anti-join into 2 tasks. At sf10 that pin was the gate's
+            // real bottleneck (SCALE.md: 183 s ≈ 3 × full 1.5M-entity
+            // rewrite at width 2). Restore engine width for the model
+            // work; AQE coalesces it right back down for small batches,
+            // so the sf0.1 gate cost is unchanged.
+            batch.sparkSession.conf.set("spark.sql.shuffle.partitions", prevParts)
             graft.operators.Upsert.mergeIntoPath(batch.sparkSession, target,
               StockPipeline.dimEntity(StockPipeline.stgMostActives(batch)),
               keys = Seq("entity_sk"))
+          }
           ()
         }
         .trigger(Trigger.AvailableNow()).start()
@@ -508,6 +557,14 @@ object StockCatalog {
         |FROM stgd
         |ORDER BY observation_sk ASC""".stripMargin),
     "stock_dim_entity" -> o(
+      """SELECT entity_sk, symbol, entity_name, exchange, category, location,
+        |       market_cap_category,
+        |       CAST(last_seen_at AS VARCHAR(30)) AS last_seen_at
+        |FROM dim
+        |ORDER BY entity_sk ASC""".stripMargin),
+    // the aggregation-form dim must equal the window-form dim — the
+    // oracle is deliberately the identical SQL as stock_dim_entity
+    "stock_dim_entity_scalable" -> o(
       """SELECT entity_sk, symbol, entity_name, exchange, category, location,
         |       market_cap_category,
         |       CAST(last_seen_at AS VARCHAR(30)) AS last_seen_at
@@ -777,6 +834,7 @@ object StockCatalog {
     "stock_stg"                -> (stockStg _),
     "stock_raw_qa"             -> (stockRawQa _),
     "stock_dim_entity"         -> (stockDimEntity _),
+    "stock_dim_entity_scalable" -> (stockDimEntityScalable _),
     "stock_stream_dim"         -> (stockStreamDim _),
     "stock_fct_observations"   -> (stockFctObservations _),
     "stock_q1_top_market_cap"  -> (stockQ1 _),

@@ -127,6 +127,34 @@ object StockPipeline {
         col("scraped_at").as("last_seen_at"))
   }
 
+  /** [[dimEntity]]'s PARTIAL-AGGREGABLE twin: keep-latest as ONE
+    * max-of-struct aggregate instead of a window rank. Value-identical
+    * output (StockPipelineSpec pins bit-equality on the fixture AND
+    * on a null-scraped_at edge): struct comparison is lexicographic
+    * with null fields FIRST, so max() lands on the non-null-latest row
+    * exactly like `desc_nulls_last` rn=1 — and on a scraped_at tie it
+    * picks the lexicographically-greatest remaining tuple, which is
+    * DETERMINISTIC where row_number's tie pick is not.
+    *
+    * Why it exists: the window form shuffles EVERY staging row to its
+    * entity's partition before ranking — O(facts) sort spill, ~35 GB
+    * at the synthetic sf100 and the measured cause of the stock
+    * family's third-decade ENOSPC (SCALE.md) — while this form
+    * partial-aggregates map-side, so the shuffle carries ~one row per
+    * entity per input partition: O(entities), the actual dim size,
+    * regardless of fact scale. This is the keep-latest shape a 100 TB
+    * dim maintenance job ships. */
+  def dimEntityScalable(stg: DataFrame): DataFrame = {
+    val picked = stg.groupBy(col("entity_sk"))
+      .agg(max(struct(col("scraped_at"), col("symbol"), col("entity_name"),
+        col("exchange"), col("category"), col("location"), col("market_cap"))).as("s"))
+    picked.select(col("entity_sk"), col("s.symbol").as("symbol"),
+      col("s.entity_name").as("entity_name"), col("s.exchange").as("exchange"),
+      col("s.category").as("category"), col("s.location").as("location"),
+      Cols.marketCapCategory(col("s.market_cap").cast("double")).as("market_cap_category"),
+      col("s.scraped_at").as("last_seen_at"))
+  }
+
   /** M3 — fct_observations: pure projection of staging, the
     * reference's exact column set (ref fct_observations.sql:5-30). */
   def fctObservations(stg: DataFrame): DataFrame =

@@ -113,6 +113,7 @@ class CatalogPlanSweepSpec extends SparkSpec {
     //    1-row global-stats frame (the q3 scalar-cross-join shape) --
     "stock_stg" -> "10-row batch + 2-row dup broadcast frames",
     "stock_dim_entity" -> "10-row batch + 2-row dup broadcast frames",
+    "stock_dim_entity_scalable" -> "10-row batch + 2-row dup broadcast frames",
     "stock_fct_observations" -> "10-row batch + 2-row dup broadcast frames",
     "stock_q1_top_market_cap" -> "10-row batch + 2-row dup broadcast frames",
     "stock_q2_daily_trend" -> "10-row batch + 2-row dup broadcast frames",

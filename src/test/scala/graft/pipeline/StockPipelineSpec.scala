@@ -169,6 +169,33 @@ class StockPipelineSpec extends SparkSpec {
       "avg_volume_3m", "source_url"))
   }
 
+  test("dimEntityScalable (agg form) is bit-equal to dimEntity (window form)") {
+    val win = StockPipeline.dimEntity(stg).collect().toSet
+    val agg = StockPipeline.dimEntityScalable(stg).collect().toSet
+    assert(win == agg)
+  }
+
+  test("dimEntityScalable handles a NULL scraped_at like desc_nulls_last (non-null wins)") {
+    // hand-built stg-shaped slice: one entity with a NULL-timestamp
+    // observation and a real one — both forms must keep the real one;
+    // an all-NULL entity must still yield exactly one row
+    val stgLike = Seq(
+      ("E1", "SYMA", "A Corp", "NYSE", "Tech", "US", Some(5000000000L),
+        Some(java.sql.Timestamp.valueOf("2024-01-12 09:30:00"))),
+      ("E1", "SYMA", "A Corp", "NYSE", "Tech", "US", Some(4000000000L), None),
+      ("E2", "SYMB", "B Corp", "NASDAQ", "Retail", "FRANCE", None, None))
+      .toDF("entity_sk", "symbol", "entity_name", "exchange", "category",
+        "location", "market_cap_opt", "scraped_at_opt")
+      .select($"entity_sk", $"symbol", $"entity_name", $"exchange", $"category",
+        $"location", $"market_cap_opt".as("market_cap"), $"scraped_at_opt".as("scraped_at"))
+    val win = StockPipeline.dimEntity(stgLike).collect().toSet
+    val agg = StockPipeline.dimEntityScalable(stgLike).collect().toSet
+    assert(win == agg)
+    assert(win.size == 2)
+    val e1 = win.find(_.getString(0) == "E1").get
+    assert(!e1.isNullAt(7)) // the non-null scraped_at row won
+  }
+
   test("pipeline is idempotent: re-staging the staged data is stable") {
     // running staging twice over the same raw yields identical keys
     val stg2 = StockPipeline.stgMostActives(rawFixture())
