@@ -35,7 +35,23 @@ object Bench {
     Tables.lineitem(spark, sfDir).limit(1000).groupBy("l_returnflag").count().collect()
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // Decade-probe scratch hygiene (SPARK_GRAFT_GC_BETWEEN=1): shuffle
+    // files are only deleted when ContextCleaner GC-collects their
+    // dependency, so back-to-back third-decade queries ACCUMULATE tens
+    // of GB of dead shuffle on a scratch-bounded box (measured: the
+    // sf100 stock probes ENOSPC from the cold pass's files alone). An
+    // explicit GC between timed queries lets the cleaner drain first.
+    // Opt-in only — at oracle SFs per-query GC would tax the bench.
+    val gcBetween = sys.env.get("SPARK_GRAFT_GC_BETWEEN").contains("1")
+    // NOTE: no clearCache here — warm timings depend on the persisted
+    // per-corpus frames; GC alone releases the UNREFERENCED shuffle
+    // dependencies while cached plans keep theirs.
+    def drainScratch(): Unit = if (gcBetween) {
+      System.gc()
+      Thread.sleep(2000) // cleaner is async; give it a beat
+    }
     def pass(): Seq[(String, Double, Long)] = selected.map { case (name, fn) =>
+      drainScratch()
       val t0 = System.nanoTime()
       val rows = try fn(spark, sfDir).count() catch {
         case e: Throwable =>

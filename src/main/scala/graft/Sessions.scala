@@ -15,7 +15,7 @@ object Sessions {
 
   def build(appName: String): SparkSession = {
     val n = cpus
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$n]")
       .appName(appName)
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -38,7 +38,25 @@ object Sessions {
       .config("spark.sql.warehouse.dir",
         graft.sources.LocalFs.scratchDir("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      // broadcast exchanges collect through the driver and count
+      // against maxResultSize; the synthetic decade's 15M-entity dim
+      // serializes just past the 1g default (measured: 1055 MiB at
+      // sf100). 4g keeps O(entities) broadcasts viable on the 48–96g
+      // driver this harness runs; a cluster sizes this with driver RAM
+      .config("spark.driver.maxResultSize", "4g")
+    // probe-side conf overrides (SPARK_GRAFT_EXTRA_CONF="k=v,k=v"):
+    // decade probes on a scratch-bounded box need e.g.
+    // spark.cleaner.periodicGC.interval=15s so dead shuffle files from
+    // a multi-action entry drain DURING the entry instead of at the
+    // default 30-minute tick (ENOSPC measured without it — SCALE.md);
+    // production clusters size scratch instead and never set this.
+    val withExtra = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.contains("="))
+      .foldLeft(builder) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k, v)
+      }
+    val spark = withExtra.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -28,10 +28,19 @@ object Cols {
   /** F1+F2: TRIM then empty-string→NULL. */
   def cleanString(c: Column): Column = nullif(trim(c), lit(""))
 
+  /** The pre-digest '|'-joined key material of [[hashKey]]. Grouping
+    * by this string IS grouping by the hash (sha256 is a pure
+    * function of it), so a dedupe window can shuffle the short raw
+    * material and defer the 64-char hex digest to the SURVIVING rows
+    * — at 100 TB that removes ~128 incompressible bytes per shuffled
+    * row (two hex keys) and halves the sha256 compute. */
+  def keyMaterial(parts: Column*): Column =
+    concat_ws("|", parts.map(p => coalesce(trim(p.cast("string")), lit(""))): _*)
+
   /** F4+F5: deterministic surrogate key = sha256 of '|'-joined parts,
     * NULL parts as '' (matches the reference's COALESCE(TRIM(x),'')). */
   def hashKey(parts: Column*): Column =
-    sha2(concat_ws("|", parts.map(p => coalesce(trim(p.cast("string")), lit(""))): _*), 256)
+    sha2(keyMaterial(parts: _*), 256)
 
   /** F6: TRY_TO_DECIMAL(x, p, s) — NULL on unparseable. */
   def tryDecimal(c: Column, precision: Int = 18, scale: Int = 4): Column =

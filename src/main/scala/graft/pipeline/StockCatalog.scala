@@ -99,12 +99,44 @@ object StockCatalog {
           .cast("timestamp").as("_ingested_at"))
   }
 
-  /** The staging mart, persisted once per corpus (Persisted.index
-    * dedupes by canonicalized plan, so all entries share ONE cache
-    * entry per sf dir — the materialized-stg-table shape a warehouse
-    * run would have). */
+  /** The staging mart, computed once per corpus. Below the entity
+    * budget: session-cached (Persisted.index dedupes by canonicalized
+    * plan, so all entries share ONE cache entry per sf dir). Above it,
+    * the CACHE is the measured scratch bound (SCALE.md r12: 24.6 GB of
+    * block-manager spill co-resident with the consumers' own shuffles
+    * ENOSPCs q5/quality_suite at the synthetic sf100) — so do what a
+    * warehouse run actually does and MATERIALIZE stg as a table:
+    * write-once compact columnar parquet on disk scratch, read back.
+    * Columnar beats the cache twice at scale: snappy parquet is ~¼ the
+    * serialized block size, and every consumer gets column pruning
+    * (q5's windows read 4 of the 15 stg columns; the cache always
+    * rehydrates whole rows). Value-identical by construction
+    * (write-then-read of the same plan; spec-pinned on the fixture). */
   private def stg(spark: SparkSession, dir: String): DataFrame =
-    Persisted.index(StockPipeline.stgMostActives(rawStock(spark, dir)))
+    if (entityCount(spark, dir) <= DimWindowEntityBudget)
+      Persisted.index(StockPipeline.stgMostActives(rawStock(spark, dir)))
+    else stgSnapshot(spark, dir)
+
+  private val stgSnapshotMemo = new scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Write-once parquet materialization of the stg mart for `dir`
+    * (process-lifetime memo + _SUCCESS guard — concurrent first
+    * callers race benignly on `mode(overwrite)` of the same
+    * deterministic bytes). Disk tmpdir, NOT the RAM-backed shm
+    * scratch: this frame is the multi-GB one the RAM path exists to
+    * avoid. */
+  private[pipeline] def stgSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val path = stgSnapshotMemo.getOrElseUpdate(dir, {
+      val pid = ProcessHandle.current().pid()
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_stock_stg_${pid}_" +
+        s"${math.floorMod(dir.hashCode, 1 << 30)}"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS")))
+        StockPipeline.stgMostActives(rawStock(spark, dir))
+          .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
 
   /** Entity-count budget for the dim's WINDOW form: the synthetic
     * decades scale ENTITIES with facts (the reference's dim is
@@ -118,7 +150,9 @@ object StockCatalog {
     * ([[StockPipeline.dimEntityScalable]] — O(entities) shuffle,
     * bit-equality spec-pinned), so every dim-joining entry keeps one
     * oracle at any SF. The statistic is one memoized customer count
-    * (the fixture's entity driver). */
+    * (the fixture's entity driver). The same budget gates the stg
+    * cache-vs-parquet-snapshot dispatch ([[stg]]): both costs are
+    * fixture-entity-driven and bind at the same decade. */
   private[pipeline] val DimWindowEntityBudget: Long = 1L << 21
 
   private val entityCountMemo = new scala.collection.concurrent.TrieMap[String, Long]()

@@ -88,6 +88,16 @@ object StockPipeline {
       if (raw.columns.contains("_ingested_at")) raw
       else raw.withColumn("_ingested_at", current_timestamp())
     val ts = Cols.tryTimestamp(trim(col("scraped_at")))
+    // the dedupe window shuffles the short pre-digest KEY MATERIAL
+    // (grouping by it ≡ grouping by its sha256 — Cols.keyMaterial) and
+    // both 64-char hex digests are computed on the SURVIVORS only:
+    // value-identical output (oracle replays the same hashes; the
+    // entity_sk recompute from CLEANED columns equals the raw-column
+    // digest because hashKey itself trims and ''-coalesces), but the
+    // shuffle drops ~128 incompressible hex bytes per row — at the
+    // synthetic sf100 that is ~26 GB off the stg build's dominant
+    // shuffle, the measured scratch bound of the stock family's
+    // third decade (SCALE.md).
     val stg = withMeta.select(
       Cols.cleanString(col("symbol")).as("symbol"),
       Cols.cleanString(col("entity_name")).as("entity_name"),
@@ -102,16 +112,22 @@ object StockPipeline {
       col("source_url"),
       ts.as("scraped_at"),
       to_date(ts).as("observation_date"),
-      Cols.hashKey(col("symbol"), col("entity_name"), col("exchange")).as("entity_sk"),
       // canonical hash input: dbt formulation — parsed ts reformatted
-      Cols.hashKey(col("symbol"), col("entity_name"), col("exchange"),
-        date_format(ts, tsFmt)).as("observation_sk"),
+      Cols.keyMaterial(col("symbol"), col("entity_name"), col("exchange"),
+        date_format(ts, tsFmt)).as("_obs_key"),
       col("_ingested_at"))
-    val w = Window.partitionBy(col("observation_sk"))
+    val w = Window.partitionBy(col("_obs_key"))
       .orderBy(col("_ingested_at").desc_nulls_last)
     stg.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .drop("rn", "_ingested_at")
+      .withColumn("entity_sk",
+        Cols.hashKey(col("symbol"), col("entity_name"), col("exchange")))
+      .withColumn("observation_sk", sha2(col("_obs_key"), 256))
+      .drop("rn", "_ingested_at", "_obs_key")
+      .select(col("symbol"), col("entity_name"), col("exchange"), col("currency"),
+        col("price"), col("volume"), col("avg_volume_3m"), col("market_cap"),
+        col("category"), col("location"), col("source_url"), col("scraped_at"),
+        col("observation_date"), col("entity_sk"), col("observation_sk"))
   }
 
   /** M2 — dim_entity: latest observation per entity (broadcast-sized
@@ -145,7 +161,23 @@ object StockPipeline {
     * regardless of fact scale. This is the keep-latest shape a 100 TB
     * dim maintenance job ships. */
   def dimEntityScalable(stg: DataFrame): DataFrame = {
-    val picked = stg.groupBy(col("entity_sk"))
+    // argmax-by-join-back, NOT a whole-row aggregate: a direct
+    // max(struct(...)) has no fixed-size buffer, so HashAggregate
+    // degenerates to a sort-based fallback that re-sorts O(facts)
+    // rows — measured as a ~26 GB spill at the synthetic sf100, the
+    // same cost the window form pays (SCALE.md). Instead: (1) a THIN
+    // max-timestamp hash aggregate (fixed-size buffer, true map-side
+    // combine — the shuffle carries key+ts only); (2) the O(entities)
+    // result broadcast back onto staging as a null-safe map-side
+    // filter (the dim IS broadcast-sized at any fact scale — the
+    // family's standing premise); (3) the deterministic
+    // lexicographic-max tiebreak runs over the ~O(entities) surviving
+    // rows only.
+    val latest = stg.groupBy(col("entity_sk").as("_dim_sk"))
+      .agg(max(col("scraped_at")).as("_max_ts"))
+    val atLatest = stg.join(broadcast(latest),
+      col("entity_sk") === col("_dim_sk") && col("scraped_at") <=> col("_max_ts"))
+    val picked = atLatest.groupBy(col("entity_sk"))
       .agg(max(struct(col("scraped_at"), col("symbol"), col("entity_name"),
         col("exchange"), col("category"), col("location"), col("market_cap"))).as("s"))
     picked.select(col("entity_sk"), col("s.symbol").as("symbol"),
@@ -247,8 +279,19 @@ object StockPipeline {
     * price momentum, guarded ratios, conjunctive thresholds, top-k. */
   def q5RiskWatchlist(fct: DataFrame, dim: DataFrame,
       spikeMin: Double = 1.5, momentumMax: Double = 0.0, k: Int = 50): DataFrame = {
+    // join-after-reduce: the trailing windows run over the THIN fact
+    // frame (key + date + the two metrics) and the dim attributes the
+    // OUTPUT needs (d.symbol, d.entity_name — ref reads the dim's,
+    // 03_analytics_queries.sql:8) join back AFTER the threshold filter
+    // collapses 136M windowed rows to the watchlist candidates.
+    // Value-identical to windowing the joined frame (every fct row has
+    // a dim match by construction — dim is fct's entity set — and the
+    // dim attributes are functions of the join key), but the window
+    // shuffle drops the name columns: ~10 GB at the synthetic sf100,
+    // where windowing the joined frame was scratch-fatal (SCALE.md).
     val w = Window.partitionBy(col("entity_sk")).orderBy(col("observation_date").asc)
-    joined(fct, dim)
+    val flagged = fct
+      .select(col("entity_sk"), col("observation_date"), col("price"), col("volume"))
       .withColumn("volume_7d_avg",
         avg(col("volume")).over(w.rowsBetween(-6, Window.currentRow)))
       .withColumn("price_7d_ago", lag(col("price"), 7).over(w))
@@ -257,6 +300,9 @@ object StockPipeline {
       .withColumn("price_momentum_7d",
         Cols.guardedRatio(col("price") - col("price_7d_ago"), col("price_7d_ago")))
       .filter(col("volume_spike_ratio") >= spikeMin && col("price_momentum_7d") <= momentumMax)
+    flagged
+      .join(broadcast(dim.select(col("entity_sk"), col("symbol"), col("entity_name"))),
+        "entity_sk")
       .select(col("symbol"), col("entity_name"), col("observation_date"),
         col("volume_spike_ratio"), col("price_momentum_7d"))
       .orderBy(col("volume_spike_ratio").desc, col("price_momentum_7d").asc, col("symbol").asc)

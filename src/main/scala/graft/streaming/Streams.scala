@@ -105,9 +105,14 @@ object Streams {
   /** foreachBatch upsert sink: every micro-batch MERGEs into the
     * parquet directory at `targetPath` on `keys`. Latest batch wins
     * per key — identical semantics to the batch Upsert (and therefore
-    * to the reference MERGE). */
+    * to the reference MERGE). Pass `partCol` to maintain a
+    * hive-partitioned target through [[graft.operators.Upsert
+    * .mergePartitionedPath]] instead: each micro-batch then rewrites
+    * only the partitions it touches (the streaming form of
+    * incremental MERGE a date-partitioned 100 TB sink needs —
+    * without it every micro-batch pays a full target rewrite). */
   def upsertSink(events: DataFrame, targetPath: String, checkpoint: String,
-      keys: Seq[String] = Seq("event_id")) =
+      keys: Seq[String] = Seq("event_id"), partCol: Option[String] = None) =
     events.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
@@ -121,7 +126,12 @@ object Streams {
         // unaffected: a crash before/after a no-op commits the same
         // state either way (crash specs pin this).
         if (!batch.isEmpty)
-          Upsert.mergeIntoPath(batch.sparkSession, targetPath, batch, keys)
+          partCol match {
+            case Some(pc) =>
+              Upsert.mergePartitionedPath(batch.sparkSession, targetPath, batch, keys, pc)
+            case None =>
+              Upsert.mergeIntoPath(batch.sparkSession, targetPath, batch, keys)
+          }
         ()
       }
 

@@ -91,6 +91,40 @@ class StreamsSpec extends SparkSpec {
     assert(out == Set((1L, 99.0), (2L, 5.0)))
   }
 
+  test("upsertSink with partCol maintains a partitioned target; untouched partitions stay byte-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("stream-pupsert")
+    val target = s"$dir/fact"
+    val mem = MemoryStream[Event]
+    val q = upsertSink(mem.toDF().withColumn("d", to_date($"ts")),
+      target, s"$dir/ckpt", partCol = Some("d")).start()
+    mem.addData(events(
+      (1L, 1L, "view", "2024-01-01 10:00:00", 1.0),
+      (2L, 2L, "buy", "2024-01-02 11:00:00", 2.0)): _*)
+    q.processAllAvailable()
+    val p1 = java.nio.file.Paths.get(target, "d=2024-01-01")
+    def bytes(p: java.nio.file.Path): Map[String, Long] = {
+      val s = java.nio.file.Files.list(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(f => f.getFileName.toString -> java.nio.file.Files.size(f)).toMap
+      } finally s.close()
+    }
+    val before = bytes(p1)
+    // second batch touches only 2024-01-02 (update) and 01-03 (insert)
+    mem.addData(events(
+      (2L, 2L, "buy", "2024-01-02 11:00:00", 99.0),
+      (3L, 3L, "view", "2024-01-03 12:00:00", 3.0)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(target).selectExpr("event_id", "value")
+      .as[(Long, Double)].collect().toSet
+    assert(out == Set((1L, 1.0), (2L, 99.0), (3L, 3.0)))
+    assert(bytes(p1) == before) // 01-01's files were never rewritten
+  }
+
   test("userActivity accumulates keyed state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
