@@ -2003,6 +2003,58 @@ object DataOps {
     out
   }
 
+  /** Sixth end-to-end streaming gate: the foreachBatch MERGE sink
+    * maintaining a DATE-PARTITIONED target through
+    * [[graft.operators.Upsert.mergePartitionedPath]]
+    * (`Streams.upsertSink(partCol = ...)`) — each micro-batch rewrites
+    * ONLY the partitions it touches (untouched partition files stay
+    * byte-identical, StreamsSpec-pinned), which is the incremental
+    * shape a date-partitioned 100 TB streaming sink needs: per-batch
+    * cost is O(touched partitions), not O(target). Batch 2 replays
+    * batch 0, so the replay must collapse through partition-scoped
+    * surgery exactly as it does through the full-path MERGE
+    * ([[streamMergeEvents]]). The settled per-date rollup is
+    * hash-compared against the batch oracle: a stale duplicate, a
+    * lost row, or a partition the scoped rewrite missed flips
+    * n_events/n_ids/total_value. Same width-pinning rationale as
+    * [[streamMergeEvents]]. */
+  def streamMergePartitioned(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.events(spark, dir)
+      .filter(pmod(col("event_id"), lit(5)) === 2 && col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+    val work = graft.sources.LocalFs.scratchDir("graft_stream_pmerge")
+    val inDir = s"$work/in"; val target = s"$work/target"; val ckpt = s"$work/ckpt"
+    writeStreamChunks(inDir, Seq(
+      ev.filter(pmod(col("event_id"), lit(2)) === 0),
+      ev.filter(pmod(col("event_id"), lit(2)) === 1),
+      ev.filter(pmod(col("event_id"), lit(2)) === 0)))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      val q = graft.streaming.Streams.upsertSink(
+          spark.readStream.schema(chunkSchema(ev)).option("maxFilesPerTrigger", 1)
+            .parquet(inDir).drop("_b")
+            .withColumn("event_date", to_date(col("ts"))),
+          target, ckpt, keys = Seq("event_id"), partCol = Some("event_date"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val rollup = spark.read.parquet(target)
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_id")).as("n_ids"),
+        Cols.r(Cols.sumExact(col("value")), 2).as("total_value"))
+      .select(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"),
+        col("n_events"), col("n_ids"), col("total_value"))
+      .orderBy(col("event_date").asc)
+    val settled = rollup.collect().toSeq
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(settled, 1), rollup.schema)
+    graft.sources.LocalFs.deleteRecursively(work)
+    out
+  }
+
   /** Third end-to-end streaming gate: WATERMARKED WINDOWED AGGREGATION
     * through a file-source stream into a MERGE-by-window sink, settled
     * table hash-compared against the batch oracle. Three micro-batches
@@ -4683,6 +4735,18 @@ object DataOps {
         |WHERE event_id % 5 = 0
         |GROUP BY event_type
         |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+    "stream_merge_partitioned" ->
+      // same relational shape as stream_merge_events (event_id unique
+      // in the slice, so the merged end state IS the slice), grouped
+      // by the partition date the sink is hive-partitioned on
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+        |       count(*) AS n_events,
+        |       count(DISTINCT event_id) AS n_ids,
+        |       floor(CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS total_value
+        |FROM events
+        |WHERE event_id % 5 = 2 AND ts IS NOT NULL
+        |GROUP BY 1
+        |ORDER BY event_date ASC""".stripMargin,
     // the stream-stream join gate's oracle: the plain batch interval
     // join + rollup over the same slice — every match the stream
     // buffers across batches must appear exactly once in the sink
@@ -4921,6 +4985,7 @@ object DataOps {
     "cms_join_size"     -> (cmsJoinSizeOrdersEvents _),
     "incr_merge_partitioned" -> (incrMergePartitioned _),
     "stream_merge_events" -> (streamMergeEvents _),
+    "stream_merge_partitioned" -> (streamMergePartitioned _),
     "stream_hourly_rollup" -> (streamHourlyRollup _),
     "stream_dedup_docs" -> (streamDedupDocs _),
     "stream_join_views" -> ((s: SparkSession, d: String) => streamJoinViews(s, d)),

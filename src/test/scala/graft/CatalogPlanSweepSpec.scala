@@ -30,8 +30,8 @@ class CatalogPlanSweepSpec extends SparkSpec {
     * a plain scan+agg with no operator content, and the execution cost
     * belongs in their own gates, not a plan screen. */
   private val streamingGates =
-    Set("stream_merge_events", "stream_dedup_docs", "stream_hourly_rollup",
-      "stream_join_views", "stock_stream_dim")
+    Set("stream_merge_events", "stream_merge_partitioned", "stream_dedup_docs",
+      "stream_hourly_rollup", "stream_join_views", "stock_stream_dim")
 
   /** J2 scalar-broadcast sites: each crossJoins a broadcast frame that
     * is O(1) rows by construction (the comment names the frame). A BNLJ
