@@ -124,7 +124,12 @@ object StockCatalog {
     * callers race benignly on `mode(overwrite)` of the same
     * deterministic bytes). Disk tmpdir, NOT the RAM-backed shm
     * scratch: this frame is the multi-GB one the RAM path exists to
-    * avoid. */
+    * avoid. The two sha256 keys are stored as 32-byte BINARY and
+    * re-hexed map-side on read (sha2 emits lowercase hex; unhex∘hex
+    * is exact): the hex form is incompressible and DOUBLE the bytes,
+    * and it dominated the first cut of this snapshot (20 GB at the
+    * synthetic sf100) — binary keys cut both the write and every
+    * pruned key-column scan roughly in half. */
   private[pipeline] def stgSnapshot(spark: SparkSession, dir: String): DataFrame = {
     val path = stgSnapshotMemo.getOrElseUpdate(dir, {
       val pid = ProcessHandle.current().pid()
@@ -132,10 +137,15 @@ object StockCatalog {
         s"${math.floorMod(dir.hashCode, 1 << 30)}"
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS")))
         StockPipeline.stgMostActives(rawStock(spark, dir))
+          .withColumn("entity_sk", unhex(col("entity_sk")))
+          .withColumn("observation_sk", unhex(col("observation_sk")))
           .write.mode("overwrite").parquet(p)
       p
     })
     spark.read.parquet(path)
+      .withColumn("entity_sk", lower(hex(col("entity_sk"))))
+      .withColumn("observation_sk", lower(hex(col("observation_sk"))))
+      .select(StockPipeline.stgColumns.map(col): _*)
   }
 
   /** Entity-count budget for the dim's WINDOW form: the synthetic

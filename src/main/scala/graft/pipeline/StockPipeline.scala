@@ -124,11 +124,16 @@ object StockPipeline {
         Cols.hashKey(col("symbol"), col("entity_name"), col("exchange")))
       .withColumn("observation_sk", sha2(col("_obs_key"), 256))
       .drop("rn", "_ingested_at", "_obs_key")
-      .select(col("symbol"), col("entity_name"), col("exchange"), col("currency"),
-        col("price"), col("volume"), col("avg_volume_3m"), col("market_cap"),
-        col("category"), col("location"), col("source_url"), col("scraped_at"),
-        col("observation_date"), col("entity_sk"), col("observation_sk"))
+      .select(stgColumns.map(col): _*)
   }
+
+  /** Canonical stg column order — the contract every stg consumer
+    * (and the parquet snapshot round trip, StockCatalog.stgSnapshot)
+    * relies on. */
+  val stgColumns: Seq[String] = Seq(
+    "symbol", "entity_name", "exchange", "currency", "price", "volume",
+    "avg_volume_3m", "market_cap", "category", "location", "source_url",
+    "scraped_at", "observation_date", "entity_sk", "observation_sk")
 
   /** M2 — dim_entity: latest observation per entity (broadcast-sized
     * at any fact scale: one row per listed entity). */
