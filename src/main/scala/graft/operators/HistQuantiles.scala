@@ -314,24 +314,28 @@ object HistQuantiles {
       // rounds exhausted (adversarially concentrated data): exact pick
       // over the remaining range's DISTINCT values — bounded by what
       // ~B^maxRounds refinement left, partial-aggregable either way.
-      // The collect is CAPPED (orderBy+limit plans as TakeOrdered —
-      // bounded driver memory even mid-probe) and fails LOUD if a
-      // pathological distribution still holds more distinct values
-      // than the cap, instead of silently ballooning the driver.
-      val grp = vals.filter(col("x") >= lo && col("x") <= hi)
-        .groupBy(col("x")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("x").asc).limit(maxFallbackDistinct + 1).collect()
-      require(grp.length <= maxFallbackDistinct,
-        s"exactCut fallback: residual range [$lo, $hi] still holds more than " +
-          s"$maxFallbackDistinct distinct values after $maxRounds refinement rounds — " +
-          "raise nBuckets/maxRounds (or maxFallbackDistinct) for this distribution")
-      var cum = 0L; var i = 0; var v = hi
-      var found = false
-      while (!found && i < grp.length) {
-        cum += grp(i).getLong(1)
-        if (cum >= r) { v = grp(i).getDouble(0); found = true } else i += 1
+      // The driver collect is CAPPED (orderBy+limit plans as
+      // TakeOrdered — bounded driver memory even mid-probe); a
+      // pathological distribution past the cap falls back to the
+      // DISTRIBUTED exact pick (range-partitioned sort + two-pass
+      // prefix sum, driver state one row per partition) instead of
+      // failing or ballooning the driver.
+      val grpDf = vals.filter(col("x") >= lo && col("x") <= hi)
+        .groupBy(col("x")).agg(count(lit(1)).cast("decimal(38,2)").as("ws"))
+      val grp = grpDf.orderBy(col("x").asc).limit(maxFallbackDistinct + 1).collect()
+      if (grp.length > maxFallbackDistinct) {
+        val target = java.math.BigDecimal.valueOf(r)
+        result(distributedPick(grpDf, java.math.BigDecimal.ZERO,
+          cum => cum.compareTo(target) >= 0))
+      } else {
+        var cum = 0L; var i = 0; var v = hi
+        var found = false
+        while (!found && i < grp.length) {
+          cum += grp(i).getDecimal(1).longValueExact()
+          if (cum >= r) { v = grp(i).getDouble(0); found = true } else i += 1
+        }
+        result(v)
       }
-      result(v)
     } else result(lo)
   }
 
@@ -507,24 +511,80 @@ object HistQuantiles {
     }
     if (lo < hi) {
       // same CAPPED fallback as [[exactCut]]: orderBy+limit plans as
-      // TakeOrdered (bounded driver memory), and an adversarial
-      // all-one-bucket weighted distribution that still holds more
-      // distinct values than the cap fails LOUD instead of silently
-      // ballooning the driver with an unbounded collect.
-      val grp = vals.filter(col("x") >= lo && col("x") <= hi)
+      // TakeOrdered (bounded driver memory); an adversarial
+      // all-one-bucket weighted distribution past the cap routes to
+      // the same DISTRIBUTED exact pick (decimal threshold test
+      // unchanged — the crossing partition scans with its exact
+      // prefix offset, so the pick stays bit-identical).
+      val grpDf = vals.filter(col("x") >= lo && col("x") <= hi)
         .groupBy(col("x")).agg(sum(col("w")).as("ws"))
-        .orderBy(col("x").asc).limit(maxFallbackDistinct + 1).collect()
-      require(grp.length <= maxFallbackDistinct,
-        s"weightedCut fallback: residual range [$lo, $hi] still holds more than " +
-          s"$maxFallbackDistinct distinct values after $maxRounds refinement rounds — " +
-          "raise nBuckets/maxRounds (or maxFallbackDistinct) for this distribution")
-      var i = 0; var v = hi; var found = false
-      while (!found && i < grp.length) {
-        cumBefore = cumBefore.add(grp(i).getDecimal(1))
-        if (reaches(cumBefore)) { v = grp(i).getDouble(0); found = true } else i += 1
+      val grp = grpDf.orderBy(col("x").asc).limit(maxFallbackDistinct + 1).collect()
+      if (grp.length > maxFallbackDistinct) {
+        result(distributedPick(grpDf, cumBefore, reaches), totalW.doubleValue())
+      } else {
+        var i = 0; var v = hi; var found = false
+        while (!found && i < grp.length) {
+          cumBefore = cumBefore.add(grp(i).getDecimal(1))
+          if (reaches(cumBefore)) { v = grp(i).getDouble(0); found = true } else i += 1
+        }
+        result(v, totalW.doubleValue())
       }
-      result(v, totalW.doubleValue())
     } else result(lo, totalW.doubleValue())
+  }
+
+  /** DISTRIBUTED exact cumulative-weight pick — the over-cap branch of
+    * [[exactCut]]/[[weightedCut]]'s residual-range fallback. Finds the
+    * smallest x in `grp` (columns `x: double`, `ws: decimal`, one row
+    * per DISTINCT x) whose cumulative weight ascending in x, seeded
+    * with `cumBefore`, satisfies `reaches` — without ever collecting
+    * the value set:
+    *
+    *  1. range-partitioned distributed sort on x (RDD `sortBy` — the
+    *     one imperative-RDD site in the quantile family; the pick
+    *     needs partition-ORDER-aware prefix sums, which no relational
+    *     window expresses without a SinglePartition sort);
+    *  2. per-partition decimal weight totals — ONE collected row per
+    *     partition (driver state O(partitions), not O(distinct));
+    *  3. exact prefix offsets locate the single crossing partition,
+    *     which re-scans locally with its seed offset.
+    *
+    * The threshold test is the caller's own decimal predicate, so the
+    * pick is bit-identical to the driver-side scan it replaces. Two
+    * passes over the sorted RDD (persisted across them, unpersisted
+    * on exit). */
+  private def distributedPick(grp: DataFrame, cumBefore: java.math.BigDecimal,
+      reaches: java.math.BigDecimal => Boolean): Double = {
+    import org.apache.spark.storage.StorageLevel
+    val rdd = grp.select(col("x"), col("ws").cast("decimal(38,2)"))
+      .rdd.map(r => (r.getDouble(0), r.getDecimal(1)))
+      .sortBy(_._1)
+    rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val totals = rdd.mapPartitionsWithIndex { (i, it) =>
+        var s = java.math.BigDecimal.ZERO
+        while (it.hasNext) s = s.add(it.next()._2)
+        Iterator((i, s))
+      }.collect().sortBy(_._1).map(_._2)
+      var acc = cumBefore; var hit = -1; var i = 0
+      while (hit < 0 && i < totals.length) {
+        val next = acc.add(totals(i))
+        if (reaches(next)) hit = i else { acc = next; i += 1 }
+      }
+      require(hit >= 0, "distributedPick: weight target not reachable — inconsistent input")
+      val hitPart = hit; val seed = acc
+      val picked = rdd.mapPartitionsWithIndex { (j, it) =>
+        if (j != hitPart) Iterator.empty
+        else {
+          var cum = seed; var out = Iterator.empty: Iterator[Double]
+          while (out.isEmpty && it.hasNext) {
+            val (x, w) = it.next(); cum = cum.add(w)
+            if (reaches(cum)) out = Iterator.single(x)
+          }
+          out
+        }
+      }.collect()
+      picked.head
+    } finally { rdd.unpersist(blocking = false); () }
   }
 
   /** PER-GROUP weighted exact quantile — [[weightedCut]]'s grouped

@@ -191,7 +191,7 @@ class HistQuantilesSpec extends SparkSpec {
     }
   }
 
-  test("exactCut fallback collect is capped: bounded TakeOrdered probe, loud failure past the cap") {
+  test("exactCut fallback: capped TakeOrdered probe under the cap, distributed pick past it") {
     // maxRounds = 0 forces the residual-range fallback over ALL values —
     // the adversarial all-one-bucket shape the cap exists for
     val df = (1 to 200).map(_.toDouble).toDF("x")
@@ -199,11 +199,17 @@ class HistQuantilesSpec extends SparkSpec {
       maxRounds = 0, maxFallbackDistinct = 1000).head()
     // quantile_disc rank floor(0.5*199)+1 = 100 → value 100.0
     assert(ok.getDouble(0) == 100.0)
-    val e = intercept[IllegalArgumentException] {
-      HistQuantiles.exactCut(df, col("x"), 0.5,
-        maxRounds = 0, maxFallbackDistinct = 50)
+    // past the cap: SAME exact answer via the distributed pick (range-
+    // partitioned sort + prefix offsets), never a failure or an
+    // uncapped driver collect — on multi-partition input, with dups
+    val big = (1 to 200).flatMap(i => Seq(i.toDouble, i.toDouble)).toDF("x").repartition(7)
+    for (p <- Seq(0.25, 0.5, 0.9)) {
+      val sorted = (1 to 200).flatMap(i => Seq(i.toDouble, i.toDouble)).sorted
+      val expect = sorted(math.floor(p * (sorted.size - 1)).toInt)
+      val got = HistQuantiles.exactCut(big, col("x"), p,
+        maxRounds = 0, maxFallbackDistinct = 50).head()
+      assert(got.getDouble(0) == expect, s"p=$p distributed pick")
     }
-    assert(e.getMessage.contains("distinct values"))
   }
 
   test("exactCut degenerate inputs: constant column, single row, empty, 1-ulp range") {
@@ -221,21 +227,33 @@ class HistQuantilesSpec extends SparkSpec {
     assert(HistQuantiles.exactCut(tight, col("x"), 0.9).head().getDouble(0) == hi)
   }
 
-  test("weightedCut fallback collect is capped: bounded probe, loud failure past the cap") {
+  test("weightedCut fallback: capped probe under the cap, distributed pick past it") {
     // maxRounds = 0 forces the residual-range fallback over ALL values —
     // the adversarial all-one-bucket WEIGHTED shape (the exactCut cap's
-    // twin: same TakeOrdered-bounded collect, same loud require)
+    // twin: same TakeOrdered-bounded probe, same distributed escape)
     val df = (1 to 200).map(i => (i.toDouble, 1.0)).toDF("x", "w")
     val ok = HistQuantiles.weightedCut(df, col("x"), col("w"),
       maxRounds = 0, maxFallbackDistinct = 1000).head()
     // unit weights reduce to the median-by-cumulative-weight pick: the
     // smallest x with 2·cum >= W is x = 100
     assert(ok.getDouble(0) == 100.0)
-    val e = intercept[IllegalArgumentException] {
-      HistQuantiles.weightedCut(df, col("x"), col("w"),
-        maxRounds = 0, maxFallbackDistinct = 50)
+    // past the cap: same decimal threshold test, same pick, through the
+    // distributed path — skewed weights, multi-partition, duplicate x
+    val rows = (1 to 200).map(i => (i.toDouble, i * 0.5)) ++ Seq((60.0, 5000.0))
+    val big = rows.toDF("x", "w").repartition(7)
+    val expect = {
+      val sorted = rows.sortBy(_._1)
+      val total = BigDecimal(sorted.map(r => BigDecimal(r._2).setScale(2)).sum.toString)
+      var cum = BigDecimal(0); var v = sorted.last._1; var found = false
+      for ((x, w) <- sorted if !found) {
+        cum += BigDecimal(w).setScale(2)
+        if (cum * 2 >= total) { v = x; found = true }
+      }
+      v
     }
-    assert(e.getMessage.contains("distinct values"))
+    val got = HistQuantiles.weightedCut(big, col("x"), col("w"),
+      maxRounds = 0, maxFallbackDistinct = 50).head()
+    assert(got.getDouble(0) == expect, "distributed weighted pick")
   }
 
   test("weightedCut == brute-force weighted quantile, with ties and duplicate weights") {
