@@ -176,7 +176,17 @@ object Views {
     // while raw `l[i]` SUBSCRIPTS stay excluded (DuckDB 1-based vs
     // Spark 0-based, see the scaladoc above).
     alias("list_value", "array")
-    alias("list_extract", "element_at")
+    // index cast: DuckDB indices often arrive as BIGINT
+    // (generate_series), Spark's element_at requires INT — in-dialect
+    // indices are small positives, so the narrowing is exact
+    reg.createOrReplaceTempFunction("list_extract", {
+      case Seq(l, i) =>
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.IntegerType
+        fn("element_at", Seq(l, Cast(i, IntegerType)))
+      case other => throw new IllegalArgumentException(
+        s"list_extract takes (list, index), got ${other.size} args")
+    }, "built-in")
     reg.createOrReplaceTempFunction("regexp_split_to_array", {
       case Seq(s, p) => fn("split", Seq(s, p, Literal(-1)))
       case other => throw new IllegalArgumentException(
@@ -236,6 +246,63 @@ object Views {
     // is loaded, not just in replayed SQL text. A same-name
     // different-contract builtin is therefore unbridgeable; day-of-week
     // oracles stay excluded from the verbatim set.
+    // strftime(ts, fmt) ≡ date_format(ts, fmt') where fmt' translates
+    // the C directive vocabulary to Spark's pattern letters. Bridged
+    // ONLY for a LITERAL format string built from the directives the
+    // shared dialect uses — %Y %m %d %H %M %S (all zero-padded,
+    // identical contracts on both engines) plus literal separators; a
+    // non-literal format or any other directive fails loudly rather
+    // than risking a silent format divergence (e.g. DuckDB %-d has no
+    // Spark spelling, and bare pattern letters in the literal text
+    // would be interpreted by date_format). DuckDB's argument order is
+    // strftime(value, format).
+    reg.createOrReplaceTempFunction("strftime", {
+      case Seq(t, Literal(fmt, StringType)) if fmt != null =>
+        val s = fmt.toString
+        require(s.matches("(%[YmdHMS]|[ :/.T-])*"),
+          s"strftime bridge supports literal formats over %Y %m %d %H %M %S " +
+            s"and [ :/.T-] separators only, got '$s'")
+        val translated = s.replace("%Y", "yyyy").replace("%m", "MM")
+          .replace("%d", "dd").replace("%H", "HH").replace("%M", "mm")
+          .replace("%S", "ss")
+        fn("date_format", Seq(t, Literal(translated)))
+      case other => throw new IllegalArgumentException(
+        "strftime bridge needs (timestamp, literal format), got " + other.mkString(", "))
+    }, "built-in")
+    // isinf(x) ≡ abs(x) = +Inf — DuckDB's contract exactly: true for
+    // ±Inf, false for NaN (abs(NaN) ≠ Inf), NULL for NULL
+    reg.createOrReplaceTempFunction("isinf", {
+      case Seq(x) =>
+        import org.apache.spark.sql.catalyst.expressions.EqualTo
+        EqualTo(fn("abs", Seq(x)), Literal(Double.PositiveInfinity))
+      case other => throw new IllegalArgumentException(
+        s"isinf takes 1 argument, got ${other.size}")
+    }, "built-in")
+    // format('{:,}', n) ≡ format_number(n, 0) — thousands-grouped
+    // integer rendering, identical output for integer inputs on both
+    // engines. Bridged for THIS literal fmt spec only (DuckDB's format
+    // is the fmt mini-language, Spark's format_string is printf — no
+    // general mapping exists); any other spec fails loudly.
+    reg.createOrReplaceTempFunction("format", {
+      case Seq(Literal(f, StringType), x) if f != null && f.toString == "{:,}" =>
+        fn("format_number", Seq(x, Literal(0)))
+      case other => throw new IllegalArgumentException(
+        "format bridge supports format('{:,}', n) only, got " + other.mkString(", "))
+    }, "built-in")
+    // 1-arg numeric trunc(x) — truncation toward zero. Spark's
+    // same-named builtin is DATE trunc (2 args), so the 1-arg numeric
+    // form can be claimed without shadowing it; spelled as the
+    // cast-roundtrip double→long→double (exact for |x| < 2^53 — the
+    // shared dialect's integer-magnitude domain; DuckDB's trunc keeps
+    // NaN/±Inf, which the dialect guards BEFORE trunc, so they never
+    // reach the cast). 2-arg calls pass through to the date builtin.
+    reg.createOrReplaceTempFunction("trunc", {
+      case Seq(x) =>
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.{DoubleType, LongType}
+        Cast(Cast(x, LongType), DoubleType)
+      case args => native("trunc", args)
+    }, "built-in")
     // direct Encode construction on BOTH arities: an UnresolvedFunction
     // named "encode" would resolve right back into this temp entry and
     // loop the analyzer

@@ -238,7 +238,8 @@ object CartographyOps {
       |         unnest(generate_series(1, CAST(len(ws) AS BIGINT))) AS pos, ws
       |  FROM tk0
       |), tw AS (
-      |  SELECT doc_id, source, pos, ws[pos] AS w FROM tk WHERE ws[pos] <> ''
+      |  SELECT doc_id, source, pos, list_extract(ws, pos) AS w
+      |  FROM tk WHERE list_extract(ws, pos) <> ''
       |), led AS (
       |  SELECT doc_id, source, w,
       |         lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,

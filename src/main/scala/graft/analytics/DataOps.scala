@@ -4853,10 +4853,14 @@ object DataOps {
         |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) = 64
         |)
         |SELECT vec_id, CAST(f AS INT) AS frame_idx,
-        |  CAST(list_sum(list_transform(list_slice(s, f * 16 + 1, f * 16 + 16), x -> x * x)) AS BIGINT) AS energy,
-        |  CAST(list_sum(list_transform(generate_series(1, 15), i ->
-        |    CASE WHEN (s[f * 16 + i] < 0) != (s[f * 16 + i + 1] < 0) THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings
-        |FROM pcm, (SELECT unnest([0, 1, 2, 3]) AS f)
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(list_slice(s, f * 16 + 1, f * 16 + 16), x -> x * x)),
+        |    (acc, v) -> acc + v) AS BIGINT) AS energy,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, 15), i ->
+        |    CASE WHEN (list_extract(s, f * 16 + i) < 0) != (list_extract(s, f * 16 + i + 1) < 0)
+        |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+        |    (acc, v) -> acc + v) AS BIGINT) AS zero_crossings
+        |FROM pcm, (SELECT unnest(list_value(0, 1, 2, 3)) AS f)
         |ORDER BY vec_id ASC, frame_idx ASC""".stripMargin,
     "mm_image_dhash" ->
       """WITH px AS (
@@ -4865,10 +4869,11 @@ object DataOps {
         |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) = 64
         |)
         |SELECT vec_id,
-        |  CAST(list_sum(list_transform(generate_series(0, 55), i ->
-        |    CASE WHEN p[CAST(i // 7 AS INT) * 8 + CAST(i % 7 AS INT) + 2]
-        |            > p[CAST(i // 7 AS INT) * 8 + CAST(i % 7 AS INT) + 1]
-        |         THEN CAST(1 AS BIGINT) << CAST(i AS INT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS dhash
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, 55), i ->
+        |    CASE WHEN list_extract(p, CAST(floor(i / 7) AS INT) * 8 + CAST(i % 7 AS INT) + 2)
+        |            > list_extract(p, CAST(floor(i / 7) AS INT) * 8 + CAST(i % 7 AS INT) + 1)
+        |         THEN CAST(1 AS BIGINT) << CAST(i AS INT) ELSE CAST(0 AS BIGINT) END)),
+        |    (acc, v) -> acc + v) AS BIGINT) AS dhash
         |FROM px ORDER BY vec_id ASC""".stripMargin,
     "mm_video_framehash" ->
       """WITH px AS (
@@ -4877,11 +4882,12 @@ object DataOps {
         |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) = 64
         |)
         |SELECT vec_id, CAST(f AS INT) AS frame_idx, CAST(f * 40 AS BIGINT) AS t_ms,
-        |  CAST(list_sum(list_transform(generate_series(0, 11), i ->
-        |    CASE WHEN p[f * 16 + CAST(i // 3 AS INT) * 4 + CAST(i % 3 AS INT) + 2]
-        |            > p[f * 16 + CAST(i // 3 AS INT) * 4 + CAST(i % 3 AS INT) + 1]
-        |         THEN CAST(1 AS BIGINT) << CAST(i AS INT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS framehash
-        |FROM px, (SELECT unnest([0, 1, 2, 3]) AS f)
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, 11), i ->
+        |    CASE WHEN list_extract(p, f * 16 + CAST(floor(i / 3) AS INT) * 4 + CAST(i % 3 AS INT) + 2)
+        |            > list_extract(p, f * 16 + CAST(floor(i / 3) AS INT) * 4 + CAST(i % 3 AS INT) + 1)
+        |         THEN CAST(1 AS BIGINT) << CAST(i AS INT) ELSE CAST(0 AS BIGINT) END)),
+        |    (acc, v) -> acc + v) AS BIGINT) AS framehash
+        |FROM px, (SELECT unnest(list_value(0, 1, 2, 3)) AS f)
         |ORDER BY vec_id ASC, frame_idx ASC""".stripMargin,
     "mm_payload_stats" ->
       """SELECT coalesce(lang, 'und') AS kind,

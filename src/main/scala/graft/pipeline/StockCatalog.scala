@@ -202,7 +202,7 @@ object StockCatalog {
       |  SELECT *, (k * 997 + b * 771 + dup * 499) % 2000 AS pi FROM raw0
       |), braw AS (
       |  SELECT
-      |    'SYM' || CAST(k AS VARCHAR) AS symbol,
+      |    'SYM' || CAST(k AS STRING) AS symbol,
       |    CASE WHEN k % 7 = 0 THEN '  ' || c_name || ' ' ELSE c_name END AS entity_name,
       |    c_mktsegment AS category,
       |    CASE WHEN (k + b) % 23 = 0 THEN '' ELSE n_name END AS location,
@@ -210,23 +210,23 @@ object StockCatalog {
       |    'USD' AS currency,
       |    CASE WHEN dup = 0 AND (k + b) % 17 = 0 THEN 'N/A'
       |         WHEN dup = 0 AND (k + b) % 29 = 0 THEN ''
-      |         ELSE CAST(pi // 4 AS VARCHAR) || '.' || CAST((pi % 4) * 25 AS VARCHAR)
+      |         ELSE CAST(CAST(floor(pi / 4) AS BIGINT) AS STRING) || '.' || CAST((pi % 4) * 25 AS STRING)
       |    END AS price,
       |    CASE WHEN k = 31 AND b = 9 THEN '2000000000'
       |         WHEN k = 37 AND b = 9 THEN '10000000000'
       |         WHEN (k + b) % 13 = 0 THEN ''
-      |         ELSE CAST(k * 1000000 + k % 997 + b * 1000 + dup * 13 AS VARCHAR)
+      |         ELSE CAST(k * 1000000 + k % 997 + b * 1000 + dup * 13 AS STRING)
       |    END AS market_cap,
-      |    CASE WHEN (k + b) % 101 = 0 THEN CAST(5000000 + k AS VARCHAR)
+      |    CASE WHEN (k + b) % 101 = 0 THEN CAST(5000000 + k AS STRING)
       |         WHEN (k + b) % 41 = 0 THEN '1.2.3'
-      |         ELSE CAST((k * 97 + b * 7919) % 100000 AS VARCHAR)
+      |         ELSE CAST((k * 97 + b * 7919) % 100000 AS STRING)
       |    END AS volume,
       |    CASE WHEN (k + b) % 43 = 0 THEN ' '
-      |         ELSE CAST((k * 89 + b * 7) % 90000 AS VARCHAR)
+      |         ELSE CAST((k * 89 + b * 7) % 90000 AS STRING)
       |    END AS avg_volume_3m,
       |    'https://finance.example.com/most-actives' AS source_url,
-      |    '2024-01-' || CAST(b + 10 AS VARCHAR) || ' 09:30:00' AS scraped_at,
-      |    CAST('2024-01-' || CAST(b + 10 AS VARCHAR) ||
+      |    '2024-01-' || CAST(b + 10 AS STRING) || ' 09:30:00' AS scraped_at,
+      |    CAST('2024-01-' || CAST(b + 10 AS STRING) ||
       |         (CASE WHEN dup = 1 THEN ' 11:00:00' ELSE ' 10:00:00' END) AS TIMESTAMP) AS _ingested_at
       |  FROM rawt
       |), rawp AS (
@@ -784,7 +784,7 @@ object StockCatalog {
         |  LIMIT 1
         |)
         |SELECT 'Top result is ' || symbol || '. Average price across displayed rows is ' ||
-        |       CAST(CAST(price AS DECIMAL(18,2)) AS VARCHAR) ||
+        |       CAST(CAST(price AS DECIMAL(18,2)) AS STRING) ||
         |       '. Average volume across displayed rows is ' ||
         |       format('{:,}', CAST(volume AS BIGINT)) || '.' AS summary_text
         |FROM shown""".stripMargin),
@@ -832,7 +832,7 @@ object StockCatalog {
         |  SELECT c_custkey AS k, c_name, c_mktsegment FROM customer
         |), quotes AS (
         |  SELECT
-        |    'SYM' || CAST(k AS VARCHAR) AS symbol,
+        |    'SYM' || CAST(k AS STRING) AS symbol,
         |    CASE WHEN k % 3 = 0 THEN NULL WHEN k % 3 = 1 THEN '' ELSE c_name END AS longName,
         |    CASE WHEN k % 4 = 0 THEN NULL WHEN k % 4 = 1 THEN '' ELSE 'S-' || c_name END AS shortName,
         |    CASE WHEN k % 5 = 0 THEN '' ELSE 'Equity' END AS typeDisp,
@@ -844,16 +844,16 @@ object StockCatalog {
         |    CASE WHEN k % 9 = 0 THEN 'NaN' WHEN k % 9 = 1 THEN 'Infinity'
         |         WHEN k % 9 = 2 THEN '' WHEN k % 9 = 3 THEN 'n/a'
         |         WHEN k % 9 = 4 THEN '-Infinity'
-        |         ELSE CAST(((k * 7) % 2000) // 4 AS VARCHAR) || '.' ||
-        |              CAST((((k * 7) % 2000) % 4) * 25 AS VARCHAR)
+        |         ELSE CAST(CAST(floor(((k * 7) % 2000) / 4) AS BIGINT) AS STRING) || '.' ||
+        |              CAST((((k * 7) % 2000) % 4) * 25 AS STRING)
         |    END AS regularMarketPrice,
         |    CASE WHEN k % 10 = 0 THEN '' WHEN k % 10 = 1 THEN '123.99'
         |         WHEN k % 10 = 2 THEN '-45.67'
-        |         ELSE CAST(k * 1000 + 7 AS VARCHAR) END AS marketCap,
+        |         ELSE CAST(k * 1000 + 7 AS STRING) END AS marketCap,
         |    CASE WHEN k % 11 = 0 THEN 'x'
-        |         ELSE CAST((k * 97) % 100000 AS VARCHAR) END AS regularMarketVolume,
+        |         ELSE CAST((k * 97) % 100000 AS STRING) END AS regularMarketVolume,
         |    CASE WHEN k % 12 = 0 THEN ''
-        |         ELSE CAST((k * 89) % 90000 AS VARCHAR) END AS averageDailyVolume3Month
+        |         ELSE CAST((k * 89) % 90000 AS STRING) END AS averageDailyVolume3Month
         |  FROM q
         |)
         |SELECT symbol,

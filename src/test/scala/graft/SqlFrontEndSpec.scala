@@ -11,8 +11,8 @@ class SqlFrontEndSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("the verbatim-portable set holds at least 114 entries") {
-    assert(ansiPortable.size >= 114, s"got ${ansiPortable.size}")
+  test("the verbatim-portable set holds at least 138 entries") {
+    assert(ansiPortable.size >= 138, s"got ${ansiPortable.size}")
     assert(ansiPortable.distinct.size == ansiPortable.size)
   }
 
@@ -187,5 +187,22 @@ object SqlFrontEndSpec {
     "deciles_orders", "exact_median_by_type",
     "exact_quantiles_totalprice", "hll_daily_users",
     "hll_distinct_events", "mi_flag_status", "psi_drift_total",
-    "psi_value_drift")
+    "psi_value_drift",
+    // r12 expansion: the stock family (shared-dialect rewrite of the
+    // fixture CTEs — CAST(... AS STRING), floor(x/k) for `//`) plus
+    // the strftime format-translation bridge, isinf, the '{:,}'
+    // format bridge, 1-arg numeric trunc, the INT-cast list_extract
+    // bridge, and the list_reduce spelling of list_sum in the mm
+    // signature oracles.
+    "stock_dim_entity", "stock_dim_entity_scalable",
+    "stock_fct_observations", "stock_normalize_quotes",
+    "stock_q1_top_market_cap", "stock_q2_daily_trend",
+    "stock_q3_volume_outliers", "stock_q4_geo",
+    "stock_q4_geo_scalable", "stock_q5_risk_watchlist",
+    "stock_quality_suite", "stock_raw_qa", "stock_stg",
+    "stock_stream_dim", "stock_u1_filters", "stock_u2_shocks",
+    "stock_u3_kpis", "stock_u4_summary",
+    "incr_merge_partitioned", "stream_merge_partitioned",
+    "diversity_distinct_n", "mm_audio_signature", "mm_image_dhash",
+    "mm_video_framehash")
 }
