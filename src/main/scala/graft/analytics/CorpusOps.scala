@@ -206,16 +206,22 @@ object CorpusOps {
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 
-  /** DuckDB: integer dot product — exact, order-independent. */
+  /** DuckDB: integer dot product — exact, order-independent. Shared
+    * dialect (r12): index-aligned list_extract over generate_series
+    * instead of list_zip's positional struct subscripts (DuckDB-only);
+    * callers guarantee non-empty vectors. */
   private def dkIntDot(a: String, b: String): String =
-    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip($a, $b), " +
-      s"x -> CAST(x[1] AS BIGINT) * CAST(x[2] AS BIGINT))), (acc, v) -> acc + v)"
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, len($a)), " +
+      s"i -> CAST(list_extract($a, i) AS BIGINT) * CAST(list_extract($b, i) AS BIGINT))), " +
+      s"(acc, v) -> acc + v)"
 
   /** DuckDB: double dot product in the engine's exact fold order
-    * (= Similarity.dot / graft_dot). */
+    * (= Similarity.dot / graft_dot). Shared dialect — see
+    * [[dkIntDot]]. */
   private def dkDblDot(a: String, b: String): String =
-    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, $b), " +
-      s"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (acc, v) -> acc + v)"
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len($a)), " +
+      s"i -> CAST(list_extract($a, i) AS DOUBLE) * CAST(list_extract($b, i) AS DOUBLE))), " +
+      s"(acc, v) -> acc + v)"
 
   private val simTopKQ8Sql: String =
     s"""WITH q8 AS (

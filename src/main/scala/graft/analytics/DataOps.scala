@@ -45,10 +45,17 @@ object DataOps {
        |  list_distinct(list_transform(generate_series(1, len(th) - 2),
        |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, i, i + 2)),
        |         (acc, h) -> (acc * 131 + h) % $P))) END""".stripMargin
-  /** DuckDB: explicit-order dot product (= Similarity.dot). */
+  /** DuckDB: explicit-order dot product (= Similarity.dot). Shared
+    * dialect (r12): the zip spells as index-aligned list_extract over
+    * generate_series — same ascending fold, so the FP result is
+    * bit-identical to the list_zip form on both engines. Callers
+    * guarantee non-empty vectors (fixed-dim embeddings/slices);
+    * Spark's sequence would DESCEND on an empty list (the documented
+    * generate_series caveat). */
   private def dkDot(a: String, b: String): String =
-    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, $b), " +
-      s"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (acc, v) -> acc + v)"
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len($a)), " +
+      s"i -> CAST(list_extract($a, i) AS DOUBLE) * CAST(list_extract($b, i) AS DOUBLE))), " +
+      s"(acc, v) -> acc + v)"
   private def dkCosRaw(a: String, b: String): String =
     s"(${dkDot(a, b)} / (sqrt(${dkDot(a, a)}) * sqrt(${dkDot(b, b)})))"
   private def dkCos(a: String, b: String): String =
@@ -2751,13 +2758,11 @@ object DataOps {
   private val dkSpanCtes =
     s"""stok AS (SELECT doc_id, $dkTokenHashes AS th FROM documents),
        |sgram AS (
-       |  SELECT doc_id,
-       |         unnest(generate_series(1, greatest(len(th) - 7, 0))) AS pos,
-       |         unnest(CASE WHEN len(th) < 8 THEN list_slice(th, 1, 0) ELSE
-       |           list_transform(generate_series(1, len(th) - 7),
-       |             i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, i, i + 7)),
-       |                  (acc, h) -> (acc * 131 + h) % $P)) END) AS g
-       |  FROM stok
+       |  SELECT doc_id, pos,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, pos, pos + 7)),
+       |              (acc, h) -> (acc * 131 + h) % $P) AS g
+       |  FROM (SELECT doc_id, th, unnest(generate_series(1, len(th) - 7)) AS pos
+       |        FROM stok WHERE len(th) >= 8)
        |),
        |sdup AS (SELECT g FROM sgram GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
        |sduppos AS (SELECT doc_id, pos FROM sgram WHERE g IN (SELECT g FROM sdup)),
@@ -3407,19 +3412,23 @@ object DataOps {
         |), bounds AS (
         |  SELECT event_type, bucket, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1, 2
         |), spine AS (
-        |  SELECT event_type, bucket,
-        |         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
-        |  FROM bounds
+        |  SELECT event_type, bucket, CAST(dd AS DATE) AS d FROM (
+        |    SELECT event_type, bucket,
+        |           unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS dd
+        |    FROM bounds)
         |), j AS (
         |  SELECT s.event_type, s.bucket, s.d, daily.v,
         |         daily.v IS NOT NULL AS obs
         |  FROM spine s LEFT JOIN daily USING (event_type, bucket, d)
+        |), g AS (
+        |  SELECT event_type, bucket, d, obs, v,
+        |         count(v) OVER (PARTITION BY event_type, bucket ORDER BY d ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM j
         |), f AS (
         |  SELECT event_type, bucket, d, obs,
-        |         last_value(v IGNORE NULLS) OVER (
-        |           PARTITION BY event_type, bucket ORDER BY d ASC
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
-        |  FROM j
+        |         max(v) OVER (PARTITION BY event_type, bucket, grp) AS v
+        |  FROM g
         |)
         |SELECT event_type, bucket, substr(CAST(d AS VARCHAR(30)), 1, 10) AS day, v AS v_carried
         |FROM f WHERE NOT obs
