@@ -112,13 +112,30 @@ object DataOps {
 
   /** The prefix-filtered strategy under its own oracle gate: the
     * hot-shingle branch of the adaptive dispatch above, hash-compared
-    * against the SAME oracle text as `dedup_jaccard` — the DuckDB
+    * against the SAME pair semantics as `dedup_jaccard` — the DuckDB
     * gate certifies that the AllPairs/ppjoin prefix filter is
     * loss-less for the threshold, not merely property-equal to the
-    * index form on fixtures. */
-  def dedupJaccardPrefix(spark: SparkSession, dir: String): DataFrame =
-    TextDedup.jaccardPairs(Tables.documents(spark, dir), n = 3, threshold = 0.5)
+    * index form on fixtures.
+    *
+    * 100 TB posture (r12): this is a CERTIFICATION entry — its exact
+    * leg materializes the full shingle-set candidate shuffle, the one
+    * plan shape that cannot run a decade up (sf100 ENOSPC, SCALE.md).
+    * It now takes the [[lshPairRecall]] dispatch: above
+    * [[RecallSampleThreshold]] docs, the certification runs over the
+    * deterministic 1-in-[[RecallSampleMod]] sample `doc_id % mod = 1`
+    * — loss-lessness is a per-pair property, so certifying it on a
+    * fixed subgraph still falsifies a broken prefix filter, at
+    * 1/mod² of the pair cost. The oracle replays the dispatch as a
+    * scalar-subquery gate, so both branches sit under the hash gate;
+    * at the oracle SFs the gate keeps the full corpus. */
+  def dedupJaccardPrefix(spark: SparkSession, dir: String,
+      sampleThreshold: Long = RecallSampleThreshold): DataFrame = {
+    val all = Tables.documents(spark, dir)
+    val docs = if (docCount(all, dir) <= sampleThreshold) all
+      else all.filter(col("doc_id") % RecallSampleMod === 1)
+    TextDedup.jaccardPairs(docs, n = 3, threshold = 0.5)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
 
   /** Asymmetric containment screen (subset/quote detection) — the
     * direction-aware complement of dedup_jaccard, behind the SAME
@@ -2352,6 +2369,85 @@ object DataOps {
     out
   }
 
+  /** SEVENTH STREAMING GATE — ANN-index ingest, the streaming form of
+    * the IVF build: the trained centroids are FROZEN before the
+    * stream starts (production shape: train offline, assign online),
+    * then embeddings arrive in micro-batches, cross-batch-deduped on
+    * vec_id (watermark-bounded state; one chunk is replayed to prove
+    * the collapse), and a foreachBatch sink assigns each vector
+    * MAP-SIDE to its max-cosine cell (`graft_top_cells`' literal
+    * centroid matrix via [[KMeans.assignCells]] — no join, no
+    * shuffle, no per-vector state) and APPENDS it to a
+    * CELL-PARTITIONED parquet index, where partition pruning on
+    * `cell` IS the IVF probe. The settled per-cell rollup
+    * (n_vectors + exact Σ vec_id + quantized mean cosine) pins the
+    * ASSIGNMENT itself: one misrouted vector flips sum_vec_id, so
+    * the oracle — the batch replay of the same 2-iteration training
+    * and argmax over the full corpus — certifies that streaming
+    * ingest and batch rebuild produce the identical index.
+    *
+    * 100 TB posture: per batch the work is one map-side projection
+    * over the batch's rows plus a partitioned append; dedup state is
+    * watermark-bounded; nothing scales with the INDEX size — the
+    * properties a continuously-ingesting vector store needs. */
+  def streamAnnIngest(spark: SparkSession, dir: String): DataFrame = {
+    val (out, work) = streamAnnIngestKeep(spark, dir)
+    graft.sources.LocalFs.deleteRecursively(work)
+    out
+  }
+
+  /** [[streamAnnIngest]] with the scratch dir returned instead of
+    * deleted, so StreamAnnIngestSpec can assert the settled index's
+    * cell-partitioned LAYOUT (the IVF-probe pruning surface), not
+    * just its rollup values. */
+  private[analytics] def streamAnnIngestKeep(
+      spark: SparkSession, dir: String): (DataFrame, java.nio.file.Path) = {
+    import org.apache.spark.sql.streaming.Trigger
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cents = trainedCentroids(emb, dir, k = 8, nIter = 2)
+    val docs = emb.withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+    val work = graft.sources.LocalFs.scratchDir("graft_stream_ann")
+    val inDir = s"$work/in"; val target = s"$work/target"; val ckpt = s"$work/ckpt"
+    // even ids, odd ids, odd ids replayed — three micro-batches prove
+    // cross-batch dedup state + the replay collapse (the
+    // streamDedupDocs convention)
+    writeStreamChunks(inDir, Seq(
+      docs.filter(pmod(col("vec_id"), lit(2)) === 0),
+      docs.filter(pmod(col("vec_id"), lit(2)) === 1),
+      docs.filter(pmod(col("vec_id"), lit(2)) === 1)))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      val q = spark.readStream.schema(chunkSchema(docs)).option("maxFilesPerTrigger", 1)
+        .parquet(inDir).drop("_b")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("vec_id")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          KMeans.assignCells(batch, cents)
+            .select(col("vec_id"), col("cell_cos"), col("cell"))
+            .write.mode("append").partitionBy("cell").parquet(target)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val rollup = spark.read.parquet(target)
+      .select(col("cell").cast("long").as("cell"), col("vec_id"),
+        Cols.r(col("cell_cos"), 6).as("rcos"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("vec_id")).cast("long").as("sum_vec_id"),
+        Cols.r(Cols.avgExact(col("rcos"), 6), 6).as("avg_cos"))
+      .orderBy(col("cell").asc)
+    val settled = rollup.collect().toSeq
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(settled, 1), rollup.schema)
+    (out, work)
+  }
+
   /** BUCKETED-LAYOUT GATE: orders and customer are written as tables
     * bucketed 8 ways on the join key ([[graft.sources.LayerWriter
     * .writeBucketed]] — the pay-the-shuffle-once layout), then joined
@@ -3033,6 +3129,30 @@ object DataOps {
          |             / count(*) * 1e6 + 0.5) / 1e6 AS avg_cos
          |FROM final_assign GROUP BY cell
          |ORDER BY cell ASC""".stripMargin,
+    "stream_ann_ingest" ->
+      // batch replay of the streaming IVF ingest: same 2-iteration
+      // training, same argmax assignment (ties to lowest cell), per-
+      // cell counts + EXACT Σ vec_id (one misrouted vector flips it)
+      // + the kmeans_cells avg-cos decimal form. The stream's replayed
+      // chunk collapses under the watermarked dedup, so the settled
+      // index equals this full-corpus batch rebuild.
+      s"""WITH c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, embedding AS c
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 8)
+         |), ${dkKmeansIter(1)}, ${dkKmeansIter(2)},
+         |fa AS (
+         |  SELECT vec_id, cell, cos FROM (
+         |    SELECT e.vec_id, c.cell, ${dkCosRaw("e.embedding", "c.c")} AS cos,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${dkCosRaw("e.embedding", "c.c")} DESC, c.cell ASC) AS rn
+         |    FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1
+         |)
+         |SELECT cell, count(*) AS n_vectors,
+         |       CAST(sum(vec_id) AS BIGINT) AS sum_vec_id,
+         |       floor(CAST(sum(CAST(floor(cos * 1e6 + 0.5) / 1e6 AS DECIMAL(30,6))) AS DOUBLE)
+         |             / count(*) * 1e6 + 0.5) / 1e6 AS avg_cos
+         |FROM fa GROUP BY cell
+         |ORDER BY cell ASC""".stripMargin,
     "sim_topk_ivf_kmeans" ->
       s"""WITH c0 AS (
          |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, embedding AS c
@@ -3602,7 +3722,15 @@ object DataOps {
     // set — same oracle text, so the filter's loss-lessness is
     // hash-gated, not just property-tested
     "dedup_jaccard_prefix" ->
-      s"""WITH $dkSizes, $dkJaccardPairs
+      // replays the certification's sample dispatch (the
+      // lsh_pair_recall scalar-subquery-gate pattern): full corpus at
+      // or below the doc budget, the deterministic 1-in-mod slice
+      // above it (doc_id is non-negative, so % = pmod on both engines)
+      s"""WITH srcp AS (
+         |  SELECT * FROM documents
+         |  WHERE (SELECT count(*) FROM documents) <= $RecallSampleThreshold
+         |     OR doc_id % $RecallSampleMod = 1
+         |), ${dkSizesFrom("srcp")}, $dkJaccardPairs
          |SELECT doc_a, doc_b, jaccard FROM jac
          |WHERE jraw >= 0.5
          |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
@@ -4911,7 +5039,7 @@ object DataOps {
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"       -> (dedupExact _),
     "dedup_jaccard"     -> (dedupJaccard _),
-    "dedup_jaccard_prefix" -> (dedupJaccardPrefix _),
+    "dedup_jaccard_prefix" -> ((s: SparkSession, d: String) => dedupJaccardPrefix(s, d)),
     "dedup_containment" -> (dedupContainment _),
     "topk_value_by_type" -> (topkValueByType _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -5003,6 +5131,7 @@ object DataOps {
     "stream_merge_partitioned" -> (streamMergePartitioned _),
     "stream_hourly_rollup" -> (streamHourlyRollup _),
     "stream_dedup_docs" -> (streamDedupDocs _),
+    "stream_ann_ingest" -> (streamAnnIngest _),
     "stream_join_views" -> ((s: SparkSession, d: String) => streamJoinViews(s, d)),
     "bucketed_join"     -> (bucketedJoin _),
     "skew_salted_rollup" -> (skewSaltedRollup _),

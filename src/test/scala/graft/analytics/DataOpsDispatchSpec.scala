@@ -48,6 +48,26 @@ class DataOpsDispatchSpec extends SparkSpec {
     assert(nExactFull > nExact, "the slice must actually shrink the exact leg")
   }
 
+  test("dedup_jaccard_prefix sampling dispatch: forced threshold slices to doc_id % 20 = 1") {
+    import graft.operators.TextDedup
+    import org.apache.spark.sql.functions.col
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sampled = pairs(DataOps.dedupJaccardPrefix(spark, dir, sampleThreshold = 0L))
+    val docsS = Tables.documents(spark, dir)
+      .filter(col("doc_id") % DataOps.RecallSampleMod === 1)
+    val expected = pairs(TextDedup.jaccardPairs(docsS, n = 3, threshold = 0.5))
+    assert(sampled == expected)
+    // default threshold at this SF stays full-corpus (the oracle branch)
+    val full = pairs(DataOps.dedupJaccardPrefix(spark, dir))
+    val fullDirect = pairs(TextDedup.jaccardPairs(Tables.documents(spark, dir),
+      n = 3, threshold = 0.5))
+    assert(full == fullDirect)
+    assert(sampled.subsetOf(full), "sampled pairs are a restriction of the full set")
+    assert(full.size > sampled.size, "the slice must actually shrink the certification")
+  }
+
   test("dedup_threshold_sweep sampling dispatch: forced threshold slices like lsh_pair_recall") {
     import graft.operators.TextDedup
     import org.apache.spark.sql.functions.{col, floor, lit, count, sum}
