@@ -2448,6 +2448,46 @@ object DataOps {
     (out, work)
   }
 
+  /** COMPACTION GATE — the small-files maintenance job every
+    * incremental/streaming partitioned fact needs at 100 TB: three
+    * append batches land O(batches × writer-tasks) small files per
+    * date partition (the accumulation pattern of
+    * [[streamAnnIngest]]'s per-batch appends and every incr load);
+    * [[graft.sources.LayerWriter.compactFact]] rewrites the layout to
+    * O(dates) right-sized files through a temp-sibling swap (never
+    * reading the directory it overwrites). The entry rolls the
+    * COMPACTED layout up per (date, type) and the oracle computes the
+    * same rollup straight from the source table — compaction must be
+    * result-invisible or the hash flips. The physical half (file
+    * count collapses to one per date, PartitionFilters still prune
+    * after the rewrite) is pinned in LayerWriterSpec. */
+  def factCompactRead(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.LayerWriter
+    val ev = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_id"), col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("d"))
+    val work = graft.sources.LocalFs.scratchDir("graft_fact_compact")
+    val path = s"$work/fact"
+    (0 to 2).foreach { b =>
+      ev.filter(pmod(col("event_id"), lit(3)) === b)
+        .write.mode("append").partitionBy("d").parquet(path)
+    }
+    LayerWriter.compactFact(spark, path, "d")
+    // partition-value inference types d as DATE on read; the rollup
+    // keys on the canonical string form the oracle computes
+    val rollup = spark.read.parquet(path)
+      .groupBy(col("d").cast("string").as("d"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Cols.r(Cols.sumExact(col("value")), 2).as("total_value"))
+      .orderBy(col("d").asc, col("event_type").asc)
+    val settled = rollup.collect().toSeq
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(settled, 1), rollup.schema)
+    graft.sources.LocalFs.deleteRecursively(work)
+    out
+  }
+
   /** BUCKETED-LAYOUT GATE: orders and customer are written as tables
     * bucketed 8 ways on the join key ([[graft.sources.LayerWriter
     * .writeBucketed]] — the pay-the-shuffle-once layout), then joined
@@ -3484,6 +3524,17 @@ object DataOps {
          |       floor(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) * 1e6 + 0.5) / 1e6 AS recall,
          |       floor(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) * 1e6 + 0.5) / 1e6 >= $IvfadcD256RecallFloor AS meets_floor
          |FROM yhits CROSS JOIN ynex""".stripMargin,
+    "fact_compact_read" ->
+      // result-invisibility: the rollup AFTER three append batches +
+      // compactFact's temp-sibling rewrite must equal the plain batch
+      // rollup over the source table
+      """SELECT substr(CAST(ts AS VARCHAR(30)), 1, 10) AS d, event_type,
+        |       count(*) AS n_events,
+        |       floor(CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS total_value
+        |FROM events
+        |WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY d ASC, event_type ASC""".stripMargin,
     "incr_load_events" ->
       """SELECT substr(CAST(ts AS VARCHAR(30)), 1, 10) AS event_date,
         |       count(*) AS n_events,
@@ -5132,6 +5183,7 @@ object DataOps {
     "stream_hourly_rollup" -> (streamHourlyRollup _),
     "stream_dedup_docs" -> (streamDedupDocs _),
     "stream_ann_ingest" -> (streamAnnIngest _),
+    "fact_compact_read" -> (factCompactRead _),
     "stream_join_views" -> ((s: SparkSession, d: String) => streamJoinViews(s, d)),
     "bucketed_join"     -> (bucketedJoin _),
     "skew_salted_rollup" -> (skewSaltedRollup _),
