@@ -1692,6 +1692,45 @@ object DataOps {
           / col("n_exact").cast("double"), 4).as("rel_err"))
   }
 
+  /** CROSS-RUN SKETCH PERSISTENCE GATE — the composability property
+    * sketches exist for at 100 TB: distinct-count state built by one
+    * job, PERSISTED as a parquet artifact, loaded by a later job and
+    * MERGED with that job's own state, must estimate exactly like a
+    * single-shot sketch of the union (KMV merge = distinct-union +
+    * re-truncate to the k smallest — deterministic, so the equality
+    * is exact, not approximate). Run 1 sketches the first half of
+    * events (sliced ON event_id, the incr_load watermark convention)
+    * and writes the min-k set to parquet; run 2 sketches the second
+    * half, loads run 1's artifact, merges, estimates. The oracle is
+    * the SINGLE-SHOT full-corpus KMV replay — any state the round
+    * trip or the merge loses or perturbs flips the hash. This is the
+    * daily-sketches-merged-monthly shape that makes distinct counts
+    * O(k) per period instead of O(period · distinct). */
+  def kmvPersistMerge(spark: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val ev = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id").cast("string").as("s"))
+    val cut = ev.agg((max(col("event_id")) / 2).cast("long")).head().getLong(0)
+    val work = graft.sources.LocalFs.scratchDir("graft_kmv_persist")
+    val p1 = s"$work/run1"
+    Sketches.kmvSketch(ev.filter(col("event_id") <= cut), col("s"), k)
+      .write.mode("overwrite").parquet(p1)
+    val merged = Sketches.merge(
+      spark.read.parquet(p1),
+      Sketches.kmvSketch(ev.filter(col("event_id") > cut), col("s"), k), k)
+    val exact = ev.agg(countDistinct(col("s")).as("n_exact"))
+    val rollup = Sketches.estimate(merged, k)
+      .crossJoin(broadcast(exact))
+      .select(col("k"), col("n_exact"), col("kth_hash"), col("n_est"),
+        Cols.r(abs(col("n_est") - col("n_exact")).cast("double")
+          / col("n_exact").cast("double"), 4).as("rel_err"))
+    val settled = rollup.collect().toSeq
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(settled, 1), rollup.schema)
+    graft.sources.LocalFs.deleteRecursively(work)
+    out
+  }
+
   /** Estimated distinct-user overlap between the click and purchase
     * audiences via KMV inclusion–exclusion (k = 64) — the cheap
     * audience-intersection profile: only two k-long min-sets move,
@@ -4673,6 +4712,15 @@ object DataOps {
          |             * 1e6 + 0.5) / 1e6 AS cos_en
          |FROM fstats s JOIN fdots USING (lang) CROSS JOIN fenl2
          |ORDER BY lang ASC""".stripMargin,
+    "kmv_persist_merge" ->
+      // the single-shot full-corpus replay: the persisted-and-merged
+      // two-run sketch must estimate IDENTICALLY (KMV merge is exact)
+      s"""WITH src AS (SELECT CAST(user_id AS VARCHAR(30)) AS s FROM events WHERE user_id IS NOT NULL),
+         |${dkKmvEst("src", 256, "k")},
+         |ex AS (SELECT count(DISTINCT s) AS n_exact FROM src)
+         |SELECT 256 AS k, n_exact, kth_hash, n_est,
+         |       floor(abs(n_est - n_exact) / CAST(n_exact AS DOUBLE) * 1e4 + 0.5) / 1e4 AS rel_err
+         |FROM ke CROSS JOIN ex""".stripMargin,
     "kmv_distinct_events" ->
       s"""WITH src AS (SELECT CAST(event_id AS VARCHAR(30)) AS s FROM events WHERE event_id IS NOT NULL),
          |${dkKmvEst("src", 256, "k")},
@@ -5168,6 +5216,7 @@ object DataOps {
     "mm_video_framehash" -> (mmVideoFramehash _),
     "mm_audio_signature" -> (mmAudioSignature _),
     "kmv_distinct_events" -> (kmvDistinctEvents _),
+    "kmv_persist_merge"  -> (kmvPersistMerge _),
     "feat_lang_profile" -> (featLangProfile _),
     "kmv_user_overlap"  -> (kmvUserOverlap _),
     "kmv_daily_users"   -> (kmvDailyUsers _),
