@@ -1731,6 +1731,36 @@ object DataOps {
     out
   }
 
+  /** [[kmvPersistMerge]]'s HLL twin — same two-run persist/load/merge
+    * shape over the REGISTER-table state (≤ m thin rows; union =
+    * per-bucket MAX, deterministic and exact), gated against the
+    * single-shot full-corpus HLL replay. Together the two entries
+    * cover both sketch families' cross-run composability. */
+  def hllPersistMerge(spark: SparkSession, dir: String): DataFrame = {
+    val m = 64
+    val ev = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id").cast("string").as("s"))
+    val cut = ev.agg((max(col("event_id")) / 2).cast("long")).head().getLong(0)
+    val work = graft.sources.LocalFs.scratchDir("graft_hll_persist")
+    val p1 = s"$work/run1"
+    Sketches.hllRegisters(ev.filter(col("event_id") <= cut), col("s"), m)
+      .write.mode("overwrite").parquet(p1)
+    val merged = Sketches.hllMergeRegisters(
+      spark.read.parquet(p1),
+      Sketches.hllRegisters(ev.filter(col("event_id") > cut), col("s"), m))
+    val exact = ev.agg(countDistinct(col("s")).as("n_exact"))
+    val rollup = Sketches.hllEstimateFromRegisters(merged, m)
+      .crossJoin(broadcast(exact))
+      .select(col("m"), col("n_present"), col("n_exact"), col("n_est"),
+        Cols.r(abs(col("n_est") - col("n_exact")).cast("double")
+          / col("n_exact").cast("double"), 4).as("rel_err"))
+    val settled = rollup.collect().toSeq
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(settled, 1), rollup.schema)
+    graft.sources.LocalFs.deleteRecursively(work)
+    out
+  }
+
   /** Estimated distinct-user overlap between the click and purchase
     * audiences via KMV inclusion–exclusion (k = 64) — the cheap
     * audience-intersection profile: only two k-long min-sets move,
@@ -5020,6 +5050,16 @@ object DataOps {
         |WHERE event_id % 5 = 1 AND ts IS NOT NULL
         |GROUP BY 1
         |ORDER BY hour ASC""".stripMargin,
+    "hll_persist_merge" ->
+      // single-shot full-corpus replay: register union is per-bucket
+      // MAX, so the two-run persisted-and-merged registers estimate
+      // IDENTICALLY to one sketch of everything
+      s"""WITH src AS (SELECT CAST(user_id AS VARCHAR(30)) AS s FROM events WHERE user_id IS NOT NULL),
+         |${dkHll("src", Seq.empty, 64, "g")},
+         |ex AS (SELECT count(DISTINCT s) AS n_exact FROM src)
+         |SELECT 64 AS m, n_present, n_exact, n_est,
+         |       floor(abs(n_est - n_exact) / CAST(n_exact AS DOUBLE) * 1e4 + 0.5) / 1e4 AS rel_err
+         |FROM gx CROSS JOIN ex""".stripMargin,
     "hll_distinct_events" ->
       s"""WITH src AS (SELECT CAST(event_id AS VARCHAR(30)) AS s FROM events WHERE event_id IS NOT NULL),
          |${dkHll("src", Seq.empty, 64, "g")},
@@ -5217,6 +5257,7 @@ object DataOps {
     "mm_audio_signature" -> (mmAudioSignature _),
     "kmv_distinct_events" -> (kmvDistinctEvents _),
     "kmv_persist_merge"  -> (kmvPersistMerge _),
+    "hll_persist_merge"  -> (hllPersistMerge _),
     "feat_lang_profile" -> (featLangProfile _),
     "kmv_user_overlap"  -> (kmvUserOverlap _),
     "kmv_daily_users"   -> (kmvDailyUsers _),

@@ -221,16 +221,35 @@ object Sketches {
     * One row: (m, n_present, n_est). Empty input estimates 0 (the
     * zsum coalesce routes it into the linear-counting branch, whose
     * table entry at V = m is floor(m·ln(1)) = 0). */
-  def hllDistinct(df: DataFrame, c: Column, m: Int): DataFrame = {
+  def hllDistinct(df: DataFrame, c: Column, m: Int): DataFrame =
+    hllEstimateFromRegisters(hllRegisters(df, c, m), m)
+
+  /** The HLL register table (bucket, reg) of `c` — the sketch's
+    * persistable STATE: ≤ m thin rows regardless of input size, and
+    * sketch union is per-bucket MAX ([[hllMergeRegisters]] —
+    * deterministic and exact, so registers built by separate runs
+    * merge into exactly the single-shot registers of the combined
+    * input). [[hllEstimateFromRegisters]] turns any register table
+    * into the [[hllDistinct]] estimate. */
+  def hllRegisters(df: DataFrame, c: Column, m: Int): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     df.where(c.isNotNull)
       .select(hllBucket(c, m).as("bucket"), hllRho(c, m).as("rho"))
       .groupBy(col("bucket")).agg(max(col("rho")).as("reg"))
-      .agg(count(lit(1)).as("n_present"),
+  }
+
+  /** Union of two register tables built with the same m: per-bucket
+    * MAX — exactly the registers of the combined input. */
+  def hllMergeRegisters(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionAll(b).groupBy(col("bucket")).agg(max(col("reg")).as("reg"))
+
+  /** Estimator over a register table: (m, n_present, n_est) — the
+    * [[hllDistinct]] tail, callable on loaded/merged state. */
+  def hllEstimateFromRegisters(regs: DataFrame, m: Int): DataFrame =
+    regs.agg(count(lit(1)).as("n_present"),
         coalesce(hllZSum(col("reg")), lit(0.0)).as("zsum"))
       .select(lit(m).as("m"), col("n_present"),
         hllEstimate(col("n_present"), col("zsum"), m).as("n_est"))
-  }
 
   /** PER-GROUP HLL distinct estimates — the sketch's native warehouse
     * form (distinct users per day, distinct tokens per language) built
