@@ -1,7 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 /** Persistence layer for the medallion tables (SURVEY.md §2.1 S13,
   * §7.5 scale posture).
@@ -55,31 +54,25 @@ object LayerWriter {
     * overwriting the directory it is still reading (Spark would
     * corrupt its own input). Returns (files before, files after).
     * Crash-safe like [[graft.operators.Upsert.mergeIntoPath]]: at
-    * worst the previous layout survives at `.old-compact`. */
+    * worst the previous layout survives at `.old-compact`. Runs on
+    * any Hadoop filesystem via [[SwapFs]] (atomic-rename caveat for
+    * flat object stores documented there). */
   def compactFact(spark: SparkSession, path: String, dateCol: String,
       maxRecordsPerFile: Long = 5000000L): (Long, Long) = {
-    val tgt = Paths.get(path)
-    val tmp = Paths.get(path + ".tmp-compact")
-    val old = Paths.get(path + ".old-compact")
-    if (!Files.exists(tgt) && Files.exists(old))
-      Files.move(old, tgt, StandardCopyOption.ATOMIC_MOVE)
-    val before = dataFileCount(tgt)
-    deleteRecursively(tmp)
+    val io = SwapFs.forPath(spark, path)
+    val tgt = io.path(path)
+    val tmp = io.path(path + ".tmp-compact")
+    val old = io.path(path + ".old-compact")
+    if (!io.exists(tgt) && io.exists(old)) io.rename(old, tgt)
+    val before = io.dataFileCount(tgt)
+    io.delete(tmp)
     writeFact(spark.read.parquet(path), tmp.toString, dateCol, maxRecordsPerFile)
-    deleteRecursively(old)
-    Files.move(tgt, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, tgt, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(old)
-    (before, dataFileCount(tgt))
+    io.delete(old)
+    io.rename(tgt, old)
+    io.rename(tmp, tgt)
+    io.delete(old)
+    (before, io.dataFileCount(tgt))
   }
-
-  private def dataFileCount(p: Path): Long = {
-    val s = Files.walk(p)
-    try s.filter(f => f.getFileName.toString.endsWith(".parquet")).count()
-    finally s.close()
-  }
-
-  private def deleteRecursively(p: Path): Unit = LocalFs.deleteRecursively(p)
 
   /** Write a table bucketed (and optionally sorted) on the join key —
     * the co-located-join layout: two tables bucketed on the same key
@@ -101,11 +94,18 @@ object LayerWriter {
 
   /** Append one load batch into an existing partitioned fact —
     * dynamic partition overwrite of ONLY the batch's dates, so a
-    * re-run of the same batch is idempotent and history is untouched. */
-  def overwriteBatchPartitions(df: DataFrame, path: String, dateCol: String): Unit =
+    * re-run of the same batch is idempotent and history is untouched.
+    * Drops any merge key-range index (`_keyidx`) on the target first:
+    * this writer changes partition contents without maintaining the
+    * index, and a stale index must never survive to mis-prune a later
+    * [[graft.operators.Upsert.mergePartitionedPath]] probe. */
+  def overwriteBatchPartitions(df: DataFrame, path: String, dateCol: String): Unit = {
+    val io = SwapFs.forPath(df.sparkSession, path)
+    io.delete(io.path(path + "/_keyidx"))
     df.write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(dateCol)
       .parquet(path)
+  }
 }

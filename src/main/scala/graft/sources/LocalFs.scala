@@ -3,12 +3,12 @@ package graft.sources
 import java.nio.file.{Files, Path}
 import java.util.Comparator
 
-/** Local-filesystem helpers shared by the swap-based writers
-  * ([[graft.operators.Upsert]], [[LayerWriter.compactFact]]) and the
-  * scratch-directory catalog queries. Local-only by design: the swap
-  * protocol relies on same-volume atomic renames, which object stores
-  * don't provide — a production deployment swaps table-format
-  * snapshots instead. */
+/** Local-filesystem helpers for SCRATCH state only — gate-local
+  * streaming checkpoints and temp corpora whose lifetime is one
+  * catalog entry on this box. The persistent swap-based writers
+  * ([[graft.operators.Upsert]], [[LayerWriter.compactFact]]) do NOT
+  * use this: they go through the Hadoop `FileSystem` API via
+  * [[SwapFs]] so the same code deploys on HDFS/object stores. */
 object LocalFs {
   def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {
