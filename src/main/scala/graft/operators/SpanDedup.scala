@@ -76,6 +76,31 @@ object SpanDedup {
     * size, so real corpora land under this at any SF. */
   val DupKeysBroadcastMax: Long = 1L << 22
 
+  /** Live dup-key caches, FIFO by corpus (canonicalized-plan key).
+    * The three span entries (spans / profile / excise) over one
+    * corpus all need the SAME duplicated-key frame; caching it once
+    * and sharing is the difference between paying the dominant gram
+    * shuffle once per corpus and once per entry (the r12 immediate-
+    * unpersist "hygiene" fix tripled the build — adjudicated in the
+    * r12 verdict as a ~2× trio regression at sf0.1). Deterministic
+    * lifetime instead: at most [[MaxLiveDupCaches]] corpora stay
+    * cached (each ≤ [[DupKeysBroadcastMax]] longs ≈ 34 MiB), and the
+    * oldest is unpersisted when a new corpus arrives — an SF sweep
+    * holds a bounded set, not one frame per entry ever built. */
+  private val MaxLiveDupCaches = 3
+  private val liveDupCaches =
+    new scala.collection.mutable.ArrayDeque[(Int, DataFrame)]()
+  private def cachedDupKeys(dup: DataFrame): DataFrame = synchronized {
+    val key = dup.queryExecution.logical.canonicalized.semanticHash()
+    liveDupCaches.find(_._1 == key).map(_._2).getOrElse {
+      val cached = Persisted.index(dup)
+      liveDupCaches.append(key -> cached)
+      while (liveDupCaches.size > MaxLiveDupCaches)
+        liveDupCaches.removeHead()._2.unpersist(blocking = false)
+      cached
+    }
+  }
+
   /** Start positions of duplicated windows: (doc_id, pos) for every
     * length-`n` window whose gram occurs in ≥ `minDocs` distinct
     * docs. The shared first half of [[duplicatedSpans]] and
@@ -84,31 +109,29 @@ object SpanDedup {
     * Scale shape (the r10→r11 I/O fix): the groupBy(g) already
     * shuffles the full gram stream once (unavoidable — df needs it);
     * the SEMI JOIN back used to shuffle it a second time. The
-    * duplicated KEY set is persisted and counted (one bounded probe),
-    * and when it fits [[DupKeysBroadcastMax]] it is broadcast so the
-    * gram stream's second pass stays map-side — at sf100 that halves
-    * the operator's dominant shuffle volume. Over-budget corpora fall
+    * duplicated KEY set is persisted (shared across the span trio via
+    * [[cachedDupKeys]]) and counted (one bounded probe), and when it
+    * fits [[DupKeysBroadcastMax]] it is broadcast so the gram
+    * stream's second pass stays map-side — at sf100 that halves the
+    * operator's dominant shuffle volume. Over-budget corpora fall
     * back to the shuffle semi join unchanged. */
   private def duplicatedPositions(docs: DataFrame, n: Int, minDocs: Int,
       fast: Boolean = false): DataFrame = {
     require(minDocs >= 2, "span dedup needs minDocs >= 2 (1 would flag every window)")
     val grams = gramPositions(docs, n, fast)
     // duplicated gram keys — thin (g) frame; countDistinct partial-
-    // aggregates per partition before the one shuffle on g; persisted
-    // so the count probe and the join read ONE computation
-    val dup = Persisted.index(
+    // aggregates per partition before the one shuffle on g; cached
+    // once per corpus so the probe, the join, and the sibling span
+    // entries read ONE computation
+    val dup = cachedDupKeys(
       grams.groupBy(col("g"))
         .agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") >= minDocs)
         .select(col("g")))
-    // fits-probe and key fetch are ONE bounded job; under budget the
-    // cached dup frame has no further consumer (the join reads the
-    // local key relation), so it is unpersisted IMMEDIATELY — repeat
-    // span-dedup entries no longer accumulate cached key frames
+    // fits-probe and key fetch are ONE bounded job against the cache
     val keyRows = dup.limit((DupKeysBroadcastMax + 1).toInt).collect()
     val keys =
       if (keyRows.length <= DupKeysBroadcastMax) {
-        dup.unpersist(blocking = false)
         val spark = docs.sparkSession
         import spark.implicits._
         broadcast(keyRows.map(_.getLong(0)).toSeq.toDF("g"))
