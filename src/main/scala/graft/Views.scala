@@ -265,6 +265,11 @@ object Views {
         val translated = s.replace("%Y", "yyyy").replace("%m", "MM")
           .replace("%d", "dd").replace("%H", "HH").replace("%M", "mm")
           .replace("%S", "ss")
+          // 'T' passed the separator guard but is a RESERVED pattern
+          // letter to date_format — quote it so ISO-8601 formats like
+          // %Y-%m-%dT%H:%M:%S render the literal T instead of dying
+          // with an unrelated "Unknown pattern letter: T"
+          .replace("T", "'T'")
         fn("date_format", Seq(t, Literal(translated)))
       case other => throw new IllegalArgumentException(
         "strftime bridge needs (timestamp, literal format), got " + other.mkString(", "))

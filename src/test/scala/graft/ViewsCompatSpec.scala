@@ -20,6 +20,14 @@ class ViewsCompatSpec extends SparkSpec {
     assert(r.getString(1) == "2024-03-07 09:05:01")
   }
 
+  test("strftime bridge renders the ISO-8601 'T' separator literally (ADVICE r12)") {
+    // 'T' is in the accepted separator set but is a reserved pattern
+    // letter to date_format — unquoted it died with "Unknown pattern
+    // letter: T" instead of the bridge's own loud message
+    val r = one("SELECT strftime(CAST('2024-03-07 09:05:01' AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') AS t")
+    assert(r.getString(0) == "2024-03-07T09:05:01")
+  }
+
   test("strftime bridge refuses directives outside the shared set") {
     val e = intercept[Exception](one("SELECT strftime(CAST('2024-03-07' AS TIMESTAMP), '%-d')"))
     assert(e.getMessage.contains("strftime bridge"))
