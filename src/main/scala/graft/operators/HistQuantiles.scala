@@ -326,7 +326,7 @@ object HistQuantiles {
       if (grp.length > maxFallbackDistinct) {
         val target = java.math.BigDecimal.valueOf(r)
         result(distributedPick(grpDf, java.math.BigDecimal.ZERO,
-          cum => cum.compareTo(target) >= 0))
+          cum => cum.compareTo(target) >= 0, hi))
       } else {
         var cum = 0L; var i = 0; var v = hi
         var found = false
@@ -520,7 +520,7 @@ object HistQuantiles {
         .groupBy(col("x")).agg(sum(col("w")).as("ws"))
       val grp = grpDf.orderBy(col("x").asc).limit(maxFallbackDistinct + 1).collect()
       if (grp.length > maxFallbackDistinct) {
-        result(distributedPick(grpDf, cumBefore, reaches), totalW.doubleValue())
+        result(distributedPick(grpDf, cumBefore, reaches, hi), totalW.doubleValue())
       } else {
         var i = 0; var v = hi; var found = false
         while (!found && i < grp.length) {
@@ -549,11 +549,15 @@ object HistQuantiles {
     *     which re-scans locally with its seed offset.
     *
     * The threshold test is the caller's own decimal predicate, so the
-    * pick is bit-identical to the driver-side scan it replaces. Two
-    * passes over the sorted RDD (persisted across them, unpersisted
-    * on exit). */
+    * pick is bit-identical to the driver-side scan it replaces —
+    * INCLUDING the exhausted case: when no prefix ever satisfies
+    * `reaches` (boundary/rounding-inconsistent input), both branches
+    * return `default` (the caller's `hi`), rather than this one
+    * throwing where the driver loop would have answered (ADVICE r12).
+    * Two passes over the sorted RDD (persisted across them,
+    * unpersisted on exit). */
   private def distributedPick(grp: DataFrame, cumBefore: java.math.BigDecimal,
-      reaches: java.math.BigDecimal => Boolean): Double = {
+      reaches: java.math.BigDecimal => Boolean, default: Double): Double = {
     import org.apache.spark.storage.StorageLevel
     val rdd = grp.select(col("x"), col("ws").cast("decimal(38,2)"))
       .rdd.map(r => (r.getDouble(0), r.getDecimal(1)))
@@ -570,7 +574,7 @@ object HistQuantiles {
         val next = acc.add(totals(i))
         if (reaches(next)) hit = i else { acc = next; i += 1 }
       }
-      require(hit >= 0, "distributedPick: weight target not reachable — inconsistent input")
+      if (hit < 0) return default // matches the driver loop's var v = hi seed
       val hitPart = hit; val seed = acc
       val picked = rdd.mapPartitionsWithIndex { (j, it) =>
         if (j != hitPart) Iterator.empty
