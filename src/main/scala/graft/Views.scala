@@ -274,6 +274,17 @@ object Views {
       case other => throw new IllegalArgumentException(
         "strftime bridge needs (timestamp, literal format), got " + other.mkString(", "))
     }, "built-in")
+    // xor(a, b) ≡ bitwise XOR. DuckDB spells it as a named function;
+    // Spark only has the `^` OPERATOR — and `^` is unbridgeable the
+    // other way (DuckDB's `^` is POWER: same symbol, different
+    // contract), so the NAME is the only safe shared spelling. Spark
+    // has no builtin named `xor` to shadow (r13, for dedup_simhash).
+    reg.createOrReplaceTempFunction("xor", {
+      case Seq(a, b) =>
+        org.apache.spark.sql.catalyst.expressions.BitwiseXor(a, b)
+      case other => throw new IllegalArgumentException(
+        s"xor takes 2 arguments, got ${other.size}")
+    }, "built-in")
     // isinf(x) ≡ abs(x) = +Inf — DuckDB's contract exactly: true for
     // ±Inf, false for NaN (abs(NaN) ≠ Inf), NULL for NULL
     reg.createOrReplaceTempFunction("isinf", {

@@ -76,7 +76,7 @@ object DataOps {
   private def dkSeededAnchors(nPlanes: Int): String = {
     val rows = graft.operators.Similarity.gaussianPlaneGrid(lshSeed, nPlanes, embDim)
       .zipWithIndex
-      .map { case (g, i) => s"($i, [${g.mkString(",")}])" }
+      .map { case (g, i) => s"($i, list_value(${g.mkString(",")}))" }
       .mkString(", ")
     s"""SELECT rank, list_transform(grid, x -> CAST(x AS DOUBLE) / 1024) AS plane_vec
        |  FROM (VALUES $rows) t(rank, grid)""".stripMargin
@@ -2679,7 +2679,7 @@ object DataOps {
     s"""tok AS (SELECT doc_id, $dkTokenHashes AS th FROM documents),
        |winnow AS (
        |  SELECT doc_id, list_distinct(
-       |    CASE WHEN len(th) < 3 THEN []
+       |    CASE WHEN len(th) < 3 THEN list_slice(th, 1, 0)
        |    ELSE list_transform(generate_series(1, greatest(len(th) - 5, 1)),
        |      i -> list_min(list_transform(generate_series(i, least(i + 3, len(th) - 2)),
        |             j -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(th, j, j + 2)), (acc, h) -> (acc * 131 + h) % 1000000007))))
@@ -2725,7 +2725,7 @@ object DataOps {
        |  -- integer grid / 1024: bit-identical to the engine literals
        |  ${dkSeededAnchors(128)}
        |), sig AS (
-       |  SELECT e.vec_id, a.rank // 4 AS band,
+       |  SELECT e.vec_id, CAST(floor(a.rank / 4) AS BIGINT) AS band,
        |         sum(CASE WHEN ${dkDot("e.embedding", "a.plane_vec")} > 0
        |             THEN CAST(pow(2, a.rank % 4) AS BIGINT) ELSE 0 END) AS key
        |  FROM embeddings e CROSS JOIN anchors a
@@ -4016,7 +4016,7 @@ object DataOps {
          |         list_reduce(list_prepend(CAST(0 AS BIGINT),
          |           list_transform(generate_series(0, 31),
          |             j -> CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |                    list_transform(th, h -> (h // CAST(pow(2, j) AS BIGINT)) % 2 * 2 - 1)),
+         |                    list_transform(th, h -> CAST(floor(h / CAST(pow(2, j) AS BIGINT)) AS BIGINT) % 2 * 2 - 1)),
          |                    (s, x) -> s + x) > 0
          |                  THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)),
          |           (a, x) -> a + x) AS simhash

@@ -19,8 +19,8 @@ class SqlFrontEndSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("the verbatim-portable set holds at least 148 entries") {
-    assert(ansiPortable.size >= 148, s"got ${ansiPortable.size}")
+  test("the verbatim-portable set holds at least 153 entries") {
+    assert(ansiPortable.size >= 153, s"got ${ansiPortable.size}")
     assert(ansiPortable.distinct.size == ansiPortable.size)
   }
 
@@ -104,8 +104,16 @@ object SqlFrontEndSpec {
     * replays whose CTEs would otherwise inline exponentially, so
     * dropping it is not an option), ordered aggregates
     * `list(x ORDER BY y)` (Spark array_agg takes no ORDER BY:
-    * embed_outliers, span_dup_excise), HUGEINT casts
-    * (embed_label_centroids), table-function
+    * embed_outliers, span_dup_excise, rp_distortion — and the
+    * positional rewrite would trade the fold's deterministic order
+    * for an order-free SUM, exactly the FP-drift class the hash gate
+    * forbids), recursive-CTE closure with UNION dedup
+    * (dedup_embedding_groups: Spark 4 allows only UNION ALL in
+    * recursive CTEs, and switching the oracle to UNION ALL would
+    * unbound the closure on cycles — the dedup IS the termination
+    * argument; r13 audit-measured), HUGEINT casts
+    * (embed_label_centroids, dedup_minhash_fast's xxh64 mirror),
+    * table-function
     * generate_series (dedup/graph families — r12 moved dedup_jaccard
     * and dedup_containment INTO this class: their oracles now replay
     * the three-tier dispatch, whose banded-LSH branch needs the
@@ -226,5 +234,14 @@ object SqlFrontEndSpec {
     // count-over-window carry-group trick.
     "hybrid_rrf", "sim_topk", "sim_topk_ivf", "sim_topk_q8",
     "span_dup_profile", "span_dup_spans", "gapfill_daily",
-    "fact_compact_read", "kmv_persist_merge", "hll_persist_merge")
+    "fact_compact_read", "kmv_persist_merge", "hll_persist_merge",
+    // r13 expansion: seeded-anchor plane matrices respelled as
+    // list_value(...) literals (drops the [..] list-literal VALUES
+    // rows), floor-division spellings for the two remaining `//`
+    // sites, list_slice(th, 1, 0) for the bare [] empty-list literal
+    // in the winnowing CTE, and the xor-by-name bridge (Spark only
+    // has the `^` operator, whose DuckDB meaning is POWER — the NAME
+    // is the only safe shared spelling).
+    "dedup_simhash", "sim_topk_lsh", "dedup_embedding",
+    "text_winnow", "winnow_overlap")
 }
