@@ -2822,7 +2822,7 @@ object DataOps {
        |  FROM tok
        |), bandsx AS (
        |  SELECT doc_id, b.b AS band, list_slice(minhash, b.b * 2 + 1, b.b * 2 + 2) AS key
-       |  FROM sigs CROSS JOIN generate_series(0, 7) AS b(b)
+       |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) b
        |), cands AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bandsx a JOIN bandsx b
@@ -2894,7 +2894,7 @@ object DataOps {
        |  FROM tok
        |), bandsx AS (
        |  SELECT doc_id, b.b AS band, list_slice(minhash, b.b * 2 + 1, b.b * 2 + 2) AS key
-       |  FROM sigs CROSS JOIN generate_series(0, 7) AS b(b)
+       |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) b
        |), cands AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bandsx a JOIN bandsx b
@@ -4928,7 +4928,7 @@ object DataOps {
          |  FROM itok
          |), iband AS (
          |  SELECT doc_id, source, b.b AS band, list_slice(minhash, b.b * 2 + 1, b.b * 2 + 2) AS key
-         |  FROM isig CROSS JOIN generate_series(0, 7) AS b(b)
+         |  FROM isig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) b
          |), icand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
          |  FROM iband a JOIN iband c ON a.band = c.band AND a.key = c.key

@@ -19,8 +19,8 @@ class SqlFrontEndSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("the verbatim-portable set holds at least 153 entries") {
-    assert(ansiPortable.size >= 153, s"got ${ansiPortable.size}")
+  test("the verbatim-portable set holds at least 163 entries") {
+    assert(ansiPortable.size >= 163, s"got ${ansiPortable.size}")
     assert(ansiPortable.distinct.size == ansiPortable.size)
   }
 
@@ -113,14 +113,7 @@ object SqlFrontEndSpec {
     * unbound the closure on cycles — the dedup IS the termination
     * argument; r13 audit-measured), HUGEINT casts
     * (embed_label_centroids, dedup_minhash_fast's xxh64 mirror),
-    * table-function
-    * generate_series (dedup/graph families — r12 moved dedup_jaccard
-    * and dedup_containment INTO this class: their oracles now replay
-    * the three-tier dispatch, whose banded-LSH branch needs the
-    * generate_series minhash block; the dispatch-correct gate
-    * outranks verbatim portability, and the exact tier stays
-    * verbatim-covered through dedup_jaccard_prefix's unchanged
-    * oracle), regexp flags ('g' —
+    * regexp flags ('g' —
     * Spark replaces globally by default, so the 4th arg parses as
     * position), ASOF JOIN syntax, and day-of-week (same NAME,
     * different contract: Spark dow=1-7, DuckDB 0-6 — and Spark 4's
@@ -243,5 +236,17 @@ object SqlFrontEndSpec {
     // has the `^` operator, whose DuckDB meaning is POWER — the NAME
     // is the only safe shared spelling).
     "dedup_simhash", "sim_topk_lsh", "dedup_embedding",
-    "text_winnow", "winnow_overlap")
+    "text_winnow", "winnow_overlap",
+    // r13 second wave: the table-valued generate_series band join —
+    // the only TVF the dialect used — respelled through the EXISTING
+    // bridges as a scalar-unnest subquery
+    // (`CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) b`),
+    // which retires the whole gs-table-fn class except the entries
+    // whose NEXT blocker is structural (recursive-CTE UNION dedup:
+    // dedup_groups/dedup_keep/dedup_keep_best; regexp 'g' flag:
+    // dup_inflation).
+    "cosine_verify_lsh", "dedup_containment", "dedup_incremental",
+    "dedup_jaccard", "dedup_minhash_lsh", "dup_source_matrix",
+    "graph_triangles", "lsh_pair_recall", "pagerank_hubs",
+    "split_leakage_pairs")
 }
