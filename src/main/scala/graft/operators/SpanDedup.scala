@@ -76,6 +76,11 @@ object SpanDedup {
     * size, so real corpora land under this at any SF. */
   val DupKeysBroadcastMax: Long = 1L << 22
 
+  /** Test seam for the over-budget (Bloom-prescreen) branch — the
+    * production budget above, overridable so SpanDedupSpec can force
+    * the branch on fixture-sized corpora and pin bit-identity. */
+  private[graft] var dupKeysBudget: Long = DupKeysBroadcastMax
+
   /** Live dup-key caches, FIFO by corpus (canonicalized-plan key).
     * The three span entries (spans / profile / excise) over one
     * corpus all need the SAME duplicated-key frame; caching it once
@@ -129,14 +134,33 @@ object SpanDedup {
         .filter(col("df") >= minDocs)
         .select(col("g")))
     // fits-probe and key fetch are ONE bounded job against the cache
-    val keyRows = dup.limit((DupKeysBroadcastMax + 1).toInt).collect()
-    val keys =
-      if (keyRows.length <= DupKeysBroadcastMax) {
-        val spark = docs.sparkSession
-        import spark.implicits._
-        broadcast(keyRows.map(_.getLong(0)).toSeq.toDF("g"))
-      } else dup // over budget: cached dup feeds the shuffle semi join
-    grams.join(keys, Seq("g"), "left_semi").select(col("doc_id"), col("pos"))
+    val keyRows = dup.limit((dupKeysBudget + 1).toInt).collect()
+    if (keyRows.length <= dupKeysBudget) {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val keys = broadcast(keyRows.map(_.getLong(0)).toSeq.toDF("g"))
+      grams.join(keys, Seq("g"), "left_semi").select(col("doc_id"), col("pos"))
+    } else {
+      // OVER-BUDGET (r13, measured: the regenerated sf100 corpus has
+      // 30.3M duplicated gram keys — 7× past the exact-broadcast
+      // budget, so the old fallback re-shuffled the ENTIRE gram
+      // stream into the semi join): broadcast a CAPPED Bloom bitset
+      // of the dup keys instead ([[BloomFilterJoin]] — ≤ 2²⁷ bits
+      // = 16 MiB, the bounded-parameter policy ceiling) and prescreen
+      // the gram stream MAP-SIDE; the exact semi join that restores
+      // no-false-positive truth then shuffles only the survivors
+      // (true duplicates + the bitset's fp share of the stream),
+      // never the full stream. Result is bit-identical to the plain
+      // semi join — the bloom can only pass extra candidates, which
+      // the join then rejects (SpanDedupSpec pins the branch).
+      val nKeys = dup.count() // cheap: cached thin frame
+      val mBits = math.min(1L << 27, math.max(1L << 20, nKeys * 8)).toInt
+      val nHash = math.max(1, math.min(7,
+        math.round(mBits.toDouble / nKeys * math.log(2)).toInt))
+      val bloom = BloomFilterJoin.build(dup, col("g"), mBits, nHash)
+      grams.filter(bloom.mightContain(col("g")))
+        .join(dup, Seq("g"), "left_semi").select(col("doc_id"), col("pos"))
+    }
   }
 
   /** Maximal duplicated spans: (doc_id, span_start, span_end,

@@ -14,6 +14,30 @@ class SpanDedupSpec extends SparkSpec {
       .select($"doc_id", $"span_start".cast("int"), $"span_end".cast("int"))
       .as[(Long, Int, Int)].collect().toSet
 
+  test("over-budget Bloom-prescreen branch is bit-identical to the broadcast branch") {
+    // force the bloom branch on a fixture corpus and compare every
+    // output of the family against the default (broadcast) branch —
+    // the prescreen may only pass extra candidates the exact semi
+    // join then rejects, so results must be identical
+    val d = docs(
+      1L -> "a b c d e f g h i j",
+      2L -> "c d e f g h i x y z",
+      3L -> "q r s t u v w a b c",
+      4L -> "q r s t u v w m n o")
+    def family() = (
+      SpanDedup.duplicatedSpans(d, n = 3).orderBy($"doc_id", $"span_start")
+        .collect().toSeq,
+      SpanDedup.excised(d, n = 3).orderBy($"doc_id").collect().toSeq,
+      SpanDedup.spanProfile(d, n = 3).orderBy($"doc_id").collect().toSeq)
+    val viaBroadcast = family()
+    val prev = SpanDedup.dupKeysBudget
+    SpanDedup.dupKeysBudget = 0L // every corpus is now "over budget"
+    try {
+      val viaBloom = family()
+      assert(viaBloom == viaBroadcast)
+    } finally SpanDedup.dupKeysBudget = prev
+  }
+
   test("a shared run is reported with exact 1-based [start, end) token boundaries") {
     // tokens 3..7 of doc 1 ("c d e f g") appear as tokens 1..5 of doc 2
     val d = docs(
