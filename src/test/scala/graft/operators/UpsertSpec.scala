@@ -166,6 +166,17 @@ class UpsertSpec extends SparkSpec {
       Set((1, "a"), (2, "B"), (3, "c")))
   }
 
+  test("mergePartitionedPath works on an explicit file: URI (scheme-qualified cluster form)") {
+    val dir = Files.createTempDirectory("pmerge-uri")
+    val path = "file://" + dir.toString + "/fact"
+    val init = Seq((1, "2024-01-01", "a"), (2, "2024-01-02", "b")).toDF("k", "d", "v")
+    assert(Upsert.mergePartitionedPath(spark, path, init, Seq("k"), "d") == 2)
+    val batch = Seq((2, "2024-01-02", "B"), (3, "2024-01-03", "c")).toDF("k", "d", "v")
+    assert(Upsert.mergePartitionedPath(spark, path, batch, Seq("k"), "d") == 2)
+    assert(spark.read.parquet(path).select($"k", $"v").as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "B"), (3, "c")))
+  }
+
   test("mergePartitionedPath fails loud past the partition budget") {
     val path = Files.createTempDirectory("pmerge-cap").toString + "/fact"
     val init = (1 to 8).map(i => (i, s"2024-01-0$i", "v")).toDF("k", "d", "v")

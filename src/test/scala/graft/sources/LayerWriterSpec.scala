@@ -80,6 +80,24 @@ class LayerWriterSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters"))
   }
 
+  test("compactFact crash recovery: a surviving .old-compact is restored and compaction converges") {
+    val dir = Files.createTempDirectory("compact-crash").toString + "/t"
+    (1 to 2).foreach { b =>
+      spark.range(b * 100, b * 100 + 40, 1, 4)
+        .selectExpr("id", "CASE WHEN id % 2 = 0 THEN '2024-01-01' ELSE '2024-01-02' END AS d")
+        .write.mode("append").partitionBy("d").parquet(dir)
+    }
+    val rows = spark.read.parquet(dir).count()
+    // simulate a crash between "target -> .old" and "tmp -> target"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".old-compact")))
+    val (_, after) = LayerWriter.compactFact(spark, dir, "d")
+    assert(after == 2, s"expected 2 compacted files, got $after")
+    assert(spark.read.parquet(dir).count() == rows)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".old-compact")))
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange on either side") {
     // dedicated child session: conf changes (broadcast threshold) must
     // not leak into plan-assertion tests running in parallel suites
