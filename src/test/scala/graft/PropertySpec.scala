@@ -75,6 +75,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("mergePartitionedPath == in-memory model over random batch sequences (moves, new/emptied partitions)") {
+    // model-based check of the key-indexed partition-scoped MERGE: a
+    // sequence of random batches — keys from a small pool so batches
+    // update, move partitions, and insert; partitions from a small
+    // date pool so some empty out — applied via mergePartitionedPath
+    // must equal a driver-side map model keyed the same way. Exercises
+    // index creation, over-inclusive widening, candidate pruning,
+    // fallback/rebuild, and emptied-partition deletion together.
+    val batchGen = Gen.listOfN(6, Gen.zip(
+      Gen.chooseNum(1, 12), Gen.oneOf("2024-01-01", "2024-01-02", "2024-02-01"),
+      Gen.identifier))
+    forAll(Gen.listOfN(4, batchGen), 6) { batches =>
+      val path = java.nio.file.Files.createTempDirectory("pmerge-prop").toString + "/fact"
+      var model = Map.empty[Int, (String, String)]
+      batches.foreach { b =>
+        val src = b.map { case (k, d, v) => (k, d, v) }
+          // a batch must not carry duplicate keys (MERGE semantics
+          // assume one row per key per batch) — keep the last
+          .groupBy(_._1).map(_._2.last).toSeq
+        Upsert.mergePartitionedPath(spark, path,
+          src.toDF("k", "d", "v"), Seq("k"), "d")
+        model = model ++ src.map { case (k, d, v) => k -> (d, v) }
+        val got = spark.read.parquet(path)
+          .select($"k", $"d".cast("string"), $"v").as[(Int, String, String)]
+          .collect().map { case (k, d, v) => k -> (d, v) }.toMap
+        assert(got == model)
+      }
+    }
+  }
+
   test("portable rounding r is idempotent and within half-ulp of the target grid") {
     forAll(Gen.chooseNum(-1e6, 1e6), Gen.chooseNum(0, 6)) { (x: Double, d: Int) =>
       val once = Seq(x).toDF("x").select(Cols.r($"x", d)).as[Double].head()
