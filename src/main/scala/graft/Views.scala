@@ -268,8 +268,11 @@ object Views {
           // 'T' passed the separator guard but is a RESERVED pattern
           // letter to date_format — quote it so ISO-8601 formats like
           // %Y-%m-%dT%H:%M:%S render the literal T instead of dying
-          // with an unrelated "Unknown pattern letter: T"
-          .replace("T", "'T'")
+          // with an unrelated "Unknown pattern letter: T". Each
+          // maximal run is quoted ONCE: per-char quoting would turn
+          // "TT" into "'T''T'", which DateTimeFormatter reads as one
+          // section with an ESCAPED quote (renders T'T, not TT)
+          .replaceAll("T+", "'$0'")
         fn("date_format", Seq(t, Literal(translated)))
       case other => throw new IllegalArgumentException(
         "strftime bridge needs (timestamp, literal format), got " + other.mkString(", "))

@@ -96,8 +96,14 @@ object SpanDedup {
   private val liveDupCaches =
     new scala.collection.mutable.ArrayDeque[(Int, DataFrame)]()
   private def cachedDupKeys(dup: DataFrame): DataFrame = synchronized {
-    val key = dup.queryExecution.logical.canonicalized.semanticHash()
-    liveDupCaches.find(_._1 == key).map(_._2).getOrElse {
+    val plan = dup.queryExecution.analyzed.canonicalized
+    val key = plan.semanticHash()
+    // hash for lookup, sameResult for CONFIRMATION — semanticHash is
+    // documented collision-possible, and serving another corpus's key
+    // frame on a 32-bit collision would be silently wrong output
+    liveDupCaches.find { case (h, df) =>
+      h == key && df.queryExecution.analyzed.canonicalized.sameResult(plan)
+    }.map(_._2).getOrElse {
       val cached = Persisted.index(dup)
       liveDupCaches.append(key -> cached)
       while (liveDupCaches.size > MaxLiveDupCaches)

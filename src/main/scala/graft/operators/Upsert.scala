@@ -111,7 +111,11 @@ object Upsert {
     * partitions land in a temp sibling, then swap per-partition-
     * directory (atomic renames on rename-capable filesystems). A
     * crash mid-swap leaves each partition either old or new, never
-    * mixed; re-running the same merge is idempotent and heals.
+    * mixed; re-running the same merge is idempotent and heals —
+    * EXPLICITLY: entry first restores any `*.old-pmerge` leftover
+    * whose live directory is missing (and drops leftovers whose
+    * install completed), so crashed-partition rows rejoin the probe
+    * before any index pruning can run (UpsertSpec pins both windows).
     * Creates the target (full partitioned write) on first use.
     * Partition values compare in CAST-to-string space, matching
     * Spark's own partition-path rendering for string/date/integral
@@ -129,11 +133,34 @@ object Upsert {
       val obs0 = Observation()
       source.observe(obs0, count(lit(1)).as("n"))
         .write.mode("overwrite").partitionBy(partCol).parquet(targetPath)
-      writeKeyStats(io, targetPath, keyStats(source, partCol, keys))
+      // index from the WRITTEN layout, not a second execution of the
+      // caller's source plan (which may be an arbitrarily expensive
+      // upstream job): a column-pruned read-back of the fresh parquet
+      // yields the same per-partition ranges for one metadata-cheap
+      // scan — the merge path's own newStats pattern
+      val wroteSchema = org.apache.spark.sql.types.StructType(source.schema.map(f =>
+        if (f.name == partCol) f.copy(dataType = org.apache.spark.sql.types.StringType) else f))
+      writeKeyStats(io, targetPath,
+        keyStats(spark.read.schema(wroteSchema).parquet(targetPath), partCol, keys))
       return obs0.get("n").asInstanceOf[Long]
     }
-    val target = spark.read.parquet(targetPath)
     val prefix = s"$partCol="
+    // crash recovery BEFORE anything reads the target: a leftover
+    // `d=X.old-pmerge` means a prior run died inside the swap window.
+    // If d=X is absent the install never happened — rename the old
+    // copy back (the pre-merge rows must rejoin the probe, or a
+    // pruned probe would miss their keys and the swap loop's leading
+    // delete would destroy the only copy: silent data loss). If d=X
+    // exists the install completed — drop the leftover. This also
+    // removes the pre-r13 wart where a recovering read surfaced the
+    // leftover as a bogus partition VALUE ("X.old-pmerge").
+    for (name <- io.listDirNames(tgt) if name.endsWith(".old-pmerge")) {
+      val live = new org.apache.hadoop.fs.Path(tgt, name.stripSuffix(".old-pmerge"))
+      val leftover = new org.apache.hadoop.fs.Path(tgt, name)
+      if (io.exists(live)) io.delete(leftover)
+      else io.rename(leftover, live)
+    }
+    val target = spark.read.parquet(targetPath)
     val srcParts = source.select(col(partCol).cast("string").as("p")).distinct()
     val srcKeys = source.select(keys.map(col): _*).distinct()
     // candidate-partition prefilter from the key-range index: the

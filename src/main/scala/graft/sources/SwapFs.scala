@@ -81,8 +81,13 @@ final class SwapFs private[sources] (val fs: FileSystem) {
     while (stack.nonEmpty) {
       val d = stack.head; stack = stack.tail
       fs.listStatus(d).foreach { st =>
-        if (st.isDirectory) stack ::= st.getPath
-        else if (st.getPath.getName.endsWith(suffix)) n += 1
+        val name = st.getPath.getName
+        // Spark's hidden-path rule: `_`/`.`-prefixed entries are not
+        // data — skipping them keeps the count honest on targets that
+        // carry a merge key-range index (`_keyidx`) inside
+        if (name.startsWith("_") || name.startsWith(".")) ()
+        else if (st.isDirectory) stack ::= st.getPath
+        else if (name.endsWith(suffix)) n += 1
       }
     }
     n

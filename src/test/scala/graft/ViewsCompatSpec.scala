@@ -26,6 +26,10 @@ class ViewsCompatSpec extends SparkSpec {
     // letter: T" instead of the bridge's own loud message
     val r = one("SELECT strftime(CAST('2024-03-07 09:05:01' AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') AS t")
     assert(r.getString(0) == "2024-03-07T09:05:01")
+    // a run of Ts must be quoted ONCE: per-char quoting reads "''" as
+    // an escaped quote inside the section and renders T'T
+    val rr = one("SELECT strftime(CAST('2024-03-07 09:05:01' AS TIMESTAMP), '%HTT%M') AS t")
+    assert(rr.getString(0) == "09TT05")
   }
 
   test("strftime bridge refuses directives outside the shared set") {

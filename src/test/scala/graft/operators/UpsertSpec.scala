@@ -166,6 +166,30 @@ class UpsertSpec extends SparkSpec {
       Set((1, "a"), (2, "B"), (3, "c")))
   }
 
+  test("mergePartitionedPath crash recovery: a mid-swap .old-pmerge leftover is restored, no rows lost") {
+    val path = Files.createTempDirectory("pmerge-crash").toString + "/fact"
+    val init = Seq((1, "2024-01-01", "a"), (2, "2024-01-01", "b"), (3, "2024-01-02", "c"))
+      .toDF("k", "d", "v")
+    Upsert.mergePartitionedPath(spark, path, init, Seq("k"), "d")
+    // simulate a crash between "dst -> .old-pmerge" and "tmp -> dst":
+    // the live partition is gone; its pre-merge rows survive only in
+    // the leftover. The key index still exists and knows nothing of
+    // the leftover — a pruned rerun must NOT lose key 1.
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path, "d=2024-01-01"),
+      new org.apache.hadoop.fs.Path(path, "d=2024-01-01.old-pmerge")))
+    val batch = Seq((2, "2024-01-01", "B")).toDF("k", "d", "v")
+    assert(Upsert.mergePartitionedPath(spark, path, batch, Seq("k"), "d") == 2)
+    assert(spark.read.parquet(path).select($"k", $"d".cast("string"), $"v")
+      .as[(Int, String, String)].collect().toSet ==
+      Set((1, "2024-01-01", "a"), (2, "2024-01-01", "B"), (3, "2024-01-02", "c")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "d=2024-01-01.old-pmerge")))
+    // the other window: install completed, leftover not yet dropped
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path, "d=2024-01-02.old-pmerge"))
+    assert(Upsert.mergePartitionedPath(spark, path, batch, Seq("k"), "d") == 2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "d=2024-01-02.old-pmerge")))
+  }
+
   test("mergePartitionedPath works on an explicit file: URI (scheme-qualified cluster form)") {
     val dir = Files.createTempDirectory("pmerge-uri")
     val path = "file://" + dir.toString + "/fact"
