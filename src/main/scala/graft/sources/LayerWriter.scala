@@ -60,18 +60,22 @@ object LayerWriter {
   def compactFact(spark: SparkSession, path: String, dateCol: String,
       maxRecordsPerFile: Long = 5000000L): (Long, Long) = {
     val io = SwapFs.forPath(spark, path)
-    val tgt = io.path(path)
-    val tmp = io.path(path + ".tmp-compact")
-    val old = io.path(path + ".old-compact")
-    if (!io.exists(tgt) && io.exists(old)) io.rename(old, tgt)
-    val before = io.dataFileCount(tgt)
-    io.delete(tmp)
-    writeFact(spark.read.parquet(path), tmp.toString, dateCol, maxRecordsPerFile)
-    io.delete(old)
-    io.rename(tgt, old)
-    io.rename(tmp, tgt)
-    io.delete(old)
-    (before, io.dataFileCount(tgt))
+    // same single-writer fence as the merges: compaction against a
+    // concurrently-merging target would interleave swap renames
+    io.withLease(path) {
+      val tgt = io.path(path)
+      val tmp = io.path(path + ".tmp-compact")
+      val old = io.path(path + ".old-compact")
+      if (!io.exists(tgt) && io.exists(old)) io.rename(old, tgt)
+      val before = io.dataFileCount(tgt)
+      io.delete(tmp)
+      writeFact(spark.read.parquet(path), tmp.toString, dateCol, maxRecordsPerFile)
+      io.delete(old)
+      io.rename(tgt, old)
+      io.rename(tmp, tgt)
+      io.delete(old)
+      (before, io.dataFileCount(tgt))
+    }
   }
 
   /** Write a table bucketed (and optionally sorted) on the join key —

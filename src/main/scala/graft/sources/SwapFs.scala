@@ -66,6 +66,79 @@ final class SwapFs private[sources] (val fs: FileSystem) {
     if (!fs.exists(p)) Set.empty
     else fs.listStatus(p).iterator.filter(_.isDirectory).map(_.getPath.getName).toSet
 
+  /** Single-writer fence around a swap protocol: acquire an exclusive
+    * lease on `targetPath`, run `body`, release. The swap protocols
+    * ([[graft.operators.Upsert.mergeIntoPath]] /
+    * `mergePartitionedPath`, [[LayerWriter.compactFact]]) assume ONE
+    * writer — two concurrent runs against one target interleave the
+    * aside/install renames and can delete each other's `.old-*`
+    * recovery copies, a data-loss class on clusters whose schedulers
+    * retry jobs. The lease is a sibling file (`<target>.lock-merge`)
+    * created with the filesystem's create-exclusive primitive (atomic
+    * on HDFS/local/hierarchical stores; flat object stores share the
+    * same caveat as the renames themselves), holding a random token so
+    * release only ever deletes its OWN lease.
+    *
+    * Fencing contract: a second writer fails LOUDLY (
+    * `IllegalStateException`) while the lease is younger than
+    * `staleMs`. A lease older than `staleMs` is presumed abandoned
+    * (holder crashed — the crash windows the swap protocols already
+    * recover from) and is taken over with a warning. `staleMs` must
+    * comfortably exceed the longest expected merge/compaction on the
+    * target; there is no background renewal. */
+  def withLease[T](targetPath: String, staleMs: Long = SwapFs.DefaultLeaseStaleMs)(body: => T): T = {
+    val lock = path(targetPath + SwapFs.LockSuffix)
+    val token = acquireLease(lock, staleMs)
+    try body finally releaseLease(lock, token)
+  }
+
+  private def tryCreateLease(lock: HPath, token: String): Boolean =
+    try {
+      // create-exclusive: the overwrite=false form fails when the file
+      // exists — the one atomic conflict-detection primitive every
+      // Hadoop filesystem exposes
+      val out = fs.create(lock, false)
+      try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+
+  private def acquireLease(lock: HPath, staleMs: Long): String = {
+    val token = java.util.UUID.randomUUID().toString
+    if (tryCreateLease(lock, token)) return token
+    val ageMs =
+      try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+      catch { case _: java.io.FileNotFoundException => -1L } // released between probe and stat
+    if (ageMs >= 0 && ageMs < staleMs)
+      throw new IllegalStateException(
+        s"SwapFs: $lock is held by a concurrent writer (age ${ageMs} ms < stale threshold " +
+          s"$staleMs ms). Two concurrent swaps into one target interleave renames and can " +
+          "destroy each other's recovery copies — retry after the holder finishes, or raise " +
+          "staleMs takeover only if the holder is known dead.")
+    if (ageMs >= 0) {
+      SwapFs.log.warn(s"SwapFs: taking over stale lease $lock (age ${ageMs} ms >= $staleMs ms) — " +
+        "presumed abandoned by a crashed writer")
+      delete(lock)
+    }
+    if (!tryCreateLease(lock, token))
+      throw new IllegalStateException(s"SwapFs: lost the takeover race for $lock to another writer")
+    token
+  }
+
+  private def releaseLease(lock: HPath, token: String): Unit =
+    try {
+      val st = fs.getFileStatus(lock)
+      val buf = new Array[Byte](st.getLen.toInt)
+      val in = fs.open(lock)
+      try in.readFully(0L, buf) finally in.close()
+      if (new String(buf, java.nio.charset.StandardCharsets.UTF_8) == token) delete(lock)
+      else SwapFs.log.warn(s"SwapFs: lease $lock was taken over while held — not deleting " +
+        "(this writer exceeded the stale threshold; its swap may have raced the new holder)")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        SwapFs.log.warn(s"SwapFs: could not release lease $lock: $e")
+    }
+
   /** Count of data files under `p` (recursive), by extension.
     * Deliberately via plain `listStatus` recursion, NOT
     * `fs.listFiles(p, recursive)`: the latter materializes
@@ -95,7 +168,15 @@ final class SwapFs private[sources] (val fs: FileSystem) {
 }
 
 object SwapFs {
-  private val log = LoggerFactory.getLogger(getClass)
+  private[sources] val log = LoggerFactory.getLogger(getClass)
+
+  /** Sibling-file suffix of the single-writer lease ([[SwapFs.withLease]]). */
+  val LockSuffix = ".lock-merge"
+
+  /** Default lease-staleness takeover threshold: 6 h — far beyond any
+    * single merge/compaction this engine runs, small enough that a
+    * crashed writer doesn't block the target for a day. */
+  val DefaultLeaseStaleMs: Long = 6L * 3600 * 1000
 
   /** Schemes whose `rename` is a copy+delete emulation, not a
     * metadata operation — the swap still converges but loses its
@@ -114,8 +195,9 @@ object SwapFs {
     val scheme = fs.getUri.getScheme
     if (scheme != null && copyRenameSchemes(scheme) && warnedSchemes.add(scheme))
       log.warn(s"SwapFs on '$scheme': directory rename is copy+delete on this store — " +
-        "the merge/compaction swap is not atomic here; front the layout with a " +
-        "manifest/table format for transactional commits")
+        "the IN-PLACE merge/compaction swap is not atomic here; use the manifest-committed " +
+        "merge (Upsert.mergePartitionedManifest / readManifest, graft.sources.ManifestStore) " +
+        "for snapshot-atomic commits on this scheme")
     new SwapFs(fs)
   }
 }

@@ -87,21 +87,24 @@ class PropertySpec extends SparkSpec {
       Gen.chooseNum(1, 12), Gen.oneOf("2024-01-01", "2024-01-02", "2024-02-01"),
       Gen.identifier))
     forAll(Gen.listOfN(4, batchGen), 6) { batches =>
-      val path = java.nio.file.Files.createTempDirectory("pmerge-prop").toString + "/fact"
-      var model = Map.empty[Int, (String, String)]
-      batches.foreach { b =>
-        val src = b.map { case (k, d, v) => (k, d, v) }
-          // a batch must not carry duplicate keys (MERGE semantics
-          // assume one row per key per batch) — keep the last
-          .groupBy(_._1).map(_._2.last).toSeq
-        Upsert.mergePartitionedPath(spark, path,
-          src.toDF("k", "d", "v"), Seq("k"), "d")
-        model = model ++ src.map { case (k, d, v) => k -> (d, v) }
-        val got = spark.read.parquet(path)
-          .select($"k", $"d".cast("string"), $"v").as[(Int, String, String)]
-          .collect().map { case (k, d, v) => k -> (d, v) }.toMap
-        assert(got == model)
-      }
+      val work = java.nio.file.Files.createTempDirectory("pmerge-prop")
+      val path = work.toString + "/fact"
+      try {
+        var model = Map.empty[Int, (String, String)]
+        batches.foreach { b =>
+          val src = b.map { case (k, d, v) => (k, d, v) }
+            // a batch must not carry duplicate keys (MERGE semantics
+            // assume one row per key per batch) — keep the last
+            .groupBy(_._1).map(_._2.last).toSeq
+          Upsert.mergePartitionedPath(spark, path,
+            src.toDF("k", "d", "v"), Seq("k"), "d")
+          model = model ++ src.map { case (k, d, v) => k -> (d, v) }
+          val got = spark.read.parquet(path)
+            .select($"k", $"d".cast("string"), $"v").as[(Int, String, String)]
+            .collect().map { case (k, d, v) => k -> (d, v) }.toMap
+          assert(got == model)
+        }
+      } finally graft.sources.LocalFs.deleteRecursively(work)
     }
   }
 

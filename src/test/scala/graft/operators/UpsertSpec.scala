@@ -201,6 +201,277 @@ class UpsertSpec extends SparkSpec {
       Set((1, "a"), (2, "B"), (3, "c")))
   }
 
+  // shared scan-accounting harness: run `body` with a listener
+  // capturing every file scan over `path`, return (scans, deadlineHit)
+  private def accountedScans(path: String)(body: => Unit): Array[(String, Long)] =
+    accountedScansWhere(_ == path)(body)
+
+  private def accountedScansWhere(pathMatch: String => Boolean)(
+      body: => Unit): Array[(String, Long)] = {
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit =
+        fileScans(qe.executedPlan).foreach { s =>
+          s.relation.location.rootPaths.foreach(rp =>
+            seen.add(rp.toUri.getPath -> s.metrics("numFiles").value))
+        }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      body
+      // listener events are async — poll until the count is stable
+      // for three consecutive 200 ms windows (or 15 s)
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      def targetScans = seen.toArray(Array.empty[(String, Long)]).filter(x => pathMatch(x._1))
+      Thread.sleep(1000)
+      var last = targetScans
+      var stable = 0
+      while (stable < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        val now = targetScans
+        if (now.length == last.length) stable += 1 else stable = 0
+        last = now
+      }
+      last
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("Bloom sidecar bounds the probe for HASH-DISTRIBUTED keys: untouched partitions never read") {
+    // the degenerate case for range pruning — sha256 keys (the
+    // reference's own surrogate-key type): every partition's [min,max]
+    // spans ~the whole hex space, so only the per-partition Bloom
+    // bitsets can prune the matched-key probe
+    val path = Files.createTempDirectory("pmerge-hash").toString + "/fact"
+    val init = (0 until 200).map { i =>
+      (org.apache.commons.codec.digest.DigestUtils.sha256Hex(s"k$i"), s"d${i % 4 + 1}", i) }
+      .toDF("k", "d", "v").repartition(1)
+    assert(Upsert.mergePartitionedPath(spark, path, init, Seq("k"), "d") == 200)
+    // every partition holds 50 sha keys: ranges cannot prune (verify
+    // the premise — each partition's hex range spans the batch key)
+    val batchKey = org.apache.commons.codec.digest.DigestUtils.sha256Hex("k5") // lives in d2
+    val scans = accountedScans(path) {
+      val batch = Seq((batchKey, "d2", -1)).toDF("k", "d", "v")
+      assert(Upsert.mergePartitionedPath(spark, path, batch, Seq("k"), "d") == 50)
+    }
+    assert(scans.nonEmpty, "expected accounted scans over the target")
+    // 4 partition dirs × 1 file: any scan reading >1 file read an
+    // untouched partition — with hash keys that means the Bloom pass
+    // failed to prune
+    assert(scans.forall(_._2 <= 1), s"a merge scan read untouched partitions: ${scans.toSeq}")
+    val after = spark.read.parquet(path).select($"k", $"v").as[(String, Int)].collect().toMap
+    assert(after(batchKey) == -1 && after.size == 200)
+  }
+
+  test("exact post-swap index rows: a key moving OUT tightens the range, later batches prune it") {
+    // d1 holds keys {1, 100} (wide range); the first batch MOVES key
+    // 100 to d2. The index row for d1 must be recomputed EXACTLY
+    // ([1,1]) — a widened index (the r13 design) would keep [1,100]
+    // and a later disjoint batch at k=50 would still read d1's file
+    val path = Files.createTempDirectory("pmerge-tight").toString + "/fact"
+    val init = Seq((1, "d1", "a"), (100, "d1", "w"), (200, "d2", "b"))
+      .toDF("k", "d", "v").repartition(1)
+    Upsert.mergePartitionedPath(spark, path, init, Seq("k"), "d")
+    Upsert.mergePartitionedPath(spark, path,
+      Seq((100, "d2", "W")).toDF("k", "d", "v"), Seq("k"), "d")
+    val scans = accountedScans(path) {
+      // k=50 is inside d1's STALE range [1,100] but outside its exact
+      // post-move range [1,1] — and is a new key, so nothing matches
+      assert(Upsert.mergePartitionedPath(spark, path,
+        Seq((50, "d3", "x")).toDF("k", "d", "v"), Seq("k"), "d") == 1)
+    }
+    assert(scans.forall(_._2 == 0), s"the tightened index should prune every partition " +
+      s"from the probe of a disjoint batch, but a scan read files: ${scans.toSeq}")
+    assert(spark.read.parquet(path).select($"k", $"v").as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (100, "W"), (200, "b"), (50, "x")))
+  }
+
+  test("index is BOUND to its merge definition: a same-arity different key falls back, never mis-prunes") {
+    // r13's index validated positional column names only — merging the
+    // same target keyed on a different same-arity column would have
+    // pruned the probe against the WRONG column's ranges and could
+    // silently miss matched keys. v2 binds key names+types+partCol in
+    // the signature: the mismatched index is rejected, the merge takes
+    // the full probe, and the result is exactly upsert-on-v semantics.
+    val path = Files.createTempDirectory("pmerge-bind").toString + "/fact"
+    val init = Seq((1, "d1", 500), (2, "d2", 7)).toDF("k", "d", "v")
+    Upsert.mergePartitionedPath(spark, path, init, Seq("k"), "d")
+    // now merge keyed on v: source v=500 matches the d1 row (k=1) —
+    // an index mis-bound to k's ranges would prune d1 out of the
+    // probe (500 is far outside k's [1,1]) and leave a duplicate
+    assert(Upsert.mergePartitionedPath(spark, path,
+      Seq((9, "d3", 500)).toDF("k", "d", "v"), Seq("v"), "d") == 1)
+    val rows = spark.read.parquet(path).select($"k", $"d".cast("string"), $"v")
+      .as[(Int, String, Int)].collect().toSet
+    assert(rows == Set((9, "d3", 500), (2, "d2", 7)),
+      s"matched-on-v row must move (no stale duplicate): $rows")
+  }
+
+  test("single-writer fence: a held lease fails loud, a stale lease is taken over, failure releases") {
+    val dir = Files.createTempDirectory("merge-fence")
+    val path = dir.toString + "/clean"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(path + graft.sources.SwapFs.LockSuffix)
+    val batch = Seq((1, "a")).toDF("k", "v")
+    // 1. held lease (fresh mtime) → loud failure, target untouched
+    fs.create(lock, true).close()
+    val e = intercept[IllegalStateException] {
+      Upsert.mergeIntoPath(spark, path, batch, Seq("k"))
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path)))
+    // the foreign lease survives the failed attempt (it is not ours)
+    assert(fs.exists(lock))
+    // 2. stale lease (mtime pushed past the threshold) → takeover
+    fs.setTimes(lock, System.currentTimeMillis() - graft.sources.SwapFs.DefaultLeaseStaleMs - 1000, -1)
+    assert(Upsert.mergeIntoPath(spark, path, batch, Seq("k")) == 1)
+    assert(!fs.exists(lock), "lease released after a successful merge")
+    // 3. the partitioned form is fenced too, and releases on FAILURE
+    val ppath = dir.toString + "/fact"
+    val init = (1 to 6).map(i => (i, s"2024-01-0$i", "v")).toDF("k", "d", "v")
+    Upsert.mergePartitionedPath(spark, ppath, init, Seq("k"), "d")
+    intercept[IllegalArgumentException] {
+      Upsert.mergePartitionedPath(spark, ppath, init, Seq("k"), "d", maxPartitions = 2)
+    }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(ppath + graft.sources.SwapFs.LockSuffix)),
+      "lease must be released when the merge fails")
+    // and a held lease blocks the partitioned form as well
+    val plock = new org.apache.hadoop.fs.Path(ppath + graft.sources.SwapFs.LockSuffix)
+    fs.create(plock, true).close()
+    intercept[IllegalStateException] {
+      Upsert.mergePartitionedPath(spark, ppath, init, Seq("k"), "d")
+    }
+    fs.delete(plock, false)
+  }
+
+  test("a crash inside the swap window leaves the _PENDING marker; the next merge rebuilds, then prunes again") {
+    val path = Files.createTempDirectory("pmerge-pending").toString + "/fact"
+    val init = Seq((1, "d1", "a"), (11, "d2", "b")).toDF("k", "d", "v").repartition(1)
+    Upsert.mergePartitionedPath(spark, path, init, Seq("k"), "d")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(path + "/_keyidx/_PENDING")
+    // simulate the crash: marker present (set before the first
+    // live-directory mutation, cleared only after the index rewrite)
+    fs.create(marker, true).close()
+    // the next merge must NOT trust the index (full probe), must
+    // converge, and must leave a clean rebuilt index
+    assert(Upsert.mergePartitionedPath(spark, path,
+      Seq((11, "d2", "B")).toDF("k", "d", "v"), Seq("k"), "d") == 1)
+    assert(!fs.exists(marker), "rebuild clears the pending marker")
+    assert(spark.read.parquet(path).select($"k", $"v").as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (11, "B")))
+    // and the rebuilt index prunes again: disjoint batch reads nothing
+    val scans = accountedScans(path) {
+      Upsert.mergePartitionedPath(spark, path,
+        Seq((99, "d9", "z")).toDF("k", "d", "v"), Seq("k"), "d")
+    }
+    assert(scans.forall(_._2 == 0), s"rebuilt index should prune: ${scans.toSeq}")
+  }
+
+  test("manifest merge: a torn physical install is invisible — readers see exactly old-or-new") {
+    val path = Files.createTempDirectory("mmerge").toString + "/fact"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val init = Seq((1, "2024-01-01", "a"), (2, "2024-01-02", "b"), (3, "2024-01-03", "c"))
+      .toDF("k", "d", "v")
+    assert(Upsert.mergePartitionedManifest(spark, path, init, Seq("k"), "d") == 3)
+    val before = Upsert.readManifest(spark, path)
+      .select($"k", $"d".cast("string"), $"v").as[(Int, String, String)].collect().toSet
+    assert(before == Set((1, "2024-01-01", "a"), (2, "2024-01-02", "b"), (3, "2024-01-03", "c")))
+    // simulate a merge that crashed MID-COPY into the next generation
+    // on a flat store: a partial, garbage partition dir exists in _g1
+    // and no manifest was committed — the torn-rename window the
+    // in-place swap cannot survive on copy+delete schemes
+    val torn = new org.apache.hadoop.fs.Path(path, "_g1/d=2024-01-02")
+    fs.mkdirs(torn)
+    val out = fs.create(new org.apache.hadoop.fs.Path(torn, "part-00000.parquet"), true)
+    out.write("NOT A PARQUET FILE — half-copied garbage".getBytes("UTF-8")); out.close()
+    // readers resolve through the manifest: the torn dir is invisible
+    assert(Upsert.readManifest(spark, path)
+      .select($"k", $"d".cast("string"), $"v").as[(Int, String, String)].collect().toSet == before)
+    // the real merge cleans the stale generation and commits atomically
+    val batch = Seq((2, "2024-01-02", "B"), (4, "2024-01-04", "x")).toDF("k", "d", "v")
+    assert(Upsert.mergePartitionedManifest(spark, path, batch, Seq("k"), "d") == 2)
+    assert(Upsert.readManifest(spark, path)
+      .select($"k", $"v").as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "B"), (3, "c"), (4, "x")))
+    // untouched partitions' physical dirs were never mutated (still in
+    // generation 0); superseded manifests are GC'd after the commit
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, "_g0/d=2024-01-01")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "_manifest.0")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, "_manifest.1")))
+    // the superseded copy of the merged partition was GC'd
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "_g0/d=2024-01-02")))
+  }
+
+  test("manifest merge semantics match in-place: moves, emptied partitions, idempotency, mode guards") {
+    val path = Files.createTempDirectory("mmerge-sem").toString + "/fact"
+    val init = Seq((1, "2024-01-01", "a"), (2, "2024-01-02", "b")).toDF("k", "d", "v")
+    Upsert.mergePartitionedManifest(spark, path, init, Seq("k"), "d")
+    // key 1 MOVES partition; its old partition empties out of the manifest
+    val move = Seq((1, "2024-02-01", "A")).toDF("k", "d", "v")
+    assert(Upsert.mergePartitionedManifest(spark, path, move, Seq("k"), "d") == 1)
+    val rows = Upsert.readManifest(spark, path)
+      .select($"k", $"d".cast("string"), $"v").as[(Int, String, String)].collect().toSet
+    assert(rows == Set((1, "2024-02-01", "A"), (2, "2024-01-02", "b")))
+    // idempotency: re-running the same batch changes nothing
+    assert(Upsert.mergePartitionedManifest(spark, path, move, Seq("k"), "d") == 1)
+    assert(Upsert.readManifest(spark, path)
+      .select($"k", $"d".cast("string"), $"v").as[(Int, String, String)].collect().toSet == rows)
+    // mode guards: in-place merge on a manifest target fails loud...
+    val e1 = intercept[IllegalArgumentException] {
+      Upsert.mergePartitionedPath(spark, path, move, Seq("k"), "d")
+    }
+    assert(e1.getMessage.contains("manifest"))
+    // ...and a manifest merge on an in-place target fails loud
+    val ipath = Files.createTempDirectory("mmerge-guard").toString + "/fact"
+    Upsert.mergePartitionedPath(spark, ipath, init, Seq("k"), "d")
+    val e2 = intercept[IllegalArgumentException] {
+      Upsert.mergePartitionedManifest(spark, ipath, move, Seq("k"), "d")
+    }
+    assert(e2.getMessage.contains("in-place"))
+  }
+
+  test("manifest merge keeps the key-index probe bound: untouched partitions never read") {
+    val path = Files.createTempDirectory("mmerge-probe").toString + "/fact"
+    val init = Seq((1, "d1", "a"), (2, "d1", "a2"), (11, "d2", "b"),
+      (21, "d3", "c"), (31, "d4", "e")).toDF("k", "d", "v").repartition(1)
+    assert(Upsert.mergePartitionedManifest(spark, path, init, Seq("k"), "d") == 5)
+    // manifest reads scan per-generation dirs — account any scan whose
+    // root lives under the target's generation layout
+    val scans = accountedScansWhere(_.startsWith(path + "/_g")) {
+      val batch = Seq((11, "d2", "B")).toDF("k", "d", "v")
+      assert(Upsert.mergePartitionedManifest(spark, path, batch, Seq("k"), "d") == 1)
+    }
+    assert(scans.nonEmpty, "expected accounted scans over the generation layout")
+    assert(scans.forall(_._2 <= 1), s"a manifest-merge scan read untouched partitions: ${scans.toSeq}")
+    assert(Upsert.readManifest(spark, path).select($"k", $"v").as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "a2"), (11, "B"), (21, "c"), (31, "e")))
+  }
+
+  test("index chunks compact past the ceiling and keep pruning correctly") {
+    val path = Files.createTempDirectory("pmerge-chunks").toString + "/fact"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val init = Seq((1, "d1", 0), (100, "d2", 0)).toDF("k", "d", "v")
+    Upsert.mergePartitionedPath(spark, path, init, Seq("k"), "d")
+    // 2×MaxChunks merges: chunk count must stay bounded by compaction
+    for (i <- 1 to 2 * KeyIdx.MaxChunks)
+      Upsert.mergePartitionedPath(spark, path,
+        Seq((1, "d1", i)).toDF("k", "d", "v"), Seq("k"), "d")
+    val chunks = fs.listStatus(new org.apache.hadoop.fs.Path(path + "/_keyidx"))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(chunks <= KeyIdx.MaxChunks + 1, s"chunk count unbounded: $chunks")
+    assert(spark.read.parquet(path).select($"k", $"v").as[(Int, Int)].collect().toSet ==
+      Set((1, 2 * KeyIdx.MaxChunks), (100, 0)))
+    // and the compacted index still prunes: disjoint batch reads nothing
+    val scans = accountedScans(path) {
+      Upsert.mergePartitionedPath(spark, path,
+        Seq((50, "d3", 0)).toDF("k", "d", "v"), Seq("k"), "d")
+    }
+    assert(scans.forall(_._2 == 0), s"compacted index should prune: ${scans.toSeq}")
+  }
+
   test("mergePartitionedPath fails loud past the partition budget") {
     val path = Files.createTempDirectory("pmerge-cap").toString + "/fact"
     val init = (1 to 8).map(i => (i, s"2024-01-0$i", "v")).toDF("k", "d", "v")
