@@ -78,8 +78,11 @@ object SpanDedup {
 
   /** Test seam for the over-budget (Bloom-prescreen) branch — the
     * production budget above, overridable so SpanDedupSpec can force
-    * the branch on fixture-sized corpora and pin bit-identity. */
-  private[graft] var dupKeysBudget: Long = DupKeysBroadcastMax
+    * the branch on fixture-sized corpora and pin bit-identity.
+    * Volatile: the spec mutates it around a forced-branch run, and a
+    * racing suite thread must at worst see the OTHER branch (results
+    * are bit-identical by construction), never a torn read. */
+  @volatile private[graft] var dupKeysBudget: Long = DupKeysBroadcastMax
 
   /** Live dup-key caches, FIFO by corpus (canonicalized-plan key).
     * The three span entries (spans / profile / excise) over one
@@ -93,21 +96,56 @@ object SpanDedup {
     * oldest is unpersisted when a new corpus arrives — an SF sweep
     * holds a bounded set, not one frame per entry ever built. */
   private val MaxLiveDupCaches = 3
+
+  /** Per-corpus dup-key cache entry: the persisted thin key frame plus
+    * the over-budget branch's derived artifacts, each built AT MOST
+    * ONCE per corpus. r13 built the capped Bloom bitset inside every
+    * `duplicatedPositions` call — three times per corpus across the
+    * span trio, and the build (a count, an nHash-way position explode
+    * + distinct over ~30M keys, a ≤16 MiB collect) is exactly the
+    * fixed ~20 s the sf100 probe showed on the trio's LIGHTEST entry,
+    * whose own plan gains little from the prescreen it was paying to
+    * construct. Lazily shared here, the trio pays the build once and
+    * the light entry keeps the prescreen essentially free. */
+  private final class DupCache(val frame: DataFrame) {
+    lazy val nKeys: Long = frame.count() // cheap: cached thin frame
+    lazy val bloom: BloomFilterJoin.BloomBits = {
+      val mBits = math.min(1L << 27, math.max(1L << 20, nKeys * 8)).toInt
+      val nHash = math.max(1, math.min(7,
+        math.round(mBits.toDouble / nKeys * math.log(2)).toInt))
+      BloomFilterJoin.build(frame, col("g"), mBits, nHash)
+    }
+  }
+
   private val liveDupCaches =
-    new scala.collection.mutable.ArrayDeque[(Int, DataFrame)]()
-  private def cachedDupKeys(dup: DataFrame): DataFrame = synchronized {
+    new scala.collection.mutable.ArrayDeque[(Int, String, DupCache)]()
+
+  /** Freshness token for a file-backed corpus: the sorted input-file
+    * list of the plan's scans. A canonicalized plan compares EQUAL
+    * after the files at the same path are rewritten in-session (the
+    * relation is keyed by path, not content), so the plan key alone
+    * could serve a stale persisted dup-key frame for a regenerated
+    * fixture; part-file names are write-unique (UUID-suffixed), so the
+    * listing changes whenever the corpus does. In-memory corpora
+    * return an empty list and are fully covered by the plan key (a
+    * LocalRelation canonicalizes over its data). */
+  private def corpusToken(df: DataFrame): String =
+    df.inputFiles.sorted.mkString("\n")
+
+  private def cachedDupKeys(dup: DataFrame): DupCache = synchronized {
     val plan = dup.queryExecution.analyzed.canonicalized
     val key = plan.semanticHash()
+    val token = corpusToken(dup)
     // hash for lookup, sameResult for CONFIRMATION — semanticHash is
     // documented collision-possible, and serving another corpus's key
     // frame on a 32-bit collision would be silently wrong output
-    liveDupCaches.find { case (h, df) =>
-      h == key && df.queryExecution.analyzed.canonicalized.sameResult(plan)
-    }.map(_._2).getOrElse {
-      val cached = Persisted.index(dup)
-      liveDupCaches.append(key -> cached)
+    liveDupCaches.find { case (h, t, c) =>
+      h == key && t == token && c.frame.queryExecution.analyzed.canonicalized.sameResult(plan)
+    }.map(_._3).getOrElse {
+      val cached = new DupCache(Persisted.index(dup))
+      liveDupCaches.append((key, token, cached))
       while (liveDupCaches.size > MaxLiveDupCaches)
-        liveDupCaches.removeHead()._2.unpersist(blocking = false)
+        liveDupCaches.removeHead()._3.frame.unpersist(blocking = false)
       cached
     }
   }
@@ -134,11 +172,12 @@ object SpanDedup {
     // aggregates per partition before the one shuffle on g; cached
     // once per corpus so the probe, the join, and the sibling span
     // entries read ONE computation
-    val dup = cachedDupKeys(
+    val cache = cachedDupKeys(
       grams.groupBy(col("g"))
         .agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") >= minDocs)
         .select(col("g")))
+    val dup = cache.frame
     // fits-probe and key fetch are ONE bounded job against the cache
     val keyRows = dup.limit((dupKeysBudget + 1).toInt).collect()
     if (keyRows.length <= dupKeysBudget) {
@@ -158,13 +197,12 @@ object SpanDedup {
       // (true duplicates + the bitset's fp share of the stream),
       // never the full stream. Result is bit-identical to the plain
       // semi join — the bloom can only pass extra candidates, which
-      // the join then rejects (SpanDedupSpec pins the branch).
-      val nKeys = dup.count() // cheap: cached thin frame
-      val mBits = math.min(1L << 27, math.max(1L << 20, nKeys * 8)).toInt
-      val nHash = math.max(1, math.min(7,
-        math.round(mBits.toDouble / nKeys * math.log(2)).toInt))
-      val bloom = BloomFilterJoin.build(dup, col("g"), mBits, nHash)
-      grams.filter(bloom.mightContain(col("g")))
+      // the join then rejects (SpanDedupSpec pins the branch). The
+      // bitset itself is built ONCE per corpus and shared across the
+      // span trio ([[DupCache.bloom]] — r14, after the sf100 probe
+      // priced the per-entry rebuild at ~20 s on the trio's lightest
+      // plan).
+      grams.filter(cache.bloom.mightContain(col("g")))
         .join(dup, Seq("g"), "left_semi").select(col("doc_id"), col("pos"))
     }
   }
