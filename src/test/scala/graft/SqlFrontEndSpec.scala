@@ -19,8 +19,8 @@ class SqlFrontEndSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("the verbatim-portable set holds at least 163 entries") {
-    assert(ansiPortable.size >= 163, s"got ${ansiPortable.size}")
+  test("the verbatim-portable set holds at least 164 entries") {
+    assert(ansiPortable.size >= 164, s"got ${ansiPortable.size}")
     assert(ansiPortable.distinct.size == ansiPortable.size)
   }
 
@@ -108,14 +108,22 @@ object SqlFrontEndSpec {
     * positional rewrite would trade the fold's deterministic order
     * for an order-free SUM, exactly the FP-drift class the hash gate
     * forbids), recursive-CTE closure with UNION dedup
-    * (dedup_embedding_groups: Spark 4 allows only UNION ALL in
-    * recursive CTEs, and switching the oracle to UNION ALL would
-    * unbound the closure on cycles — the dedup IS the termination
-    * argument; r13 audit-measured), HUGEINT casts
+    * (dedup_embedding_groups AND dup_inflation: Spark 4 allows only
+    * UNION ALL in recursive CTEs, and switching the oracle to UNION
+    * ALL would unbound the closure on cycles — the dedup IS the
+    * termination argument; r13 audit-measured. r14 re-audit:
+    * dup_inflation had been filed under the regexp-'g' class, but its
+    * regexp is respellable loss-free through the EXISTING
+    * array_to_string(regexp_split_to_array(...)) bridges — replacing
+    * every maximal separator run with one space ≡ split-on-runs +
+    * join — while its `reach` CTE is the same recursive UNION closure
+    * as the dedup family, so its ULTIMATE blocker is the recursion
+    * and the regexp-'g' class is now EMPTY), HUGEINT casts
     * (embed_label_centroids, dedup_minhash_fast's xxh64 mirror),
     * regexp flags ('g' —
     * Spark replaces globally by default, so the 4th arg parses as
-    * position), ASOF JOIN syntax, and day-of-week (same NAME,
+    * position — a class with no remaining member after the r14
+    * re-audit), ASOF JOIN syntax, and day-of-week (same NAME,
     * different contract: Spark dow=1-7, DuckDB 0-6 — and Spark 4's
     * DataFrame functions resolve by name through the session
     * registry, so shadowing would leak into engine queries;
@@ -215,7 +223,7 @@ object SqlFrontEndSpec {
     "stock_quality_suite", "stock_raw_qa", "stock_stg",
     "stock_stream_dim", "stock_u1_filters", "stock_u2_shocks",
     "stock_u3_kpis", "stock_u4_summary",
-    "incr_merge_partitioned", "stream_merge_partitioned",
+    "incr_merge_partitioned", "incr_merge_hashkeys", "stream_merge_partitioned",
     "diversity_distinct_n", "mm_audio_signature", "mm_image_dhash",
     "mm_video_framehash",
     // r12 second wave: the dot-product idiom respelled as
@@ -243,8 +251,10 @@ object SqlFrontEndSpec {
     // (`CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) b`),
     // which retires the whole gs-table-fn class except the entries
     // whose NEXT blocker is structural (recursive-CTE UNION dedup:
-    // dedup_groups/dedup_keep/dedup_keep_best; regexp 'g' flag:
-    // dup_inflation).
+    // dedup_groups/dedup_keep/dedup_keep_best — and, per the r14
+    // re-audit, dup_inflation, whose regexp-'g' respells through the
+    // existing split+join bridges but whose reach CTE is the same
+    // recursive UNION closure).
     "cosine_verify_lsh", "dedup_containment", "dedup_incremental",
     "dedup_jaccard", "dedup_minhash_lsh", "dup_source_matrix",
     "graph_triangles", "lsh_pair_recall", "pagerank_hubs",
