@@ -225,7 +225,12 @@ object Upsert {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     val srcKeys = srcPK.select(keys.map(col): _*)
-    val srcPartRows = timed("srcparts")(srcPK.select(col("__graft_p")).distinct().collect())
+    // bounded driver fetch: a batch accidentally keyed on a
+    // high-cardinality partition column must not materialize every
+    // distinct value before the loud budget failure below fires —
+    // the truncated set alone already exceeds maxPartitions
+    val srcPartRows = timed("srcparts")(srcPK.select(col("__graft_p")).distinct()
+      .limit(maxPartitions + 1).collect())
     val srcHasNull = srcPartRows.exists(_.isNullAt(0))
     val srcPartVals = srcPartRows.filterNot(_.isNullAt(0)).map(_.getString(0))
     val srcPartCanon = srcPartVals.toSet ++ (if (srcHasNull) Set(KeyIdx.NullPart) else Set.empty)
@@ -360,8 +365,12 @@ object Upsert {
     // schema as the alignment target — partition-column TYPE INFERENCE
     // runs per group and may disagree across generations (a group
     // holding only the null partition infers differently), so later
-    // groups cast to the head's types
-    val byGen = state.parts.values.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+    // groups cast to the head's types. Groups sort by NUMERIC
+    // generation, newest first, so the cast anchor is deterministically
+    // the highest generation's schema (a lexicographic sort would rank
+    // '_g10' before '_g2' and let the anchor flip between merges)
+    val byGen = state.parts.values.groupBy(_.takeWhile(_ != '/')).toSeq
+      .sortBy { case (gen, _) => -gen.drop(2).toLong }
     val frames = byGen.map { case (gen, rels) =>
       spark.read.option("basePath", s"$targetPath/$gen")
         .parquet(rels.map(r => s"$targetPath/$r").toSeq: _*)
@@ -403,7 +412,8 @@ object Upsert {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     val srcKeys = srcPK.select(keys.map(col): _*)
-    val srcPartRows = srcPK.select(col("__graft_p")).distinct().collect()
+    val srcPartRows = srcPK.select(col("__graft_p")).distinct()
+      .limit(maxPartitions + 1).collect()
     val srcHasNull = srcPartRows.exists(_.isNullAt(0))
     val srcPartVals = srcPartRows.filterNot(_.isNullAt(0)).map(_.getString(0))
     val srcPartCanon = srcPartVals.toSet ++ (if (srcHasNull) Set(KeyIdx.NullPart) else Set.empty)

@@ -66,25 +66,25 @@ object ManifestStore {
     * manifest file that exists but does not parse (missing sentinel —
     * a torn write) fails loudly: resolving a partial manifest would
     * silently drop partitions. */
-  def read(io: SwapFs, target: String): Option[State] = {
-    val gens = generations(io, target)
-    gens.lastOption.map { g =>
-      val p = manifestPath(io, target, g)
-      val st = io.fs.getFileStatus(p)
-      val buf = new Array[Byte](st.getLen.toInt)
-      val in = io.fs.open(p)
-      try in.readFully(0L, buf) finally in.close()
-      val lines = new String(buf, java.nio.charset.StandardCharsets.UTF_8).split("\n", -1).toSeq
-      require(lines.nonEmpty && lines.head == s"gen=$g" && lines.contains("#END"),
-        s"ManifestStore: $p is torn or malformed (missing header/sentinel) — refusing to " +
-          "resolve a partial table; restore the previous manifest or recommit")
-      val parts = lines.drop(1).takeWhile(_ != "#END").map { l =>
-        val i = l.indexOf('\t')
-        require(i > 0, s"ManifestStore: malformed line in $p: '$l'")
-        l.substring(0, i) -> l.substring(i + 1)
-      }.toMap
-      State(g, parts)
-    }
+  def read(io: SwapFs, target: String): Option[State] =
+    generations(io, target).lastOption.map(g => readAt(io, target, g))
+
+  private def readAt(io: SwapFs, target: String, g: Long): State = {
+    val p = manifestPath(io, target, g)
+    val st = io.fs.getFileStatus(p)
+    val buf = new Array[Byte](st.getLen.toInt)
+    val in = io.fs.open(p)
+    try in.readFully(0L, buf) finally in.close()
+    val lines = new String(buf, java.nio.charset.StandardCharsets.UTF_8).split("\n", -1).toSeq
+    require(lines.nonEmpty && lines.head == s"gen=$g" && lines.contains("#END"),
+      s"ManifestStore: $p is torn or malformed (missing header/sentinel) — refusing to " +
+        "resolve a partial table; restore the previous manifest or recommit")
+    val parts = lines.drop(1).takeWhile(_ != "#END").map { l =>
+      val i = l.indexOf('\t')
+      require(i > 0, s"ManifestStore: malformed line in $p: '$l'")
+      l.substring(0, i) -> l.substring(i + 1)
+    }.toMap
+    State(g, parts)
   }
 
   /** Commit `state` as `_manifest.<gen>`: write to a temp name, then
@@ -107,14 +107,20 @@ object ManifestStore {
   }
 
   /** Drop superseded manifest files and physical directories no
-    * longer referenced by the latest manifest. Runs only AFTER a
-    * successful commit. */
-  def gc(io: SwapFs, target: String): Unit = {
+    * longer referenced by a RETAINED manifest. Runs only AFTER a
+    * successful commit, and retains `retainGenerations` superseded
+    * manifests (default 1 — true N-1 retention): a reader that
+    * resolved the previous manifest and is still scanning keeps its
+    * files for one more commit; only a reader outliving TWO commits
+    * shares the snapshot-expiry caveat of every table format.
+    * Deployments with longer-running readers raise the knob. */
+  def gc(io: SwapFs, target: String, retainGenerations: Int = 1): Unit = {
     val gens = generations(io, target)
     if (gens.isEmpty) return
-    val latest = gens.last
-    for (g <- gens if g != latest) io.delete(manifestPath(io, target, g))
-    val live = read(io, target).map(_.parts.values.toSet).getOrElse(Set.empty)
+    val retained = gens.takeRight(retainGenerations + 1)
+    for (g <- gens if !retained.contains(g)) io.delete(manifestPath(io, target, g))
+    // a directory survives while ANY retained manifest references it
+    val live = retained.flatMap(g => readAt(io, target, g).parts.values).toSet
     val referencedGens = live.map(_.takeWhile(_ != '/'))
     val root = io.path(target)
     for (st <- io.fs.listStatus(root) if st.isDirectory) {

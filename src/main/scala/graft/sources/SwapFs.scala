@@ -83,14 +83,78 @@ final class SwapFs private[sources] (val fs: FileSystem) {
     * `IllegalStateException`) while the lease is younger than
     * `staleMs`. A lease older than `staleMs` is presumed abandoned
     * (holder crashed — the crash windows the swap protocols already
-    * recover from) and is taken over with a warning. `staleMs` must
-    * comfortably exceed the longest expected merge/compaction on the
-    * target; there is no background renewal. */
+    * recover from) and is taken over with a warning.
+    *
+    * A LIVE holder renews: a daemon heartbeat re-touches the lease
+    * every `staleMs / 4`, so a merge legitimately outrunning the
+    * stale threshold (a 100 TB full-rewrite can exceed any fixed
+    * budget) is never mistaken for a crashed one — only a writer
+    * whose PROCESS died stops renewing and ages out. If renewal ever
+    * observes a foreign token (this writer was taken over anyway —
+    * renewal itself failed repeatedly, or an operator force-broke the
+    * lease), it stops and logs loudly; the overrunning holder must
+    * not assume exclusive access from that point, and release will
+    * refuse to delete the new holder's lease. */
   def withLease[T](targetPath: String, staleMs: Long = SwapFs.DefaultLeaseStaleMs)(body: => T): T = {
     val lock = path(targetPath + SwapFs.LockSuffix)
     val token = acquireLease(lock, staleMs)
-    try body finally releaseLease(lock, token)
+    val stopRenewal = startRenewal(lock, token, staleMs)
+    try body finally {
+      stopRenewal()
+      releaseLease(lock, token, staleMs)
+    }
   }
+
+  /** Background lease heartbeat: every `staleMs / 4`, verify the lease
+    * still carries our token and push its mtime forward. Returns the
+    * stop function. Touch goes through `setTimes` where the store
+    * supports it; otherwise the lease is rewritten in place with the
+    * same token (only after verifying it is still OURS — overwriting
+    * a foreign lease would re-fence the new holder out). */
+  private def startRenewal(lock: HPath, token: String, staleMs: Long): () => Unit = {
+    val period = math.max(staleMs / 4, 25L)
+    val stop = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => {
+      var mine = true
+      while (mine && !stop.await(period, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        try {
+          if (readToken(lock).contains(token)) {
+            try fs.setTimes(lock, System.currentTimeMillis(), -1)
+            catch {
+              case scala.util.control.NonFatal(_) =>
+                val out = fs.create(lock, true)
+                try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                finally out.close()
+            }
+          } else {
+            SwapFs.log.error(s"SwapFs: lease $lock no longer carries this writer's token — " +
+              "taken over while the holder is still alive (renewal had been failing, or the " +
+              "lease was force-broken). This writer must NOT assume exclusive access; " +
+              "renewal stopped.")
+            mine = false
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            SwapFs.log.warn(s"SwapFs: lease renewal for $lock failed (will retry): $e")
+        }
+      }
+    }, s"graft-lease-renew-${lock.getName}")
+    t.setDaemon(true)
+    t.start()
+    () => {
+      stop.countDown()
+      try t.join(10000) catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+    }
+  }
+
+  private def readToken(lock: HPath): Option[String] =
+    try {
+      val st = fs.getFileStatus(lock)
+      val buf = new Array[Byte](st.getLen.toInt)
+      val in = fs.open(lock)
+      try in.readFully(0L, buf) finally in.close()
+      Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   private def tryCreateLease(lock: HPath, token: String): Boolean =
     try {
@@ -125,15 +189,27 @@ final class SwapFs private[sources] (val fs: FileSystem) {
     token
   }
 
-  private def releaseLease(lock: HPath, token: String): Unit =
+  private def releaseLease(lock: HPath, token: String, staleMs: Long): Unit =
     try {
       val st = fs.getFileStatus(lock)
       val buf = new Array[Byte](st.getLen.toInt)
       val in = fs.open(lock)
       try in.readFully(0L, buf) finally in.close()
-      if (new String(buf, java.nio.charset.StandardCharsets.UTF_8) == token) delete(lock)
-      else SwapFs.log.warn(s"SwapFs: lease $lock was taken over while held — not deleting " +
-        "(this writer exceeded the stale threshold; its swap may have raced the new holder)")
+      val ageMs = System.currentTimeMillis() - st.getModificationTime
+      if (new String(buf, java.nio.charset.StandardCharsets.UTF_8) != token)
+        SwapFs.log.warn(s"SwapFs: lease $lock was taken over while held — not deleting " +
+          "(this writer's renewal lapsed past the stale threshold; its swap may have raced " +
+          "the new holder)")
+      else if (ageMs >= staleMs)
+        // our token, but the lease has already aged past the takeover
+        // threshold (renewal lapsed): a second writer may be BETWEEN
+        // its staleness check and its own create right now — deleting
+        // here could race a third writer in behind it. Skip: the
+        // stale lease cannot fence anyone out for long.
+        SwapFs.log.warn(s"SwapFs: not deleting lease $lock — it aged past the stale threshold " +
+          s"(${ageMs} ms >= $staleMs ms) while held, so a takeover may be in flight; leaving " +
+          "it to age out")
+      else delete(lock)
     } catch {
       case scala.util.control.NonFatal(e) =>
         SwapFs.log.warn(s"SwapFs: could not release lease $lock: $e")
@@ -173,9 +249,11 @@ object SwapFs {
   /** Sibling-file suffix of the single-writer lease ([[SwapFs.withLease]]). */
   val LockSuffix = ".lock-merge"
 
-  /** Default lease-staleness takeover threshold: 6 h — far beyond any
-    * single merge/compaction this engine runs, small enough that a
-    * crashed writer doesn't block the target for a day. */
+  /** Default lease-staleness takeover threshold: 6 h. With renewal
+    * (the holder re-touches the lease every quarter-threshold) this
+    * is purely the CRASH-DETECTION horizon — how long a dead writer
+    * blocks the target — not a bound on merge duration: a live merge
+    * of any length keeps its lease fresh. */
   val DefaultLeaseStaleMs: Long = 6L * 3600 * 1000
 
   /** Schemes whose `rename` is a copy+delete emulation, not a

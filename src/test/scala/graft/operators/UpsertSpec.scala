@@ -397,12 +397,24 @@ class UpsertSpec extends SparkSpec {
       .select($"k", $"v").as[(Int, String)].collect().toSet ==
       Set((1, "a"), (2, "B"), (3, "c"), (4, "x")))
     // untouched partitions' physical dirs were never mutated (still in
-    // generation 0); superseded manifests are GC'd after the commit
+    // generation 0). N-1 retention: the PREVIOUS manifest and the
+    // dirs it references survive one commit (a reader that resolved
+    // it mid-merge keeps its files), so manifest 0 and its copy of
+    // the merged partition are still present here...
     assert(fs.exists(new org.apache.hadoop.fs.Path(path, "_g0/d=2024-01-01")))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "_manifest.0")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, "_manifest.0")))
     assert(fs.exists(new org.apache.hadoop.fs.Path(path, "_manifest.1")))
-    // the superseded copy of the merged partition was GC'd
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, "_g0/d=2024-01-02")))
+    // ...and expire after the NEXT commit: only readers outliving TWO
+    // commits share the usual snapshot-expiry caveat
+    val batch2 = Seq((4, "2024-01-04", "x2")).toDF("k", "d", "v")
+    assert(Upsert.mergePartitionedManifest(spark, path, batch2, Seq("k"), "d") == 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "_manifest.0")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "_g0/d=2024-01-02")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, "_manifest.1")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, "_manifest.2")))
+    // dirs referenced by a retained manifest survive
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, "_g0/d=2024-01-01")))
   }
 
   test("manifest merge semantics match in-place: moves, emptied partitions, idempotency, mode guards") {
