@@ -2090,7 +2090,7 @@ object DataOps {
     * /root/reference/sql/02_load_data.sql:86-91) and the DEGENERATE
     * case for range-based probe pruning — every partition's key
     * [min,max] spans ~the whole hex space, so only the index's
-    * per-partition Bloom sidecars can bound the matched-key probe
+    * record-level (key-hash, partition) side can bound the probe
     * ([[graft.operators.Upsert]] KeyIdx; UpsertSpec pins the scan
     * accounting, ProbeScaling the flat curve). The oracle replays the
     * merged end state keyed on the SAME sha256 expression, so a probe
@@ -2122,6 +2122,57 @@ object DataOps {
       graft.operators.Upsert.mergePartitionedPath(spark, target, b,
         keys = Seq("ekey"), partCol = "event_date"))
     val rollup = spark.read.parquet(target)
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        Cols.r(Cols.sumExact(col("value")), 2).as("total_value"))
+      .select(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"),
+        col("n_events"), col("n_users"), col("total_value"))
+      .orderBy(col("event_date").asc)
+    val settled = rollup.collect().toSeq
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(settled, 1), rollup.schema)
+    graft.sources.LocalFs.deleteRecursively(work)
+    out
+  }
+
+  /** MANIFEST-COMMITTED partition-scoped MERGE gate — the flat-object-
+    * store twin of [[incrMergePartitioned]]: the SAME three-batch
+    * fixture (moves, updates, inserts) driven through
+    * [[graft.operators.Upsert.mergePartitionedManifest]] and read back
+    * with [[graft.operators.Upsert.readManifest]], so the
+    * generation-directory + one-manifest-file commit protocol
+    * ([[graft.sources.ManifestStore]] — what restores snapshot
+    * atomicity where directory rename is copy+delete) is hash-gated
+    * end to end, not just spec-covered. The oracle is the identical
+    * relational replay: a stale duplicate left by a mis-scoped
+    * generation install, a row lost to a torn commit, or a
+    * mis-resolved manifest flips count/sum here. */
+  def incrMergeManifest(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .filter(col("event_id").isNotNull && col("ts").isNotNull &&
+        col("user_id").isNotNull && col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_date(col("ts")).as("event_date"), col("value"))
+      .groupBy(col("event_id"))
+      .agg(max(struct(col("event_date"), col("user_id"), col("event_type"), col("value"))).as("s"))
+      .select(col("event_id"), col("s.event_date").as("event_date"),
+        col("s.user_id").as("user_id"), col("s.event_type").as("event_type"),
+        col("s.value").as("value"))
+    val work = graft.sources.LocalFs.scratchDir("graft_mmerge")
+    val target = s"$work/fact"
+    val cols = Seq("event_id", "user_id", "event_type", "event_date", "value").map(col)
+    val b0 = base.filter(col("event_id") % 3 === 0).select(cols: _*)
+    val b1 = base.filter(col("event_id") % 3 === 1).select(cols: _*)
+    val moved = b0.filter(col("event_id") % 7 === 0)
+      .withColumn("event_date", date_add(col("event_date"), 365))
+      .withColumn("value", col("value") + lit(1.0))
+    val b2 = base.filter(col("event_id") % 3 === 2).select(cols: _*)
+      .unionByName(moved.select(cols: _*))
+    Seq(b0, b1, b2).foreach(b =>
+      graft.operators.Upsert.mergePartitionedManifest(spark, target, b,
+        keys = Seq("event_id"), partCol = "event_date"))
+    val rollup = graft.operators.Upsert.readManifest(spark, target)
       .groupBy(col("event_date"))
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
@@ -5133,6 +5184,33 @@ object DataOps {
         |FROM finalst
         |GROUP BY 1
         |ORDER BY event_date ASC""".stripMargin,
+    "incr_merge_manifest" ->
+      // identical relational replay to incr_merge_partitioned — the
+      // manifest commit protocol must produce the SAME table a plain
+      // in-place partition swap does; only the physical install
+      // differs (generation dirs + one manifest file)
+      """WITH evx AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS event_date, value,
+        |         row_number() OVER (PARTITION BY event_id
+        |           ORDER BY CAST(ts AS DATE) DESC, user_id DESC, event_type DESC, value DESC) AS rn
+        |  FROM events
+        |  WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL AND value IS NOT NULL
+        |), finalst AS (
+        |  SELECT event_id, user_id,
+        |         CASE WHEN event_id % 3 = 0 AND event_id % 7 = 0
+        |              THEN event_date + 365 ELSE event_date END AS event_date,
+        |         CASE WHEN event_id % 3 = 0 AND event_id % 7 = 0
+        |              THEN value + 1.0 ELSE value END AS value
+        |  FROM evx WHERE rn = 1
+        |)
+        |SELECT strftime(event_date, '%Y-%m-%d') AS event_date,
+        |       count(*) AS n_events,
+        |       count(DISTINCT user_id) AS n_users,
+        |       floor(CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS total_value
+        |FROM finalst
+        |GROUP BY 1
+        |ORDER BY event_date ASC""".stripMargin,
     "stream_merge_events" ->
       """SELECT event_type, count(*) AS n_events,
         |       count(DISTINCT event_id) AS n_ids,
@@ -5411,6 +5489,7 @@ object DataOps {
     "cms_join_size"     -> (cmsJoinSizeOrdersEvents _),
     "incr_merge_partitioned" -> (incrMergePartitioned _),
     "incr_merge_hashkeys" -> (incrMergeHashKeys _),
+    "incr_merge_manifest" -> (incrMergeManifest _),
     "stream_merge_events" -> (streamMergeEvents _),
     "stream_merge_partitioned" -> (streamMergePartitioned _),
     "stream_hourly_rollup" -> (streamHourlyRollup _),

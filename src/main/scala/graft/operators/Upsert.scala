@@ -105,23 +105,28 @@ object Upsert {
     * merge — UpsertSpec pins this), so a date-partitioned 100 TB fact
     * pays O(touched partitions) per batch, not O(target).
     *
-    * The matched-key probe is itself BOUNDED by a per-partition key
-    * index (`_keyidx` inside the target — [[KeyIdx]]): one tiny
-    * parquet file per partition holding (a) min/max of every key
-    * column and (b) a capped per-partition Bloom bitset over the key
-    * TUPLES. Before the semi probe runs, the batch's key ranges and
-    * key-tuple hashes are tested against the index and the probe scan
-    * is partition-pruned to the candidates. Range intersection bounds
-    * the probe for range-clustered keys (sequential ids, dates); the
-    * Bloom sidecar bounds it for HASH-DISTRIBUTED keys — the
-    * reference's own surrogate-key type (sha256 `observation_sk`,
+    * The matched-key probe is itself BOUNDED by a key index
+    * (`_keyidx` inside the target — [[KeyIdx]]): per-partition
+    * min/max meta rows for every key column, plus a RECORD-LEVEL
+    * `(key-hash, partition)` side maintained as per-merge chunks and
+    * compacted into a hash-bucketed base. Before the semi probe runs,
+    * the batch's key ranges and key hashes are tested against the
+    * index and the probe scan is partition-pruned to the candidates.
+    * Range intersection bounds the probe for range-clustered keys
+    * (sequential ids, dates); the record lookup bounds it for
+    * HASH-DISTRIBUTED keys — the reference's own surrogate-key type
+    * (sha256 `observation_sk`,
     * /root/reference/sql/02_load_data.sql:86-91), where every
     * partition's [min,max] spans the whole key space and range
     * pruning alone degrades to the full O(target) scan. With the
-    * sidecar, a batch touching one partition of a 100 TB fact reads
-    * one partition's key columns whichever key shape it has
-    * (UpsertSpec pins this with scan-metric accounting for BOTH key
-    * shapes; ProbeScaling measures both curves flat in the
+    * record index, a batch touching one partition of a 100 TB fact
+    * reads one partition's key columns whichever key shape it has —
+    * at ANY per-partition cardinality (the r14 Bloom sidecars
+    * saturated past ~200k tuples/partition and silently restored the
+    * O(target) probe); the lookup itself reads O(batch) bucket files,
+    * not O(partitions) (UpsertSpec pins this with scan-metric
+    * accounting for BOTH key shapes and at beyond-Bloom-cap
+    * cardinality; ProbeScaling measures both curves flat in the
     * untouched-partition count).
     *
     * Index soundness is crash-first: a `_PENDING` marker is created
@@ -129,10 +134,10 @@ object Upsert {
     * after the post-swap index rewrite — any crash in between leaves
     * the marker, and a marked (or missing, malformed, differently
     * keyed/typed — the index carries a binding signature of partCol,
-    * key names, key types, and Bloom geometry) index degrades to the
-    * full-scan probe and is rebuilt in the same merge. Index rows for
-    * rewritten partitions are recomputed EXACTLY from the just-written
-    * data (never widened), so pruning power does not decay under
+    * key names, key types) index degrades to the full-scan probe and
+    * is rebuilt in the same merge. Index rows for rewritten
+    * partitions are recomputed EXACTLY from the just-written data
+    * (never widened), so pruning power does not decay under
     * key-churn; untouched partitions keep their rows byte-identical.
     * External writers that bypass this method must drop `_keyidx`
     * ([[graft.sources.LayerWriter.overwriteBatchPartitions]] does).
@@ -241,7 +246,8 @@ object Upsert {
       io.listDirNames(tgt), prefix, partCol, keys))
     val probed = validIdx match {
       case Some(idx) =>
-        val cand = timed("candidates")(KeyIdx.candidates(idx, srcKeys, srcPartCanon, target.schema, keys))
+        val cand = timed("candidates")(KeyIdx.candidates(spark, io, targetPath, idx,
+          srcKeys, srcPartCanon, target.schema, keys))
         val hasDefault = cand.contains(KeyIdx.NullPart)
         val vals = cand.filterNot(_ == KeyIdx.NullPart)
         val inCand = col(partCol).cast("string").isin(vals.toIndexedSeq: _*)
@@ -277,7 +283,7 @@ object Upsert {
     val staged = validIdx.map { idx =>
       timed("stage-idx")(KeyIdx.stage(spark, io, targetPath,
         spark.read.schema(tmpSchema).parquet(tmp.toString), partCol, keys,
-        target.schema, idx.mBits, idx.nHash, idx.nextVer))
+        target.schema, idx.nextVer))
     }
     // marker BEFORE the first live-directory mutation; removed only
     // after the post-swap index rewrite completes. Any crash between
@@ -421,7 +427,8 @@ object Upsert {
       state.parts.keySet, prefix, partCol, keys)
     val probed = validIdx match {
       case Some(idx) =>
-        val cand = KeyIdx.candidates(idx, srcKeys, srcPartCanon, target.schema, keys)
+        val cand = KeyIdx.candidates(spark, io, targetPath, idx,
+          srcKeys, srcPartCanon, target.schema, keys)
         val hasDefault = cand.contains(KeyIdx.NullPart)
         val vals = cand.filterNot(_ == KeyIdx.NullPart)
         val inCand = col(partCol).cast("string").isin(vals.toIndexedSeq: _*)
@@ -450,7 +457,7 @@ object Upsert {
     val staged = validIdx.map { idx =>
       KeyIdx.stage(spark, io, targetPath,
         spark.read.schema(tmpSchema).parquet(tmp.toString), partCol, keys,
-        target.schema, idx.mBits, idx.nHash, idx.nextVer)
+        target.schema, idx.nextVer)
     }
     KeyIdx.markPending(io, targetPath)
     // install into a FRESH generation: these renames move just-written
@@ -486,20 +493,14 @@ object Upsert {
   }
 }
 
-/** The per-partition key index behind [[Upsert.mergePartitionedPath]]
-  * — `<target>/_keyidx/`, underscore-prefixed so Spark's file index
-  * never picks it up as data.
+/** The key index behind [[Upsert.mergePartitionedPath]] —
+  * `<target>/_keyidx/`, underscore-prefixed so Spark's file index
+  * never picks it up as data. Two structures, maintained by the same
+  * chunk/compaction rhythm:
   *
-  * Layout: versioned CHUNK files (`c<ver>-<n>.parquet`) holding one
-  * row per partition the writing merge touched; readers take the
-  * max-`ver` row per partition, and [[install]] compacts back to one
-  * chunk past [[MaxChunks]] files. Per-merge maintenance is therefore
-  * O(1) files and O(affected partitions) bytes, never O(all
-  * partitions) — at a 100 TB fact's 3–10k partitions a monolithic
-  * index file would make every merge pay a full index rewrite, while
-  * a file-per-partition layout (measured) makes a broad batch pay one
-  * parquet-writer open per touched partition. Each row:
-  *
+  * '''Meta chunks''' (`c<ver>-<n>.parquet`, one row per partition the
+  * writing merge touched; readers take the max-`ver` row per
+  * partition):
   *  - `p_<partCol>`: the partition value in CAST-to-string space
   *    (NULL canonicalized to Hive's default-partition name so index
   *    joins never drop it);
@@ -507,34 +508,47 @@ object Upsert {
   *    type — named after the ACTUAL key columns, so an index built
   *    for different keys (or a renamed key) can never validate
   *    against this merge's definition;
-  *  - `pb`/`pbm`/`pbk`: a Bloom bitset over
-  *    `xxhash64(i, key₁, …, keyₙ)` double-hashed key TUPLES, with its
-  *    geometry — stored as a SPARSE map of set 64-bit words (word
-  *    index → word), so the row costs O(set bits), not O(cap).
-  *    NULL `pb` = always-candidate (the partition's key
-  *    cardinality saturated the capped bitset — over-inclusive, so
-  *    pruning stays sound). Keys hash through the TARGET's column
-  *    types on both build and probe side (a batch with coercible but
-  *    differently-typed keys would otherwise hash differently —
-  *    xxhash64 is type-sensitive — and a false NEGATIVE here is data
-  *    loss, not a missed optimization);
-  *  - `sig`: the binding signature — partCol, key names, key types,
-  *    Bloom geometry. [[readValid]] recomputes the expected signature
-  *    from the CURRENT target schema and merge definition and rejects
-  *    any mismatch (the r13 index validated by positional column
-  *    names only, so a same-arity key swap could prune against the
-  *    wrong column's ranges and silently miss matched keys).
+  *  - `nk`: the partition's non-null-key row count (sizes the record
+  *    base's bucket count at compaction);
+  *  - `sig`: the binding signature — partCol, key names, key types.
+  *    [[readValid]] recomputes the expected signature from the
+  *    CURRENT target schema and merge definition and rejects any
+  *    mismatch (the r13 index validated by positional column names
+  *    only, so a same-arity key swap could prune against the wrong
+  *    column's ranges and silently miss matched keys).
   *
-  * Sizing: per-partition bitsets are sized for the partition's
-  * distinct-tuple count at fpp ≈ [[KeyIdx.TargetFpp]], floored at
-  * 2^17 and capped at [[KeyIdx.MaxPartBloomBits]] (2^22 bits =
-  * 512 KiB). Within budget a one-partition batch probes ~one
-  * partition even with sha256-distributed keys; a partition whose
-  * cardinality outgrows the cap saturates and degrades to
-  * always-candidate for itself only. The reference's own fact shape
-  * (~1.5k entities per trade date) sits orders of magnitude inside
-  * the budget. Geometry is chosen at rebuild time and held fixed
-  * until the next rebuild so rows stay mergeable.
+  * '''Record-level rows''' (`_rec/`): one `(kh, p, ver)` row per
+  * non-null key tuple, `kh = xxhash64(key₁…keyₙ)` hashed through the
+  * TARGET's column types (xxhash64 is type-sensitive; a coerced batch
+  * type would otherwise hash differently and a false NEGATIVE here is
+  * data loss, not a missed optimization). Recent merges live as chunk
+  * files (`_rec/r<ver>-<n>.parquet` — O(1) files per merge);
+  * compaction folds them into a HASH-BUCKETED base
+  * (`_rec/base/kb=<b>/`, bucket = top-B bits of `kh`, B scaled so
+  * buckets hold ~[[RecBucketRows]] rows). The probe then reads ONLY
+  * the buckets its batch hashes land in — I/O ∝ batch size,
+  * independent of partition count and per-partition cardinality.
+  * This v3 design replaces r14's per-partition Bloom sidecars, which
+  * had two measured 100 TB failure modes: a partition past the capped
+  * bitset (~200k tuples) saturated to always-candidate — silently
+  * restoring the O(target) probe for exactly the reference's own
+  * sha256 key shape — and the probe decoded EVERY range-surviving
+  * partition's bitset (O(all partitions' index bytes) when ranges
+  * cannot pre-prune). Record rows have no cardinality cliff at ANY
+  * per-partition count, and bucket pruning caps probe I/O at
+  * O(batch × bucket bytes). Cost: ~9 B/key of index (vs the Bloom's
+  * ~4 B/key) — priced in SCALE.md.
+  *
+  * Row liveness: a merge rewrites affected partitions WHOLLY and
+  * stages their exact record rows at its `ver`, so a row is live iff
+  * `(p, ver)` is a current meta winner; stale rows (keys that left a
+  * partition) are filtered by that winner set at probe time and
+  * dropped at compaction. External mutation of index internals is
+  * outside the failure model — external writers drop the whole
+  * `_keyidx` (the documented contract, e.g.
+  * [[graft.sources.LayerWriter.overwriteBatchPartitions]]); crash
+  * windows are covered by the `_PENDING` marker, and a missing
+  * `_rec/` side merely skips refinement (over-inclusive, sound).
   */
 private[operators] object KeyIdx {
 
@@ -545,31 +559,32 @@ private[operators] object KeyIdx {
     * (or was, at a crash) open and the index must not be trusted. */
   val PendingName = "_PENDING"
 
+  /** Record-level side: chunk files + bucketed base live here,
+    * underscore-prefixed so a plain parquet read of [[Dir]] (the meta
+    * chunks) never descends into it. */
+  val RecDir = "_rec"
+
   /** Canonical index representation of the NULL partition value. */
   val NullPart: String = ExternalCatalogUtils.DEFAULT_PARTITION_NAME
 
-  /** Target per-tuple false-positive rate for the per-partition Bloom
-    * sidecars. The cost of a false positive is one extra partition's
-    * key columns in the probe scan, paid per BATCH KEY that hits it —
-    * 1e-4 keeps the expected false-candidate count ≪ 1 partition for
-    * thousand-key batches against thousands of partitions. */
-  val TargetFpp = 1e-4
-
-  /** Per-partition bitset cap: 2^22 bits = 512 KiB — holds ~200k
-    * distinct tuples at [[TargetFpp]]. Beyond it the partition's
-    * bitset saturates and is stored as NULL (always-candidate). */
-  val MaxPartBloomBits: Int = 1 << 22
-
-  /** Per-partition bitset floor: 2^17 bits = 16 KiB — headroom so an
-    * index born on a small partition keeps pruning as it grows. */
-  val MinPartBloomBits: Int = 1 << 17
-
-  /** Distinct-key-tuple budget for the batch side of the Bloom
-    * candidate test (a bounded driver fetch of position arrays,
-    * ≤ ~1.8 MiB at 7 probes). Batches beyond it skip the Bloom
-    * refinement and fall back to range-only pruning — at that batch
-    * size the probe is no longer the dominant cost of the merge. */
+  /** Distinct-key-tuple budget for the batch side of the record
+    * candidate test (a bounded driver fetch of 64-bit hashes,
+    * ≤ 512 KiB). Batches beyond it skip the record refinement and
+    * fall back to range-only pruning — at that batch size the probe
+    * is no longer the dominant cost of the merge. */
   val BatchProbeMax: Int = 1 << 16
+
+  /** Target record-base rows per bucket (~2–3 MB of parquet): B is
+    * chosen at compaction/rebuild so buckets stay this size as the
+    * index grows, which is what keeps probe I/O ∝ batch size rather
+    * than ∝ index size. `var` for spec-scale fixtures only (the
+    * [[graft.operators.SpanDedup]] budget-knob pattern). */
+  @volatile private[operators] var RecBucketRows: Long = 1L << 18
+
+  /** Bucket-bits ceiling: 2^16 dirs ≈ 17 G rows per index at the
+    * default bucket size before buckets start growing past target —
+    * and a bound on the file count a compaction writes. */
+  val MaxBucketBits: Int = 16
 
   private def pName(partCol: String) = s"p_$partCol"
 
@@ -578,95 +593,91 @@ private[operators] object KeyIdx {
 
   private def expectedCols(partCol: String, keys: Seq[String]): Seq[String] =
     pName(partCol) +: (keys.flatMap(k => Seq(s"min_$k", s"max_$k")) ++
-      Seq("pb", "pbm", "pbk", "sig", "ver"))
+      Seq("nk", "sig", "ver"))
 
   /** The binding signature for the current merge definition against
-    * the current target schema, with the geometry suffix left to the
-    * row's own recorded values. */
-  private def sigPrefix(partCol: String, keys: Seq[String], schema: StructType): String =
-    s"v2|part=$partCol|keys=" +
+    * the current target schema. */
+  private def sigFor(partCol: String, keys: Seq[String], schema: StructType): String =
+    s"v3|part=$partCol|keys=" +
       keys.map(k => s"$k:${schema(k).dataType.sql}").mkString(",")
 
   private def keyType(schema: StructType, k: String): DataType = schema(k).dataType
 
-  /** `xxhash64(i, key₁…keyₙ)` double-hash positions, keys cast to the
+  /** `xxhash64(key₁…keyₙ)` over the key tuple, keys cast to the
     * target's column types (see class doc). */
-  private def posCols(schema: StructType, keys: Seq[String], mBits: Int, nHash: Int): Seq[Column] = {
-    val casted = keys.map(k => col(k).cast(keyType(schema, k)))
-    (0 until nHash).map(i =>
-      pmod(xxhash64((lit(i) +: casted): _*), lit(mBits.toLong)).cast("int"))
-  }
+  private def khCol(schema: StructType, keys: Seq[String]): Column =
+    xxhash64(keys.map(k => col(k).cast(keyType(schema, k))): _*)
 
   private def allKeysNotNull(keys: Seq[String]): Column =
     keys.map(col(_).isNotNull).reduce(_ && _)
 
-  /** One exact index row per partition of `df`: ranges + Bloom bitset
-    * at the given geometry. Two column-pruned aggregates over `df`
-    * (both shuffle only (partition, small-payload) rows). The bitset
-    * is stored SPARSE — a map of set 64-bit words keyed by word index
-    * — both because most partitions set a small fraction of the capped
-    * bitset (the index stays proportional to the keys, not the cap)
-    * and because a dense array would need a per-index `transform`
-    * whose map lookup CollapseProject re-inlines PER ELEMENT
-    * (measured: a 200k-key partition's index row went from
-    * milliseconds to minutes — the documented HOF-inlining class).
-    * The probe treats a missing word as zero. */
+  /** One exact meta row per partition of `df`: key ranges + non-null
+    * key count. A single column-pruned aggregate (shuffles only
+    * (partition, small-payload) rows). */
   private def stats(df: DataFrame, partCol: String, keys: Seq[String],
-      targetSchema: StructType, mBits: Int, nHash: Int): DataFrame = {
+      targetSchema: StructType): DataFrame = {
     val pn = pName(partCol)
-    val rangeAggs = keys.flatMap(k => Seq(min(col(k)).as(s"min_$k"), max(col(k)).as(s"max_$k")))
-    val ranges = df.groupBy(canonicalP(partCol).as(pn)).agg(rangeAggs.head, rangeAggs.tail: _*)
-    // no distinct before the aggregate: bit_or is idempotent, so
-    // duplicate (partition, position) rows cost nothing and skipping
-    // the dedup saves a full extra shuffle of the position stream
-    val words = df.where(allKeysNotNull(keys))
-      .select(canonicalP(partCol).as(pn),
-        explode(array(posCols(targetSchema, keys, mBits, nHash): _*)).as("pos"))
-      .groupBy(col(pn), shiftrightunsigned(col("pos"), 6).as("w"))
-      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), pos % 64))").as("word"))
-      .groupBy(col(pn))
-      .agg(map_from_entries(collect_list(struct(col("w"), col("word")))).as("wm"),
-        expr("sum(bit_count(word))").as("nbits"))
-      .select(col(pn),
-        when(col("nbits") * 2 > lit(mBits.toLong), lit(null))
-          .otherwise(col("wm"))
-          .as("pb"))
-    ranges.join(words, Seq(pn), "left")
-      .withColumn("pbm", lit(mBits))
-      .withColumn("pbk", lit(nHash))
-      .withColumn("sig", lit(sigPrefix(partCol, keys, targetSchema) + s"|m=$mBits|k=$nHash"))
+    val aggs = keys.flatMap(k => Seq(min(col(k)).as(s"min_$k"), max(col(k)).as(s"max_$k"))) :+
+      count(when(allKeysNotNull(keys), 1)).as("nk")
+    df.groupBy(canonicalP(partCol).as(pn)).agg(aggs.head, aggs.tail: _*)
+      .withColumn("sig", lit(sigFor(partCol, keys, targetSchema)))
   }
+
+  /** Exact record rows for `df`: one (kh, p) per non-null key tuple
+    * occurrence (duplicates are harmless — membership is the only
+    * question the probe asks). A map-side projection, no shuffle. */
+  private def records(df: DataFrame, partCol: String, keys: Seq[String],
+      targetSchema: StructType): DataFrame =
+    df.where(allKeysNotNull(keys))
+      .select(khCol(targetSchema, keys).as("kh"), canonicalP(partCol).as("p"))
+
+  /** Bucket id of a key hash at B bucket bits: the hash's TOP B bits,
+    * so the bucket is derivable from `kh` alone whatever B a given
+    * base was compacted at. B = 0 ⇒ the single bucket 0 (a Long shift
+    * by 64 is a no-op in the JVM, so the degenerate case is explicit). */
+  private def kbCol(bBits: Int): Column =
+    if (bBits == 0) lit(0L) else shiftrightunsigned(col("kh"), 64 - bBits)
+
+  private def bucketOf(kh: Long, bBits: Int): Long =
+    if (bBits == 0) 0L else kh >>> (64 - bBits)
+
+  /** Bucket count for a record base holding `totalRows` rows:
+    * ceil(log2(rows / target)), capped at [[MaxBucketBits]]. */
+  private def chooseB(totalRows: Long): Int = {
+    val buckets = math.max(1L, (totalRows + RecBucketRows - 1) / RecBucketRows)
+    if (buckets <= 1L) 0
+    else math.min(MaxBucketBits, 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1))
+  }
+
+  private val recSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("kh", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("p", StringType),
+    org.apache.spark.sql.types.StructField("ver", org.apache.spark.sql.types.LongType)))
+
+  private def writeB(io: SwapFs, baseDir: HPath, bBits: Int): Unit = {
+    val out = io.fs.create(new HPath(baseDir, "_B"), true)
+    try out.write(s"B=$bBits\n#END".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readB(io: SwapFs, baseDir: HPath): Option[Int] =
+    try {
+      val p = new HPath(baseDir, "_B")
+      val st = io.fs.getFileStatus(p)
+      val buf = new Array[Byte](st.getLen.toInt)
+      val in = io.fs.open(p)
+      try in.readFully(0L, buf) finally in.close()
+      val s = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+      if (!s.endsWith("#END")) None
+      else Some(s.stripSuffix("\n#END").stripSuffix("#END").trim.stripPrefix("B=").toInt)
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Chunk-count ceiling before [[install]] compacts the index back to
-    * one file. Chunks make per-merge index maintenance O(1) files and
-    * O(affected) bytes; superseded rows accumulate until compaction
-    * folds them out (amortized O(index / MaxChunks) per merge). */
+    * one meta chunk + a freshly bucketed record base. Chunks make
+    * per-merge index maintenance O(1) files and O(affected) bytes;
+    * superseded rows accumulate until compaction folds them out
+    * (amortized O(index / MaxChunks) per merge). */
   val MaxChunks = 16
-
-  /** Geometry for a fresh index: sized from the largest partition's
-    * approximate distinct-tuple count (HLL++ — sizing only tunes the
-    * false-positive rate, never correctness). */
-  private def chooseGeometry(df: DataFrame, partCol: String, keys: Seq[String]): (Int, Int) = {
-    // per-partition ROW count, not distinct-tuple count: an
-    // over-estimate only makes the bitset larger (capped), and the
-    // plain count is one cheap partial-aggregated scan instead of an
-    // HLL-over-struct pass
-    val maxN = df.where(allKeysNotNull(keys))
-      .groupBy(canonicalP(partCol))
-      .agg(count(lit(1)).as("n"))
-      .agg(max(col("n")).as("m")).collect().headOption
-      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).getOrElse(0L)
-    // 25% headroom over the estimate (the BloomFilterJoin.buildAuto
-    // rationale), then floor/cap per the class doc. Probe count is
-    // capped at 7: index build and batch-side probing both cost
-    // O(rows × probes), and 7 probes at ~19 bits/key sit within ~2×
-    // of the optimal-k false-positive rate for half the build work.
-    val (m0, _) = BloomFilterJoin.sizeFor(math.ceil(maxN * 1.25).toLong max 1L, TargetFpp)
-    val m = math.min(math.max(m0, MinPartBloomBits), MaxPartBloomBits)
-    val k = math.max(1, math.min(7,
-      math.round(m.toDouble / (maxN max 1L).toDouble * math.log(2.0)).toInt))
-    (m, k)
-  }
 
   def markPending(io: SwapFs, targetPath: String): Unit = {
     val marker = io.path(targetPath + "/" + Dir + "/" + PendingName)
@@ -680,98 +691,171 @@ private[operators] object KeyIdx {
     io.delete(io.path(targetPath + "/" + Dir + "/" + PendingName))
 
   /** Stage exact index rows for `df`'s partitions (the just-written
-    * merge tmp) into `_keyidx.tmp` as ONE chunk file stamped `ver` —
-    * a single small write regardless of how many partitions the batch
-    * touched (an earlier layout wrote one file per affected partition;
-    * at a 60-partition batch the per-file writer overhead dominated
-    * the whole maintenance step). Runs BEFORE the data swap — it reads
-    * the tmp layout and touches nothing live. */
+    * merge tmp) into `_keyidx.tmp`, stamped `ver`: one meta chunk
+    * file (`meta/`) plus the affected partitions' record rows
+    * (`rec/`, bounded to [[RecStageFiles]] files so per-merge
+    * maintenance stays O(1) files while a wide batch still writes in
+    * parallel). Runs BEFORE the data swap — it reads the tmp layout
+    * and touches nothing live. */
   def stage(spark: SparkSession, io: SwapFs, targetPath: String, df: DataFrame,
-      partCol: String, keys: Seq[String], targetSchema: StructType,
-      mBits: Int, nHash: Int, ver: Long): HPath = {
+      partCol: String, keys: Seq[String], targetSchema: StructType, ver: Long): HPath = {
     val stagedPath = io.path(targetPath + "/" + Dir + ".tmp")
     io.delete(stagedPath)
-    stats(df, partCol, keys, targetSchema, mBits, nHash)
+    stats(df, partCol, keys, targetSchema)
       .withColumn("ver", lit(ver))
       .coalesce(1)
-      .write.parquet(stagedPath.toString)
+      .write.parquet(new HPath(stagedPath, "meta").toString)
+    records(df, partCol, keys, targetSchema)
+      .withColumn("ver", lit(ver))
+      .coalesce(RecStageFiles)
+      .write.parquet(new HPath(stagedPath, "rec").toString)
     stagedPath
   }
 
-  /** Install a staged chunk into the live index: move its data files
-    * in as `c<ver>-<n>.parquet` — O(1) renames per merge. Readers take
-    * the max-`ver` row per partition, so superseded rows are inert
-    * until the chunk count passes [[MaxChunks]], at which point the
-    * surviving rows are compacted back to one chunk (amortized
-    * O(index/MaxChunks) per merge). Rows for partitions the merge
-    * deleted simply stop being refreshed: a stale winner for a
-    * nonexistent partition is an inert phantom candidate
+  /** File-count bound on a staged record chunk: small batches coalesce
+    * to one file; a wide batch keeps this much write parallelism. */
+  val RecStageFiles = 16
+
+  /** Install a staged chunk pair into the live index: move the meta
+    * file in as `c<ver>-<n>.parquet` and the record files as
+    * `_rec/r<ver>-<n>.parquet` — O(1) renames per merge. Readers take
+    * the max-`ver` meta row per partition (and record rows whose
+    * `(p, ver)` matches a winner), so superseded rows are inert until
+    * the meta chunk count passes [[MaxChunks]], at which point both
+    * sides are compacted: meta back to one chunk, record rows into a
+    * freshly bucketed base sized by the surviving `nk` total
+    * (amortized O(index/MaxChunks) per merge). Rows for partitions
+    * the merge deleted simply stop being refreshed: a stale winner
+    * for a nonexistent partition is an inert phantom candidate
     * (over-inclusive, prune-safe) that the next compaction drops. */
   def install(spark: SparkSession, io: SwapFs, targetPath: String, stagedPath: HPath,
       partCol: String, ver: Long, liveDirNames: Set[String], prefix: String): Unit = {
     val live = io.path(targetPath + "/" + Dir)
+    val recLive = new HPath(live, RecDir)
+    if (!io.exists(recLive)) io.fs.mkdirs(recLive)
     var i = 0
-    for (st <- io.fs.listStatus(stagedPath) if st.getPath.getName.endsWith(".parquet")) {
+    for (st <- io.fs.listStatus(new HPath(stagedPath, "meta"))
+         if st.getPath.getName.endsWith(".parquet")) {
       io.rename(st.getPath, new HPath(live, s"c$ver-$i.parquet"))
       i += 1
     }
+    var j = 0
+    for (st <- io.fs.listStatus(new HPath(stagedPath, "rec"))
+         if st.getPath.getName.endsWith(".parquet")) {
+      io.rename(st.getPath, new HPath(recLive, s"r$ver-$j.parquet"))
+      j += 1
+    }
     io.delete(stagedPath)
     val chunks = io.fs.listStatus(live).count(_.getPath.getName.endsWith(".parquet"))
-    if (chunks > MaxChunks) {
-      // compact: winners only, live partitions only, one chunk
-      val pn = pName(partCol)
-      val liveVals = liveDirNames.iterator
-        .filter(n => n.startsWith(prefix) && !n.contains(".old-pmerge"))
-        .map(_.stripPrefix(prefix))
-        .map(d => if (d == NullPart) NullPart else ExternalCatalogUtils.unescapePathName(d))
-        .toSeq
-      val winners = spark.read.parquet(live.toString)
-        .filter(col(pn).isin(liveVals: _*))
-        .withColumn("__rk", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col(pn))
-            .orderBy(col("ver").desc)))
-        .filter(col("__rk") === 1).drop("__rk")
-      val tmp = io.path(targetPath + "/" + Dir + ".tmp")
-      io.delete(tmp)
-      winners.coalesce(1).write.parquet(tmp.toString)
-      io.delete(live)
-      io.rename(tmp, live)
-    }
+    if (chunks > MaxChunks) compact(spark, io, targetPath, partCol, liveDirNames, prefix)
   }
 
-  /** Rebuild the whole index from (post-merge) target data: fresh
-    * geometry, every partition, one chunk at ver 0. The one-time
-    * backfill path — entered at target creation and whenever
-    * [[readValid]] rejected the index (first merge over an older
-    * layout, external writer, crash marker, changed merge
+  /** Compact both index sides: meta winners (live partitions only)
+    * back to one chunk; live record rows — `(p, ver)` in the winner
+    * set — into a fresh hash-bucketed base at a B re-chosen from the
+    * surviving key count, dropping every superseded/deleted-partition
+    * row. Runs only inside a merge's `_PENDING` window, so any crash
+    * mid-compaction degrades the next merge to full probe + rebuild
+    * rather than trusting a half-compacted index. */
+  private def compact(spark: SparkSession, io: SwapFs, targetPath: String,
+      partCol: String, liveDirNames: Set[String], prefix: String): Unit = {
+    val live = io.path(targetPath + "/" + Dir)
+    val recLive = new HPath(live, RecDir)
+    val pn = pName(partCol)
+    val liveVals = liveDirNames.iterator
+      .filter(n => n.startsWith(prefix) && !n.contains(".old-pmerge"))
+      .map(_.stripPrefix(prefix))
+      .map(d => if (d == NullPart) NullPart else ExternalCatalogUtils.unescapePathName(d))
+      .toSeq
+    val winners = spark.read.parquet(live.toString)
+      .filter(col(pn).isin(liveVals: _*))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(pn))
+          .orderBy(col("ver").desc)))
+      .filter(col("__rk") === 1).drop("__rk")
+    val tmp = io.path(targetPath + "/" + Dir + ".tmpc")
+    io.delete(tmp)
+    winners.coalesce(1).write.parquet(new HPath(tmp, "meta").toString)
+    // winner (p, ver) pairs + surviving key total, from the written
+    // compacted meta (one small file) — bounded by the partition count
+    val wRows = spark.read.parquet(new HPath(tmp, "meta").toString)
+      .select(col(pn), col("ver"), col("nk")).collect()
+    val winnerKeys = wRows.map(r => s"${r.getString(0)}\u0000${r.getLong(1)}").toSeq
+    val bBits = chooseB(wRows.map(_.getLong(2)).sum)
+    val allRec = readRecordRows(spark, io, targetPath, None)
+    allRec.foreach { rows =>
+      rows.filter(concat_ws("\u0000", col("p"), col("ver")).isin(winnerKeys: _*))
+        .withColumn("kb", kbCol(bBits))
+        .write.partitionBy("kb").parquet(new HPath(tmp, "base").toString)
+    }
+    // install: replace meta chunk files, then the whole record side
+    for (st <- io.fs.listStatus(live) if st.getPath.getName.endsWith(".parquet"))
+      io.delete(st.getPath)
+    var i = 0
+    for (st <- io.fs.listStatus(new HPath(tmp, "meta"))
+         if st.getPath.getName.endsWith(".parquet")) {
+      io.rename(st.getPath, new HPath(live, s"c0-z$i.parquet"))
+      i += 1
+    }
+    if (allRec.nonEmpty) {
+      io.delete(recLive)
+      io.fs.mkdirs(recLive)
+      io.rename(new HPath(tmp, "base"), new HPath(recLive, "base"))
+      writeB(io, new HPath(recLive, "base"), bBits)
+    }
+    io.delete(tmp)
+  }
+
+  /** Rebuild the whole index from (post-merge) target data: every
+    * partition's meta row at ver 0 plus a freshly bucketed record
+    * base. The one-time backfill path — entered at target creation
+    * and whenever [[readValid]] rejected the index (first merge over
+    * an older layout, external writer, crash marker, changed merge
     * definition). */
   def rebuild(spark: SparkSession, io: SwapFs, targetPath: String, df: DataFrame,
       partCol: String, keys: Seq[String]): Unit = {
-    val (m, k) = chooseGeometry(df, partCol, keys)
     val staged = io.path(targetPath + "/" + Dir + ".tmp")
     io.delete(staged)
-    stats(df, partCol, keys, df.schema, m, k)
+    stats(df, partCol, keys, df.schema)
       .withColumn("ver", lit(0L))
       .coalesce(1)
-      .write.parquet(staged.toString)
+      .write.parquet(new HPath(staged, "meta").toString)
+    val totalKeys = spark.read.parquet(new HPath(staged, "meta").toString)
+      .agg(sum(col("nk"))).collect().headOption
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).getOrElse(0L)
+    val bBits = chooseB(totalKeys)
+    records(df, partCol, keys, df.schema)
+      .withColumn("ver", lit(0L))
+      .withColumn("kb", kbCol(bBits))
+      .write.partitionBy("kb").parquet(new HPath(staged, "base").toString)
     val live = io.path(targetPath + "/" + Dir)
     io.delete(live)
-    io.rename(staged, live)
+    io.fs.mkdirs(new HPath(live, RecDir))
+    var i = 0
+    for (st <- io.fs.listStatus(new HPath(staged, "meta"))
+         if st.getPath.getName.endsWith(".parquet")) {
+      io.rename(st.getPath, new HPath(live, s"c0-$i.parquet"))
+      i += 1
+    }
+    io.rename(new HPath(staged, "base"), new HPath(live, RecDir + "/base"))
+    writeB(io, new HPath(live, RecDir + "/base"), bBits)
+    io.delete(staged)
   }
 
-  /** A validated index: its WINNER stats frame (max-ver row per
-    * partition), geometry, and the version the next chunk should
-    * carry. */
-  final case class Valid(stats: DataFrame, mBits: Int, nHash: Int, nextVer: Long)
+  /** A validated index: its WINNER meta frame (max-ver row per
+    * partition), the winner version per partition (record-row
+    * liveness filter), and the version the next chunk should carry. */
+  final case class Valid(stats: DataFrame, winnerVers: Map[String, Long], nextVer: Long)
 
   /** Read the index, validating it against reality before trusting it
     * for pruning: no pending marker, the exact column set this writer
-    * produces (key-NAME-bound), a single geometry, the binding
-    * signature matching the CURRENT merge definition and target key
-    * types, and an index row for every live partition directory
-    * (extra rows for since-deleted partitions are fine —
-    * over-inclusion never breaks pruning soundness). Any doubt → None
-    * → the caller full-scans and rebuilds. */
+    * produces (key-NAME-bound), the binding signature matching the
+    * CURRENT merge definition and target key types, and a meta row
+    * for every live partition directory (extra rows for since-deleted
+    * partitions are fine — over-inclusion never breaks pruning
+    * soundness). Any doubt → None → the caller full-scans and
+    * rebuilds. A v2 (Bloom-sidecar) index fails the column check here
+    * and is rebuilt as v3 on the next merge — the upgrade path. */
   def readValid(spark: SparkSession, io: SwapFs, targetPath: String,
       targetSchema: StructType, liveDirNames: Set[String], prefix: String,
       partCol: String, keys: Seq[String]): Option[Valid] = {
@@ -783,27 +867,23 @@ private[operators] object KeyIdx {
     val statsRaw =
       try {
         val df = spark.read.parquet(live.toString)
-        val dropped = if (df.columns.contains("pd")) df.drop("pd") else df
-        if (dropped.columns.sorted.toSeq != expected.sorted) return None
-        dropped.select(expected.map(col): _*)
+        if (df.columns.sorted.toSeq != expected.sorted) return None
+        df.select(expected.map(col): _*)
       } catch { case scala.util.control.NonFatal(_) => return None }
     // key TYPES must match the current target schema — an index built
-    // before a type-widening merge would Bloom-hash the old type
+    // before a type-widening merge would hash the old type
     for (k <- keys)
       if (statsRaw.schema(s"min_$k").dataType != keyType(targetSchema, k)) return None
-    // ONE bounded job validates signature uniformity, geometry,
-    // versioning, and partition coverage together (per-merge fixed
-    // latency is paid three times per incremental gate — every
-    // collapsed job shows)
-    val metaRows = statsRaw.select(col(pn), col("sig"), col("pbm"), col("pbk"), col("ver")).collect()
+    // ONE bounded job validates signature uniformity, versioning, and
+    // partition coverage together (per-merge fixed latency is paid
+    // three times per incremental gate — every collapsed job shows)
+    val metaRows = statsRaw.select(col(pn), col("sig"), col("ver")).collect()
     if (metaRows.isEmpty) return None
-    val metas = metaRows.map(r => (r.getString(1), r.getInt(2), r.getInt(3))).distinct
-    if (metas.length != 1) return None
-    val (sig, m, k) = metas(0)
-    if (sig != sigPrefix(partCol, keys, targetSchema) + s"|m=$m|k=$k") return None
+    val sigs = metaRows.map(_.getString(1)).distinct
+    if (sigs.length != 1 || sigs(0) != sigFor(partCol, keys, targetSchema)) return None
     // winner per partition = its max-ver row (later chunks supersede)
     val winnerVer = metaRows.groupBy(_.getString(0))
-      .map { case (pv, rs) => pv -> rs.map(_.getLong(4)).max }
+      .map { case (pv, rs) => pv -> rs.map(_.getLong(2)).max }
     val statVals = winnerVer.keySet
     val diskVals = liveDirNames.iterator
       .filter(n => n.startsWith(prefix) && !n.contains(".old-pmerge"))
@@ -817,17 +897,57 @@ private[operators] object KeyIdx {
     val winnerKeys = winnerVer.map { case (pv, v) => s"$pv\u0000$v" }.toSeq
     val winners = statsRaw.filter(
       concat_ws("\u0000", col(pn), col("ver")).isin(winnerKeys: _*))
-    Some(Valid(winners, m, k, metaRows.map(_.getLong(4)).max + 1))
+    Some(Valid(winners, winnerVer, metaRows.map(_.getLong(2)).max + 1))
+  }
+
+  /** The record rows visible to a probe: every un-compacted chunk
+    * file, plus — when `batchHashes` is given — ONLY the base buckets
+    * those hashes land in (path-level pruning: the piece that keeps
+    * probe I/O proportional to the batch, not the index; `None` reads
+    * the whole base — the compaction path). Returns None when the
+    * record side is absent or its bucket geometry is unreadable — the
+    * caller skips refinement (over-inclusive, sound). */
+  private def readRecordRows(spark: SparkSession, io: SwapFs, targetPath: String,
+      batchHashes: Option[Array[Long]]): Option[DataFrame] = {
+    val recDir = io.path(targetPath + "/" + Dir + "/" + RecDir)
+    if (!io.exists(recDir)) return None
+    val chunkFiles = io.fs.listStatus(recDir).iterator
+      .filter(st => !st.isDirectory && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).toSeq
+    val baseDir = new HPath(recDir, "base")
+    val basePaths: Seq[String] =
+      if (!io.exists(baseDir)) Seq.empty
+      else readB(io, baseDir) match {
+        case None => return None // base present but geometry unreadable — torn; don't trust
+        case Some(bBits) =>
+          batchHashes match {
+            case Some(hs) =>
+              hs.iterator.map(bucketOf(_, bBits)).toSet.toSeq.sorted
+                .map(b => new HPath(baseDir, s"kb=$b"))
+                .filter(io.exists).map(_.toString)
+            case None => // whole base (compaction): list, don't probe 2^B paths
+              io.listDirNames(baseDir).filter(_.startsWith("kb="))
+                .toSeq.sorted.map(n => new HPath(baseDir, n).toString)
+          }
+      }
+    val all = chunkFiles ++ basePaths
+    if (all.isEmpty) Some(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], recSchema))
+    else Some(spark.read.schema(recSchema).parquet(all: _*))
   }
 
   /** Candidate partitions for the batch: range intersection AND (when
-    * the batch's distinct key-tuple count fits [[BatchProbeMax]]) a
-    * Bloom membership test of every batch tuple against each
-    * surviving partition's bitset. Returns canonical partition-value
-    * strings ([[NullPart]] for the null partition). The Bloom pass is
-    * the piece that keeps the probe O(touched) for hash-distributed
-    * keys, where every partition survives range intersection. */
-  def candidates(idx: Valid, srcKeys: DataFrame, srcPartVals: Set[String],
+    * the batch's distinct key-tuple count fits [[BatchProbeMax]]) an
+    * exact record-membership test — which target partitions actually
+    * HOLD one of the batch's key hashes. Returns canonical
+    * partition-value strings ([[NullPart]] for the null partition).
+    * The record pass is the piece that keeps the probe O(touched) for
+    * hash-distributed keys, where every partition survives range
+    * intersection — and its I/O is O(batch) bucket files plus the
+    * recent un-compacted chunks, never O(partitions), however large
+    * each partition's key set is. */
+  def candidates(spark: SparkSession, io: SwapFs, targetPath: String, idx: Valid,
+      srcKeys: DataFrame, srcPartVals: Set[String],
       targetSchema: StructType, keys: Seq[String]): Seq[String] = {
     val pn = idx.stats.columns.head
     val boundAggs = keys.flatMap { k =>
@@ -836,43 +956,42 @@ private[operators] object KeyIdx {
     val overlap = keys.map { k =>
       col(s"max_$k") >= col(s"bmin_$k") && col(s"min_$k") <= col(s"bmax_$k")
     }.reduce(_ && _)
-    // phase 1 — ranges only: the projection excludes `pb`, so the
-    // columnar scan never decodes any partition's words map here
+    // phase 1 — ranges over the winner meta rows (tiny frame)
     val ranged = idx.stats
       .select(col(pn) +: keys.flatMap(k => Seq(col(s"min_$k"), col(s"max_$k"))): _*)
       .crossJoin(broadcast(bounds)).filter(overlap)
       .select(col(pn)).collect().map(_.getString(0)).toIndexedSeq
-    // Bloom-test ONLY range survivors the batch is not already
+    // record-test ONLY range survivors the batch is not already
     // rewriting: a partition in the batch's own write set is read and
     // rewritten regardless, so testing it buys nothing — and for
     // broad batches (a backfill touching every date) this skips the
-    // whole membership pass INCLUDING the batch-position fetch below
+    // whole membership pass INCLUDING the batch-hash fetch below
     val toTest = ranged.filterNot(srcPartVals)
     if (toTest.isEmpty) return ranged
-    // batch tuple positions, computed IN-ENGINE with the same
-    // expressions the index rows were built with, fetched as a bounded
-    // parameter set
-    val posRows = srcKeys.where(allKeysNotNull(keys))
-      .select(array(posCols(targetSchema, keys, idx.mBits, idx.nHash): _*).as("ps"))
+    // batch key hashes, computed IN-ENGINE with the same expression
+    // the record rows were built with, fetched as a bounded parameter
+    // set (64-bit hashes, <= 512 KiB)
+    val khRows = srcKeys.where(allKeysNotNull(keys))
+      .select(khCol(targetSchema, keys).as("kh"))
       .distinct().limit(BatchProbeMax + 1).collect()
-    if (posRows.length > BatchProbeMax || posRows.isEmpty) ranged
-    else {
-      val posLit = typedlit(posRows.map(_.getSeq[Int](0)).toSeq)
-      // phase 2 — Bloom membership, reading `pb` ONLY for the range
-      // survivors: does ANY batch tuple pass every probe? All builtin
-      // expressions (element_at/getbit over the sparse words map —
-      // absent word = zero), early-exiting exists/forall — no UDF, no
-      // kernel. For range-clustered keys the survivors are already
-      // ~the touched partitions and this phase reads almost nothing;
-      // for hash keys it is the phase doing the real pruning.
-      val hit = exists(posLit, ps => forall(ps, pp =>
-        call_function("getbit",
-          coalesce(element_at(col("pb"), shiftrightunsigned(pp, 6)), lit(0L)),
-          pmod(pp, lit(64))).cast("int") === lit(1)))
-      val passed = idx.stats.filter(col(pn).isin(toTest: _*))
-        .filter(col("pb").isNull || hit)
-        .select(col(pn)).collect().map(_.getString(0)).toIndexedSeq
-      ranged.filter(srcPartVals) ++ passed
+    if (khRows.length > BatchProbeMax) return ranged
+    // no non-null key tuples in the batch means no equi-match is
+    // possible — only the batch's own write set can change
+    if (khRows.isEmpty) return ranged.filter(srcPartVals)
+    val hs = khRows.map(_.getLong(0))
+    readRecordRows(spark, io, targetPath, Some(hs)) match {
+      case None => ranged
+      case Some(rows) =>
+        // phase 2 — exact membership over the path-pruned record rows.
+        // Live rows only: (p, ver) must be a current winner — stale
+        // rows for keys that since left a partition must not
+        // resurrect it as a candidate
+        val winnerKeys = idx.winnerVers.map { case (p, v) => s"$p\u0000$v" }.toSeq
+        val hits = rows
+          .filter(col("kh").isInCollection(hs.toIndexedSeq))
+          .filter(concat_ws("\u0000", col("p"), col("ver")).isin(winnerKeys: _*))
+          .select(col("p")).distinct().collect().map(_.getString(0)).toSet
+        ranged.filter(srcPartVals) ++ toTest.filter(hits)
     }
   }
 }

@@ -108,6 +108,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("mergePartitionedManifest == in-memory model over random batch sequences (manifest commits)") {
+    // the same model-based discipline that caught the r13 in-place
+    // data-loss bug, pointed at the MANIFEST-committed merge: random
+    // batches (updates, partition moves, inserts, emptied partitions)
+    // through mergePartitionedManifest + readManifest must equal the
+    // driver-side map model. Exercises generation installs, the
+    // one-file commit, N-1 retention GC, and the shared key-index
+    // machinery across generations.
+    val batchGen = Gen.listOfN(6, Gen.zip(
+      Gen.chooseNum(1, 12), Gen.oneOf("2024-01-01", "2024-01-02", "2024-02-01"),
+      Gen.identifier))
+    forAll(Gen.listOfN(4, batchGen), 6) { batches =>
+      val work = java.nio.file.Files.createTempDirectory("mmerge-prop")
+      val path = work.toString + "/fact"
+      try {
+        var model = Map.empty[Int, (String, String)]
+        batches.foreach { b =>
+          val src = b.map { case (k, d, v) => (k, d, v) }
+            .groupBy(_._1).map(_._2.last).toSeq
+          Upsert.mergePartitionedManifest(spark, path,
+            src.toDF("k", "d", "v"), Seq("k"), "d")
+          model = model ++ src.map { case (k, d, v) => k -> (d, v) }
+          val got = Upsert.readManifest(spark, path)
+            .select($"k", $"d".cast("string"), $"v").as[(Int, String, String)]
+            .collect().map { case (k, d, v) => k -> (d, v) }.toMap
+          assert(got == model)
+        }
+      } finally graft.sources.LocalFs.deleteRecursively(work)
+    }
+  }
+
   test("portable rounding r is idempotent and within half-ulp of the target grid") {
     forAll(Gen.chooseNum(-1e6, 1e6), Gen.chooseNum(0, 6)) { (x: Double, d: Int) =>
       val once = Seq(x).toDF("x").select(Cols.r($"x", d)).as[Double].head()

@@ -5,6 +5,7 @@ import java.nio.file.Files
 
 class UpsertSpec extends SparkSpec {
   import spark.implicits._
+  import org.apache.spark.sql.functions.{sha2, concat, lit}
 
   test("upsertBatch: matched keys replaced, unmatched survive, new keys insert") {
     val target = Seq((1, "old1"), (2, "old2")).toDF("k", "v")
@@ -239,11 +240,11 @@ class UpsertSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
-  test("Bloom sidecar bounds the probe for HASH-DISTRIBUTED keys: untouched partitions never read") {
+  test("record index bounds the probe for HASH-DISTRIBUTED keys: untouched partitions never read") {
     // the degenerate case for range pruning — sha256 keys (the
     // reference's own surrogate-key type): every partition's [min,max]
-    // spans ~the whole hex space, so only the per-partition Bloom
-    // bitsets can prune the matched-key probe
+    // spans ~the whole hex space, so only the record-level
+    // (key-hash, partition) lookup can prune the matched-key probe
     val path = Files.createTempDirectory("pmerge-hash").toString + "/fact"
     val init = (0 until 200).map { i =>
       (org.apache.commons.codec.digest.DigestUtils.sha256Hex(s"k$i"), s"d${i % 4 + 1}", i) }
@@ -258,11 +259,74 @@ class UpsertSpec extends SparkSpec {
     }
     assert(scans.nonEmpty, "expected accounted scans over the target")
     // 4 partition dirs × 1 file: any scan reading >1 file read an
-    // untouched partition — with hash keys that means the Bloom pass
+    // untouched partition — with hash keys that means the record pass
     // failed to prune
     assert(scans.forall(_._2 <= 1), s"a merge scan read untouched partitions: ${scans.toSeq}")
     val after = spark.read.parquet(path).select($"k", $"v").as[(String, Int)].collect().toMap
     assert(after(batchKey) == -1 && after.size == 200)
+  }
+
+  test("the probe bound holds PAST the r14 Bloom saturation cap: 300k-key sha partitions still prune") {
+    // r14's per-partition Bloom bitsets saturated at ~200k distinct
+    // tuples (2^22-bit cap) and stored NULL = always-candidate — for
+    // sha keys that silently restored the O(target) probe. The
+    // record-level index has no cardinality cliff: scan accounting
+    // must show the same one-partition bound at 300k keys/partition.
+    val path = Files.createTempDirectory("pmerge-bigcard").toString + "/fact"
+    val perPart = 300000L
+    val init = spark.range(0L, 3L * perPart)
+      .select(sha2(concat(lit("k"), $"id".cast("string")), 256).as("k"),
+        concat(lit("d"), ($"id" / perPart).cast("int").cast("string")).as("d"),
+        $"id".as("v"))
+      .repartition(1)
+    assert(Upsert.mergePartitionedPath(spark, path, init, Seq("k"), "d") == 3 * perPart)
+    val batchKey = org.apache.commons.codec.digest.DigestUtils.sha256Hex(
+      "k" + (perPart + 5)) // lives in d1
+    val scans = accountedScans(path) {
+      val batch = Seq((batchKey, "d1", -1L)).toDF("k", "d", "v")
+      assert(Upsert.mergePartitionedPath(spark, path, batch, Seq("k"), "d") == perPart)
+    }
+    assert(scans.nonEmpty, "expected accounted scans over the target")
+    assert(scans.forall(_._2 <= 1),
+      s"a merge scan read untouched 300k-key partitions: ${scans.toSeq}")
+    val row = spark.read.parquet(path).filter($"k" === batchKey)
+      .select($"v").as[Long].collect().toSeq
+    assert(row == Seq(-1L))
+  }
+
+  test("record-base bucket pruning: a small batch's probe reads only its hash buckets") {
+    // the piece that keeps probe I/O ∝ batch size rather than ∝ index
+    // size: the compacted record base is hash-bucketed (kb=<b>/ dirs)
+    // and the probe reads ONLY the buckets its batch hashes land in.
+    // Shrink the bucket-row target so the fixture compacts into many
+    // buckets, then account the base scans of a one-key batch.
+    val saved = KeyIdx.RecBucketRows
+    KeyIdx.RecBucketRows = 64
+    try {
+      val path = Files.createTempDirectory("pmerge-buckets").toString + "/fact"
+      val init = spark.range(0L, 2048L)
+        .select(sha2(concat(lit("k"), $"id".cast("string")), 256).as("k"),
+          concat(lit("d"), ($"id" % 4).cast("string")).as("d"),
+          $"id".as("v"))
+        .repartition(1)
+      assert(Upsert.mergePartitionedPath(spark, path, init, Seq("k"), "d") == 2048)
+      // creation rebuilds the index: base bucketed at B ≥ 5 (2048/64)
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val baseDir = new org.apache.hadoop.fs.Path(path + "/_keyidx/_rec/base")
+      val buckets = fs.listStatus(baseDir).count(_.getPath.getName.startsWith("kb="))
+      assert(buckets >= 16, s"fixture must produce many buckets, got $buckets")
+      val batchKey = org.apache.commons.codec.digest.DigestUtils.sha256Hex("k7") // d3
+      val baseScans = accountedScansWhere(_.contains("/_keyidx/_rec/base")) {
+        val batch = Seq((batchKey, "d3", -1L)).toDF("k", "d", "v")
+        assert(Upsert.mergePartitionedPath(spark, path, batch, Seq("k"), "d") == 512)
+      }
+      assert(baseScans.nonEmpty, "expected accounted scans over the record base")
+      // one batch hash → exactly one bucket DIR among the >=16 live
+      // ones; any second root path means bucket path-pruning failed
+      val bucketDirsRead = baseScans.map(_._1).distinct
+      assert(bucketDirsRead.length == 1,
+        s"the probe read record-base buckets outside the batch's hashes: $bucketDirsRead")
+    } finally KeyIdx.RecBucketRows = saved
   }
 
   test("exact post-swap index rows: a key moving OUT tightens the range, later batches prune it") {
