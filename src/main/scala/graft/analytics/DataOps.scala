@@ -2011,8 +2011,10 @@ object DataOps {
     * before returning. */
   /** One-JOB chunk layout for the file-source gates: every chunk lands
     * as its own parquet file under `inDir/_b=<i>/` via a single
-    * partitionBy write (coalesce(1) ⇒ one task ⇒ one file per chunk),
-    * then per-file mtimes are stamped strictly increasing so the
+    * partitionBy write (hash-partitioned on `_b` ⇒ one writer task
+    * per chunk ⇒ one file per chunk, synthesis at engine width —
+    * see [[graft.streaming.Streams.writeOrderedChunks]]), then
+    * per-file mtimes are stamped strictly increasing so the
     * file-source's oldest-first ordering IS the intended batch
     * timeline. Replaces N sequential write JOBS (~0.2–0.3 s of fixed
     * job cost each on a loaded scheduler) with one; the `_b` column

@@ -499,13 +499,26 @@ object StockCatalog {
     * maintenance ≡ the batch rebuild. */
   def stockStreamDim(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    // dormant phase timer (SPARK_GRAFT_STREAM_TIMING=1): fixture write
+    // vs per-micro-batch model+merge cost to stderr — the measurement
+    // behind SCALE.md's decomposition of this gate's decade cost (the
+    // per-batch side must scale with BATCH rows, not the corpus)
+    val streamTiming = sys.env.get("SPARK_GRAFT_STREAM_TIMING").contains("1")
+    def timed[T](label: => String)(f: => T): T =
+      if (!streamTiming) f
+      else {
+        val t0 = System.nanoTime()
+        val r = f
+        System.err.println(f"STREAM-PHASE ${label}%-18s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        r
+      }
     val raw = rawStock(spark, dir)
     val work = graft.sources.LocalFs.scratchDir("graft_stock_stream")
     val inDir = s"$work/in"; val target = s"$work/dim"; val ckpt = s"$work/ckpt"
-    graft.streaming.Streams.writeOrderedChunks(inDir, Seq(
+    timed("fixture-write")(graft.streaming.Streams.writeOrderedChunks(inDir, Seq(
       raw.filter(col("scraped_at") < "2024-01-14"),
       raw.filter(col("scraped_at") >= "2024-01-14" && col("scraped_at") < "2024-01-18"),
-      raw.filter(col("scraped_at") >= "2024-01-18")))
+      raw.filter(col("scraped_at") >= "2024-01-18"))))
     // 2 state partitions — the streaming gates' shared width (pinned at
     // first start into the checkpoint; restored right after)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -516,8 +529,8 @@ object StockCatalog {
         .writeStream
         .outputMode(OutputMode.Update())
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty) {
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          if (!batch.isEmpty) timed(s"batch-$bid") {
             // this stream is STATELESS (file source → foreachBatch):
             // the 2-wide pin above exists only so the streaming gates
             // share one cheap width, but foreachBatch's BATCH jobs run

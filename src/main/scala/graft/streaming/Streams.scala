@@ -243,11 +243,24 @@ object Streams {
     * as in-order micro-batches. An empty chunk writes no partition
     * dir — the stream simply runs one fewer batch. Shared by every
     * streaming catalog gate (events merge/rollup/dedupe, the
-    * stream-stream join, and the stock dim-maintenance gate). */
+    * stream-stream join, and the stock dim-maintenance gate).
+    *
+    * The write hash-partitions on `_b` instead of `coalesce(1)`:
+    * coalesce PROPAGATES its 1-way parallelism upstream, so the
+    * whole chunk synthesis (at the stock gate's sf100 that is the
+    * full 273 M-row raw feed) ran in ONE task — measured as the
+    * dominant cost of the sf100 `stock_stream_dim` entry, serial
+    * compute + serial parquet encode of the entire corpus. A
+    * `repartition(col("_b"))` keeps the synthesis at engine width
+    * and funnels each chunk wholly into one writer task (one file
+    * per chunk still holds — a chunk's rows can never split across
+    * tasks), with distinct chunks encoding in parallel. Still one
+    * job, and an empty chunk still writes no dir. 64 buckets so
+    * 3–5 chunk indices rarely hash-collide into one writer. */
   def writeOrderedChunks(inDir: String, chunks: Seq[DataFrame]): Unit = {
     chunks.zipWithIndex.map { case (df, i) => df.withColumn("_b", lit(i)) }
       .reduce(_ unionByName _)
-      .coalesce(1).write.partitionBy("_b").parquet(inDir)
+      .repartition(64, col("_b")).write.partitionBy("_b").parquet(inDir)
     chunks.indices.foreach { i =>
       val d = java.nio.file.Paths.get(inDir, s"_b=$i")
       if (java.nio.file.Files.isDirectory(d)) {

@@ -72,6 +72,45 @@ class StreamsSpec extends SparkSpec {
     assert(texts.contains("other doc") && texts.contains("advance"))
   }
 
+  test("writeOrderedChunks: one file per chunk, ascending mtimes, empty chunk writes no dir") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ordered-chunks")
+    val inDir = s"$dir/in"
+    // 40 rows per chunk so a multi-partition source frame must still
+    // land as ONE file per chunk (the repartition-on-_b guarantee —
+    // coalesce(1)'s old one-task form gave this trivially; the
+    // parallel-synthesis form must preserve it, because the stream
+    // gates' chunk = micro-batch contract is one FILE per chunk)
+    val chunks = Seq(
+      spark.range(0, 40, 1, 4).select(col("id"), lit("a").as("tag")),
+      spark.range(100, 140, 1, 4).select(col("id"), lit("b").as("tag")),
+      spark.range(200, 200).select(col("id"), lit("c").as("tag")), // EMPTY
+      spark.range(300, 340, 1, 4).select(col("id"), lit("d").as("tag")))
+    writeOrderedChunks(inDir, chunks)
+    def files(i: Int) = {
+      val d = java.nio.file.Paths.get(inDir, s"_b=$i")
+      if (!java.nio.file.Files.isDirectory(d)) Seq.empty
+      else {
+        val it = java.nio.file.Files.list(d).iterator()
+        var out = List.empty[java.nio.file.Path]
+        while (it.hasNext) { val f = it.next(); if (f.toString.endsWith(".parquet")) out ::= f }
+        out
+      }
+    }
+    assert(files(0).size == 1 && files(1).size == 1 && files(3).size == 1)
+    assert(files(2).isEmpty, "empty chunk must write no partition dir")
+    val m0 = java.nio.file.Files.getLastModifiedTime(files(0).head).toMillis
+    val m1 = java.nio.file.Files.getLastModifiedTime(files(1).head).toMillis
+    val m3 = java.nio.file.Files.getLastModifiedTime(files(3).head).toMillis
+    assert(m0 < m1 && m1 < m3, "chunk mtimes must be strictly increasing")
+    // round-trip: the streamed rows equal the union, with _b recoverable
+    val back = spark.read.parquet(inDir)
+    assert(back.count() == 120)
+    assert(back.where(col("_b") === 1).agg(min(col("id")), max(col("id")))
+      .as[(Long, Long)].head() == ((100L, 139L)))
+    graft.sources.LocalFs.deleteRecursively(dir)
+  }
+
   test("upsertSink merges each micro-batch into parquet, latest batch wins per key") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
