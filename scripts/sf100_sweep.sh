@@ -15,7 +15,11 @@ CHUNKS[3]="mix_temperature,mm_audio_signature,mm_image_dhash,mm_payload_stats,mm
 CHUNKS[4]="scd2_user_versions,semdedup_prune,sessionize_daily,shard_plan,sim_topk,sim_topk_ivf,sim_topk_ivf_kmeans,sim_topk_ivfadc,sim_topk_lsh,sim_topk_pq,sim_topk_pq256,sim_topk_q8,skew_salted_rollup,source_mix_summary,split_leakage_pairs,split_train_val_test,stock_dim_entity,stock_dim_entity_scalable,stock_fct_observations,stock_normalize_quotes,stock_q1_top_market_cap,stock_q2_daily_trend,stock_q3_volume_outliers,stock_q4_geo,stock_q4_geo_scalable,stock_q5_risk_watchlist,stock_quality_suite,stock_raw_qa,stock_stg,stock_u1_filters"
 for c in ${@:-R 1 2 3 4}; do
   echo "=== chunk $c ===" >&2
+  # spark.local.dir back on disk for the decade: sf100 shuffle volume
+  # (tens of GB of dead blocks between GC ticks) must not sit in the
+  # RAM-backed default Sessions picks for oracle-SF runs
   SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_ONLY=${CHUNKS[$c]} SPARK_GRAFT_GC_BETWEEN=1 \
     SPARK_GRAFT_BENCH_OUT=$OUT/chunk_r15_$c.json SPARK_DRIVER_MEM=96g \
+    SPARK_GRAFT_EXTRA_CONF="spark.local.dir=${SPARK_LOCAL_DIR:-/tmp}" \
     /root/repo/scripts/run_graft.sh graft.Bench || echo "chunk $c FAILED" >&2
 done

@@ -38,6 +38,30 @@ object Sessions {
       .config("spark.sql.warehouse.dir",
         graft.sources.LocalFs.scratchDir("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
+      // partition-dir listing: the default threshold (32 dirs) launches
+      // a DISTRIBUTED listing job for every read of a partitioned
+      // target with more dirs — at local scale each such job is ~0.2 s
+      // of pure scheduling for a listing the driver does in microseconds
+      // on a local fs. 1024 keeps driver-side listing for everything
+      // this harness reads; a deployment against a slow object store
+      // with tens of thousands of partitions lowers it back via
+      // SPARK_GRAFT_EXTRA_CONF (parallel listing exists for exactly
+      // that regime).
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
+      // shuffle/scratch block files: thread-dump profiling (r15) showed
+      // task wall-time concentrated in DiskBlockObjectWriter.initialize
+      // / createTempShuffleBlock — file CREATION latency on the
+      // disk-backed default /tmp, which on this virtualized box is
+      // erratically slow (10–50× stalls measured on merge entries with
+      // zero iowait and idle CPU). Local-mode shuffle blocks are
+      // query-lifetime scratch, exactly the LocalFs.scratchDir policy:
+      // prefer the RAM-backed fs. Decade probes whose shuffle exceeds
+      // RAM override this with SPARK_GRAFT_EXTRA_CONF
+      // spark.local.dir=/tmp (the sf100 sweep script does); a real
+      // cluster sizes executor local disks instead and never sets this.
+      .config("spark.local.dir",
+        if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+          "/dev/shm/graft-local" else System.getProperty("java.io.tmpdir"))
       // broadcast exchanges collect through the driver and count
       // against maxResultSize; the synthetic decade's 15M-entity dim
       // serializes just past the 1g default (measured: 1055 MiB at

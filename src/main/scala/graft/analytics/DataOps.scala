@@ -2056,6 +2056,11 @@ object DataOps {
       .select(col("event_id"), col("s.event_date").as("event_date"),
         col("s.user_id").as("user_id"), col("s.event_type").as("event_type"),
         col("s.value").as("value"))
+      // the deduped base feeds all three batches (and the moved slice):
+      // persist ONCE inside the timed entry so the full-events dedupe
+      // shuffle runs once per gate, not once per batch consultation
+      // (guide §1.2 step 1 — don't recompute what you already have)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val work = graft.sources.LocalFs.scratchDir("graft_pmerge")
     val target = s"$work/fact"
     val cols = Seq("event_id", "user_id", "event_type", "event_date", "value").map(col)
@@ -2081,6 +2086,7 @@ object DataOps {
     val settled = rollup.collect().toSeq
     val out = spark.createDataFrame(
       spark.sparkContext.parallelize(settled, 1), rollup.schema)
+    base.unpersist(blocking = false)
     graft.sources.LocalFs.deleteRecursively(work)
     out
   }
@@ -2110,6 +2116,8 @@ object DataOps {
         col("event_id"), col("s.event_date").as("event_date"),
         col("s.user_id").as("user_id"), col("s.event_type").as("event_type"),
         col("s.value").as("value"))
+      // persist rationale: see incrMergePartitioned
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val work = graft.sources.LocalFs.scratchDir("graft_pmerge_hash")
     val target = s"$work/fact"
     val cols = Seq("ekey", "event_id", "user_id", "event_type", "event_date", "value").map(col)
@@ -2134,6 +2142,7 @@ object DataOps {
     val settled = rollup.collect().toSeq
     val out = spark.createDataFrame(
       spark.sparkContext.parallelize(settled, 1), rollup.schema)
+    base.unpersist(blocking = false)
     graft.sources.LocalFs.deleteRecursively(work)
     out
   }
@@ -2161,6 +2170,8 @@ object DataOps {
       .select(col("event_id"), col("s.event_date").as("event_date"),
         col("s.user_id").as("user_id"), col("s.event_type").as("event_type"),
         col("s.value").as("value"))
+      // persist rationale: see incrMergePartitioned
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val work = graft.sources.LocalFs.scratchDir("graft_mmerge")
     val target = s"$work/fact"
     val cols = Seq("event_id", "user_id", "event_type", "event_date", "value").map(col)
@@ -2185,6 +2196,7 @@ object DataOps {
     val settled = rollup.collect().toSeq
     val out = spark.createDataFrame(
       spark.sparkContext.parallelize(settled, 1), rollup.schema)
+    base.unpersist(blocking = false)
     graft.sources.LocalFs.deleteRecursively(work)
     out
   }

@@ -44,16 +44,37 @@ object Upsert {
   def upsertBatch(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame =
     target.join(source, keys, "left_anti").unionByName(source)
 
+  /** Cluster `df` by the partition column before a `partitionBy` write
+    * (guide §6: output file sizing). Without it every writer task
+    * holds rows of every partition value, so one merge write lands
+    * O(shuffle-width × partitions) tiny files — measured ~1,300 files
+    * per merge at sf0.1 (32-wide dedupe × ~40 dates), and every later
+    * consultation of the target pays the listing + footer reads. The
+    * AQE REBALANCE hint shuffles by the partition value AND lets AQE
+    * coalesce small partitions / split skewed ones
+    * (`optimizeSkewsInRebalancePartitions`, on by default), so file
+    * count is O(partitions) at sf0.1 while a 100 TB hot partition
+    * still fans out across tasks instead of funnelling into one
+    * writer. Results are row-identical — only physical layout moves. */
+  private def clusterByPart(df: DataFrame, partCol: String): DataFrame =
+    df.hint("rebalance", col(partCol))
+
   /** Phase timer for the merge paths, dormant unless
     * SPARK_GRAFT_MERGE_TIMING=1 — per-phase wall-clock to stderr, the
     * measurement tool behind the fixed-latency accounting in SCALE.md. */
   private val mergeTiming = sys.env.get("SPARK_GRAFT_MERGE_TIMING").contains("1")
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+  }
   private def timed[T](label: String)(f: => T): T =
     if (!mergeTiming) f
     else {
-      val t0 = System.nanoTime()
+      val t0 = System.nanoTime(); val g0 = gcMillis
       val r = f
-      System.err.println(f"MERGE-PHASE $label%-18s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      System.err.println(f"MERGE-PHASE $label%-18s ${(System.nanoTime() - t0) / 1e9}%6.2f s" +
+        f"  gc=${(gcMillis - g0) / 1e3}%5.2f s  end=${System.currentTimeMillis() / 1000}")
       r
     }
 
@@ -187,7 +208,7 @@ object Upsert {
     if (!io.exists(tgt) && io.exists(old)) io.rename(old, tgt)
     if (!io.exists(tgt)) {
       val obs0 = Observation()
-      source.observe(obs0, count(lit(1)).as("n"))
+      clusterByPart(source.observe(obs0, count(lit(1)).as("n")), partCol)
         .write.mode("overwrite").partitionBy(partCol).parquet(targetPath)
       // index from the WRITTEN layout, not a second execution of the
       // caller's source plan (which may be an arbitrarily expensive
@@ -218,27 +239,45 @@ object Upsert {
       else io.rename(leftover, live)
     }
     val target = spark.read.parquet(targetPath)
-    // ONE thin (partition, keys) frame is consulted several times per
-    // merge (partition values, range bounds, Bloom positions, the semi
-    // probe) — persist it so the caller's source plan (often a full
-    // dedupe over an upstream fact) executes once, not once per
-    // consultation. srcKeys needs no dedup of its own: the bounds
-    // aggregate, the position fetch (distinct inside), and the semi
-    // join are all duplicate-insensitive.
-    val srcPK = source.select(col(partCol).cast("string").as("__graft_p") +: keys.map(col): _*)
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The source batch is consulted by FOUR independent jobs per merge
+    // (thin-frame build, anti-join probe side, union side of the
+    // merged write — and the caller's plan behind it is often a full
+    // dedupe over an upstream fact). Persist the BATCH (O(batch) rows
+    // — the small side of an incremental merge by definition;
+    // MEMORY_AND_DISK spills, never OOMs) so that plan executes once
+    // per merge, not once per consultation.
+    val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Thin (partition, keys) projection of the persisted batch. NO
+    // distinct / persist of its own (the r14 form paid a full shuffle
+    // to dedupe it): every consumer — the bounds rollup, the hash
+    // fetch (distinct inside), the semi join — is duplicate-
+    // insensitive, so the projection just narrows the cached batch.
+    val srcPK = src.select(col(partCol).cast("string").as("__graft_p") +: keys.map(col): _*)
     try {
     val srcKeys = srcPK.select(keys.map(col): _*)
-    // bounded driver fetch: a batch accidentally keyed on a
-    // high-cardinality partition column must not materialize every
-    // distinct value before the loud budget failure below fires —
-    // the truncated set alone already exceeds maxPartitions
-    val srcPartRows = timed("srcparts")(srcPK.select(col("__graft_p")).distinct()
-      .limit(maxPartitions + 1).collect())
+    // ONE bounded job fetches the batch's distinct partition values
+    // AND its per-partition key bounds (the r14 form paid two: a
+    // distinct-p collect plus a separate global min/max aggregate).
+    // Bounded driver fetch: a batch accidentally keyed on a high-
+    // cardinality partition column must not materialize every distinct
+    // value before the loud budget failure below fires — the truncated
+    // set alone already exceeds maxPartitions. Global bounds fold from
+    // the per-partition rows through a LOCAL relation (min-of-mins /
+    // max-of-maxes — associative, so the fold is exact), keeping every
+    // type comparison inside Spark expressions.
+    val pbAggs = keys.flatMap(k =>
+      Seq(min(col(k)).as(s"bmin_$k"), max(col(k)).as(s"bmax_$k")))
+    val srcPartDf = srcPK.groupBy(col("__graft_p")).agg(pbAggs.head, pbAggs.tail: _*)
+      .limit(maxPartitions + 1)
+    val srcPartRows = timed("srcparts")(srcPartDf.collect())
     val srcHasNull = srcPartRows.exists(_.isNullAt(0))
     val srcPartVals = srcPartRows.filterNot(_.isNullAt(0)).map(_.getString(0))
     val srcPartCanon = srcPartVals.toSet ++ (if (srcHasNull) Set(KeyIdx.NullPart) else Set.empty)
+    val boundsLocal = spark.createDataFrame(
+        java.util.Arrays.asList(srcPartRows: _*), srcPartDf.schema)
+      .agg(keys.map(k => min(col(s"bmin_$k")).as(s"bmin_$k")).head,
+        (keys.map(k => min(col(s"bmin_$k")).as(s"bmin_$k")).tail ++
+          keys.map(k => max(col(s"bmax_$k")).as(s"bmax_$k"))): _*)
     // candidate-partition prefilter from the key index: the probe
     // below only READS partitions whose recorded key ranges AND Bloom
     // sidecars admit the batch — O(touched) I/O instead of O(target)
@@ -247,7 +286,7 @@ object Upsert {
     val probed = validIdx match {
       case Some(idx) =>
         val cand = timed("candidates")(KeyIdx.candidates(spark, io, targetPath, idx,
-          srcKeys, srcPartCanon, target.schema, keys))
+          srcKeys, boundsLocal, srcPartCanon, target.schema, keys))
         val hasDefault = cand.contains(KeyIdx.NullPart)
         val vals = cand.filterNot(_ == KeyIdx.NullPart)
         val inCand = col(partCol).cast("string").isin(vals.toIndexedSeq: _*)
@@ -264,11 +303,11 @@ object Upsert {
         s"of $targetPath — use mergeIntoPath (full rewrite) for rewrite-everything batches")
     val inParts = col(partCol).cast("string").isin(parts.toIndexedSeq: _*)
     val scoped = target.filter(if (hasNull) inParts || col(partCol).isNull else inParts)
-    val merged = upsertBatch(scoped, source, keys)
+    val merged = upsertBatch(scoped, src, keys)
     val tmp = io.path(targetPath + ".tmp-pmerge")
     io.delete(tmp)
     val obs = Observation()
-    timed("write")(merged.observe(obs, count(lit(1)).as("n"))
+    timed("write")(clusterByPart(merged.observe(obs, count(lit(1)).as("n")), partCol)
       .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString))
     val n = obs.get("n").asInstanceOf[Long]
     // EXACT index rows for the affected partitions, computed from the
@@ -323,7 +362,7 @@ object Upsert {
     KeyIdx.clearPending(io, targetPath)
     io.delete(tmp)
     n
-    } finally srcPK.unpersist(blocking = false)
+    } finally src.unpersist(blocking = false)
   }
 
   /** MANIFEST-COMMITTED partition-scoped MERGE — the flat-object-store
@@ -400,7 +439,7 @@ object Upsert {
       val gen0 = s"$targetPath/_g0"
       io.delete(io.path(gen0))
       val obs0 = Observation()
-      source.observe(obs0, count(lit(1)).as("n"))
+      clusterByPart(source.observe(obs0, count(lit(1)).as("n")), partCol)
         .write.mode("overwrite").partitionBy(partCol).parquet(gen0)
       val parts = io.listDirNames(io.path(gen0)).filter(_.startsWith(prefix))
       ManifestStore.commit(io, targetPath,
@@ -412,32 +451,43 @@ object Upsert {
       return obs0.get("n").asInstanceOf[Long]
     }
     val state = state0.get
-    val target = manifestFrame(spark, targetPath, state)
-    val srcPK = source.select(col(partCol).cast("string").as("__graft_p") +: keys.map(col): _*)
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val target = timed("mframe")(manifestFrame(spark, targetPath, state))
+    // same persist rationale as [[mergePartitionedLocked]]: the batch
+    // plan executes once, not once per consultation
+    val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // projection + one-job partition/bounds fetch: see
+    // [[mergePartitionedLocked]] for the rationale
+    val srcPK = src.select(col(partCol).cast("string").as("__graft_p") +: keys.map(col): _*)
     try {
     val srcKeys = srcPK.select(keys.map(col): _*)
-    val srcPartRows = srcPK.select(col("__graft_p")).distinct()
-      .limit(maxPartitions + 1).collect()
+    val pbAggs = keys.flatMap(k =>
+      Seq(min(col(k)).as(s"bmin_$k"), max(col(k)).as(s"bmax_$k")))
+    val srcPartDf = srcPK.groupBy(col("__graft_p")).agg(pbAggs.head, pbAggs.tail: _*)
+      .limit(maxPartitions + 1)
+    val srcPartRows = timed("srcparts")(srcPartDf.collect())
     val srcHasNull = srcPartRows.exists(_.isNullAt(0))
     val srcPartVals = srcPartRows.filterNot(_.isNullAt(0)).map(_.getString(0))
     val srcPartCanon = srcPartVals.toSet ++ (if (srcHasNull) Set(KeyIdx.NullPart) else Set.empty)
-    val validIdx = KeyIdx.readValid(spark, io, targetPath, target.schema,
-      state.parts.keySet, prefix, partCol, keys)
+    val boundsLocal = spark.createDataFrame(
+        java.util.Arrays.asList(srcPartRows: _*), srcPartDf.schema)
+      .agg(keys.map(k => min(col(s"bmin_$k")).as(s"bmin_$k")).head,
+        (keys.map(k => min(col(s"bmin_$k")).as(s"bmin_$k")).tail ++
+          keys.map(k => max(col(s"bmax_$k")).as(s"bmax_$k"))): _*)
+    val validIdx = timed("readValid")(KeyIdx.readValid(spark, io, targetPath, target.schema,
+      state.parts.keySet, prefix, partCol, keys))
     val probed = validIdx match {
       case Some(idx) =>
-        val cand = KeyIdx.candidates(spark, io, targetPath, idx,
-          srcKeys, srcPartCanon, target.schema, keys)
+        val cand = timed("candidates")(KeyIdx.candidates(spark, io, targetPath, idx,
+          srcKeys, boundsLocal, srcPartCanon, target.schema, keys))
         val hasDefault = cand.contains(KeyIdx.NullPart)
         val vals = cand.filterNot(_ == KeyIdx.NullPart)
         val inCand = col(partCol).cast("string").isin(vals.toIndexedSeq: _*)
         target.filter(if (hasDefault) inCand || col(partCol).isNull else inCand)
       case None => target
     }
-    val hitRows = probed.join(srcKeys, keys, "left_semi")
+    val hitRows = timed("affected")(probed.join(srcKeys, keys, "left_semi")
       .select(col(partCol).cast("string").as("p")).distinct()
-      .limit(maxPartitions + 1).collect()
+      .limit(maxPartitions + 1).collect())
     val hasNull = srcHasNull || hitRows.exists(_.isNullAt(0))
     val parts = (srcPartVals ++ hitRows.filterNot(_.isNullAt(0)).map(_.getString(0))).distinct
     require(parts.length + (if (hasNull) 1 else 0) <= maxPartitions,
@@ -445,19 +495,19 @@ object Upsert {
         s"of $targetPath — rewrite into a fresh generation wholesale instead")
     val inParts = col(partCol).cast("string").isin(parts.toIndexedSeq: _*)
     val scoped = target.filter(if (hasNull) inParts || col(partCol).isNull else inParts)
-    val merged = upsertBatch(scoped, source, keys)
+    val merged = upsertBatch(scoped, src, keys)
     val tmp = io.path(targetPath + ".tmp-pmerge")
     io.delete(tmp)
     val obs = Observation()
-    merged.observe(obs, count(lit(1)).as("n"))
-      .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
+    timed("write")(clusterByPart(merged.observe(obs, count(lit(1)).as("n")), partCol)
+      .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString))
     val n = obs.get("n").asInstanceOf[Long]
     val tmpSchema = StructType(merged.schema.map(f =>
       if (f.name == partCol) f.copy(dataType = StringType) else f))
     val staged = validIdx.map { idx =>
-      KeyIdx.stage(spark, io, targetPath,
+      timed("stage-idx")(KeyIdx.stage(spark, io, targetPath,
         spark.read.schema(tmpSchema).parquet(tmp.toString), partCol, keys,
-        target.schema, idx.nextVer)
+        target.schema, idx.nextVer))
     }
     KeyIdx.markPending(io, targetPath)
     // install into a FRESH generation: these renames move just-written
@@ -478,18 +528,18 @@ object Upsert {
     // THE commit: one manifest file; before it readers resolve the old
     // table, after it the new one — never a mix
     ManifestStore.commit(io, targetPath, ManifestStore.State(newGen, newParts))
-    staged match {
+    timed("install-idx")(staged match {
       case Some(stagedPath) =>
         KeyIdx.install(spark, io, targetPath, stagedPath, partCol,
           validIdx.get.nextVer, newParts.keySet, prefix)
       case None =>
         KeyIdx.rebuild(spark, io, targetPath, readManifest(spark, targetPath), partCol, keys)
-    }
+    })
     KeyIdx.clearPending(io, targetPath)
-    ManifestStore.gc(io, targetPath)
+    timed("gc")(ManifestStore.gc(io, targetPath))
     io.delete(tmp)
     n
-    } finally srcPK.unpersist(blocking = false)
+    } finally src.unpersist(blocking = false)
   }
 }
 
@@ -874,16 +924,24 @@ private[operators] object KeyIdx {
     // before a type-widening merge would hash the old type
     for (k <- keys)
       if (statsRaw.schema(s"min_$k").dataType != keyType(targetSchema, k)) return None
-    // ONE bounded job validates signature uniformity, versioning, and
-    // partition coverage together (per-merge fixed latency is paid
-    // three times per incremental gate — every collapsed job shows)
-    val metaRows = statsRaw.select(col(pn), col("sig"), col("ver")).collect()
+    // ONE bounded job fetches the whole meta side (<= partitions x
+    // chunks small rows); every later consultation — signature,
+    // versioning, coverage, and the candidates range phase — runs
+    // over the collected rows / a LOCAL relation, so a merge pays
+    // exactly one Spark job and one parquet read for its meta index
+    // (the prior form re-read the meta parquet once more per merge
+    // for the range phase; per-merge fixed latency is paid three
+    // times per incremental gate — every collapsed job shows)
+    val pnIdx = statsRaw.columns.indexOf(pn)
+    val sigIdx = statsRaw.columns.indexOf("sig")
+    val verIdx = statsRaw.columns.indexOf("ver")
+    val metaRows = statsRaw.collect()
     if (metaRows.isEmpty) return None
-    val sigs = metaRows.map(_.getString(1)).distinct
+    val sigs = metaRows.map(_.getString(sigIdx)).distinct
     if (sigs.length != 1 || sigs(0) != sigFor(partCol, keys, targetSchema)) return None
     // winner per partition = its max-ver row (later chunks supersede)
-    val winnerVer = metaRows.groupBy(_.getString(0))
-      .map { case (pv, rs) => pv -> rs.map(_.getLong(2)).max }
+    val winnerVer = metaRows.groupBy(_.getString(pnIdx))
+      .map { case (pv, rs) => pv -> rs.map(_.getLong(verIdx)).max }
     val statVals = winnerVer.keySet
     val diskVals = liveDirNames.iterator
       .filter(n => n.startsWith(prefix) && !n.contains(".old-pmerge"))
@@ -894,10 +952,13 @@ private[operators] object KeyIdx {
       statVals.contains(
         if (d == NullPart) NullPart else ExternalCatalogUtils.unescapePathName(d))))
       return None
-    val winnerKeys = winnerVer.map { case (pv, v) => s"$pv\u0000$v" }.toSeq
-    val winners = statsRaw.filter(
-      concat_ws("\u0000", col(pn), col("ver")).isin(winnerKeys: _*))
-    Some(Valid(winners, winnerVer, metaRows.map(_.getLong(2)).max + 1))
+    val winnerRows = metaRows.filter(r =>
+      winnerVer(r.getString(pnIdx)) == r.getLong(verIdx))
+    // LOCAL relation: the candidates range phase scans these few rows
+    // in-process instead of re-reading the meta parquet
+    val winners = spark.createDataFrame(
+      java.util.Arrays.asList(winnerRows: _*), statsRaw.schema)
+    Some(Valid(winners, winnerVer, metaRows.map(_.getLong(verIdx)).max + 1))
   }
 
   /** The record rows visible to a probe: every un-compacted chunk
@@ -947,12 +1008,13 @@ private[operators] object KeyIdx {
     * recent un-compacted chunks, never O(partitions), however large
     * each partition's key set is. */
   def candidates(spark: SparkSession, io: SwapFs, targetPath: String, idx: Valid,
-      srcKeys: DataFrame, srcPartVals: Set[String],
+      srcKeys: DataFrame, bounds: DataFrame, srcPartVals: Set[String],
       targetSchema: StructType, keys: Seq[String]): Seq[String] = {
     val pn = idx.stats.columns.head
-    val boundAggs = keys.flatMap { k =>
-      Seq(min(col(k)).as(s"bmin_$k"), max(col(k)).as(s"bmax_$k")) }
-    val bounds = srcKeys.agg(boundAggs.head, boundAggs.tail: _*)
+    // `bounds`: 1-row frame of the batch's global key bounds
+    // (bmin_<k>/bmax_<k>), supplied by the caller from its one-job
+    // partition/bounds fetch — both sides of the range phase are now
+    // LOCAL relations, so phase 1 costs one in-process job, zero I/O
     val overlap = keys.map { k =>
       col(s"max_$k") >= col(s"bmin_$k") && col(s"min_$k") <= col(s"bmax_$k")
     }.reduce(_ && _)
