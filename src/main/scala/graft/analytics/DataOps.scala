@@ -653,11 +653,16 @@ object DataOps {
     * output via `replay_appended`). The final per-day census must
     * equal the raw table's: nothing lost, nothing duplicated. */
   def incrLoadEvents(spark: SparkSession, dir: String): DataFrame = {
-    val pid = ProcessHandle.current().pid()
-    val target = s"${System.getProperty("java.io.tmpdir")}/graft_incr_events_${pid}_" +
-      s"${math.floorMod(dir.hashCode, 1 << 30)}"
-    graft.sources.LocalFs.deleteRecursively(java.nio.file.Paths.get(target))
+    // query-lifetime scratch on the RAM-backed fs (same policy as every
+    // other maintenance gate; the exit hook reclaims it) — the old
+    // fixed path under java.io.tmpdir paid this box's erratic
+    // file-create latency three times per gate
+    val target = graft.sources.LocalFs.scratchDir("graft_incr_events").toString + "/t"
+    // the three appendSince batches below all slice this same frame:
+    // persist once inside the timed entry (guide §1.2 step 1)
     val ev = Tables.events(spark, dir).filter(col("ts").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // slice the first batch ON the watermark column — a prefix in ts
     // order would silently rely on event ids being assigned
     // time-ordered (true of this corpus, but not a contract)
@@ -672,6 +677,7 @@ object DataOps {
         countDistinct(col("event_id")).as("n_distinct_ids"))
       .withColumn("replay_appended", lit(replayed))
       .orderBy(col("event_date").asc)
+    } finally ev.unpersist(blocking = false)
   }
 
   /** Daily session rollup: 30-minute-gap sessionization per user, then
@@ -2708,6 +2714,11 @@ object DataOps {
       .filter(col("ts").isNotNull && col("value").isNotNull && col("event_type").isNotNull)
       .select(col("event_id"), col("event_type"), col("value"),
         date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      // the three append batches below each slice this same frame:
+      // persist it once inside the timed entry so the scan+filter+
+      // format work runs once per gate, not once per batch (guide
+      // §1.2 step 1 — same move as the merge gates)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val work = graft.sources.LocalFs.scratchDir("graft_fact_compact")
     try {
       val path = s"$work/fact"
@@ -2725,7 +2736,10 @@ object DataOps {
         .orderBy(col("d").asc, col("event_type").asc)
       val settled = rollup.collect().toSeq
       spark.createDataFrame(spark.sparkContext.parallelize(settled, 1), rollup.schema)
-    } finally graft.sources.LocalFs.deleteRecursively(work)
+    } finally {
+      ev.unpersist(blocking = false)
+      graft.sources.LocalFs.deleteRecursively(work)
+    }
   }
 
   /** BUCKETED-LAYOUT GATE: orders and customer are written as tables

@@ -78,6 +78,21 @@ object Upsert {
       r
     }
 
+  /** Dormant plan dump (SPARK_GRAFT_MERGE_EXPLAIN=1): the gates return
+    * a settled local rollup whose top-level plan is a LocalTableScan,
+    * so the evidential plan for the plans/ deliverable is the INNER
+    * merged-write frame's — printed here to stderr before the write. */
+  private val mergeExplain = sys.env.get("SPARK_GRAFT_MERGE_EXPLAIN").contains("1")
+  private def explained(label: String, df: DataFrame): DataFrame = {
+    if (mergeExplain) {
+      System.err.println(s"MERGE-PLAN $label >>>")
+      System.err.println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      System.err.println(s"<<< MERGE-PLAN $label")
+    }
+    df
+  }
+
   /** Keyed upsert into a parquet directory via rename-based swap:
     * write merged → tmp, rename target → .old (atomic on
     * rename-capable filesystems), rename tmp → target, drop .old. No
@@ -307,7 +322,7 @@ object Upsert {
     val tmp = io.path(targetPath + ".tmp-pmerge")
     io.delete(tmp)
     val obs = Observation()
-    timed("write")(clusterByPart(merged.observe(obs, count(lit(1)).as("n")), partCol)
+    timed("write")(explained("pmerge-write", clusterByPart(merged.observe(obs, count(lit(1)).as("n")), partCol))
       .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString))
     val n = obs.get("n").asInstanceOf[Long]
     // EXACT index rows for the affected partitions, computed from the
@@ -499,7 +514,7 @@ object Upsert {
     val tmp = io.path(targetPath + ".tmp-pmerge")
     io.delete(tmp)
     val obs = Observation()
-    timed("write")(clusterByPart(merged.observe(obs, count(lit(1)).as("n")), partCol)
+    timed("write")(explained("mmerge-write", clusterByPart(merged.observe(obs, count(lit(1)).as("n")), partCol))
       .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString))
     val n = obs.get("n").asInstanceOf[Long]
     val tmpSchema = StructType(merged.schema.map(f =>
