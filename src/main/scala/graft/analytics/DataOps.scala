@@ -654,30 +654,41 @@ object DataOps {
     * equal the raw table's: nothing lost, nothing duplicated. */
   def incrLoadEvents(spark: SparkSession, dir: String): DataFrame = {
     // query-lifetime scratch on the RAM-backed fs (same policy as every
-    // other maintenance gate; the exit hook reclaims it) — the old
-    // fixed path under java.io.tmpdir paid this box's erratic
-    // file-create latency three times per gate
-    val target = graft.sources.LocalFs.scratchDir("graft_incr_events").toString + "/t"
+    // other maintenance gate) — the old fixed path under java.io.tmpdir
+    // paid this box's erratic file-create latency three times per gate.
+    // The per-day census SETTLES to a local relation inside the gate so
+    // the full events-table copy can be deleted in the finally (the r15
+    // form returned a lazy read of it, deferring reclamation to the
+    // JVM-exit hook — each call leaked a corpus copy into the
+    // RAM-backed fs, stacking against the shuffle scratch at oracle SF)
+    val work = graft.sources.LocalFs.scratchDir("graft_incr_events")
+    val target = work.toString + "/t"
     // the three appendSince batches below all slice this same frame:
     // persist once inside the timed entry (guide §1.2 step 1)
     val ev = Tables.events(spark, dir).filter(col("ts").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-    // slice the first batch ON the watermark column — a prefix in ts
-    // order would silently rely on event ids being assigned
-    // time-ordered (true of this corpus, but not a contract)
-    val cut = ev.agg((max(col("event_id")) / 2).cast("long")).head().getLong(0)
-    val batch1 = ev.filter(col("event_id") <= cut)
-    graft.sources.Incremental.appendSince(spark, target, batch1, "event_id")
-    graft.sources.Incremental.appendSince(spark, target, ev, "event_id")
-    val replayed = graft.sources.Incremental.appendSince(spark, target, ev, "event_id")
-    spark.read.parquet(target)
-      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("event_date"))
-      .agg(count(lit(1)).as("n_events"),
-        countDistinct(col("event_id")).as("n_distinct_ids"))
-      .withColumn("replay_appended", lit(replayed))
-      .orderBy(col("event_date").asc)
-    } finally ev.unpersist(blocking = false)
+      // slice the first batch ON the watermark column — a prefix in ts
+      // order would silently rely on event ids being assigned
+      // time-ordered (true of this corpus, but not a contract)
+      val cut = ev.agg((max(col("event_id")) / 2).cast("long")).head().getLong(0)
+      val batch1 = ev.filter(col("event_id") <= cut)
+      graft.sources.Incremental.appendSince(spark, target, batch1, "event_id")
+      graft.sources.Incremental.appendSince(spark, target, ev, "event_id")
+      val replayed = graft.sources.Incremental.appendSince(spark, target, ev, "event_id")
+      val rollup = spark.read.parquet(target)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("event_date"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_distinct_ids"))
+        .withColumn("replay_appended", lit(replayed))
+        .orderBy(col("event_date").asc)
+      val settled = rollup.collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(settled, 1), rollup.schema)
+    } finally {
+      ev.unpersist(blocking = false)
+      graft.sources.LocalFs.deleteRecursively(work)
+    }
   }
 
   /** Daily session rollup: 30-minute-gap sessionization per user, then
@@ -2068,33 +2079,38 @@ object DataOps {
       // (guide §1.2 step 1 — don't recompute what you already have)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val work = graft.sources.LocalFs.scratchDir("graft_pmerge")
-    val target = s"$work/fact"
-    val cols = Seq("event_id", "user_id", "event_type", "event_date", "value").map(col)
-    val b0 = base.filter(col("event_id") % 3 === 0).select(cols: _*)
-    val b1 = base.filter(col("event_id") % 3 === 1).select(cols: _*)
-    // batch 2 = its own keys + the moved/updated correction slice of b0
-    val moved = b0.filter(col("event_id") % 7 === 0)
-      .withColumn("event_date", date_add(col("event_date"), 365))
-      .withColumn("value", col("value") + lit(1.0))
-    val b2 = base.filter(col("event_id") % 3 === 2).select(cols: _*)
-      .unionByName(moved.select(cols: _*))
-    Seq(b0, b1, b2).foreach(b =>
-      graft.operators.Upsert.mergePartitionedPath(spark, target, b,
-        keys = Seq("event_id"), partCol = "event_date"))
-    val rollup = spark.read.parquet(target)
-      .groupBy(col("event_date"))
-      .agg(count(lit(1)).as("n_events"),
-        countDistinct(col("user_id")).as("n_users"),
-        Cols.r(Cols.sumExact(col("value")), 2).as("total_value"))
-      .select(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"),
-        col("n_events"), col("n_users"), col("total_value"))
-      .orderBy(col("event_date").asc)
-    val settled = rollup.collect().toSeq
-    val out = spark.createDataFrame(
-      spark.sparkContext.parallelize(settled, 1), rollup.schema)
-    base.unpersist(blocking = false)
-    graft.sources.LocalFs.deleteRecursively(work)
-    out
+    // try/finally (not success-path-only cleanup): a failed merge
+    // batch must not leave the cached base + scratch dir resident for
+    // the rest of the JVM, skewing every later entry's memory headroom
+    try {
+      val target = s"$work/fact"
+      val cols = Seq("event_id", "user_id", "event_type", "event_date", "value").map(col)
+      val b0 = base.filter(col("event_id") % 3 === 0).select(cols: _*)
+      val b1 = base.filter(col("event_id") % 3 === 1).select(cols: _*)
+      // batch 2 = its own keys + the moved/updated correction slice of b0
+      val moved = b0.filter(col("event_id") % 7 === 0)
+        .withColumn("event_date", date_add(col("event_date"), 365))
+        .withColumn("value", col("value") + lit(1.0))
+      val b2 = base.filter(col("event_id") % 3 === 2).select(cols: _*)
+        .unionByName(moved.select(cols: _*))
+      Seq(b0, b1, b2).foreach(b =>
+        graft.operators.Upsert.mergePartitionedPath(spark, target, b,
+          keys = Seq("event_id"), partCol = "event_date"))
+      val rollup = spark.read.parquet(target)
+        .groupBy(col("event_date"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          Cols.r(Cols.sumExact(col("value")), 2).as("total_value"))
+        .select(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"),
+          col("n_events"), col("n_users"), col("total_value"))
+        .orderBy(col("event_date").asc)
+      val settled = rollup.collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(settled, 1), rollup.schema)
+    } finally {
+      base.unpersist(blocking = false)
+      graft.sources.LocalFs.deleteRecursively(work)
+    }
   }
 
   /** HASH-KEYED partition-scoped MERGE gate — the same three-batch
@@ -2125,32 +2141,35 @@ object DataOps {
       // persist rationale: see incrMergePartitioned
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val work = graft.sources.LocalFs.scratchDir("graft_pmerge_hash")
-    val target = s"$work/fact"
-    val cols = Seq("ekey", "event_id", "user_id", "event_type", "event_date", "value").map(col)
-    val b0 = base.filter(col("event_id") % 3 === 0).select(cols: _*)
-    val b1 = base.filter(col("event_id") % 3 === 1).select(cols: _*)
-    val moved = b0.filter(col("event_id") % 7 === 0)
-      .withColumn("event_date", date_add(col("event_date"), 365))
-      .withColumn("value", col("value") + lit(1.0))
-    val b2 = base.filter(col("event_id") % 3 === 2).select(cols: _*)
-      .unionByName(moved.select(cols: _*))
-    Seq(b0, b1, b2).foreach(b =>
-      graft.operators.Upsert.mergePartitionedPath(spark, target, b,
-        keys = Seq("ekey"), partCol = "event_date"))
-    val rollup = spark.read.parquet(target)
-      .groupBy(col("event_date"))
-      .agg(count(lit(1)).as("n_events"),
-        countDistinct(col("user_id")).as("n_users"),
-        Cols.r(Cols.sumExact(col("value")), 2).as("total_value"))
-      .select(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"),
-        col("n_events"), col("n_users"), col("total_value"))
-      .orderBy(col("event_date").asc)
-    val settled = rollup.collect().toSeq
-    val out = spark.createDataFrame(
-      spark.sparkContext.parallelize(settled, 1), rollup.schema)
-    base.unpersist(blocking = false)
-    graft.sources.LocalFs.deleteRecursively(work)
-    out
+    // try/finally rationale: see incrMergePartitioned
+    try {
+      val target = s"$work/fact"
+      val cols = Seq("ekey", "event_id", "user_id", "event_type", "event_date", "value").map(col)
+      val b0 = base.filter(col("event_id") % 3 === 0).select(cols: _*)
+      val b1 = base.filter(col("event_id") % 3 === 1).select(cols: _*)
+      val moved = b0.filter(col("event_id") % 7 === 0)
+        .withColumn("event_date", date_add(col("event_date"), 365))
+        .withColumn("value", col("value") + lit(1.0))
+      val b2 = base.filter(col("event_id") % 3 === 2).select(cols: _*)
+        .unionByName(moved.select(cols: _*))
+      Seq(b0, b1, b2).foreach(b =>
+        graft.operators.Upsert.mergePartitionedPath(spark, target, b,
+          keys = Seq("ekey"), partCol = "event_date"))
+      val rollup = spark.read.parquet(target)
+        .groupBy(col("event_date"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          Cols.r(Cols.sumExact(col("value")), 2).as("total_value"))
+        .select(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"),
+          col("n_events"), col("n_users"), col("total_value"))
+        .orderBy(col("event_date").asc)
+      val settled = rollup.collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(settled, 1), rollup.schema)
+    } finally {
+      base.unpersist(blocking = false)
+      graft.sources.LocalFs.deleteRecursively(work)
+    }
   }
 
   /** MANIFEST-COMMITTED partition-scoped MERGE gate — the flat-object-
@@ -2179,32 +2198,35 @@ object DataOps {
       // persist rationale: see incrMergePartitioned
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val work = graft.sources.LocalFs.scratchDir("graft_mmerge")
-    val target = s"$work/fact"
-    val cols = Seq("event_id", "user_id", "event_type", "event_date", "value").map(col)
-    val b0 = base.filter(col("event_id") % 3 === 0).select(cols: _*)
-    val b1 = base.filter(col("event_id") % 3 === 1).select(cols: _*)
-    val moved = b0.filter(col("event_id") % 7 === 0)
-      .withColumn("event_date", date_add(col("event_date"), 365))
-      .withColumn("value", col("value") + lit(1.0))
-    val b2 = base.filter(col("event_id") % 3 === 2).select(cols: _*)
-      .unionByName(moved.select(cols: _*))
-    Seq(b0, b1, b2).foreach(b =>
-      graft.operators.Upsert.mergePartitionedManifest(spark, target, b,
-        keys = Seq("event_id"), partCol = "event_date"))
-    val rollup = graft.operators.Upsert.readManifest(spark, target)
-      .groupBy(col("event_date"))
-      .agg(count(lit(1)).as("n_events"),
-        countDistinct(col("user_id")).as("n_users"),
-        Cols.r(Cols.sumExact(col("value")), 2).as("total_value"))
-      .select(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"),
-        col("n_events"), col("n_users"), col("total_value"))
-      .orderBy(col("event_date").asc)
-    val settled = rollup.collect().toSeq
-    val out = spark.createDataFrame(
-      spark.sparkContext.parallelize(settled, 1), rollup.schema)
-    base.unpersist(blocking = false)
-    graft.sources.LocalFs.deleteRecursively(work)
-    out
+    // try/finally rationale: see incrMergePartitioned
+    try {
+      val target = s"$work/fact"
+      val cols = Seq("event_id", "user_id", "event_type", "event_date", "value").map(col)
+      val b0 = base.filter(col("event_id") % 3 === 0).select(cols: _*)
+      val b1 = base.filter(col("event_id") % 3 === 1).select(cols: _*)
+      val moved = b0.filter(col("event_id") % 7 === 0)
+        .withColumn("event_date", date_add(col("event_date"), 365))
+        .withColumn("value", col("value") + lit(1.0))
+      val b2 = base.filter(col("event_id") % 3 === 2).select(cols: _*)
+        .unionByName(moved.select(cols: _*))
+      Seq(b0, b1, b2).foreach(b =>
+        graft.operators.Upsert.mergePartitionedManifest(spark, target, b,
+          keys = Seq("event_id"), partCol = "event_date"))
+      val rollup = graft.operators.Upsert.readManifest(spark, target)
+        .groupBy(col("event_date"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          Cols.r(Cols.sumExact(col("value")), 2).as("total_value"))
+        .select(date_format(col("event_date"), "yyyy-MM-dd").as("event_date"),
+          col("n_events"), col("n_users"), col("total_value"))
+        .orderBy(col("event_date").asc)
+      val settled = rollup.collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(settled, 1), rollup.schema)
+    } finally {
+      base.unpersist(blocking = false)
+      graft.sources.LocalFs.deleteRecursively(work)
+    }
   }
 
   def streamMergeEvents(spark: SparkSession, dir: String): DataFrame = {
@@ -2234,18 +2256,18 @@ object DataOps {
     // overhead. 2 is the gate's own width (still plural, so the
     // cross-batch state is genuinely partitioned across stores — and
     // measured ~0.25 s/gate cheaper than 4); a production stream
-    // sizes this to its key cardinality. Restored immediately (the
-    // mains run queries sequentially, so the scope is exact).
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
-    try {
+    // sizes this to its key cardinality. Pinning + the scratch-
+    // checkpoint conf pair scoped by withGateSession, restored on
+    // exit (the mains run queries sequentially, so the scope is
+    // exact).
+    graft.streaming.Streams.withGateSession(spark) { _ =>
       val q = graft.streaming.Streams.upsertSink(
           spark.readStream.schema(chunkSchema(ev)).option("maxFilesPerTrigger", 1)
             .parquet(inDir).drop("_b"),
           target, ckpt, keys = Seq("event_id"))
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     val rollup = spark.read.parquet(target)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -2286,9 +2308,7 @@ object DataOps {
       ev.filter(pmod(col("event_id"), lit(2)) === 0),
       ev.filter(pmod(col("event_id"), lit(2)) === 1),
       ev.filter(pmod(col("event_id"), lit(2)) === 0)))
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
-    try {
+    graft.streaming.Streams.withGateSession(spark) { _ =>
       val q = graft.streaming.Streams.upsertSink(
           spark.readStream.schema(chunkSchema(ev)).option("maxFilesPerTrigger", 1)
             .parquet(inDir).drop("_b")
@@ -2296,7 +2316,7 @@ object DataOps {
           target, ckpt, keys = Seq("event_id"), partCol = Some("event_date"))
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     val rollup = spark.read.parquet(target)
       .groupBy(col("event_date"))
       .agg(count(lit(1)).as("n_events"),
@@ -2352,9 +2372,7 @@ object DataOps {
     val chunk1 = ev.filter(col("ts") >= mid)
     val replay = chunk0.filter(col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
     writeStreamChunks(inDir, Seq(chunk0, chunk1, replay))
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
-    try {
+    graft.streaming.Streams.withGateSession(spark) { _ =>
       val agg = spark.readStream.schema(chunkSchema(ev))
         .option("maxFilesPerTrigger", 1).parquet(inDir).drop("_b")
         .withWatermark("ts", "2 hours")
@@ -2366,7 +2384,7 @@ object DataOps {
       val q = graft.streaming.Streams.upsertSink(agg, target, ckpt, keys = Seq("hour"))
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     val settledDf = spark.read.parquet(target)
       .select(col("hour"), col("n_events"),
         Cols.r(col("tv").cast("double"), 2).as("total_value"))
@@ -2457,14 +2475,12 @@ object DataOps {
       Seq(views.filter(col("ts") < mid), views.filter(col("ts") >= mid)))
     writeStreamChunks(pDir,
       Seq(purchases.filter(col("ts") < mid), purchases.filter(col("ts") >= mid)))
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     // 2 state partitions, same as the sibling gates. Measured r10
     // alternative: partitions=1 halves the 8 state-store commits but
     // serializes each batch's addBatch work into one task — net
     // SLOWER (4.0 s vs 3.4 s warm at sf0.1), so the wider join
     // parallelism wins even at this volume.
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
-    try {
+    graft.streaming.Streams.withGateSession(spark) { _ =>
       val vs = spark.readStream.schema(chunkSchema(views))
         .option("maxFilesPerTrigger", 1).parquet(vDir).drop("_b")
       val ps = spark.readStream.schema(chunkSchema(purchases))
@@ -2477,7 +2493,7 @@ object DataOps {
         .format("parquet").option("path", target)
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     val settledDf = spark.read.parquet(target)
       .groupBy(date_format(col("purchase_ts"), "yyyy-MM-dd").as("purchase_date"))
       .agg(count(lit(1)).as("n_matches"),
@@ -2578,9 +2594,7 @@ object DataOps {
       docs.filter(pmod(col("doc_id"), lit(2)) === 1)))
     // same state-width scoping as streamMergeEvents: 2 state-store
     // partitions for the gate instead of the session's 32
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
-    try {
+    graft.streaming.Streams.withGateSession(spark) { _ =>
       val q = graft.streaming.Streams.dedupedByContent(
           spark.readStream.schema(chunkSchema(docs)).option("maxFilesPerTrigger", 1)
             .parquet(inDir).drop("_b"),
@@ -2592,7 +2606,7 @@ object DataOps {
         .format("parquet").option("path", target)
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     val rollup = spark.read.parquet(target)
       .agg(count(lit(1)).as("n_rows"), countDistinct(col("fp")).as("n_distinct_fp"))
     val settled = rollup.collect().toSeq
@@ -2662,9 +2676,7 @@ object DataOps {
       docs.filter(pmod(col("vec_id"), lit(2)) === 0),
       docs.filter(pmod(col("vec_id"), lit(2)) === 1),
       docs.filter(pmod(col("vec_id"), lit(2)) === 1)))
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
-    try {
+    graft.streaming.Streams.withGateSession(spark) { _ =>
       val q = spark.readStream.schema(chunkSchema(docs)).option("maxFilesPerTrigger", 1)
         .parquet(inDir).drop("_b")
         .withWatermark("ts", "1 hour")
@@ -2680,7 +2692,7 @@ object DataOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     val rollup = spark.read.parquet(target)
       .select(col("cell").cast("long").as("cell"), col("vec_id"),
         Cols.r(col("cell_cos"), 6).as("rcos"))

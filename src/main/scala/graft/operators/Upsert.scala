@@ -213,6 +213,39 @@ object Upsert {
     }
   }
 
+  /** ONE bounded job fetching the batch's distinct partition values
+    * AND its per-partition key bounds (the r14 form paid two driver
+    * jobs: a distinct-p collect plus a separate global min/max
+    * aggregate). Bounded driver fetch: a batch accidentally keyed on
+    * a high-cardinality partition column must not materialize every
+    * distinct value before the caller's loud budget failure fires —
+    * the truncated set alone already exceeds maxPartitions. Global
+    * bounds fold from the per-partition rows through a LOCAL relation
+    * (min-of-mins / max-of-maxes — associative, so the fold is
+    * exact), keeping every type comparison inside Spark expressions.
+    * Shared by both partitioned merge paths so the fold's
+    * associativity subtlety and the limit/require truncation contract
+    * live in one place. */
+  private def srcPartsAndBounds(spark: SparkSession, srcPK: DataFrame,
+      keys: Seq[String], maxPartitions: Int)
+      : (Array[String], Boolean, Set[String], DataFrame) = {
+    val pbAggs = keys.flatMap(k =>
+      Seq(min(col(k)).as(s"bmin_$k"), max(col(k)).as(s"bmax_$k")))
+    val srcPartDf = srcPK.groupBy(col("__graft_p")).agg(pbAggs.head, pbAggs.tail: _*)
+      .limit(maxPartitions + 1)
+    val srcPartRows = timed("srcparts")(srcPartDf.collect())
+    val srcHasNull = srcPartRows.exists(_.isNullAt(0))
+    val srcPartVals = srcPartRows.filterNot(_.isNullAt(0)).map(_.getString(0))
+    val srcPartCanon = srcPartVals.toSet ++
+      (if (srcHasNull) Set(KeyIdx.NullPart) else Set.empty)
+    val boundsLocal = spark.createDataFrame(
+        java.util.Arrays.asList(srcPartRows: _*), srcPartDf.schema)
+      .agg(keys.map(k => min(col(s"bmin_$k")).as(s"bmin_$k")).head,
+        (keys.map(k => min(col(s"bmin_$k")).as(s"bmin_$k")).tail ++
+          keys.map(k => max(col(s"bmax_$k")).as(s"bmax_$k"))): _*)
+    (srcPartVals, srcHasNull, srcPartCanon, boundsLocal)
+  }
+
   private def mergePartitionedLocked(spark: SparkSession, io: SwapFs, targetPath: String,
       source: DataFrame, keys: Seq[String], partCol: String, maxPartitions: Int): Long = {
     require(graft.sources.ManifestStore.generations(io, targetPath).isEmpty,
@@ -268,36 +301,23 @@ object Upsert {
     // fetch (distinct inside), the semi join — is duplicate-
     // insensitive, so the projection just narrows the cached batch.
     val srcPK = src.select(col(partCol).cast("string").as("__graft_p") +: keys.map(col): _*)
+    var mergedCached: Option[DataFrame] = None
     try {
     val srcKeys = srcPK.select(keys.map(col): _*)
-    // ONE bounded job fetches the batch's distinct partition values
-    // AND its per-partition key bounds (the r14 form paid two: a
-    // distinct-p collect plus a separate global min/max aggregate).
-    // Bounded driver fetch: a batch accidentally keyed on a high-
-    // cardinality partition column must not materialize every distinct
-    // value before the loud budget failure below fires — the truncated
-    // set alone already exceeds maxPartitions. Global bounds fold from
-    // the per-partition rows through a LOCAL relation (min-of-mins /
-    // max-of-maxes — associative, so the fold is exact), keeping every
-    // type comparison inside Spark expressions.
-    val pbAggs = keys.flatMap(k =>
-      Seq(min(col(k)).as(s"bmin_$k"), max(col(k)).as(s"bmax_$k")))
-    val srcPartDf = srcPK.groupBy(col("__graft_p")).agg(pbAggs.head, pbAggs.tail: _*)
-      .limit(maxPartitions + 1)
-    val srcPartRows = timed("srcparts")(srcPartDf.collect())
-    val srcHasNull = srcPartRows.exists(_.isNullAt(0))
-    val srcPartVals = srcPartRows.filterNot(_.isNullAt(0)).map(_.getString(0))
-    val srcPartCanon = srcPartVals.toSet ++ (if (srcHasNull) Set(KeyIdx.NullPart) else Set.empty)
-    val boundsLocal = spark.createDataFrame(
-        java.util.Arrays.asList(srcPartRows: _*), srcPartDf.schema)
-      .agg(keys.map(k => min(col(s"bmin_$k")).as(s"bmin_$k")).head,
-        (keys.map(k => min(col(s"bmin_$k")).as(s"bmin_$k")).tail ++
-          keys.map(k => max(col(s"bmax_$k")).as(s"bmax_$k"))): _*)
+    // the batch-side bounds fetch and the index meta read are
+    // independent (source cache vs index parquet) — overlap them
+    // (guide §2.6); the srcparts phase print then runs concurrently
+    // with readValid's, so their wall-clocks are not additive
+    val srcPartsF = concurrent.Future(
+      srcPartsAndBounds(spark, srcPK, keys, maxPartitions))(
+      concurrent.ExecutionContext.global)
     // candidate-partition prefilter from the key index: the probe
     // below only READS partitions whose recorded key ranges AND Bloom
     // sidecars admit the batch — O(touched) I/O instead of O(target)
     val validIdx = timed("readValid")(KeyIdx.readValid(spark, io, targetPath, target.schema,
       io.listDirNames(tgt), prefix, partCol, keys))
+    val (srcPartVals, srcHasNull, srcPartCanon, boundsLocal) =
+      concurrent.Await.result(srcPartsF, concurrent.duration.Duration.Inf)
     val probed = validIdx match {
       case Some(idx) =>
         val cand = timed("candidates")(KeyIdx.candidates(spark, io, targetPath, idx,
@@ -318,7 +338,20 @@ object Upsert {
         s"of $targetPath — use mergeIntoPath (full rewrite) for rewrite-everything batches")
     val inParts = col(partCol).cast("string").isin(parts.toIndexedSeq: _*)
     val scoped = target.filter(if (hasNull) inParts || col(partCol).isNull else inParts)
-    val merged = upsertBatch(scoped, src, keys)
+    // When a valid index will be staged below, persist the merged
+    // frame: the stage's two jobs (meta stats + record rows) then
+    // scan the cache the write job populates instead of re-reading
+    // the just-written tmp parquet (guide §1.2 step 1) — measured
+    // best-of-3 at sf0.1: ~1 s/gate faster than the tmp re-read form
+    // even with the stage jobs already overlapped. MEMORY_AND_DISK,
+    // unpersisted in the finally. At true incremental scale merged is
+    // O(touched partitions) ≈ O(batch); this gate fixture's batches
+    // touch every partition, the worst case, and still win.
+    val merged0 = upsertBatch(scoped, src, keys)
+    val merged = if (validIdx.isEmpty) merged0 else {
+      val m = merged0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      mergedCached = Some(m); m
+    }
     val tmp = io.path(targetPath + ".tmp-pmerge")
     io.delete(tmp)
     val obs = Observation()
@@ -326,18 +359,19 @@ object Upsert {
       .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString))
     val n = obs.get("n").asInstanceOf[Long]
     // EXACT index rows for the affected partitions, computed from the
-    // just-written tmp (column-pruned read) BEFORE the swap moves its
-    // directories, staged in the index's own temp sibling. Exact —
-    // never widened — so pruning power does not decay under key churn
-    // (the r13 design widened old∪new and only ever grew; this
-    // rewrite replaces it, with the `_PENDING` marker carrying crash
-    // soundness instead of over-inclusion).
+    // persisted merged frame (row-identical to the just-written tmp;
+    // stats/records canonicalize the partition value to the same
+    // CAST-to-string space the tmp read-back yielded) BEFORE the swap
+    // moves its directories, staged in the index's own temp sibling.
+    // Exact — never widened — so pruning power does not decay under
+    // key churn (the r13 design widened old∪new and only ever grew;
+    // this rewrite replaces it, with the `_PENDING` marker carrying
+    // crash soundness instead of over-inclusion).
     val tmpSchema = StructType(merged.schema.map(f =>
       if (f.name == partCol) f.copy(dataType = StringType) else f))
     val staged = validIdx.map { idx =>
       timed("stage-idx")(KeyIdx.stage(spark, io, targetPath,
-        spark.read.schema(tmpSchema).parquet(tmp.toString), partCol, keys,
-        target.schema, idx.nextVer))
+        merged, partCol, keys, target.schema, idx.nextVer))
     }
     // marker BEFORE the first live-directory mutation; removed only
     // after the post-swap index rewrite completes. Any crash between
@@ -377,7 +411,10 @@ object Upsert {
     KeyIdx.clearPending(io, targetPath)
     io.delete(tmp)
     n
-    } finally src.unpersist(blocking = false)
+    } finally {
+      mergedCached.foreach(_.unpersist(blocking = false))
+      src.unpersist(blocking = false)
+    }
   }
 
   /** MANIFEST-COMMITTED partition-scoped MERGE — the flat-object-store
@@ -473,23 +510,17 @@ object Upsert {
     // projection + one-job partition/bounds fetch: see
     // [[mergePartitionedLocked]] for the rationale
     val srcPK = src.select(col(partCol).cast("string").as("__graft_p") +: keys.map(col): _*)
+    var mergedCached: Option[DataFrame] = None
     try {
     val srcKeys = srcPK.select(keys.map(col): _*)
-    val pbAggs = keys.flatMap(k =>
-      Seq(min(col(k)).as(s"bmin_$k"), max(col(k)).as(s"bmax_$k")))
-    val srcPartDf = srcPK.groupBy(col("__graft_p")).agg(pbAggs.head, pbAggs.tail: _*)
-      .limit(maxPartitions + 1)
-    val srcPartRows = timed("srcparts")(srcPartDf.collect())
-    val srcHasNull = srcPartRows.exists(_.isNullAt(0))
-    val srcPartVals = srcPartRows.filterNot(_.isNullAt(0)).map(_.getString(0))
-    val srcPartCanon = srcPartVals.toSet ++ (if (srcHasNull) Set(KeyIdx.NullPart) else Set.empty)
-    val boundsLocal = spark.createDataFrame(
-        java.util.Arrays.asList(srcPartRows: _*), srcPartDf.schema)
-      .agg(keys.map(k => min(col(s"bmin_$k")).as(s"bmin_$k")).head,
-        (keys.map(k => min(col(s"bmin_$k")).as(s"bmin_$k")).tail ++
-          keys.map(k => max(col(s"bmax_$k")).as(s"bmax_$k"))): _*)
+    // overlapped fetch: see [[mergePartitionedLocked]]
+    val srcPartsF = concurrent.Future(
+      srcPartsAndBounds(spark, srcPK, keys, maxPartitions))(
+      concurrent.ExecutionContext.global)
     val validIdx = timed("readValid")(KeyIdx.readValid(spark, io, targetPath, target.schema,
       state.parts.keySet, prefix, partCol, keys))
+    val (srcPartVals, srcHasNull, srcPartCanon, boundsLocal) =
+      concurrent.Await.result(srcPartsF, concurrent.duration.Duration.Inf)
     val probed = validIdx match {
       case Some(idx) =>
         val cand = timed("candidates")(KeyIdx.candidates(spark, io, targetPath, idx,
@@ -510,19 +541,21 @@ object Upsert {
         s"of $targetPath — rewrite into a fresh generation wholesale instead")
     val inParts = col(partCol).cast("string").isin(parts.toIndexedSeq: _*)
     val scoped = target.filter(if (hasNull) inParts || col(partCol).isNull else inParts)
-    val merged = upsertBatch(scoped, src, keys)
+    // persist-for-stage rationale: see [[mergePartitionedLocked]]
+    val merged0 = upsertBatch(scoped, src, keys)
+    val merged = if (validIdx.isEmpty) merged0 else {
+      val m = merged0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      mergedCached = Some(m); m
+    }
     val tmp = io.path(targetPath + ".tmp-pmerge")
     io.delete(tmp)
     val obs = Observation()
     timed("write")(explained("mmerge-write", clusterByPart(merged.observe(obs, count(lit(1)).as("n")), partCol))
       .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString))
     val n = obs.get("n").asInstanceOf[Long]
-    val tmpSchema = StructType(merged.schema.map(f =>
-      if (f.name == partCol) f.copy(dataType = StringType) else f))
     val staged = validIdx.map { idx =>
       timed("stage-idx")(KeyIdx.stage(spark, io, targetPath,
-        spark.read.schema(tmpSchema).parquet(tmp.toString), partCol, keys,
-        target.schema, idx.nextVer))
+        merged, partCol, keys, target.schema, idx.nextVer))
     }
     KeyIdx.markPending(io, targetPath)
     // install into a FRESH generation: these renames move just-written
@@ -554,7 +587,10 @@ object Upsert {
     timed("gc")(ManifestStore.gc(io, targetPath))
     io.delete(tmp)
     n
-    } finally src.unpersist(blocking = false)
+    } finally {
+      mergedCached.foreach(_.unpersist(blocking = false))
+      src.unpersist(blocking = false)
+    }
   }
 }
 
@@ -755,25 +791,41 @@ private[operators] object KeyIdx {
   def clearPending(io: SwapFs, targetPath: String): Unit =
     io.delete(io.path(targetPath + "/" + Dir + "/" + PendingName))
 
-  /** Stage exact index rows for `df`'s partitions (the just-written
-    * merge tmp) into `_keyidx.tmp`, stamped `ver`: one meta chunk
-    * file (`meta/`) plus the affected partitions' record rows
-    * (`rec/`, bounded to [[RecStageFiles]] files so per-merge
-    * maintenance stays O(1) files while a wide batch still writes in
-    * parallel). Runs BEFORE the data swap — it reads the tmp layout
-    * and touches nothing live. */
+  /** Stage exact index rows for `df`'s partitions (the merge's
+    * persisted `merged` frame — row-identical to the just-written
+    * tmp, served from cache instead of a tmp re-read) into
+    * `_keyidx.tmp`, stamped `ver`: one meta chunk file (`meta/`)
+    * plus the affected partitions' record rows (`rec/`, bounded to
+    * [[RecStageFiles]] files so per-merge maintenance stays O(1)
+    * files while a wide batch still writes in parallel). Runs BEFORE
+    * the data swap and touches nothing live. */
   def stage(spark: SparkSession, io: SwapFs, targetPath: String, df: DataFrame,
       partCol: String, keys: Seq[String], targetSchema: StructType, ver: Long): HPath = {
     val stagedPath = io.path(targetPath + "/" + Dir + ".tmp")
     io.delete(stagedPath)
-    stats(df, partCol, keys, targetSchema)
-      .withColumn("ver", lit(ver))
-      .coalesce(1)
-      .write.parquet(new HPath(stagedPath, "meta").toString)
-    records(df, partCol, keys, targetSchema)
-      .withColumn("ver", lit(ver))
-      .coalesce(RecStageFiles)
-      .write.parquet(new HPath(stagedPath, "rec").toString)
+    // the meta and record writes are independent small jobs over the
+    // same (persisted) frame — run them CONCURRENTLY (guide §2.6:
+    // actions are only sequential because the driver calls them
+    // sequentially), so the stage phase costs max(job) instead of
+    // sum(job); per-merge fixed latency is paid on every incremental
+    // batch, so every overlapped job shows
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val metaF = Future {
+      stats(df, partCol, keys, targetSchema)
+        .withColumn("ver", lit(ver))
+        .coalesce(1)
+        .write.parquet(new HPath(stagedPath, "meta").toString)
+    }
+    val recF = Future {
+      records(df, partCol, keys, targetSchema)
+        .withColumn("ver", lit(ver))
+        .coalesce(RecStageFiles)
+        .write.parquet(new HPath(stagedPath, "rec").toString)
+    }
+    Await.result(metaF, Duration.Inf)
+    Await.result(recF, Duration.Inf)
     stagedPath
   }
 

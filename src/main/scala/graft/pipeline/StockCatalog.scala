@@ -447,16 +447,17 @@ object StockCatalog {
     * hash gate (a healthy fixture must yield 13 zeros, and the oracle
     * recomputes each violation count from scratch). */
   def stockQualitySuite(spark: SparkSession, dir: String): DataFrame = {
-    // the 13 checks are 13 scalar jobs over these three frames; persist
-    // the derived marts so each job reads a cached frame instead of
-    // re-running the dedupe/keep-latest windows 13 times
+    // the 13 checks run as 7 batched scalar jobs over these three
+    // frames (StockPipeline.suiteCounts — per-frame not_null tests
+    // share one aggregate pass); persist the derived marts so each
+    // job reads a cached frame instead of re-running the
+    // dedupe/keep-latest windows per check
     val s = stg(spark, dir)
     val d = Persisted.index(dim(spark, dir))
     val f = Persisted.index(fct(spark, dir))
-    val failing = StockPipeline.qualitySuite(s, d, f)
-    val all = StockPipeline.qualityChecks(s, d, f).keys.toSeq.sorted
+    val counts = StockPipeline.suiteCounts(s, d, f)
     import spark.implicits._
-    all.map(name => (name, failing.getOrElse(name, 0L)))
+    counts.toSeq.sortBy(_._1)
       .toDF("check_name", "n_failed")
       .orderBy(col("check_name").asc)
   }
@@ -519,11 +520,10 @@ object StockCatalog {
       raw.filter(col("scraped_at") < "2024-01-14"),
       raw.filter(col("scraped_at") >= "2024-01-14" && col("scraped_at") < "2024-01-18"),
       raw.filter(col("scraped_at") >= "2024-01-18"))))
-    // 2 state partitions — the streaming gates' shared width (pinned at
-    // first start into the checkpoint; restored right after)
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
-    try {
+    // 2 state partitions — the streaming gates' shared width (pinned
+    // at first start into the checkpoint) + the scratch-checkpoint
+    // conf pair, both scoped/restored by withGateSession
+    graft.streaming.Streams.withGateSession(spark) { prevParts =>
       val q = spark.readStream.schema(graft.streaming.Streams.chunkSchema(raw))
         .option("maxFilesPerTrigger", 1).parquet(inDir).drop("_b")
         .writeStream
@@ -550,7 +550,7 @@ object StockCatalog {
         }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     spark.read.parquet(target).select(
         col("entity_sk"), col("symbol"), col("entity_name"), col("exchange"),
         col("category"), col("location"), col("market_cap_category"),

@@ -398,7 +398,31 @@ object StockPipeline {
   /** The reference's 11 dbt tests + QA checks as one suite; returns
     * failing checks only (empty map = healthy warehouse). */
   def qualitySuite(stg: DataFrame, dim: DataFrame, fct: DataFrame): Map[String, Long] =
-    DataQuality.runAll(qualityChecks(stg, dim, fct))
+    suiteCounts(stg, dim, fct).filter(_._2 > 0)
+
+  /** ALL 13 check counts of [[qualitySuite]], evaluated with the
+    * per-frame `not_null` tests BATCHED into one aggregate job per
+    * frame ([[DataQuality.nullCounts]]): 7 jobs instead of 13 —
+    * 3 batched null passes + 3 `unique` group-counts + 1
+    * relationship anti-join. Check definitions (and counts) are
+    * identical to [[qualityChecks]], which stays as the
+    * one-check-one-function definitional map. */
+  def suiteCounts(stg: DataFrame, dim: DataFrame, fct: DataFrame): Map[String, Long] = {
+    def pfx(p: String, m: Map[String, Long]): Map[String, Long] =
+      m.map { case (c, n) => s"${p}_${c}_not_null" -> n }
+    pfx("stg", DataQuality.nullCounts(stg,
+        Seq("observation_sk", "entity_sk", "symbol", "scraped_at"))) ++
+      pfx("dim", DataQuality.nullCounts(dim,
+        Seq("entity_sk", "symbol", "entity_name"))) ++
+      pfx("fct", DataQuality.nullCounts(fct,
+        Seq("observation_sk", "observation_date"))) ++
+      Map(
+        "stg_observation_sk_unique" -> DataQuality.unique(stg, "observation_sk"),
+        "dim_entity_sk_unique" -> DataQuality.unique(dim, "entity_sk"),
+        "fct_observation_sk_unique" -> DataQuality.unique(fct, "observation_sk"),
+        "fct_entity_sk_relationship" ->
+          DataQuality.relationships(fct, "entity_sk", dim, "entity_sk"))
+  }
 
   /** The named check set behind [[qualitySuite]], exposed so callers
     * (the oracle catalog) can report ALL check counts, not only

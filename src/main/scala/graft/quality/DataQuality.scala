@@ -20,6 +20,15 @@ object DataQuality {
   def notNull(df: DataFrame, column: String): Long =
     df.filter(col(column).isNull).count()
 
+  /** Batched [[notNull]]: the NULL-violation count of every listed
+    * column in ONE aggregate job over the frame (each dbt `not_null`
+    * test is one `sum(when(isNull))` term — semantically identical to
+    * per-column [[notNull]] calls, minus N−1 scans and N−1 jobs'
+    * fixed scheduling). The single-pass shape of
+    * [[conditionalCounts]], specialized to the null predicate. */
+  def nullCounts(df: DataFrame, columns: Seq[String]): Map[String, Long] =
+    conditionalCounts(df, columns.map(c => c -> col(c).isNull).toMap)
+
   /** dbt `unique`: number of keys appearing more than once. NULL keys
     * are excluded, matching dbt's generated test (it filters
     * `where column is not null` before grouping) — NULL-ness is

@@ -236,6 +236,52 @@ object Streams {
       }
   }
 
+  /** Session-conf scope shared by the catalog's file-stream gates:
+    * pins the gate width (shuffle partitions = state-store partitions
+    * = 2 — the documented per-gate rationale at each call site) and
+    * the scratch-checkpoint conf pair, restoring every prior value on
+    * exit. The pair (r16, measured by [[graft.tools.StreamCfgProbe]]
+    * interleaved A/B — median 4.87→4.24 s on stream_join_views):
+    *
+    *  - `checkpoint.fileChecksum.enabled=false`: Spark 4.1 writes an
+    *    integrity-checksum sidecar per checkpoint file. These gates'
+    *    checkpoints are query-lifetime scratch on the RAM-backed fs,
+    *    deleted when the gate returns — the sidecar buys nothing and
+    *    costs one extra file create per offset/commit/state file per
+    *    micro-batch. A production stream with a durable checkpoint on
+    *    object storage keeps the default.
+    *  - `noDataMicroBatches.enabled=false`: the trailing zero-row
+    *    micro-batch exists to advance the watermark and EVICT expired
+    *    state. Every catalog stream EMITS eagerly (inner join /
+    *    dedup-on-first-sight / update-mode aggregation — none emit on
+    *    eviction), so for a checkpoint that is deleted at gate end
+    *    the eviction batch is pure fixed cost: one whole micro-batch
+    *    of planning + state commit + WAL per stateful gate. A
+    *    long-running production stream keeps the default so state is
+    *    reaped between bursts.
+    *
+    * Results are oracle-pinned identical (the driver's DuckDB compare
+    * re-certifies every gate); only machinery cost moves. `body`
+    * receives the pre-pin shuffle-partition value — the stock gate
+    * restores engine width inside foreachBatch for its batch models. */
+  def withGateSession[T](spark: SparkSession)(body: String => T): T = {
+    val scratchConfs = Seq(
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled",
+      "spark.sql.streaming.noDataMicroBatches.enabled")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prev = scratchConfs.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    scratchConfs.foreach(spark.conf.set(_, "false"))
+    try body(prevParts)
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   /** Deterministic micro-batch fixture: write `chunks` as one
     * partitioned parquet job (`_b` = chunk index) and stamp each
     * chunk's files with ascending mtimes, so a

@@ -113,6 +113,23 @@ class StockPipelineSpec extends SparkSpec {
     assert(report.contains("fct_observation_sk_unique"))
   }
 
+  test("batched suiteCounts equals the per-check definitional map, healthy and corrupted") {
+    // the r16 job batching (per-frame not_null tests in one aggregate
+    // pass) must be count-identical to evaluating qualityChecks one
+    // function at a time — on a healthy warehouse AND under corruption
+    // that trips null, unique, and relationship checks at once
+    def perCheck(s: org.apache.spark.sql.DataFrame, d: org.apache.spark.sql.DataFrame,
+        f: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      StockPipeline.qualityChecks(s, d, f).map { case (n, fn) => n -> fn() }
+    assert(StockPipeline.suiteCounts(stg, dim, fct) == perCheck(stg, dim, fct))
+    val badFct = fct.unionByName(
+      fct.limit(1).withColumn("entity_sk", lit("deadbeef")))
+      .unionByName(fct.limit(1).withColumn("observation_date",
+        lit(null).cast(fct.schema("observation_date").dataType)))
+    val badDim = dim.unionByName(dim.limit(1).withColumn("symbol", lit(null: String)))
+    assert(StockPipeline.suiteCounts(stg, badDim, badFct) == perCheck(stg, badDim, badFct))
+  }
+
   test("normalizeQuotes applies the scraper's fallback chains and coercions") {
     // raw Yahoo-quote shapes: full row, fallback-to-shortName, fallback-to-symbol
     // with empty strings (Python falsy), unparseable price, infinite price
