@@ -1,5 +1,5 @@
 #!/bin/bash
-# r15 sf100 sweep: chunk R = r15-code-touched entries (re-measured), chunks 1-4 =
+# sf100 sweep: chunk R = merge+stream gates (re-measured on the r16 tree), chunks 1-4 =
 # the remaining unmeasured entries, alphabetical. One JVM per chunk (Bench writes
 # its JSON only at completion, so chunking keeps a multi-hour sweep crash-safe).
 # Usage: sf100_sweep.sh [chunk ...]   (default: R 1 2 3 4)
@@ -19,7 +19,7 @@ for c in ${@:-R 1 2 3 4}; do
   # (tens of GB of dead blocks between GC ticks) must not sit in the
   # RAM-backed default Sessions picks for oracle-SF runs
   SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_ONLY=${CHUNKS[$c]} SPARK_GRAFT_GC_BETWEEN=1 \
-    SPARK_GRAFT_BENCH_OUT=$OUT/chunk_r15_$c.json SPARK_DRIVER_MEM=96g \
+    SPARK_GRAFT_BENCH_OUT=$OUT/chunk_r16_$c.json SPARK_DRIVER_MEM=96g \
     SPARK_GRAFT_EXTRA_CONF="spark.local.dir=${SPARK_LOCAL_DIR:-/tmp}" \
     /root/repo/scripts/run_graft.sh graft.Bench || echo "chunk $c FAILED" >&2
 done
